@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with a count-style noop action (collect for
+small results) so the full plan executes; timings are wall-clock per query
+after a warm-up of the parquet footers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from realtimedatapipeline_8_project_spark.plans.registry import QUERIES
+from realtimedatapipeline_8_project_spark.session import get_session
+
+HEADLINE = [
+    "enrich_broadcast_left_join",
+    "agg_pricing_summary",
+    "agg_revenue_by_nation",
+    "agg_top_customers",
+    "win_latest_per_user",
+    "win_sessionize",
+    "win_tumbling_hour",
+    "dedup_exact_fingerprint",
+    "dedup_minhash_neardup",
+    "text_quality_score",
+    "sim_knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_session("bench")
+
+    # Warm up the session (JVM, codegen, parquet footers) outside timing.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

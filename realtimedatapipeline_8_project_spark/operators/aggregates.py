@@ -1,0 +1,213 @@
+"""Aggregation operator family (SURVEY §2.6).
+
+The reference computes no groupBy itself (strictly per-event derives,
+stream-processor.py:270-280) but its serving layout exists to answer
+rollup-style analytics (cassandra-setup.cql:22, README.md:10 "drop-off
+detection"). This module is the oracle-checked aggregation suite: hash
+aggregates with partial (map-side) combine, multi-way joins with broadcast
+dimensions, rollup/cube grouping sets, exact + approximate distinct.
+
+Scale notes: every groupBy here shuffles only the grouped keys after a
+map-side partial aggregate; dimension joins (nation/region/customer at
+realistic scales) are broadcast so the 100 TB fact side never shuffles for
+the join — only the final few-key aggregate exchanges data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import (
+    davg,
+    dsum,
+    dsum_product,
+    oracle_davg,
+    oracle_dsum,
+    oracle_dsum_product,
+)
+from ..sources.tables import load_table
+
+
+# --- TPC-H Q1-shaped pricing summary (hash agg, map-side combine) ---------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum_product(
+                F.col("l_extendedprice"),
+                F.lit(1.0) - F.col("l_discount"),
+                "sum_disc_price",
+            ),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {oracle_dsum('l_quantity', 'sum_qty')},
+  {oracle_dsum('l_extendedprice', 'sum_base_price')},
+  {oracle_dsum_product('l_extendedprice', '1.0 - l_discount', 'sum_disc_price')},
+  {oracle_davg('l_quantity', 'avg_qty')},
+  {oracle_davg('l_extendedprice', 'avg_price')},
+  {oracle_davg('l_discount', 'avg_disc')},
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- TPC-H Q5-shaped multiway join + agg (broadcast dims) -----------------
+# customer/orders/lineitem shuffle on join keys only; nation+region are
+# broadcast. At 100 TB the orders<->lineitem join is the one real shuffle;
+# co-partitioning/bucketing both on orderkey removes even that.
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum_product(
+                F.col("l_extendedprice"),
+                F.lit(1.0) - F.col("l_discount"),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_REVENUE_BY_NATION = f"""
+SELECT
+  r_name,
+  n_name,
+  {oracle_dsum_product('l_extendedprice', '1.0 - l_discount', 'revenue')},
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --- ROLLUP grouping sets --------------------------------------------------
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "sum_qty"),
+    )
+
+
+ORACLE_ROLLUP = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       {oracle_dsum('l_quantity', 'sum_qty')}
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --- CUBE grouping sets ----------------------------------------------------
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "sum_price"),
+    )
+
+
+ORACLE_CUBE = f"""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       {oracle_dsum('o_totalprice', 'sum_price')}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- exact distinct counts -------------------------------------------------
+# approx_count_distinct (HLL) is the scale path but is engine-specific, so
+# the oracle-checked query uses exact COUNT(DISTINCT); the approximate
+# variant lives in q_approx_distinct (rows-only check).
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_buyers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+ORACLE_DISTINCT_COUNTS = """
+SELECT c_mktsegment,
+       COUNT(DISTINCT o_custkey) AS n_buyers,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct — the 100 TB-scale path (single pass, no
+    distinct shuffle, fixed-size sketch). Rows-only check (engine-specific
+    estimates); exactness is covered by q_distinct_counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_buyers")
+    )
+
+
+# --- top-k over an aggregate (agg + TakeOrderedAndProject) ----------------
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(dsum("o_totalprice", "total_spend"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOP_CUSTOMERS = f"""
+SELECT o_custkey,
+       {oracle_dsum('o_totalprice', 'total_spend')},
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY total_spend DESC, o_custkey ASC
+LIMIT 10
+"""
+
+
+QUERIES = {
+    "agg_pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
+    "agg_revenue_by_nation": (q_revenue_by_nation, ORACLE_REVENUE_BY_NATION),
+    "agg_rollup": (q_rollup, ORACLE_ROLLUP),
+    "agg_cube": (q_cube, ORACLE_CUBE),
+    "agg_distinct_counts": (q_distinct_counts, ORACLE_DISTINCT_COUNTS),
+    "agg_approx_distinct": (q_approx_distinct, None),
+    "agg_top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
+}

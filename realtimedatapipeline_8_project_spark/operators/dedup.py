@@ -1,0 +1,230 @@
+"""Deduplication operator family over ``documents`` (SURVEY §2.13;
+north-star: exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Scale design:
+* exact dedup = hash-groupBy on a fingerprint — one shuffle of (hash, id),
+  never the document bodies;
+* near-dup candidate generation = MinHash banding: signatures are fixed
+  size (k longs/doc) regardless of document length, LSH band buckets turn
+  the O(n^2) pair space into a self-join on band keys;
+* candidate verification = exact shingle Jaccard on the (tiny) candidate
+  set only.
+
+Only the oracle-checkable pieces use portable hashing (sha256-derived);
+the high-throughput variant uses xxhash64 (Spark-side only, rows-only
+check) — at 100 TB you want the cheap hash, the expensive one exists to
+prove semantics against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .text_analysis import normalized_text
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct), as array<string>. 0-based array
+    indexing via SQL ``toks[i]`` keeps this whole-stage-codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(c, " ")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def oracle_shingles(col_sql: str, n: int = 3) -> str:
+    toks = f"string_split({col_sql}, ' ')"
+    parts = ", ".join(f"{toks}[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, len({toks}) - {n - 1} + 1), "
+        f"i -> concat_ws(' ', {parts})))"
+    )
+
+
+# --- exact dedup: fingerprint groupBy, deterministic survivor -------------
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.sha2(normalized_text("text"), 256)
+    return (
+        docs.select(fp.alias("fingerprint"), "doc_id", "n_chars")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+ORACLE_DEDUP_EXACT = r"""
+SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       MIN(doc_id) AS survivor_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- n-gram Jaccard similarity vs a probe document ------------------------
+# Exact set similarity of every document against doc_id=0 (broadcast probe,
+# no O(n^2) blow-up; the all-pairs path goes through MinHash banding below).
+def q_jaccard_vs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles("text").alias("sh"))
+    probe = sh.where(F.col("doc_id") == 0).select(F.col("sh").alias("probe_sh"))
+    inter = F.size(F.array_intersect("sh", "probe_sh"))
+    union = F.size(F.array_union("sh", "probe_sh"))
+    return (
+        sh.crossJoin(F.broadcast(probe))
+        .select(
+            "doc_id",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .where(F.col("doc_id") != 0)
+    )
+
+
+ORACLE_JACCARD_VS_PROBE = f"""
+WITH sh AS (
+  SELECT doc_id, {oracle_shingles('text')} AS s FROM documents
+), probe AS (
+  SELECT s AS ps FROM sh WHERE doc_id = 0
+)
+SELECT doc_id,
+       ROUND(CAST(len(list_intersect(s, ps)) AS DOUBLE)
+             / len(list_distinct(list_concat(s, ps))), 6) AS jaccard
+FROM sh, probe
+WHERE doc_id <> 0
+"""
+
+
+# --- MinHash signatures + LSH banding (scale path, rows-only check) -------
+def minhash_signature(sh: Column, n_hashes: int = N_MINHASH) -> Column:
+    """array<bigint> of n minhashes. Seeded xxhash64 — cheapest 64-bit hash
+    Spark has, evaluated JVM-side per shingle; signature size is O(n), not
+    O(len(doc))."""
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH banding, verified with exact
+    Jaccard >= 0.5. Self-join happens only on band-bucket keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles("text").alias("sh"))
+    sig = sh.select("doc_id", "sh", minhash_signature(F.col("sh")).alias("sig"))
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sh", "bb.band", "bb.bucket")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return cand.select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= 0.5)
+
+
+# --- SimHash (64-bit, sign-aggregated token hashes; rows-only check) ------
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash: hash each distinct token once (explode), map-side
+    partial-sum the +/-1 contribution of every bit per document, reassemble
+    the sign bits into a long. The explode+groupBy shape is the scale path:
+    one shuffle keyed by doc_id carrying 64 small ints per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(normalized_text("text"), " "))).alias("tok"),
+    )
+    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+# --- keyed latest-wins dedup on events (exact, oracle-checked in windows) -
+def q_dedup_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact row dedup on the full event tuple — dropDuplicates semantics
+    (events are already unique; op proves the shuffle-on-hash plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+
+
+ORACLE_DEDUP_EVENTS = """
+SELECT event_type, COUNT(*) AS n_unique
+FROM (SELECT DISTINCT ON (event_id) * FROM events ORDER BY event_id)
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "dedup_exact_fingerprint": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_jaccard_vs_probe": (q_jaccard_vs_probe, ORACLE_JACCARD_VS_PROBE),
+    "dedup_minhash_neardup": (q_minhash_neardup, None),
+    "dedup_simhash": (q_simhash, None),
+    "dedup_events_exact": (q_dedup_events_exact, ORACLE_DEDUP_EVENTS),
+}

@@ -1,0 +1,213 @@
+"""Relational operator family: projections, filters, sorts, set ops, KV
+shapes (SURVEY §2.3 P1-P14, §2.4 F1-F5, §2.8 O1-O2, §2.9).
+
+Each operator is a (spark, sf_dir) -> DataFrame callable paired with the
+DuckDB oracle SQL that defines its semantics. All expressions are JVM-side
+built-ins (whole-stage codegen) — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.uuid_repair import oracle_uuid_from_hash, uuid_from_hash
+from ..schemas import FIXTURE_EVENT_TYPES
+from ..sources.tables import load_table
+
+
+# --- S4/K3: per-event point lookup, all-string hash projection ------------
+# Reference: Redis HGETALL engagement_events:event:{id} (README.md:209-212);
+# the writer casts every field to string (stream-processor.py:89-94).
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(F.col("event_id") == 42).select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("event_type"),
+        F.col("value").cast("decimal(12,2)").cast("string").alias("value_str"),
+    )
+
+
+ORACLE_POINT_LOOKUP = """
+SELECT
+  CAST(event_id AS VARCHAR) AS event_id,
+  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+  CAST(user_id AS VARCHAR) AS user_id,
+  event_type,
+  CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) AS value_str
+FROM events WHERE event_id = 42
+"""
+
+
+# --- F1/F4: status + enum-domain validation filter ------------------------
+# Reference: WHERE status='pending' (utils/utils.py:41) and CHECK enum
+# constraints (setup.sql:6,16) enforced as isin() filters.
+def q_enum_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type").isin(*FIXTURE_EVENT_TYPES))
+        .where(F.col("value").isNotNull() & (F.col("value") > 0))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_ENUM_VALIDATION = """
+SELECT event_type, COUNT(*) AS n
+FROM events
+WHERE event_type IN ('signup', 'click', 'error', 'view', 'purchase')
+  AND value IS NOT NULL AND value > 0
+GROUP BY event_type
+"""
+
+
+# --- O2/F5: time-descending top-k (serving "latest events" scan) ----------
+# Reference: CLUSTERING ORDER BY (event_time DESC) (cassandra-setup.cql:23);
+# Spark compiles orderBy().limit() to TakeOrderedAndProject — no full sort
+# at scale, each partition keeps k rows and the driver merges.
+def q_topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("ts"), F.asc("event_id"))
+        .limit(20)
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+ORACLE_TOPK_RECENT = """
+SELECT event_id, ts, user_id, event_type
+FROM events ORDER BY ts DESC, event_id ASC LIMIT 20
+"""
+
+
+# --- O1/S3: ordered batched drain (outbox replay semantics) ---------------
+# Reference: SELECT ... WHERE status='pending' ORDER BY id LIMIT n
+# (utils/utils.py:37-44). 'error' events play the non-pending rows.
+def q_ordered_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.where(F.col("event_type") != "error")
+        .orderBy(F.asc("event_id"))
+        .limit(100)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+ORACLE_ORDERED_DRAIN = """
+SELECT event_id, user_id, event_type, value
+FROM events WHERE event_type <> 'error'
+ORDER BY event_id ASC LIMIT 100
+"""
+
+
+# --- P2/P13: schema'd JSON decode -----------------------------------------
+# Reference: from_json with explicit schema (stream-processor.py:242);
+# unknown fields dropped, nulls on mismatch.
+def q_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    ).where(F.col("k").isNotNull())
+
+
+ORACLE_JSON_DECODE = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+"""
+
+
+# --- P10/K4: KV-sink projection (concat key + JSON-ish value) -------------
+# Reference: key = concat('event:', id) (stream-processor.py:96-97); value
+# assembled by concat of literals (:127-159). We mirror the concat shape;
+# the engine's blessed path for real JSON is to_json(struct(*)).
+def q_kv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.concat(F.lit("event:"), F.col("event_id").cast("string")).alias("redis_key"),
+        F.concat(
+            F.lit('{"event_id":"'),
+            F.col("event_id").cast("string"),
+            F.lit('","event_type":"'),
+            F.col("event_type"),
+            F.lit('","value":"'),
+            F.col("value").cast("decimal(12,2)").cast("string"),
+            F.lit('"}'),
+        ).alias("redis_value"),
+    )
+
+
+ORACLE_KV_PROJECTION = """
+SELECT
+  concat('event:', CAST(event_id AS VARCHAR)) AS redis_key,
+  concat('{"event_id":"', CAST(event_id AS VARCHAR),
+         '","event_type":"', event_type,
+         '","value":"', CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR),
+         '"}') AS redis_value
+FROM events
+"""
+
+
+# --- P14: deterministic UUID repair ---------------------------------------
+def q_uuid_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        uuid_from_hash(F.col("event_id").cast("string")).alias("event_uuid"),
+    )
+
+
+ORACLE_UUID_REPAIR = f"""
+SELECT event_id, {oracle_uuid_from_hash('event_id')} AS event_uuid
+FROM events
+"""
+
+
+# --- §2.9: set operations --------------------------------------------------
+# Users that viewed but never purchased (EXCEPT), and the INTERSECT of
+# clickers and signup users — distinct-set semantics in both engines.
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    viewers = ev.where(F.col("event_type") == "view").select("user_id")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id")
+    signups = ev.where(F.col("event_type") == "signup").select("user_id")
+    viewed_never_bought = viewers.exceptAll(buyers).distinct().withColumn(
+        "cohort", F.lit("viewed_never_bought")
+    )
+    click_and_signup = clickers.intersect(signups).withColumn(
+        "cohort", F.lit("click_and_signup")
+    )
+    return viewed_never_bought.unionByName(click_and_signup)
+
+
+ORACLE_SET_OPS = """
+SELECT user_id, 'viewed_never_bought' AS cohort FROM (
+  SELECT DISTINCT user_id FROM (
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+  )
+)
+UNION ALL
+SELECT user_id, 'click_and_signup' AS cohort FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'signup'
+)
+"""
+
+
+QUERIES = {
+    "point_lookup_string_hash": (q_point_lookup, ORACLE_POINT_LOOKUP),
+    "enum_validation_filter": (q_enum_validation, ORACLE_ENUM_VALIDATION),
+    "topk_recent": (q_topk_recent, ORACLE_TOPK_RECENT),
+    "ordered_drain": (q_ordered_drain, ORACLE_ORDERED_DRAIN),
+    "json_decode": (q_json_decode, ORACLE_JSON_DECODE),
+    "kv_projection": (q_kv_projection, ORACLE_KV_PROJECTION),
+    "uuid_repair": (q_uuid_repair, ORACLE_UUID_REPAIR),
+    "set_ops": (q_set_ops, ORACLE_SET_OPS),
+}

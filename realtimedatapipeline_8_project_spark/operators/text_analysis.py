@@ -1,0 +1,184 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY §2.13;
+north-star LLM-data-pipeline surface): token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+
+Everything is JVM-side built-ins (split/regexp/sha2/higher-order array
+functions) — a 100 TB corpus never crosses into Python. Each query has an
+exact DuckDB oracle mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+
+# Marker words per language for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "la", "los", "que"),
+    "fr": ("le", "la", "les", "et"),
+    "zh": ("de5", "shi4", "le5", "zai4"),  # romanized placeholders
+}
+
+
+def words(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+# --- token counting: whitespace + BPE-ish regex ---------------------------
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(words("text")).alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")).alias(
+            "bpe_ish_tokens"
+        ),
+        F.length("text").alias("len_chars"),
+    )
+
+
+ORACLE_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_ish_tokens,
+       length(text) AS len_chars
+FROM documents
+"""
+
+
+# --- quality scoring: length / stopword / punctuation / uniqueness --------
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = words(F.lower(F.col("text")))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_uniq = F.size(F.array_distinct(toks))
+    n_punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round(n_uniq.cast("double") / n_tokens, 6).alias("uniq_ratio"),
+        F.round(n_punct.cast("double") / F.length("text"), 6).alias("punct_ratio"),
+        (
+            (F.col("n_chars") >= 100)
+            & (n_stop.cast("double") / n_tokens > 0.05)
+            & (n_uniq.cast("double") / n_tokens > 0.2)
+        ).alias("passes_quality"),
+    )
+
+
+_STOP_LIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+ORACLE_QUALITY_SCORE = f"""
+WITH t AS (
+  SELECT doc_id, text, n_chars,
+         string_split(lower(text), ' ') AS toks,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         len(list_filter(string_split(lower(text), ' '),
+             tk -> list_contains({_STOP_LIST}, tk))) AS n_stop,
+         len(list_distinct(string_split(lower(text), ' '))) AS n_uniq,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       ROUND(CAST(n_uniq AS DOUBLE) / n_tokens, 6) AS uniq_ratio,
+       ROUND(CAST(n_punct AS DOUBLE) / length(text), 6) AS punct_ratio,
+       (n_chars >= 100
+        AND CAST(n_stop AS DOUBLE) / n_tokens > 0.05
+        AND CAST(n_uniq AS DOUBLE) / n_tokens > 0.2) AS passes_quality
+FROM t
+"""
+
+
+# --- language-ID heuristic (marker-word counts, deterministic argmax) -----
+def _marker_count(toks: Column, markers: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = words(F.lower(F.col("text")))
+    scores = {lg: _marker_count(toks, ms) for lg, ms in LANG_MARKERS.items()}
+    # deterministic argmax: first language (in LANG_MARKERS order) with the
+    # maximal score; all-zero scores => 'unknown'
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    for lg in reversed(list(LANG_MARKERS)):
+        pred = F.when(scores[lg] == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("unknown")).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        best.alias("marker_hits"),
+    )
+
+
+def _oracle_marker(lang: str) -> str:
+    lst = "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), "
+        f"tk -> list_contains({lst}, tk)))"
+    )
+
+
+_SCORE_COLS = ",\n         ".join(
+    f"{_oracle_marker(lg)} AS s_{lg}" for lg in LANG_MARKERS
+)
+_BEST = "greatest(" + ", ".join(f"s_{lg}" for lg in LANG_MARKERS) + ")"
+_PRED = "CASE WHEN " + _BEST + " = 0 THEN 'unknown' " + " ".join(
+    f"WHEN s_{lg} = {_BEST} THEN '{lg}'" for lg in LANG_MARKERS
+) + " ELSE 'unknown' END"
+
+ORACLE_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         {_SCORE_COLS}
+  FROM documents
+)
+SELECT doc_id, lang AS labeled_lang,
+       {_PRED} AS predicted_lang,
+       {_BEST} AS marker_hits
+FROM t
+"""
+
+
+# --- document fingerprint: sha256 of whitespace-normalized lowercase ------
+def normalized_text(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.sha2(normalized_text("text"), 256).alias("fingerprint"),
+        F.md5(normalized_text("text")).alias("fingerprint_md5"),
+    )
+
+
+ORACLE_FINGERPRINT = r"""
+SELECT doc_id,
+       sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint_md5
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_token_count": (q_token_count, ORACLE_TOKEN_COUNT),
+    "text_quality_score": (q_quality_score, ORACLE_QUALITY_SCORE),
+    "text_lang_id": (q_lang_id, ORACLE_LANG_ID),
+    "text_fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
+}

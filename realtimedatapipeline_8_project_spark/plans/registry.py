@@ -1,0 +1,26 @@
+"""Central query registry: every implemented operator from SURVEY.md §2 as
+a (spark, sf_dir) -> DataFrame callable, plus the DuckDB oracle SQL that
+defines its semantics (None => rows-only check for non-SQL-expressible or
+approximate operators).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import aggregates, dedup, enrich, relational, similarity, text_analysis, windows
+
+_MODULES = (enrich, relational, aggregates, windows, dedup, text_analysis, similarity)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+for _m in _MODULES:
+    for _name, (_fn, _sql) in _m.QUERIES.items():
+        if _name in QUERIES:
+            raise ValueError(f"duplicate query name: {_name}")
+        QUERIES[_name] = _fn
+        if _sql is not None:
+            ORACLES[_name] = _sql

@@ -1,0 +1,50 @@
+"""The local correctness gate: every oracle-checkable query must match the
+DuckDB oracle exactly (row count + columns + order-insensitive values) at
+sf0.001; a marked slow variant runs sf0.01 (what the driver uses).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from realtimedatapipeline_8_project_spark.plans.registry import ORACLES, QUERIES
+
+from .oracle_harness import compare, duck_connection
+
+ORACLE_NAMES = sorted(ORACLES)
+
+
+@pytest.fixture(scope="module")
+def duck_small(sf_small):
+    con = duck_connection(sf_small)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def duck_mid(sf_oracle):
+    con = duck_connection(sf_oracle)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity_sf0001(spark, sf_small, duck_small, name):
+    df = QUERIES[name](spark, sf_small)
+    problems = compare(df, duck_small, ORACLES[name], name)
+    assert not problems, "\n".join(problems)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity_sf001(spark, sf_oracle, duck_mid, name):
+    df = QUERIES[name](spark, sf_oracle)
+    problems = compare(df, duck_mid, ORACLES[name], name)
+    assert not problems, "\n".join(problems)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, sf_small, name):
+    df = QUERIES[name](spark, sf_small)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
