@@ -1,0 +1,168 @@
+"""Structured Streaming pipeline (SURVEY §2.10, E1 lifecycle).
+
+Re-expresses the reference's streaming job (stream-processor.py:326-345):
+source -> JSON decode with explicit schema -> normalize casts -> stream-static
+broadcast enrichment -> derived metrics -> foreachBatch fan-out with
+checkpointing. The transformation chain is *shared* between batch and
+streaming (same DataFrame functions), which is what Structured Streaming is
+for — one logical plan, incrementalized by the engine.
+
+Reference semantics kept:
+* explicit decode schema, null-on-mismatch        (:217-225, :242)
+* 2s processing-time trigger (configurable)       (:340)
+* append output mode                              (:339)
+* checkpoint recovery                             (:341)
+* maxOffsetsPerTrigger analog via maxFilesPerTrigger on the file source
+* at-least-once foreachBatch + idempotent keyed sink => effective
+  exactly-once on the materialized table (SURVEY T6)
+
+Added (T7 — absent in the reference but core to "real-time analytics"):
+watermarked tumbling / sliding / session windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.enrich import enrich_events
+from ..schemas import EVENTS
+from .sinks import write_batch_fanout
+
+
+def read_json_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based streaming source of JSON event lines (test/replay stand-in
+    for the Kafka source; same downstream plan). For Kafka, substitute
+    ``spark.readStream.format("kafka")...`` — decode_events is unchanged."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def decode_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """byte/str payload -> schema'd columns (SURVEY P1-P5).
+
+    Mirrors stream-processor.py:240-249: CAST(value AS STRING), from_json
+    with explicit schema (unknown fields dropped, nulls on mismatch),
+    struct unnest, timestamp cast."""
+    return (
+        raw.select(F.col(value_col).cast("string").alias("json"))
+        .select(F.from_json("json", EVENTS).alias("event"))
+        .select("event.*")
+    )
+
+
+def derive(enriched: DataFrame) -> DataFrame:
+    """Project the materialized-metrics shape (ENGAGEMENT_METRICS analog)."""
+    return enriched.select(
+        F.col("event_id"),
+        F.col("ts").alias("event_time"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value").alias("duration"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("engagement_seconds"),
+        F.col("engagement_pct"),
+    )
+
+
+def start_pipeline(
+    spark: SparkSession,
+    source: DataFrame,
+    dim: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
+    """Wire decode -> enrich -> derive -> foreachBatch fan-out.
+
+    ``trigger`` examples: {"processingTime": "2 seconds"} (reference
+    default), {"availableNow": True} (bounded replay for tests/backfill)."""
+    events = decode_events(source)
+    enriched = derive(enrich_events(events, dim))
+    writer = (
+        enriched.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda batch_df, batch_id: write_batch_fanout(
+                batch_df, batch_id, output_dir
+            )
+        )
+    )
+    writer = writer.trigger(**(trigger or {"processingTime": "2 seconds"}))
+    return writer.start()
+
+
+def run_replay(
+    spark: SparkSession,
+    source_path: str,
+    dim: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Bounded replay: drain everything currently in source_path
+    (availableNow) and block until done — the test/backfill entry point."""
+    src = read_json_stream(spark, source_path, max_files_per_trigger)
+    q = start_pipeline(
+        spark, src, dim, output_dir, checkpoint_dir, trigger={"availableNow": True}
+    )
+    q.awaitTermination()
+
+
+# --- T7: watermarked event-time window aggregations -----------------------
+
+
+def streaming_tumbling_window(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time counts/sums with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n", "sum_value")
+    )
+
+
+def streaming_sliding_window(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time windows (each event lands in window/slide buckets)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket_start"), "n")
+    )
+
+
+def streaming_session_window(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap — the genuinely
+    stateful streaming operator (SURVEY §7 hard part e)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )

@@ -1,0 +1,211 @@
+"""End-to-end streaming tests (SURVEY §5.3-5.4): availableNow replay,
+stream/batch parity, idempotent recovery, watermarked windows."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtimedatapipeline_8_project_spark.operators.enrich import (
+    enrich_events,
+    load_dim,
+)
+from realtimedatapipeline_8_project_spark.sources.tables import load_table
+from realtimedatapipeline_8_project_spark.streaming.pipeline import (
+    decode_events,
+    derive,
+    run_replay,
+    streaming_session_window,
+    streaming_tumbling_window,
+)
+from realtimedatapipeline_8_project_spark.streaming.sinks import write_batch_fanout
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path)
+
+
+def _write_event_jsonl(spark, sf_dir, path, n_files=4):
+    """Serialize the events fixture as JSON lines (the Kafka payload shape,
+    to_jsonb(NEW) analog) split over several files => several micro-batches."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        F.to_json(
+            F.struct(
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+                "props",
+            )
+        ).alias("j")
+    ).collect()
+    os.makedirs(path, exist_ok=True)
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        with open(os.path.join(path, f"part-{i}.jsonl"), "w") as f:
+            for r in rows[i * per : (i + 1) * per]:
+                f.write(r.j + "\n")
+    return len(rows)
+
+
+def test_stream_batch_parity(spark, sf_small, workdir):
+    """Replaying the events through the streaming pipeline must produce the
+    same materialized history as the equivalent batch computation."""
+    src = os.path.join(workdir, "src")
+    out = os.path.join(workdir, "out")
+    chk = os.path.join(workdir, "chk")
+    n = _write_event_jsonl(spark, sf_small, src)
+    dim = load_dim(spark, sf_small)
+
+    run_replay(spark, src, dim, out, chk, max_files_per_trigger=1)
+
+    hist = spark.read.parquet(os.path.join(out, "history"))
+    assert hist.count() == n
+
+    batch = derive(enrich_events(load_table(spark, sf_small, "events"), dim))
+    cols = [c for c in hist.columns if c != "batch_id"]
+    got = sorted(map(str, hist.select(*sorted(cols)).collect()))
+    want = sorted(map(str, batch.select(*sorted(cols)).collect()))
+    assert got == want
+
+
+def test_latest_view_is_keyed_and_current(spark, sf_small, workdir):
+    src = os.path.join(workdir, "src")
+    out = os.path.join(workdir, "out")
+    chk = os.path.join(workdir, "chk")
+    n = _write_event_jsonl(spark, sf_small, src)
+    dim = load_dim(spark, sf_small)
+    run_replay(spark, src, dim, out, chk)
+
+    latest = spark.read.parquet(os.path.join(out, "latest"))
+    # one row per event_id (events fixture has unique ids)
+    assert latest.count() == n
+    assert latest.select("event_id").distinct().count() == n
+
+
+def test_idempotent_rerun(spark, sf_small, workdir):
+    """Re-running the same micro-batch (checkpoint-recovery semantics) must
+    leave both sinks unchanged (SURVEY T6)."""
+    out = os.path.join(workdir, "out")
+    ev = load_table(spark, sf_small, "events").limit(50)
+    dim = load_dim(spark, sf_small)
+    batch = derive(enrich_events(ev, dim))
+
+    write_batch_fanout(batch, 7, out)
+    first_hist = sorted(map(str, spark.read.parquet(os.path.join(out, "history")).collect()))
+    first_latest = sorted(map(str, spark.read.parquet(os.path.join(out, "latest")).collect()))
+
+    write_batch_fanout(batch, 7, out)  # replay same batch id
+    assert sorted(map(str, spark.read.parquet(os.path.join(out, "history")).collect())) == first_hist
+    assert sorted(map(str, spark.read.parquet(os.path.join(out, "latest")).collect())) == first_latest
+
+
+def test_latest_wins_on_duplicate_key(spark, sf_small, workdir):
+    """Same event_id arriving again with newer event_time replaces the row
+    (Redis last-write-wins hash semantics, stream-processor.py:101-111)."""
+    out = os.path.join(workdir, "out")
+    dim = load_dim(spark, sf_small)
+    ev = load_table(spark, sf_small, "events").limit(10)
+    b1 = derive(enrich_events(ev, dim))
+    write_batch_fanout(b1, 0, out)
+
+    newer = derive(
+        enrich_events(
+            ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")).withColumn(
+                "value", F.lit(999.0)
+            ),
+            dim,
+        )
+    )
+    write_batch_fanout(newer, 1, out)
+
+    latest = spark.read.parquet(os.path.join(out, "latest"))
+    assert latest.count() == 10
+    assert latest.where(F.col("duration") == 999.0).count() == 10
+
+
+def test_decode_drops_unknown_and_nulls_on_malformed(spark):
+    """from_json strictness: unknown fields dropped, malformed rows null
+    (SURVEY §1.3)."""
+    raw = spark.createDataFrame(
+        [
+            ('{"event_id": 1, "ts": "2024-01-01T00:00:00.000000", "user_id": 2, '
+             '"event_type": "view", "value": 1.5, "props": "{}", "EXTRA": 9}',),
+            ("not json at all",),
+        ],
+        ["value"],
+    )
+    out = decode_events(raw)
+    assert out.columns == ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    rows = out.orderBy(F.col("event_id").asc_nulls_last()).collect()
+    assert rows[0].event_id == 1 and rows[0].event_type == "view"
+    assert rows[1].event_id is None
+
+
+def test_streaming_tumbling_window_availablenow(spark, sf_small, workdir):
+    """Watermarked tumbling window over a replayed stream equals the batch
+    tumbling aggregation."""
+    src = os.path.join(workdir, "src")
+    _write_event_jsonl(spark, sf_small, src, n_files=2)
+    raw = spark.readStream.format("text").load(src)
+    events = decode_events(raw).withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = streaming_tumbling_window(events)
+    out = os.path.join(workdir, "tumble")
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "chk2"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    batch = (
+        load_table(spark, sf_small, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("bucket_start"), "event_type", "n", "sum_value")
+    )
+    # append mode emits only windows closed by the watermark; every emitted
+    # window must match the batch result exactly
+    emitted = sorted(map(str, got.collect()))
+    want = {str(r) for r in batch.collect()}
+    assert len(emitted) > 0
+    assert all(e in want for e in emitted)
+
+
+def test_streaming_session_window_availablenow(spark, sf_small, workdir):
+    src = os.path.join(workdir, "src")
+    _write_event_jsonl(spark, sf_small, src, n_files=1)
+    raw = spark.readStream.format("text").load(src)
+    events = decode_events(raw).withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = streaming_session_window(events)
+    out = os.path.join(workdir, "sess")
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "chk3"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    # session invariant: no two sessions of the same user overlap
+    a, b = got.alias("a"), got.alias("b")
+    overlaps = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.session_start") < F.col("b.session_start"))
+        & (F.col("b.session_start") < F.col("a.session_end")),
+    ).count()
+    assert overlaps == 0
