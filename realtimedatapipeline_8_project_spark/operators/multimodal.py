@@ -1,0 +1,155 @@
+"""Multimodal column plumbing (north-star: image/audio/video as opaque
+binary columns with typed metadata).
+
+The Spark-side machinery — schema, partition-preserving mapInPandas, Arrow
+batch shapes, metadata extraction — is real and tested. The actual media
+decode (PIL/ffmpeg/etc.) is STUBBED behind ``decode_media``: the libraries
+are not in this container, so the stub produces a deterministic fake
+"decoded" payload from the bytes. Swap ``_fake_decode`` for a real decoder
+and nothing else changes.
+
+Design for 100 TB of media:
+* media stays an opaque ``binary`` column; Spark never interprets it JVM-side,
+* per-file work happens in ``mapInPandas`` (Arrow-batched, streaming
+  iterator — bounded memory per task regardless of partition size),
+* metadata (dims, duration, codec) becomes ordinary columns so downstream
+  filtering/pruning is Catalyst-native (filter on ``width`` never touches
+  bytes),
+* batch size is controlled by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  to keep executor memory flat.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..sources.tables import load_table
+
+#: Canonical multimodal record: opaque payload + typed metadata.
+MEDIA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), True),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("byte_len", LongType(), True),
+        StructField("sha256", StringType(), True),
+    ]
+)
+
+DECODED = StructType(
+    MEDIA.fields
+    + [
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+
+def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake media table derived from documents: each text
+    becomes an opaque binary payload (what an image/audio blob would be)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("byte_len"),
+        F.sha2(payload, 256).alias("sha256"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """STUB for the real media decoder (PIL.Image.open / av.open / ...).
+
+    Deterministic dims derived from the payload hash so tests are stable.
+    A real deployment replaces this one function; raise NotImplementedError
+    here if you want hard failure instead of fake values."""
+    h = hashlib.sha256(payload).digest()
+    width = 64 + h[0] % 192  # 64..255
+    height = 64 + h[1] % 192
+    n_frames = 1 + h[2] % 30
+    return width, height, n_frames
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract over the opaque payload column.
+
+    mapInPandas streams an iterator of pandas batches — constant memory per
+    task; schema widens MEDIA -> DECODED."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            pdf = pdf.assign(
+                width=[d[0] for d in dims],
+                height=[d[1] for d in dims],
+                n_frames=[d[2] for d in dims],
+            )
+            yield pdf
+
+    return df.mapInPandas(_decode, schema=DECODED)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling plan: explode sampled frame indices as rows
+    (the real frame bytes come from the decoder stub downstream)."""
+    idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+    return df.where(F.col("kind") == "video").select(
+        "media_id",
+        "sha256",
+        F.explode(idx).alias("frame_idx"),
+    )
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable slice of the multimodal pipeline: byte-level
+    metadata of the opaque payload column (no Python in this path)."""
+    media = synthesize_media(spark, sf_dir)
+    return media.select("media_id", "kind", "byte_len", "sha256")
+
+
+ORACLE_MEDIA_METADATA = """
+SELECT doc_id AS media_id,
+       (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded metadata via the mapInPandas stub (rows-only: decode output
+    is engine-side by construction). Aggregates per kind so the check is
+    cheap at any scale."""
+    decoded = decode_media(synthesize_media(spark, sf_dir))
+    return decoded.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("byte_len").alias("total_bytes"),
+        F.avg("width").alias("avg_width"),
+        F.avg("n_frames").alias("avg_frames"),
+    )
+
+
+QUERIES = {
+    "media_metadata": (q_media_metadata, ORACLE_MEDIA_METADATA),
+    "media_decode_stub": (q_media_decode, None),
+}

@@ -201,8 +201,57 @@ SELECT user_id, 'click_and_signup' AS cohort FROM (
 """
 
 
+# --- J1 generalization: semi / anti / full join variants ------------------
+# The reference has only the broadcast left join; capability parity exposes
+# the full how= family (SURVEY §2.5). Semi/anti compile to broadcast
+# semi-joins — existence checks that never materialize the right side.
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = cust.join(
+        F.broadcast(orders), cust["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", F.lit("has_orders").alias("cohort"))
+    without = cust.join(
+        F.broadcast(orders), cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", F.lit("no_orders").alias("cohort"))
+    return with_orders.unionByName(without)
+
+
+ORACLE_JOIN_SEMI_ANTI = """
+SELECT c_custkey, 'has_orders' AS cohort FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS cohort FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-user event activity vs the customer dim —
+    rows survive from both unmatched sides."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return ev.join(cust, ev["user_id"] == cust["c_custkey"], "full_outer").select(
+        "user_id", "n_events", "c_custkey", "c_mktsegment"
+    )
+
+
+ORACLE_JOIN_FULL_OUTER = """
+SELECT user_id, n_events, c_custkey, c_mktsegment
+FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id) e
+FULL OUTER JOIN (SELECT c_custkey, c_mktsegment FROM customer) c
+  ON e.user_id = c.c_custkey
+"""
+
+
 QUERIES = {
     "point_lookup_string_hash": (q_point_lookup, ORACLE_POINT_LOOKUP),
+    "join_semi_anti": (q_join_semi_anti, ORACLE_JOIN_SEMI_ANTI),
+    "join_full_outer": (q_join_full_outer, ORACLE_JOIN_FULL_OUTER),
     "enum_validation_filter": (q_enum_validation, ORACLE_ENUM_VALIDATION),
     "topk_recent": (q_topk_recent, ORACLE_TOPK_RECENT),
     "ordered_drain": (q_ordered_drain, ORACLE_ORDERED_DRAIN),

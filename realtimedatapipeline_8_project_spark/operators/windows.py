@@ -183,8 +183,31 @@ GROUP BY 1, 2
 """
 
 
+# --- sliding event-time buckets (batch analog of window(ts,'1h','30m')) ---
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("bucket_start"), "n", "sum_value")
+    )
+
+
+ORACLE_SLIDING_WINDOW = f"""
+WITH b AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS bucket_start, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', value
+  FROM events
+)
+SELECT bucket_start, COUNT(*) AS n, {oracle_dsum('value', 'sum_value')}
+FROM b GROUP BY bucket_start
+"""
+
+
 QUERIES = {
     "win_latest_per_user": (q_latest_per_user, ORACLE_LATEST_PER_USER),
+    "win_sliding_window": (q_sliding_window, ORACLE_SLIDING_WINDOW),
     "win_rank_orders": (q_rank_orders, ORACLE_RANK_ORDERS),
     "win_event_gaps": (q_event_gaps, ORACLE_EVENT_GAPS),
     "win_running_spend": (q_running_spend, ORACLE_RUNNING_SPEND),

@@ -10,9 +10,29 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import aggregates, dedup, enrich, relational, similarity, text_analysis, windows
+from ..operators import (
+    aggregates,
+    dedup,
+    enrich,
+    multimodal,
+    reference_pipeline,
+    relational,
+    similarity,
+    text_analysis,
+    windows,
+)
 
-_MODULES = (enrich, relational, aggregates, windows, dedup, text_analysis, similarity)
+_MODULES = (
+    enrich,
+    reference_pipeline,
+    relational,
+    aggregates,
+    windows,
+    dedup,
+    text_analysis,
+    similarity,
+    multimodal,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
