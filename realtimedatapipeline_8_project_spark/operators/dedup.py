@@ -109,13 +109,45 @@ WHERE doc_id <> 0
 
 
 # --- MinHash signatures + LSH banding (scale path, rows-only check) -------
-def minhash_signature(sh: Column, n_hashes: int = N_MINHASH) -> Column:
-    """array<bigint> of n minhashes. Seeded xxhash64 — cheapest 64-bit hash
-    Spark has, evaluated JVM-side per shingle; signature size is O(n), not
-    O(len(doc))."""
+def shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """Distinct word-n-gram shingles as 64-bit hashes, WITHOUT materializing
+    shingle strings: hash each token once, then hash consecutive token-hash
+    triples. At 100 TB this avoids building len(doc) short-lived strings per
+    document — the single biggest constant-factor cost of text dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    th = F.transform(F.split(c, " "), lambda t: F.xxhash64(t))
+    # combine consecutive token hashes via shifted-slice zip_with — linear
+    # in document length (element_at-by-index inside a lambda re-evaluates
+    # the source array per element, i.e. O(len^2): measured 10x slower)
+    length = F.greatest(F.size(th) - (n - 1), F.lit(0))
+    grams = F.slice(th, 1, length)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(th, j + 1, length), lambda a, b: F.xxhash64(a, b)
+        )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(sh_hash: Column, n_hashes: int = N_MINHASH) -> Column:
+    """array<bigint> of n minhashes over pre-hashed shingles.
+
+    Kirsch-Mitzenmacher double hashing: the two 31-bit halves of each
+    shingle's 64-bit hash generate all n hash families as ``h1 + i*h2`` —
+    zero extra hash computations per family. Masked to 31 bits so the mix
+    never overflows a long under ANSI arithmetic."""
+    mask = F.lit(0x7FFFFFFF)
+    pairs = F.transform(
+        sh_hash,
+        lambda x: F.struct(
+            x.bitwiseAND(mask).alias("h1"),
+            F.shiftright(x, 31).bitwiseAND(mask).alias("h2"),
+        ),
+    )
     return F.array(
         *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+            F.array_min(
+                F.transform(pairs, lambda p: p["h1"] + F.lit(i) * p["h2"])
+            )
             for i in range(n_hashes)
         ]
     )
@@ -124,13 +156,24 @@ def minhash_signature(sh: Column, n_hashes: int = N_MINHASH) -> Column:
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH banding, verified with exact
     Jaccard >= 0.5. Self-join happens only on band-bucket keys."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", shingles("text").alias("sh"))
-    sig = sh.select("doc_id", "sh", minhash_signature(F.col("sh")).alias("sig"))
+    # Repartition before the compute-heavy shingle pass: a small input can
+    # arrive as one file => one partition, serializing the whole pipeline on
+    # a single core (at real scale the scan has many splits and this is a
+    # cheap rebalance of the same shape).
+    n_part = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    # The shingle table feeds both signature generation and verification —
+    # persist it so the expensive tokenize+hash pass runs exactly once.
+    # (~8 bytes/shingle; at larger scale use MEMORY_AND_DISK or a staged
+    # parquet temp — the plan shape is identical.)
+    sh = docs.select("doc_id", shingle_hashes("text").alias("sh")).persist()
+    sig = sh.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
     rows_per_band = N_MINHASH // N_BANDS
+    # bands carry only (doc_id, band, bucket) — the shingle arrays are
+    # re-joined AFTER candidate generation so the band self-join shuffles
+    # 24 bytes/row, not whole documents.
     bands = sig.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -147,7 +190,7 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sh", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
     left = bands.alias("l")
     right = bands.alias("r")
     cand = (
@@ -157,18 +200,18 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
-        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # exact (hashed-shingle) Jaccard verification on the candidate pairs,
+    # reading the cached shingle table
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return cand.select(
+    return verified.select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     ).where(F.col("jaccard") >= 0.5)
 
