@@ -1,0 +1,133 @@
+"""SQL-API surface (SURVEY E3): the engine's queries are equally
+expressible through ``spark.sql`` — these operators register the fixture
+views and run ANSI SQL through Catalyst, covering constructs that are
+SQL-first: GROUPING SETS, scalar subqueries, IN-subqueries, PIVOT, and
+LATERAL-style explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table, register_views
+
+
+# --- GROUPING SETS (beyond rollup/cube) -----------------------------------
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(27,6))), 2) AS DOUBLE)
+                 AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(27,6))), 2) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+# --- scalar subquery (Catalyst decorrelation) -----------------------------
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.5 * (SELECT CAST(ROUND(SUM(CAST(o_totalprice AS
+            DECIMAL(27,6))), 2) AS DOUBLE) / COUNT(*) FROM orders)
+        """
+    )
+
+
+ORACLE_SCALAR_SUBQUERY = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT CAST(ROUND(SUM(CAST(o_totalprice AS
+    DECIMAL(27,6))), 2) AS DOUBLE) / COUNT(*) FROM orders)
+"""
+
+
+# --- IN-subquery ----------------------------------------------------------
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        ) AND o_orderstatus = 'O'
+        """
+    )
+
+
+ORACLE_IN_SUBQUERY = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_custkey IN (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+) AND o_orderstatus = 'O'
+"""
+
+
+# --- pivot (wide per-key event-type counts, the serving dashboard shape) --
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["signup", "click", "error", "view", "purchase"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+
+
+ORACLE_PIVOT_EVENT_TYPES = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'signup') AS signup,
+       COUNT(*) FILTER (event_type = 'click') AS click,
+       COUNT(*) FILTER (event_type = 'error') AS error,
+       COUNT(*) FILTER (event_type = 'view') AS view,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase
+FROM events
+GROUP BY user_id
+"""
+
+
+# --- explode / lateral: token frequency over documents --------------------
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+ORACLE_TOP_TOKENS = """
+SELECT token, COUNT(*) AS freq
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 20
+"""
+
+
+QUERIES = {
+    "sql_grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),
+    "sql_scalar_subquery": (q_scalar_subquery, ORACLE_SCALAR_SUBQUERY),
+    "sql_in_subquery": (q_in_subquery, ORACLE_IN_SUBQUERY),
+    "pivot_event_types": (q_pivot_event_types, ORACLE_PIVOT_EVENT_TYPES),
+    "explode_top_tokens": (q_top_tokens, ORACLE_TOP_TOKENS),
+}

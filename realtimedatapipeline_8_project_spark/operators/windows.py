@@ -183,6 +183,38 @@ GROUP BY 1, 2
 """
 
 
+# --- full ranking/analytic family over one window ------------------------
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_orderkey").over(frame).alias("best_order"),
+        F.last("o_orderkey").over(frame).alias("worst_order"),
+    )
+
+
+ORACLE_RANK_FAMILY = """
+SELECT o_custkey, o_orderkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       NTILE(4) OVER w AS quartile,
+       FIRST_VALUE(o_orderkey) OVER wf AS best_order,
+       LAST_VALUE(o_orderkey) OVER wf AS worst_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC),
+       wf AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 # --- sliding event-time buckets (batch analog of window(ts,'1h','30m')) ---
 def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -207,6 +239,7 @@ FROM b GROUP BY bucket_start
 
 QUERIES = {
     "win_latest_per_user": (q_latest_per_user, ORACLE_LATEST_PER_USER),
+    "win_rank_family": (q_rank_family, ORACLE_RANK_FAMILY),
     "win_sliding_window": (q_sliding_window, ORACLE_SLIDING_WINDOW),
     "win_rank_orders": (q_rank_orders, ORACLE_RANK_ORDERS),
     "win_event_gaps": (q_event_gaps, ORACLE_EVENT_GAPS),

@@ -18,6 +18,7 @@ from ..operators import (
     reference_pipeline,
     relational,
     similarity,
+    sql_surface,
     text_analysis,
     windows,
 )
@@ -32,6 +33,7 @@ _MODULES = (
     text_analysis,
     similarity,
     multimodal,
+    sql_surface,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
