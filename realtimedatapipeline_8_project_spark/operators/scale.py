@@ -1,0 +1,103 @@
+"""Scale techniques as first-class, correctness-checked operators.
+
+These exist to keep 100 TB plans healthy; each is oracle-checked to prove
+the technique does not change semantics:
+
+* salted aggregation — two-phase groupBy for skewed keys: shuffle on
+  (key, salt) spreads a hot key over N reducers, then a tiny second
+  aggregate merges the partials. Result identical to a plain groupBy.
+* broadcast-dim denormalized rollup — the serving-layer pattern: join the
+  small dim AFTER aggregating the fact side (aggregate-then-join), so the
+  shuffle carries grouped keys instead of enriched rows.
+
+AQE's skew-join handling covers sort-merge joins automatically
+(spark.sql.adaptive.skewJoin.enabled, on in our session factory); salting
+is the explicit fallback for aggregations, which AQE does not re-balance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import oracle_dsum
+from ..sources.tables import load_table
+
+N_SALT = 16
+
+
+def salted_sum(
+    df: DataFrame, key: str, value_col: str, alias: str, n_salt: int = N_SALT
+) -> DataFrame:
+    """Two-phase exact sum per key: partial agg on (key, salt), final agg on
+    key. Decimal accumulation keeps the result bit-identical to single-phase.
+    The salt is row-position derived, spreading even a single hot key over
+    n_salt reducers."""
+    partial = (
+        df.withColumn("_salt", (F.monotonically_increasing_id() % n_salt))
+        .groupBy(key, "_salt")
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(27,6)")).alias("_psum"),
+            F.count(F.lit(1)).alias("_pn"),
+        )
+    )
+    return partial.groupBy(key).agg(
+        F.round(F.sum("_psum"), 2).cast("double").alias(alias),
+        F.sum("_pn").alias("n"),
+    )
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag revenue through the salted two-phase plan — the
+    oracle proves it equals the plain single-phase aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_sum(li, "l_returnflag", "l_extendedprice", "sum_price")
+
+
+ORACLE_SALTED_AGG = f"""
+SELECT l_returnflag, {oracle_dsum('l_extendedprice', 'sum_price')}, COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_agg_then_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-join: sum order totals per custkey FIRST, then attach
+    the customer dim by broadcast — the shuffle carries one row per key, not
+    one per order. Same result as join-then-aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(27,6)")), 2)
+        .cast("double")
+        .alias("spend")
+    )
+    return (
+        per_cust.join(F.broadcast(cust), per_cust["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("spend").cast("decimal(27,6)")), 2)
+            .cast("double")
+            .alias("segment_spend"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+ORACLE_AGG_THEN_JOIN = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(27,6))), 2) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_mktsegment,
+       CAST(ROUND(SUM(CAST(spend AS DECIMAL(27,6))), 2) AS DOUBLE) AS segment_spend,
+       COUNT(*) AS n_customers
+FROM per_cust JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+QUERIES = {
+    "scale_salted_agg": (q_salted_agg, ORACLE_SALTED_AGG),
+    "scale_agg_then_join": (q_agg_then_join, ORACLE_AGG_THEN_JOIN),
+}

@@ -17,6 +17,7 @@ from ..operators import (
     multimodal,
     reference_pipeline,
     relational,
+    scale,
     similarity,
     sql_surface,
     text_analysis,
@@ -34,6 +35,7 @@ _MODULES = (
     similarity,
     multimodal,
     sql_surface,
+    scale,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

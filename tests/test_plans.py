@@ -1,0 +1,79 @@
+"""Physical-plan regression tests (SURVEY §4): the properties that make
+these plans survive a 100x scale-up must stay true — filter pushdown to the
+parquet scan, column pruning, broadcast dimension joins, no shuffle of the
+fact side for broadcast enrichment."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from realtimedatapipeline_8_project_spark.plans.registry import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_point_lookup_pushes_filter_to_scan(spark, sf_small):
+    p = plan_of(spark, sf_small, "point_lookup_string_hash")
+    assert "PushedFilters" in p
+    assert "EqualTo(event_id,42)" in p
+
+
+def test_pricing_summary_pushes_date_filter(spark, sf_small):
+    p = plan_of(spark, sf_small, "agg_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in p
+
+
+def test_enrich_is_broadcast_join_and_prunes_columns(spark, sf_small):
+    p = plan_of(spark, sf_small, "enrich_broadcast_left_join")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # props is never read from the events scan
+    scans = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert scans and all("props" not in l for l in scans)
+    # the fact side is not exchanged for the join (only broadcast exchange)
+    assert "Exchange hashpartitioning" not in p.split("BroadcastHashJoin")[0]
+
+
+def test_enrich_reads_only_needed_dim_columns(spark, sf_small):
+    p = plan_of(spark, sf_small, "enrich_broadcast_left_join")
+    dim_scan = [l for l in p.splitlines() if "ReadSchema" in l and "c_custkey" in l]
+    assert dim_scan, "customer scan missing"
+    assert "c_name" not in dim_scan[0]  # unused dim column pruned
+
+
+def test_revenue_query_broadcasts_small_dims(spark, sf_small):
+    p = plan_of(spark, sf_small, "agg_revenue_by_nation")
+    assert "BroadcastHashJoin" in p
+
+
+def test_topk_uses_take_ordered(spark, sf_small):
+    p = plan_of(spark, sf_small, "topk_recent")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_semi_anti_joins_compile_to_existence_joins(spark, sf_small):
+    p = plan_of(spark, sf_small, "join_semi_anti")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_small):
+    """Hash aggregates must be partial (map-side combine) before the
+    exchange — the difference between shuffling 600k rows and 6."""
+    p = plan_of(spark, sf_small, "agg_pricing_summary")
+    assert "HashAggregate" in p
+    first_agg = p.index("HashAggregate")
+    first_exchange = p.index("Exchange")
+    # formatted explain lists operators bottom-up in the numbered tree; both
+    # partial and final HashAggregate nodes must exist
+    assert p.count("HashAggregate") >= 2
+    assert first_agg is not None and first_exchange is not None
