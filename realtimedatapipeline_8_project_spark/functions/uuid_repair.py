@@ -44,9 +44,15 @@ def uuid_from_hash(col: Column | str) -> Column:
 
 
 def uuid_normalize(col: Column | str) -> Column:
-    """Valid UUID -> lowercase passthrough; otherwise deterministic repair."""
+    """Valid UUID -> lowercase passthrough; NULL -> NULL; otherwise
+    deterministic repair. (The NULL guard matters: concat_ws silently skips
+    NULL fragments, which would turn NULL input into a malformed string.)"""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(c.rlike(UUID_RE), F.lower(c)).otherwise(uuid_from_hash(c))
+    return (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(c.rlike(UUID_RE), F.lower(c))
+        .otherwise(uuid_from_hash(c))
+    )
 
 
 def oracle_uuid_from_hash(col_sql: str) -> str:
@@ -75,7 +81,8 @@ def oracle_uuid_normalize(col_sql: str) -> str:
         "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
     )
     return (
-        f"CASE WHEN regexp_matches(CAST({col_sql} AS VARCHAR), '{uuid_re}') "
+        f"CASE WHEN {col_sql} IS NULL THEN NULL "
+        f"WHEN regexp_matches(CAST({col_sql} AS VARCHAR), '{uuid_re}') "
         f"THEN lower(CAST({col_sql} AS VARCHAR)) "
         f"ELSE {oracle_uuid_from_hash(col_sql)} END"
     )

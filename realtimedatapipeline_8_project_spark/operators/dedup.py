@@ -33,7 +33,10 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     indexing via SQL ``toks[i]`` keeps this whole-stage-codegen."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(c, " ")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    # guard: sequence(0, k) DESCENDS for k<0 (docs shorter than n tokens)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(

@@ -14,7 +14,7 @@ No Python UDFs; nothing leaves the JVM.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, oracle_cosine
@@ -97,6 +97,99 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse quantizer + probe-limited scan.
+
+    Centroids are a deterministic sample of the corpus (every k-th vector
+    by vec_id) — a stand-in for k-means that keeps the operator seed-free;
+    swapping in trained centroids changes no plan shape. Every vector is
+    assigned to its nearest centroid (small broadcast cross-score), the
+    probe scans only the N_PROBE nearest inverted lists — at 1B vectors
+    with 4k centroids this prunes ~99.95% of the corpus per query.
+    Rows-only check (approximate); q_knn_bruteforce is the exact baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vec = emb.count()
+    stride = max(n_vec // N_CENTROIDS, 1)
+    centroids = (
+        emb.where((F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * N_CENTROIDS))
+        .select(
+            (F.col("vec_id") / stride).cast("int").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+    # assign: argmax cosine over the broadcast centroid set
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "centroid_id",
+        cosine_similarity("embedding", "c_emb").alias("c_sim"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_sim"), F.asc("centroid_id")
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "centroid_id")
+    )
+    # probe: centroids nearest to the query vector
+    probe_vec = emb.where(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("embedding").alias("probe_emb")
+    )
+    probe_lists = (
+        centroids.crossJoin(F.broadcast(probe_vec))
+        .select("centroid_id", cosine_similarity("c_emb", "probe_emb").alias("s"))
+        .orderBy(F.desc("s"), F.asc("centroid_id"))
+        .limit(N_PROBE)
+        .select("centroid_id")
+    )
+    return (
+        assigned.join(F.broadcast(probe_lists), "centroid_id")
+        .crossJoin(F.broadcast(probe_vec))
+        .where(F.col("vec_id") != PROBE_VEC_ID)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_similarity("embedding", "probe_emb"), 8).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+COSINE_DUP_THRESHOLD = 0.95
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-sketch buckets prune the
+    pair space (same-bucket candidates only), exact cosine verifies at
+    >= 0.95. The all-pairs analog of MinHash banding for the dense-vector
+    modality. Rows-only check (bucket recall is approximate by design)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", sign_sketch("embedding")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "bucket"
+    )
+    cand = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("emb_a", "emb_b"), 8).alias("cosine"),
+        )
+        .where(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding norms — exercises higher-order array math with an
     exact oracle (norm computed with the same in-order fold)."""
@@ -134,5 +227,7 @@ GROUP BY label
 QUERIES = {
     "sim_knn_bruteforce": (q_knn_bruteforce, ORACLE_KNN_BRUTEFORCE),
     "sim_knn_lsh": (q_knn_lsh, None),
+    "sim_knn_ivf": (q_knn_ivf, None),
+    "sim_embedding_neardup": (q_embedding_neardup, None),
     "sim_embedding_stats": (q_embedding_stats, ORACLE_EMBEDDING_STATS),
 }

@@ -1,0 +1,95 @@
+"""Unit tests for the shared function library: UUID repair, vector math,
+exact aggregation helpers, shingle hashing."""
+
+from __future__ import annotations
+
+import math
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtimedatapipeline_8_project_spark.functions.uuid_repair import (
+    uuid_from_hash,
+    uuid_normalize,
+)
+from realtimedatapipeline_8_project_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+)
+from realtimedatapipeline_8_project_spark.operators.dedup import (
+    shingle_hashes,
+    shingles,
+)
+
+
+def test_uuid_normalize_passthrough_and_repair(spark):
+    df = spark.createDataFrame(
+        [
+            ("123E4567-E89B-12D3-A456-426614174000",),  # valid, uppercase
+            ("totally-broken",),
+            ("",),
+            (None,),
+        ],
+        ["u"],
+    )
+    out = df.select(uuid_normalize("u").alias("n")).collect()
+    assert out[0].n == "123e4567-e89b-12d3-a456-426614174000"  # lowercased
+    assert uuid.UUID(out[1].n).version == 5
+    assert uuid.UUID(out[2].n).version == 5
+    assert out[3].n is None  # NULL stays NULL (three-valued logic)
+    # deterministic
+    again = df.select(uuid_normalize("u").alias("n")).collect()
+    assert [r.n for r in again] == [r.n for r in out]
+
+
+def test_uuid_rfc_variant_bits(spark):
+    df = spark.createDataFrame([(str(i),) for i in range(50)], ["s"])
+    out = df.select(uuid_from_hash("s").alias("u")).collect()
+    for r in out:
+        parsed = uuid.UUID(r.u)
+        assert parsed.version == 5
+        assert parsed.variant == uuid.RFC_4122
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])],
+        "a array<float>, b array<float>",
+    )
+    r = df.select(
+        dot("a", "b").alias("d"),
+        l2_norm("a").alias("na"),
+        cosine_similarity("a", "b").alias("cos"),
+    ).collect()[0]
+    assert r.d == pytest.approx(32.0)
+    assert r.na == pytest.approx(math.sqrt(14.0))
+    assert r.cos == pytest.approx(32.0 / (math.sqrt(14) * math.sqrt(77)))
+
+
+def test_cosine_self_similarity_is_one(spark):
+    df = spark.createDataFrame([([0.5, -1.5, 2.0],)], "a array<float>")
+    r = df.select(cosine_similarity("a", "a").alias("c")).collect()[0]
+    assert r.c == pytest.approx(1.0, abs=1e-12)
+
+
+def test_shingles_and_hashes_agree_on_count(spark):
+    df = spark.createDataFrame(
+        [("a b c d e",), ("x y z",), ("one two",), ("solo",)], ["text"]
+    )
+    out = df.select(
+        F.size(shingles("text")).alias("n_str"),
+        F.size(shingle_hashes("text")).alias("n_hash"),
+    ).collect()
+    # 5 tokens -> 3 trigrams; 3 -> 1; 2 -> 0; 1 -> 0
+    assert [r.n_str for r in out] == [3, 1, 0, 0]
+    assert [r.n_hash for r in out] == [3, 1, 0, 0]
+
+
+def test_shingle_hash_distinctness(spark):
+    """Identical trigrams collapse; different trigrams don't collide."""
+    df = spark.createDataFrame([("a b c a b c a b c",)], ["text"])
+    r = df.select(F.size(shingle_hashes("text")).alias("n")).collect()[0]
+    # trigrams: abc bca cab abc bca cab abc -> 3 distinct
+    assert r.n == 3
