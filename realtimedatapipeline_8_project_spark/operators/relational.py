@@ -166,6 +166,72 @@ FROM events
 """
 
 
+# --- K5/P12: Kafka-producer projection (keyed JSON payload) ----------------
+# Reference: per-row json.dumps + keyed produce (utils/utils.py:62-95);
+# engine form is the one-line to_json(struct(...)) -> kafka sink shape.
+# NOTE: Spark's to_json omits NULL fields (DuckDB keeps them), so the
+# payload is restricted to non-null columns — the engine's JSON contract.
+def q_kafka_producer_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.col("event_id").cast("string").alias("key"),
+        F.to_json(F.struct("event_id", "event_type", "value")).alias("value"),
+    )
+
+
+ORACLE_KAFKA_PRODUCER = """
+SELECT CAST(event_id AS VARCHAR) AS key,
+       to_json(struct_pack(event_id := event_id,
+                           event_type := event_type,
+                           value := value)) AS value
+FROM events
+WHERE event_type IS NOT NULL AND value IS NOT NULL
+"""
+
+
+# --- P2 variant: JSON decode to MapType (schema-free extras) ---------------
+def q_json_as_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.element_at(m, "k").cast("int").alias("k"),
+    )
+
+
+ORACLE_JSON_AS_MAP = """
+SELECT event_id,
+       json_keys(props) AS prop_keys,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+
+# --- exact percentiles (distribution summary) ------------------------------
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS p50_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # --- §2.9: set operations --------------------------------------------------
 # Users that viewed but never purchased (EXCEPT), and the INTERSECT of
 # clickers and signup users — distinct-set semantics in both engines.
@@ -258,5 +324,8 @@ QUERIES = {
     "json_decode": (q_json_decode, ORACLE_JSON_DECODE),
     "kv_projection": (q_kv_projection, ORACLE_KV_PROJECTION),
     "uuid_repair": (q_uuid_repair, ORACLE_UUID_REPAIR),
+    "kafka_producer_projection": (q_kafka_producer_projection, ORACLE_KAFKA_PRODUCER),
+    "json_as_map": (q_json_as_map, ORACLE_JSON_AS_MAP),
+    "agg_percentiles": (q_percentiles, ORACLE_PERCENTILES),
     "set_ops": (q_set_ops, ORACLE_SET_OPS),
 }

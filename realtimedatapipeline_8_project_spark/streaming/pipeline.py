@@ -30,6 +30,32 @@ from ..schemas import EVENTS
 from .sinks import write_batch_fanout
 
 
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    max_offsets_per_trigger: int = 10_000,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka streaming source with the reference's exact options
+    (stream-processor.py:229-238): latest offsets, failOnDataLoss=false,
+    maxOffsetsPerTrigger backpressure cap, session/request timeouts.
+    Requires the spark-sql-kafka package on the cluster; tests substitute
+    :func:`read_json_stream` — the downstream plan is identical because
+    decode_events only needs a ``value`` column."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+        .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+        .option("kafka.session.timeout.ms", "30000")
+        .option("kafka.request.timeout.ms", "40000")
+        .load()
+    )
+
+
 def read_json_stream(
     spark: SparkSession,
     path: str,
