@@ -103,6 +103,33 @@ GROUP BY user_id
 """
 
 
+# --- ordered array aggregation (collect_list with deterministic order) ----
+def q_event_history_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user chronological event-type history as an array — collect_list
+    is unordered by contract, so the deterministic form sorts structs of
+    (ts, event_id, type) and projects. The serving shape for 'recent
+    activity' feeds."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ),
+        lambda s: s["event_type"],
+    )
+    return ev.groupBy("user_id").agg(
+        hist.alias("history"), F.count(F.lit(1)).alias("n")
+    )
+
+
+ORACLE_EVENT_HISTORY = """
+SELECT user_id,
+       list(event_type ORDER BY ts, event_id) AS history,
+       COUNT(*) AS n
+FROM events
+GROUP BY user_id
+"""
+
+
 # --- explode / lateral: token frequency over documents --------------------
 def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -129,5 +156,6 @@ QUERIES = {
     "sql_scalar_subquery": (q_scalar_subquery, ORACLE_SCALAR_SUBQUERY),
     "sql_in_subquery": (q_in_subquery, ORACLE_IN_SUBQUERY),
     "pivot_event_types": (q_pivot_event_types, ORACLE_PIVOT_EVENT_TYPES),
+    "array_event_history": (q_event_history_arrays, ORACLE_EVENT_HISTORY),
     "explode_top_tokens": (q_top_tokens, ORACLE_TOP_TOKENS),
 }

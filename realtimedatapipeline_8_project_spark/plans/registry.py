@@ -15,6 +15,7 @@ from ..operators import (
     dedup,
     enrich,
     multimodal,
+    pandas_ops,
     reference_pipeline,
     relational,
     scale,
@@ -36,6 +37,7 @@ _MODULES = (
     multimodal,
     sql_surface,
     scale,
+    pandas_ops,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
