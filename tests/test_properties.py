@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis) for engine invariants that must hold
+on arbitrary input, not just fixtures. One Spark job per property batch
+(examples are collected into a single DataFrame) to keep runtime sane."""
+
+from __future__ import annotations
+
+import uuid
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from realtimedatapipeline_8_project_spark.functions.uuid_repair import uuid_normalize
+from realtimedatapipeline_8_project_spark.operators.dedup import shingle_hashes, shingles
+from realtimedatapipeline_8_project_spark.operators.windows import latest_wins
+
+TEXTS = st.text(
+    alphabet=st.sampled_from("ab cdef "), min_size=0, max_size=60
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_uuid_repair_is_total_and_valid(spark, data):
+    samples = data.draw(
+        st.lists(
+            st.text(min_size=0, max_size=40).filter(lambda s: s.strip() != ""),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    out = df.select("s", uuid_normalize("s").alias("u")).collect()
+    for r in out:
+        parsed = uuid.UUID(r.u)  # always a parseable UUID
+        assert parsed.variant == uuid.RFC_4122
+    # idempotent: normalizing the output is a no-op
+    df2 = spark.createDataFrame([(r.u,) for r in out], ["s"])
+    out2 = df2.select(uuid_normalize("s").alias("u")).collect()
+    assert [r.u for r in out2] == [r.u for r in out]
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_shingle_count_formula(spark, data):
+    texts = data.draw(st.lists(TEXTS, min_size=1, max_size=50))
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    out = df.select(
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.size(shingles("text")).alias("n_str"),
+        F.size(shingle_hashes("text")).alias("n_hash"),
+    ).collect()
+    for r in out:
+        # distinct shingles never exceed max(n_tok - 2, 0)
+        cap = max(r.n_tok - 2, 0)
+        assert 0 <= r.n_str <= cap
+        assert 0 <= r.n_hash <= cap
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_latest_wins_is_idempotent_and_keyed(spark, data):
+    rows = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 5),  # key
+                st.integers(0, 1000),  # ts
+                st.integers(-100, 100),  # payload
+            ),
+            min_size=1,
+            max_size=80,
+        )
+    )
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    dedup = latest_wins(df, "k", [F.desc("ts"), F.desc("v")])
+    got = dedup.collect()
+    # one row per key
+    assert len(got) == len({r.k for r in got}) == df.select("k").distinct().count()
+    # applying again changes nothing
+    again = latest_wins(dedup, "k", [F.desc("ts"), F.desc("v")]).collect()
+    assert sorted(map(str, again)) == sorted(map(str, got))
+    # each kept row is the max (ts, v) of its key
+    best = {}
+    for k, ts, v in rows:
+        if k not in best or (ts, v) > best[k]:
+            best[k] = (ts, v)
+    for r in got:
+        assert (r.ts, r.v) == best[r.k]
