@@ -1,0 +1,124 @@
+"""As-of (point-in-time) join — the temporal join Spark lacks natively.
+
+For each left row, attach the latest right-side version whose timestamp is
+<= the left timestamp (per key). Essential for training-data pipelines
+(features as-of label time, rate tables, slowly-changing dims).
+
+Implementation is the scalable union-marker technique, not a UDF and not a
+range cross-join:
+
+1. tag both sides and union them on (key, ts) — one dataset;
+2. one window pass per key ordered by (ts, side): ``last_value(ignorenulls)``
+   of the right-side payload gives every left row the most recent right
+   value at or before it;
+3. filter back to left rows.
+
+Cost: ONE shuffle on the key (same as any keyed window), regardless of how
+many right versions precede each left row. The naive alternative —
+inequality join + max — is a partial cross product that explodes at scale.
+DuckDB's native ASOF JOIN is the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Left as-of join: left columns + latest right ``value_cols`` with
+    right_ts <= left_ts (per key). Right rows at the exact same timestamp
+    as a left row DO match (<=)."""
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),  # left sorts AFTER right at equal ts
+        F.struct(*left.columns).alias("_l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            l_tag.schema["_l"].dataType
+        ).alias("_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.asc("_ts"), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "_side",
+        "_l",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
+            for c in value_cols
+        ],
+    )
+    out = filled.where(F.col("_side") == 1).select(
+        "_l.*", *[F.col(f"_rv_{c}").alias(c) for c in value_cols]
+    )
+    return out
+
+
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every view event: the user's most recent purchase value at or
+    before the view (NULL if none yet) — classic point-in-time feature."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("last_purchase_value"),
+        F.col("event_id").alias("p_event"),
+    )
+    # tie-break concurrent purchases deterministically: keep the max
+    # (p_ts, p_event) row per (user, p_ts)
+    w = Window.partitionBy("p_user", "p_ts").orderBy(F.desc("p_event"))
+    purchases = (
+        purchases.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "p_event")
+    )
+    return asof_join(
+        views,
+        purchases.withColumnRenamed("p_user", "user_id"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        value_cols=["last_purchase_value"],
+    )
+
+
+ORACLE_ASOF_LAST_PURCHASE = """
+WITH views AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+), purchases AS (
+  SELECT user_id AS p_user, ts AS p_ts, value AS last_purchase_value
+  FROM events WHERE event_type = 'purchase'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+)
+SELECT v.event_id, v.user_id, v.ts, p.last_purchase_value
+FROM views v
+ASOF LEFT JOIN purchases p
+  ON v.user_id = p.p_user AND v.ts >= p.p_ts
+"""
+
+QUERIES = {
+    "asof_last_purchase": (q_asof_last_purchase, ORACLE_ASOF_LAST_PURCHASE),
+}

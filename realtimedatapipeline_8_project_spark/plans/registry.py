@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import (
     aggregates,
+    asof,
     dedup,
     enrich,
     multimodal,
@@ -38,6 +39,7 @@ _MODULES = (
     sql_surface,
     scale,
     pandas_ops,
+    asof,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
