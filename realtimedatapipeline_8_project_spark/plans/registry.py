@@ -17,6 +17,7 @@ from ..operators import (
     enrich,
     multimodal,
     pandas_ops,
+    range_join,
     reference_pipeline,
     relational,
     scale,
@@ -40,6 +41,7 @@ _MODULES = (
     scale,
     pandas_ops,
     asof,
+    range_join,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
