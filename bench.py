@@ -32,6 +32,8 @@ HEADLINE = [
     "dedup_minhash_neardup",
     "text_quality_score",
     "sim_knn_bruteforce",
+    "asof_last_purchase",
+    "range_join_bucketed",
 ]
 
 
