@@ -77,28 +77,28 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """STUB for the real media decoder (PIL.Image.open / av.open / ...).
-
-    Deterministic dims derived from the payload hash so tests are stable.
-    A real deployment replaces this one function; raise NotImplementedError
-    here if you want hard failure instead of fake values."""
-    h = hashlib.sha256(payload).digest()
-    width = 64 + h[0] % 192  # 64..255
-    height = 64 + h[1] % 192
-    n_frames = 1 + h[2] % 30
-    return width, height, n_frames
-
-
 def decode_media(df: DataFrame) -> DataFrame:
     """Arrow-batched decode/feature-extract over the opaque payload column.
 
     mapInPandas streams an iterator of pandas batches — constant memory per
-    task; schema widens MEDIA -> DECODED."""
+    task; schema widens MEDIA -> DECODED.
+
+    The decode body is a fully self-contained closure: cloudpickle ships it
+    by value, so workers need no access to this package (the driver may run
+    from any cwd/deploy layout). The inner ``fake_decode`` STUBS the real
+    media decoder (PIL.Image.open / av.open / ...) with deterministic dims
+    derived from the payload hash; swap that one function for a real
+    decoder and nothing else changes."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        def fake_decode(payload: bytes) -> tuple[int, int, int]:
+            h = _hl.sha256(payload).digest()
+            return 64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 30
+
         for pdf in batches:
-            dims = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            dims = [fake_decode(bytes(p)) for p in pdf["payload"]]
             pdf = pdf.assign(
                 width=[d[0] for d in dims],
                 height=[d[1] for d in dims],

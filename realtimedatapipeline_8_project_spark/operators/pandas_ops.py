@@ -34,27 +34,30 @@ TREND_SCHEMA = StructType(
 )
 
 
-def _trend(pdf: pd.DataFrame) -> pd.DataFrame:
-    """OLS slope of value vs time (days since the user's first event)."""
-    user_id = pdf["user_id"].iloc[0]
-    n = len(pdf)
-    t = (pdf["ts"] - pdf["ts"].min()).dt.total_seconds() / 86400.0
-    v = pdf["value"].astype(float)
-    tc, vc = t - t.mean(), v - v.mean()
-    denom = float((tc * tc).sum())
-    slope = float((tc * vc).sum()) / denom if denom > 0 else None
-    return pd.DataFrame(
-        {
-            "user_id": [user_id],
-            "n_events": [n],
-            "slope_per_day": [round(slope, 6) if slope is not None else None],
-            "mean_value": [round(float(v.mean()), 6)],
-        }
-    )
-
-
 def user_trend(events: DataFrame) -> DataFrame:
-    """Group-map: one shuffle on user_id, one Arrow batch per group."""
+    """Group-map: one shuffle on user_id, one Arrow batch per group.
+
+    The group function is a self-contained closure (shipped by value via
+    cloudpickle) so workers never need this package importable."""
+
+    def _trend(pdf: pd.DataFrame) -> pd.DataFrame:
+        # OLS slope of value vs time (days since the user's first event)
+        user_id = pdf["user_id"].iloc[0]
+        n = len(pdf)
+        t = (pdf["ts"] - pdf["ts"].min()).dt.total_seconds() / 86400.0
+        v = pdf["value"].astype(float)
+        tc, vc = t - t.mean(), v - v.mean()
+        denom = float((tc * tc).sum())
+        slope = float((tc * vc).sum()) / denom if denom > 0 else None
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "slope_per_day": [round(slope, 6) if slope is not None else None],
+                "mean_value": [round(float(v.mean()), 6)],
+            }
+        )
+
     return events.groupBy("user_id").applyInPandas(_trend, schema=TREND_SCHEMA)
 
 

@@ -45,30 +45,32 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _update(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].fillna(0.0).sum())
-        batch_max_us = int(pdf["ts"].astype("int64").max()) // 1000
-        last_us = max(last_us, batch_max_us)
-    state.update((n, round(total, 6), last_us))
-    yield pd.DataFrame(
-        {
-            "user_id": [user_id],
-            "n_events": [n],
-            "total_value": [round(total, 6)],
-            "last_ts": [pd.Timestamp(last_us, unit="us")],
-        }
-    )
-
-
 def running_user_stats(events: DataFrame) -> DataFrame:
     """events: streaming DF with (user_id, ts, value). Emits the running
-    totals for each user seen in the micro-batch."""
+    totals for each user seen in the micro-batch. The update function is a
+    self-contained closure (shipped by value) — workers never import this
+    package."""
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+            batch_max_us = int(pdf["ts"].astype("int64").max()) // 1000
+            last_us = max(last_us, batch_max_us)
+        state.update((n, round(total, 6), last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [round(total, 6)],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
     return events.groupBy("user_id").applyInPandasWithState(
         _update,
         outputStructType=OUTPUT_SCHEMA,
