@@ -36,11 +36,11 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(words("text")).alias("ws_tokens"),
-        F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")).alias(
-            "bpe_ish_tokens"
-        ),
-        F.length("text").alias("len_chars"),
+        F.size(words("text")).cast("long").alias("ws_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)"))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+        F.length("text").cast("long").alias("len_chars"),
     )
 
 
@@ -64,7 +64,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_punct = F.length(F.regexp_replace("text", r"[^.!?,;:]", ""))
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
         F.round(n_uniq.cast("double") / n_tokens, 6).alias("uniq_ratio"),
         F.round(n_punct.cast("double") / F.length("text"), 6).alias("punct_ratio"),
@@ -120,7 +120,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         pred.alias("predicted_lang"),
-        best.alias("marker_hits"),
+        best.cast("long").alias("marker_hits"),
     )
 
 

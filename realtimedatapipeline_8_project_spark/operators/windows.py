@@ -49,7 +49,7 @@ def q_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        orders.withColumn("rk", F.row_number().over(w))
+        orders.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
     )
@@ -149,14 +149,14 @@ WITH flagged AS (
 ), sess AS (
   SELECT *, SUM(new_sess) OVER (
       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id_raw
   FROM flagged
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_id_raw AS BIGINT) AS session_id, COUNT(*) AS n_events,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
        {oracle_dsum('value', 'session_value')}
 FROM sess
-GROUP BY user_id, session_id
+GROUP BY user_id, session_id_raw
 """
 
 
@@ -193,9 +193,9 @@ def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.first("o_orderkey").over(frame).alias("best_order"),
         F.last("o_orderkey").over(frame).alias("worst_order"),
     )
