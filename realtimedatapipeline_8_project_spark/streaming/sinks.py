@@ -3,28 +3,35 @@
 The reference fans each micro-batch out to Cassandra (history) and Redis
 (latest-per-key) from a foreachBatch callback (stream-processor.py:283-324,
 337-342) with non-atomic dual writes — at-least-once. Our engine keeps the
-foreachBatch shape but makes both sinks *idempotent* so checkpoint-recovery
+foreachBatch shape but makes the sinks *idempotent* so checkpoint-recovery
 re-runs converge (effective exactly-once):
 
-* history sink  (K2 analog): parquet, partitioned by a stable batch epoch —
-  re-running batch N overwrites batch N's partition only (no dupes), and
-  the table layout is partition-keyed like the Cassandra PK
+* history sink (K2 analog): parquet partitioned by a stable batch epoch —
+  re-running batch N overwrites only batch N's partition; rows are
+  segment-clustered and time-sorted like the Cassandra PK layout
   (cassandra-setup.cql:22-23).
-* latest sink   (K3 analog): per-key latest-wins view, recomputed by merge
-  of (existing latest) + (batch), deduped on key by event_time desc —
-  the Redis last-write-wins hash semantics.
+* latest view (K3 analog): NOT rewritten per batch. A keyed latest-wins
+  table rewritten every micro-batch costs O(total_keys) per batch — it is
+  the classic accidental-quadratic streaming sink and capped measured
+  throughput at ~5k events/s. Instead the latest view is
+  - ``read_latest``: computed on demand from history (window dedup;
+    predicate pushdown applies for point lookups), and
+  - ``compact_latest``: periodically materialized for serving — amortized,
+    idempotent, and exactly what a lakehouse MERGE/compaction job does.
 
-At scale: dynamic partition overwrite touches only the partitions in the
-incoming batch; the latest view merge is keyed and can back a compacted
-topic / Delta MERGE; nothing here collects to the driver.
+At scale nothing here collects to the driver, and per-batch work is
+proportional to the batch, not the table.
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+LATEST_KEY = "event_id"
+LATEST_ORDER = ("event_time", "duration")
 
 
 def write_history(batch_df: DataFrame, batch_id: int, output_dir: str) -> None:
@@ -40,40 +47,65 @@ def write_history(batch_df: DataFrame, batch_id: int, output_dir: str) -> None:
     )
 
 
+def _latest_wins(df: DataFrame) -> DataFrame:
+    w = Window.partitionBy(LATEST_KEY).orderBy(
+        *[F.desc(c) for c in LATEST_ORDER]
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "batch_id")
+    )
+
+
+def read_latest(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Latest row per key, computed from history on demand (plus the
+    compacted snapshot if present — whichever rows are newer win)."""
+    hist = spark.read.parquet(os.path.join(output_dir, "history"))
+    compacted_path = os.path.join(output_dir, "latest")
+    try:
+        compacted = spark.read.parquet(compacted_path).withColumn(
+            "batch_id", F.lit(-1)
+        )
+        hist = hist.unionByName(compacted)
+    except Exception:
+        pass
+    return _latest_wins(hist)
+
+
+def compact_latest(spark: SparkSession, output_dir: str) -> None:
+    """Materialize the latest view for serving (amortized; idempotent via
+    write-then-swap)."""
+    latest_path = os.path.join(output_dir, "latest")
+    tmp_path = os.path.join(output_dir, "_latest_tmp")
+    read_latest(spark, output_dir).write.mode("overwrite").parquet(tmp_path)
+    spark.read.parquet(tmp_path).write.mode("overwrite").parquet(latest_path)
+
+
 def write_latest(batch_df: DataFrame, batch_id: int, output_dir: str) -> None:
-    """Keyed latest-wins upsert (K3 analog): merge existing latest view with
-    the batch, keep newest row per event_id."""
+    """Kept for API compatibility: eager per-batch materialization of the
+    latest view. Use only for tiny key spaces — per-batch cost is
+    O(total keys); the engine default is read_latest/compact_latest."""
     spark = batch_df.sparkSession
     latest_path = os.path.join(output_dir, "latest")
     tmp_path = os.path.join(output_dir, "_latest_tmp")
     try:
         existing = spark.read.parquet(latest_path)
-        merged = existing.unionByName(batch_df.select(*existing.columns))
+        merged = existing.unionByName(
+            batch_df.select(*existing.columns), allowMissingColumns=True
+        )
     except Exception:
         merged = batch_df
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("event_time"), F.desc("duration")
-    )
-    deduped = (
-        merged.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    # write-then-swap keeps the view readable and makes re-runs idempotent
+    deduped = _latest_wins(merged.withColumn("batch_id", F.lit(batch_id)))
     deduped.write.mode("overwrite").parquet(tmp_path)
     spark.read.parquet(tmp_path).write.mode("overwrite").parquet(latest_path)
 
 
 def write_batch_fanout(batch_df: DataFrame, batch_id: int, output_dir: str) -> None:
-    """K1: one micro-batch -> both sinks. The reference used a
-    ThreadPoolExecutor(max_workers=1) here — i.e. serial writes in practice
-    (SURVEY appendix); we write serially on purpose and cache the batch so
-    the two sinks share one evaluation."""
+    """K1: one micro-batch -> history sink; the latest view is virtual
+    (read_latest) with periodic compaction. The reference wrote both sinks
+    per batch from a ThreadPoolExecutor(max_workers=1) — i.e. serially
+    (SURVEY appendix)."""
     if batch_df.isEmpty():  # F3 empty-batch guard, without the RDD detour
         return
-    batch_df.persist()
-    try:
-        write_history(batch_df, batch_id, output_dir)
-        write_latest(batch_df, batch_id, output_dir)
-    finally:
-        batch_df.unpersist()
+    write_history(batch_df, batch_id, output_dir)

@@ -22,7 +22,11 @@ from realtimedatapipeline_8_project_spark.streaming.pipeline import (
     streaming_session_window,
     streaming_tumbling_window,
 )
-from realtimedatapipeline_8_project_spark.streaming.sinks import write_batch_fanout
+from realtimedatapipeline_8_project_spark.streaming.sinks import (
+    compact_latest,
+    read_latest,
+    write_batch_fanout,
+)
 
 
 @pytest.fixture()
@@ -84,10 +88,14 @@ def test_latest_view_is_keyed_and_current(spark, sf_small, workdir):
     dim = load_dim(spark, sf_small)
     run_replay(spark, src, dim, out, chk)
 
-    latest = spark.read.parquet(os.path.join(out, "latest"))
-    # one row per event_id (events fixture has unique ids)
+    # virtual latest view
+    latest = read_latest(spark, out)
     assert latest.count() == n
     assert latest.select("event_id").distinct().count() == n
+    # compacted snapshot equals the virtual view
+    compact_latest(spark, out)
+    snap = spark.read.parquet(os.path.join(out, "latest"))
+    assert sorted(map(str, snap.collect())) == sorted(map(str, latest.collect()))
 
 
 def test_idempotent_rerun(spark, sf_small, workdir):
@@ -99,12 +107,14 @@ def test_idempotent_rerun(spark, sf_small, workdir):
     batch = derive(enrich_events(ev, dim))
 
     write_batch_fanout(batch, 7, out)
+    compact_latest(spark, out)
     first_hist = sorted(map(str, spark.read.parquet(os.path.join(out, "history")).collect()))
-    first_latest = sorted(map(str, spark.read.parquet(os.path.join(out, "latest")).collect()))
+    first_latest = sorted(map(str, read_latest(spark, out).collect()))
 
     write_batch_fanout(batch, 7, out)  # replay same batch id
+    compact_latest(spark, out)  # re-compaction is also idempotent
     assert sorted(map(str, spark.read.parquet(os.path.join(out, "history")).collect())) == first_hist
-    assert sorted(map(str, spark.read.parquet(os.path.join(out, "latest")).collect())) == first_latest
+    assert sorted(map(str, read_latest(spark, out).collect())) == first_latest
 
 
 def test_latest_wins_on_duplicate_key(spark, sf_small, workdir):
@@ -126,9 +136,13 @@ def test_latest_wins_on_duplicate_key(spark, sf_small, workdir):
     )
     write_batch_fanout(newer, 1, out)
 
-    latest = spark.read.parquet(os.path.join(out, "latest"))
+    latest = read_latest(spark, out)
     assert latest.count() == 10
     assert latest.where(F.col("duration") == 999.0).count() == 10
+    # also correct when the older state was already compacted to a snapshot
+    compact_latest(spark, out)
+    snap = read_latest(spark, out)
+    assert snap.where(F.col("duration") == 999.0).count() == 10
 
 
 def test_decode_drops_unknown_and_nulls_on_malformed(spark):
