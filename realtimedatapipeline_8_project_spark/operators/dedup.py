@@ -267,8 +267,55 @@ GROUP BY event_type
 """
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: candidates share at least one of four
+    16-bit signature bands (any pair within Hamming distance 3 must agree
+    on >=1 band by pigeonhole), verified by exact Hamming <= 3. Same
+    LSH-banding shape as MinHash but over one 64-bit signature — the
+    cheapest text near-dup detector at scale. Rows-only check."""
+    sims = q_simhash(spark, sf_dir)  # (doc_id, simhash)
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bits"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bits")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bits") == F.col("r.bits"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= 3
+    )
+
+
 QUERIES = {
     "dedup_exact_fingerprint": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_simhash_neardup": (q_simhash_neardup, None),
     "dedup_jaccard_vs_probe": (q_jaccard_vs_probe, ORACLE_JACCARD_VS_PROBE),
     "dedup_minhash_neardup": (q_minhash_neardup, None),
     "dedup_simhash": (q_simhash, None),

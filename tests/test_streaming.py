@@ -196,6 +196,41 @@ def test_streaming_tumbling_window_availablenow(spark, sf_small, workdir):
     assert all(e in want for e in emitted)
 
 
+def test_streaming_sliding_window_availablenow(spark, sf_small, workdir):
+    """Watermarked sliding windows: every emitted bucket must match the
+    batch sliding aggregation (each event lands in window/slide buckets)."""
+    from realtimedatapipeline_8_project_spark.streaming.pipeline import (
+        streaming_sliding_window,
+    )
+
+    src = os.path.join(workdir, "src")
+    _write_event_jsonl(spark, sf_small, src, n_files=2)
+    raw = spark.readStream.format("text").load(src)
+    events = decode_events(raw).withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = streaming_sliding_window(events)
+    out = os.path.join(workdir, "slide")
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "chk_slide"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    batch = (
+        load_table(spark, sf_small, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket_start"), "n")
+    )
+    emitted = sorted(map(str, got.collect()))
+    want = {str(r) for r in batch.collect()}
+    assert len(emitted) > 0
+    assert all(e in want for e in emitted)
+
+
 def test_streaming_session_window_availablenow(spark, sf_small, workdir):
     src = os.path.join(workdir, "src")
     _write_event_jsonl(spark, sf_small, src, n_files=1)
