@@ -56,11 +56,19 @@ def oracle_shingles(col_sql: str, n: int = 3) -> str:
 
 
 # --- exact dedup: fingerprint groupBy, deterministic survivor -------------
+# The fixture corpus is duplicate-free, so the input unions in a
+# whitespace-mangled copy of every 10th document — real duplicate groups
+# (n_copies=2) that only normalized fingerprinting collapses.
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.regexp_replace("text", " ", "   ")).alias("text"),
+    )
+    corpus = docs.unionByName(mangled)
     fp = F.sha2(normalized_text("text"), 256)
     return (
-        docs.select(fp.alias("fingerprint"), "doc_id", "n_chars")
+        corpus.select(fp.alias("fingerprint"), "doc_id")
         .groupBy("fingerprint")
         .agg(
             F.min("doc_id").alias("survivor_doc_id"),
@@ -70,10 +78,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DEDUP_EXACT = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         concat('  ', regexp_replace(text, ' ', '   ', 'g'))
+  FROM documents WHERE doc_id % 10 = 0
+)
 SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
        MIN(doc_id) AS survivor_doc_id,
        COUNT(*) AS n_copies
-FROM documents
+FROM corpus
 GROUP BY 1
 """
 
