@@ -20,8 +20,30 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 
-BUCKET = "1 hour"
-BUCKET_US = 3_600 * 1_000_000
+BUCKET_US = 3_600 * 1_000_000  # fallback width when intervals are empty
+MIN_BUCKET_US = 60 * 1_000_000
+MAX_BUCKET_US = 30 * 24 * 3_600 * 1_000_000
+
+
+def _estimate_bucket_us(
+    intervals: DataFrame, start_col: str, end_col: str
+) -> int:
+    """Pick the bucket width from data: ~the mean interval length.
+
+    Bucketing cost is (explode factor = len/bucket + 1) on the interval
+    side vs (rows co-bucketed = bucket density) on the probe side; width ≈
+    mean interval length caps the explode factor at ~2 while keeping
+    buckets tight. One column-pruned scan of two timestamp columns — at
+    100 TB this is the same trick AQE uses (tiny stats pass to shape the
+    expensive plan). Clamped to [1 min, 30 days]."""
+    avg = intervals.agg(
+        F.avg(
+            F.unix_micros(F.col(end_col)) - F.unix_micros(F.col(start_col))
+        ).alias("avg_us")
+    ).first()["avg_us"]
+    if avg is None:
+        return BUCKET_US
+    return max(MIN_BUCKET_US, min(int(avg), MAX_BUCKET_US))
 
 
 def bucketed_range_join(
@@ -31,6 +53,7 @@ def bucketed_range_join(
     start_col: str,
     end_col: str,
     extra_keys: list[tuple[str, str]] | None = None,
+    bucket_us: int | None = None,
 ) -> DataFrame:
     """Equi-join on (time bucket [+ extra keys]) + exact containment filter.
 
@@ -38,16 +61,19 @@ def bucketed_range_join(
     columns (names must not collide). ``extra_keys`` [(left_col,
     right_col), ...] tightens the equi side — e.g. joining per-user
     intervals on (bucket, user) keeps bucket collisions across users from
-    ever materializing."""
+    ever materializing. ``bucket_us`` defaults to a data-derived estimate
+    (mean interval length)."""
+    if bucket_us is None:
+        bucket_us = _estimate_bucket_us(intervals, start_col, end_col)
     lb = left.withColumn(
-        "_bucket", (F.unix_micros(F.col(left_ts)) / BUCKET_US).cast("long")
+        "_bucket", (F.unix_micros(F.col(left_ts)) / bucket_us).cast("long")
     )
     ib = intervals.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                (F.unix_micros(F.col(start_col)) / BUCKET_US).cast("long"),
-                (F.unix_micros(F.col(end_col)) / BUCKET_US).cast("long"),
+                (F.unix_micros(F.col(start_col)) / bucket_us).cast("long"),
+                (F.unix_micros(F.col(end_col)) / bucket_us).cast("long"),
             )
         ),
     )
@@ -84,6 +110,8 @@ def q_range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .where(F.col("end_ts").isNotNull())
+        # read twice: once by the bucket-width stats pass, once by the join
+        .persist()
     )
     clicks = ev.where(F.col("event_type").isin("click", "error")).select(
         "event_id", "user_id", "ts"
