@@ -7,7 +7,15 @@
 * LSH-bucketed variant (scale path): deterministic sign-bit sketch over a
   subset of dimensions buckets the vectors; only the probe's bucket (and
   neighbors at Hamming distance 1) are scored — prunes ~(1 - (d+1)/2^b)
-  of the corpus per query at the cost of recall; rows-only check.
+  of the corpus per query at the cost of recall.
+
+Unlike the text near-dup family (whose scale path rides on Spark's
+xxhash64, which DuckDB cannot reproduce), every pruning structure here is
+deterministic arithmetic — so even the *approximate* variants carry full
+DuckDB oracles that re-execute the same sketch/quantizer in SQL. The
+oracle checks algorithm fidelity; recall vs. ground truth is checked
+separately in tests/test_similarity_quality.py against the brute-force
+baseline.
 
 No Python UDFs; nothing leaves the JVM.
 """
@@ -70,10 +78,20 @@ def sign_sketch(emb: Column | str, n_bits: int = N_SKETCH_BITS) -> Column:
     return F.aggregate(bits, F.lit(0), lambda acc, b: acc * 2 + b)
 
 
+def oracle_sign_sketch(emb_sql: str, n_bits: int = N_SKETCH_BITS) -> str:
+    """DuckDB mirror of :func:`sign_sketch` (same fold, 1-based slice)."""
+    bits = (
+        f"list_transform({emb_sql}[1:{n_bits}], "
+        "x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END)"
+    )
+    return f"list_reduce(list_prepend(0, {bits}), (acc, b) -> acc * 2 + b)"
+
+
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k: score only vectors whose sign-sketch bucket is within
-    Hamming distance 1 of the probe's bucket. Rows-only check (approximate
-    by construction; brute-force query is the exact baseline)."""
+    Hamming distance 1 of the probe's bucket. Approximate vs. ground truth,
+    but fully deterministic — the oracle replays the identical sketch and
+    pruning in SQL; recall is measured in test_similarity_quality.py."""
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "bucket", sign_sketch("embedding")
     )
@@ -97,6 +115,25 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORACLE_KNN_LSH = f"""
+WITH b AS (
+  SELECT vec_id, label, embedding,
+         {oracle_sign_sketch('embedding')} AS bucket
+  FROM embeddings
+), probe AS (
+  SELECT embedding AS probe_emb, bucket AS probe_bucket
+  FROM b WHERE vec_id = {PROBE_VEC_ID}
+)
+SELECT vec_id, label,
+       ROUND({oracle_cosine('embedding', 'probe_emb')}, 8) AS cosine
+FROM b, probe
+WHERE vec_id <> {PROBE_VEC_ID}
+  AND bit_count(xor(CAST(bucket AS BIGINT), CAST(probe_bucket AS BIGINT))) <= 1
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 N_CENTROIDS = 8
 N_PROBE = 2
 
@@ -110,7 +147,9 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned to its nearest centroid (small broadcast cross-score), the
     probe scans only the N_PROBE nearest inverted lists — at 1B vectors
     with 4k centroids this prunes ~99.95% of the corpus per query.
-    Rows-only check (approximate); q_knn_bruteforce is the exact baseline."""
+    Approximate vs. ground truth (q_knn_bruteforce is the exact baseline,
+    recall measured in test_similarity_quality.py) but deterministic: the
+    oracle replays the identical quantizer + assignment + probe in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
     n_vec = emb.count()
     stride = max(n_vec // N_CENTROIDS, 1)
@@ -162,21 +201,80 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORACLE_KNN_IVF = f"""
+WITH params AS (
+  SELECT GREATEST(CAST(floor(COUNT(*) / {N_CENTROIDS}) AS BIGINT), 1) AS stride
+  FROM embeddings
+), centroids AS (
+  SELECT CAST(floor(e.vec_id / p.stride) AS INT) AS centroid_id,
+         e.embedding AS c_emb
+  FROM embeddings e, params p
+  WHERE e.vec_id % p.stride = 0 AND e.vec_id < p.stride * {N_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, label, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {oracle_cosine('e.embedding', 'c.c_emb')} DESC,
+                      c.centroid_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN centroids c
+  ) WHERE rn = 1
+), probe AS (
+  SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = {PROBE_VEC_ID}
+), probe_lists AS (
+  SELECT centroid_id
+  FROM centroids, probe
+  ORDER BY {oracle_cosine('c_emb', 'probe_emb')} DESC, centroid_id ASC
+  LIMIT {N_PROBE}
+)
+SELECT a.vec_id, a.label,
+       ROUND({oracle_cosine('a.embedding', 'probe_emb')}, 8) AS cosine
+FROM assigned a
+JOIN probe_lists USING (centroid_id)
+CROSS JOIN probe
+WHERE a.vec_id <> {PROBE_VEC_ID}
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
 COSINE_DUP_THRESHOLD = 0.95
+NEARDUP_COPY_EVERY = 10
+NEARDUP_ID_OFFSET = 1_000_000
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: sign-sketch buckets prune the
     pair space (same-bucket candidates only), exact cosine verifies at
     >= 0.95. The all-pairs analog of MinHash banding for the dense-vector
-    modality. Rows-only check (bucket recall is approximate by design)."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    modality.
+
+    The fixture corpus has no true near-dups, so the input unions in a
+    slightly perturbed copy of every 10th vector (each element scaled by
+    0.998..1.002 cyclically) — real near-dup pairs at cosine ~0.999 that
+    the operator must recover. Scaling by a positive factor never flips a
+    sign bit, so each copy provably lands in its original's bucket. The
+    oracle replays the same synthesis, sketch, and verification in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    perturbed = base.where(F.col("vec_id") % NEARDUP_COPY_EVERY == 0).select(
+        (F.col("vec_id") + NEARDUP_ID_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * ((F.lit(998) + (i % 5)).cast("double") / F.lit(1000.0)),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(perturbed).withColumn(
         "bucket", sign_sketch("embedding")
     )
-    a = emb.select(
+    a = corpus.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "bucket"
     )
-    b = emb.select(
+    b = corpus.select(
         F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), "bucket"
     )
     cand = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
@@ -188,6 +286,29 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cosine") >= COSINE_DUP_THRESHOLD)
     )
+
+
+ORACLE_EMBEDDING_NEARDUP = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+  FROM embeddings
+), corpus AS (
+  SELECT vec_id, embedding FROM base
+  UNION ALL
+  SELECT vec_id + {NEARDUP_ID_OFFSET},
+         list_transform(embedding,
+             (x, i) -> x * (CAST(998 + ((i - 1) % 5) AS DOUBLE) / 1000.0))
+  FROM base WHERE vec_id % {NEARDUP_COPY_EVERY} = 0
+), b AS (
+  SELECT vec_id, embedding, {oracle_sign_sketch('embedding')} AS bucket
+  FROM corpus
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       ROUND({oracle_cosine('a.embedding', 'c.embedding')}, 8) AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE ROUND({oracle_cosine('a.embedding', 'c.embedding')}, 8)
+      >= {COSINE_DUP_THRESHOLD}
+"""
 
 
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,8 +347,8 @@ GROUP BY label
 
 QUERIES = {
     "sim_knn_bruteforce": (q_knn_bruteforce, ORACLE_KNN_BRUTEFORCE),
-    "sim_knn_lsh": (q_knn_lsh, None),
-    "sim_knn_ivf": (q_knn_ivf, None),
-    "sim_embedding_neardup": (q_embedding_neardup, None),
+    "sim_knn_lsh": (q_knn_lsh, ORACLE_KNN_LSH),
+    "sim_knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),
+    "sim_embedding_neardup": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
     "sim_embedding_stats": (q_embedding_stats, ORACLE_EMBEDDING_STATS),
 }
