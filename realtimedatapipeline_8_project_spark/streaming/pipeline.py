@@ -173,6 +173,55 @@ def streaming_sliding_window(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within the
+    watermark horizon (``dropDuplicatesWithinWatermark``). State per key is
+    retired once the watermark passes — bounded memory at any scale, which
+    plain ``dropDuplicates`` on a stream cannot guarantee. This is the
+    streaming half of the exact-dedup family (§2.13): the at-least-once
+    Kafka/outbox delivery of the reference (utils/utils.py:121-128) makes
+    duplicate deliveries a certainty, not an edge case."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def streaming_event_match_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Time-bounded stream-stream inner join: match each left event to
+    right events of the same user within (left.ts, left.ts + max_delay].
+
+    Both sides carry watermarks and the join condition bounds event time in
+    both directions, so Spark can expire join state — the required shape
+    for an unbounded stream-stream join (without the time bound, state
+    grows forever). Typical use: click -> purchase attribution."""
+    l = left.select(
+        F.col("event_id").alias("left_id"),
+        F.col("user_id"),
+        F.col("ts").alias("left_ts"),
+    ).withWatermark("left_ts", watermark)
+    r = right.select(
+        F.col("event_id").alias("right_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("right_ts"),
+    ).withWatermark("right_ts", watermark)
+    return l.join(
+        r,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("right_ts") > F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {max_delay}")),
+        "inner",
+    ).select("left_id", "right_id", "user_id", "left_ts", "right_ts")
+
+
 def streaming_session_window(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -101,11 +101,89 @@ def write_latest(batch_df: DataFrame, batch_id: int, output_dir: str) -> None:
     spark.read.parquet(tmp_path).write.mode("overwrite").parquet(latest_path)
 
 
+# --- incremental hourly rollup (continuous-aggregate analog) ---------------
+# The Cassandra table's PK ((content_id), event_time) exists to serve
+# per-key time-range rollups (cassandra-setup.cql:22; README "drop-off
+# detection"). The engine materializes that capability incrementally:
+# each micro-batch contributes an O(batch) *partial* aggregate partition
+# (count/sum are associative, so partials merge exactly); the serving view
+# merges partials on read; compaction collapses them. Same idempotency
+# story as the history sink — re-running batch N dynamic-overwrites only
+# partition N. Run compaction only for batches the checkpoint has
+# committed (a replayed batch that was already folded would double-count).
+
+ROLLUP_WINDOW = "1 hour"
+
+
+def _rollup_partial(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy(
+            F.window("event_time", ROLLUP_WINDOW).alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("duration").alias("sum_duration"),
+            F.sum("engagement_seconds").alias("sum_engagement_seconds"),
+        )
+        .select(F.col("w.start").alias("bucket_start"), "event_type",
+                "n", "sum_duration", "sum_engagement_seconds")
+    )
+
+
+def _merge_rollup(partials: DataFrame) -> DataFrame:
+    return (
+        partials.groupBy("bucket_start", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_duration").alias("sum_duration"),
+            F.sum("sum_engagement_seconds").alias("sum_engagement_seconds"),
+        )
+    )
+
+
+def write_rollup(batch_df: DataFrame, batch_id: int, output_dir: str) -> None:
+    """O(batch) incremental rollup contribution, idempotent per batch id."""
+    (
+        _rollup_partial(batch_df)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(output_dir, "rollup"))
+    )
+
+
+def read_rollup(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Serving view: exact hourly aggregates = merge of all partials."""
+    partials = spark.read.parquet(os.path.join(output_dir, "rollup"))
+    return _merge_rollup(partials.drop("batch_id"))
+
+
+def compact_rollup(spark: SparkSession, output_dir: str) -> None:
+    """Collapse all partials into one merged partition (batch_id=-1).
+    Amortized O(distinct keys); call only when every folded batch is
+    checkpoint-committed (see module note)."""
+    rollup_path = os.path.join(output_dir, "rollup")
+    tmp_path = os.path.join(output_dir, "_rollup_tmp")
+    read_rollup(spark, output_dir).withColumn(
+        "batch_id", F.lit(-1)
+    ).write.mode("overwrite").partitionBy("batch_id").parquet(tmp_path)
+    spark.read.parquet(tmp_path).withColumn(
+        "batch_id", F.lit(-1)
+    ).write.mode("overwrite").partitionBy("batch_id").parquet(rollup_path)
+
+
 def write_batch_fanout(batch_df: DataFrame, batch_id: int, output_dir: str) -> None:
-    """K1: one micro-batch -> history sink; the latest view is virtual
-    (read_latest) with periodic compaction. The reference wrote both sinks
-    per batch from a ThreadPoolExecutor(max_workers=1) — i.e. serially
-    (SURVEY appendix)."""
+    """K1: one micro-batch -> history sink + incremental rollup; the
+    latest view is virtual (read_latest) with periodic compaction. The
+    reference wrote its two sinks per batch from a
+    ThreadPoolExecutor(max_workers=1) — i.e. serially (SURVEY appendix)."""
     if batch_df.isEmpty():  # F3 empty-batch guard, without the RDD detour
         return
-    write_history(batch_df, batch_id, output_dir)
+    batch_df = batch_df.persist()  # read by both sinks; O(batch) rows
+    try:
+        write_history(batch_df, batch_id, output_dir)
+        write_rollup(batch_df, batch_id, output_dir)
+    finally:
+        batch_df.unpersist()

@@ -258,3 +258,140 @@ def test_streaming_session_window_availablenow(spark, sf_small, workdir):
         & (F.col("b.session_start") < F.col("a.session_end")),
     ).count()
     assert overlaps == 0
+
+
+def test_streaming_dedup_within_watermark(spark, sf_small, workdir):
+    """Re-delivered events (at-least-once source semantics) are dropped by
+    key; the deduped stream equals the distinct batch input."""
+    from realtimedatapipeline_8_project_spark.streaming.pipeline import (
+        streaming_dedup,
+    )
+
+    src = os.path.join(workdir, "src")
+    n = _write_event_jsonl(spark, sf_small, src, n_files=2)
+    # duplicate every file: same payloads delivered twice
+    for f in list(os.listdir(src)):
+        shutil.copy(os.path.join(src, f), os.path.join(src, f + ".redelivery"))
+    raw = spark.readStream.format("text").load(src)
+    events = decode_events(raw).withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = streaming_dedup(events, watermark="40 days")
+    out = os.path.join(workdir, "dedup_out")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "chk_dedup"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+
+
+def test_stream_stream_join_availablenow(spark, sf_small, workdir):
+    """Time-bounded stream-stream inner join (click -> next purchases within
+    1 hour, same user) equals the batch join over the same input."""
+    from realtimedatapipeline_8_project_spark.streaming.pipeline import (
+        streaming_event_match_join,
+    )
+
+    src = os.path.join(workdir, "src")
+    _write_event_jsonl(spark, sf_small, src, n_files=2)
+    raw = spark.readStream.format("text").load(src)
+    events = decode_events(raw).withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = events.where(F.col("event_type") == "click")
+    purchases = events.where(F.col("event_type") == "purchase")
+    joined = streaming_event_match_join(
+        clicks, purchases, max_delay="1 hour", watermark="40 days"
+    )
+    out = os.path.join(workdir, "ssj_out")
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "chk_ssj"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(str, spark.read.parquet(out).collect()))
+
+    ev = load_table(spark, sf_small, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("left_id"),
+        "user_id",
+        F.col("ts").alias("left_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("right_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("right_ts"),
+    )
+    want = sorted(
+        map(
+            str,
+            c.join(
+                p,
+                (F.col("user_id") == F.col("r_user_id"))
+                & (F.col("right_ts") > F.col("left_ts"))
+                & (F.col("right_ts") <= F.col("left_ts") + F.expr("INTERVAL 1 HOUR")),
+            )
+            .select("left_id", "right_id", "user_id", "left_ts", "right_ts")
+            .collect(),
+        )
+    )
+    assert len(got) > 0
+    assert got == want
+
+
+def test_incremental_rollup_matches_batch(spark, sf_small, workdir):
+    """The merged rollup partials equal the batch hourly aggregation, stay
+    correct after compaction, and batch replay is idempotent."""
+    from realtimedatapipeline_8_project_spark.streaming.sinks import (
+        compact_rollup,
+        read_rollup,
+    )
+
+    src = os.path.join(workdir, "src")
+    out = os.path.join(workdir, "out")
+    chk = os.path.join(workdir, "chk")
+    _write_event_jsonl(spark, sf_small, src, n_files=4)
+    dim = load_dim(spark, sf_small)
+    run_replay(spark, src, dim, out, chk, max_files_per_trigger=1)
+
+    batch = derive(enrich_events(load_table(spark, sf_small, "events"), dim))
+    want = sorted(
+        map(
+            str,
+            batch.groupBy(
+                F.window("event_time", "1 hour").alias("w"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("duration").alias("sum_duration"),
+                F.sum("engagement_seconds").alias("sum_engagement_seconds"),
+            )
+            .select(
+                F.col("w.start").alias("bucket_start"),
+                "event_type",
+                "n",
+                "sum_duration",
+                "sum_engagement_seconds",
+            )
+            .collect(),
+        )
+    )
+    got = sorted(map(str, read_rollup(spark, out).collect()))
+    assert got == want
+
+    compact_rollup(spark, out)
+    assert sorted(map(str, read_rollup(spark, out).collect())) == want
+    # a later batch on top of the compacted state still merges exactly
+    from realtimedatapipeline_8_project_spark.streaming.sinks import write_rollup
+
+    write_rollup(batch.limit(25), 99, out)
+    merged = read_rollup(spark, out)
+    n_total = merged.agg(F.sum("n")).first()[0]
+    assert n_total == load_table(spark, sf_small, "events").count() + 25
