@@ -137,9 +137,11 @@ FROM documents
 
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decoded metadata via the mapInPandas stub (rows-only: decode output
-    is engine-side by construction). Aggregates per kind so the check is
-    cheap at any scale."""
+    """Decoded metadata via the mapInPandas stub, aggregated per kind so
+    the check is cheap at any scale. Oracle-checked: the stub decoder's
+    dims are sha256-derived, so DuckDB replays them with hex-digit
+    arithmetic — verifying the whole Arrow mapInPandas path (schema
+    widening, batching, closure shipping) against SQL."""
     decoded = decode_media(synthesize_media(spark, sf_dir))
     return decoded.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),
@@ -149,7 +151,37 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oracle_hex_byte(pos: int) -> str:
+    """DuckDB expression for byte ``pos`` (0-based) of sha256(text) as an
+    int: two hex digits decoded via position in the hex alphabet."""
+    hi, lo = 2 * pos + 1, 2 * pos + 2
+    return (
+        f"(16 * (strpos('0123456789abcdef', substr(hx, {hi}, 1)) - 1)"
+        f" + strpos('0123456789abcdef', substr(hx, {lo}, 1)) - 1)"
+    )
+
+
+ORACLE_MEDIA_DECODE = f"""
+WITH m AS (
+  SELECT (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+         octet_length(encode(text)) AS byte_len,
+         sha256(text) AS hx
+  FROM documents
+), d AS (
+  SELECT kind, byte_len,
+         64 + {_oracle_hex_byte(0)} % 192 AS width,
+         1 + {_oracle_hex_byte(2)} % 30 AS n_frames
+  FROM m
+)
+SELECT kind, COUNT(*) AS n,
+       CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+       AVG(width) AS avg_width,
+       AVG(n_frames) AS avg_frames
+FROM d GROUP BY kind
+"""
+
+
 QUERIES = {
     "media_metadata": (q_media_metadata, ORACLE_MEDIA_METADATA),
-    "media_decode_stub": (q_media_decode, None),
+    "media_decode_stub": (q_media_decode, ORACLE_MEDIA_DECODE),
 }
