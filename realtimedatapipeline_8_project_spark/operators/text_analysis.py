@@ -176,9 +176,104 @@ FROM documents
 """
 
 
+# --- winnowing fingerprint (rolling hash + window-min selection) ----------
+# MOSS-style local fingerprinting: polynomial rolling hash of every token
+# 3-gram (in document order), then select the minimum hash in each sliding
+# window of W consecutive grams. Any two documents sharing a sufficiently
+# long token run are guaranteed to share selected hashes — the classic
+# substring-robust fingerprint, entirely JVM-side integer arithmetic
+# (portable: the DuckDB oracle replays the identical folds).
+
+HASH_P = 1_000_000_007
+HASH_B = 131
+WINNOW_W = 4
+WINNOW_N = 3
+
+
+def winnow_fingerprint(col: Column | str, n: int = WINNOW_N, w: int = WINNOW_W) -> Column:
+    """array<long> of selected (distinct, sorted) winnowing hashes.
+
+    Both the gram rolling hash and the window minima combine *shifted
+    slices* with zip_with — linear in document length. (element_at by
+    index inside a lambda re-evaluates the source array per element,
+    i.e. O(len^2): the same pitfall shingle_hashes documents.)"""
+    toks = words(normalized_text(col))
+    codes = F.transform(
+        toks,
+        lambda t: F.aggregate(
+            F.split(t, ""),
+            F.lit(0).cast("long"),
+            lambda a, c: (a * HASH_B + F.ascii(c)) % HASH_P,
+        ),
+    )
+    glen = F.greatest(F.size(codes) - (n - 1), F.lit(0))
+    grams = F.slice(codes, 1, glen)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(codes, j + 1, glen),
+            lambda acc, c: (acc * HASH_B + c) % HASH_P,
+        )
+    wlen = F.greatest(F.size(grams) - (w - 1), F.lit(0))
+    minima = F.slice(grams, 1, wlen)
+    for j in range(1, w):
+        minima = F.zip_with(
+            minima, F.slice(grams, j + 1, wlen), lambda a, b: F.least(a, b)
+        )
+    return F.array_sort(F.array_distinct(minima))
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = winnow_fingerprint("text")
+    return docs.select(
+        "doc_id",
+        F.size(fp).cast("long").alias("n_selected"),
+        F.aggregate(fp, F.lit(0).cast("long"), lambda a, x: a + x).alias("fp_sum"),
+        F.coalesce(F.array_min(fp), F.lit(-1)).alias("fp_min"),
+    )
+
+
+_O_TOKS = r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+_O_CODES = (
+    f"list_transform({_O_TOKS}, t -> list_reduce("
+    f"list_prepend(CAST(0 AS BIGINT), list_transform(string_split(t, ''), "
+    f"c -> CAST(ascii(c) AS BIGINT))), "
+    f"(a, c) -> (a * {HASH_B} + c) % {HASH_P}))"
+)
+
+ORACLE_WINNOW_FINGERPRINT = f"""
+WITH c AS (
+  SELECT doc_id, {_O_CODES} AS codes FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(codes) >= {WINNOW_N}
+              THEN list_transform(range(1, len(codes) - {WINNOW_N} + 2),
+                   i -> ((codes[i] * {HASH_B} + codes[i+1]) % {HASH_P}
+                         * {HASH_B} + codes[i+2]) % {HASH_P})
+              ELSE [] END AS grams
+  FROM c
+), m AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) >= {WINNOW_W}
+              THEN list_sort(list_distinct(
+                   list_transform(range(1, len(grams) - {WINNOW_W} + 2),
+                   j -> list_aggregate(grams[j:j+{WINNOW_W}-1], 'min'))))
+              ELSE [] END AS fp
+  FROM g
+)
+SELECT doc_id,
+       len(fp) AS n_selected,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), fp), (a, x) -> a + x) AS fp_sum,
+       COALESCE(list_aggregate(fp, 'min'), -1) AS fp_min
+FROM m
+"""
+
+
 QUERIES = {
     "text_token_count": (q_token_count, ORACLE_TOKEN_COUNT),
     "text_quality_score": (q_quality_score, ORACLE_QUALITY_SCORE),
     "text_lang_id": (q_lang_id, ORACLE_LANG_ID),
     "text_fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
+    "text_winnow_fingerprint": (q_winnow_fingerprint, ORACLE_WINNOW_FINGERPRINT),
 }

@@ -93,3 +93,30 @@ def test_shingle_hash_distinctness(spark):
     r = df.select(F.size(shingle_hashes("text")).alias("n")).collect()[0]
     # trigrams: abc bca cab abc bca cab abc -> 3 distinct
     assert r.n == 3
+
+
+def test_winnow_shared_run_shares_fingerprints(spark):
+    """Winnowing guarantee: two documents sharing a long token run must
+    share at least one selected hash; disjoint documents share none."""
+    from pyspark.sql import functions as F
+
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        winnow_fingerprint,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro one two {shared} outro red blue"),
+            (2, f"completely different opening {shared} and another tail here"),
+            (3, "nothing in common with the others at all whatsoever truly"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: set(r.fp)
+        for r in df.select("doc_id", winnow_fingerprint("text").alias("fp")).collect()
+    }
+    assert rows[1] & rows[2], "shared token run must yield shared fingerprints"
+    assert not (rows[1] & rows[3])
+    assert not (rows[2] & rows[3])
