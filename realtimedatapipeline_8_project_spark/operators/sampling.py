@@ -1,0 +1,155 @@
+"""Deterministic sampling / dataset-split operators over ``documents``
+(north-star: large-scale training-data pipelines).
+
+A training corpus needs reproducible, coordination-free splits:
+* ``split_assign`` — train/val/test by a multiplicative integer hash of
+  the document id: any worker computes the same assignment with no
+  shared state, no shuffle, and no RNG seed plumbing (Fibonacci hashing;
+  Knuth TAOCP vol. 3 §6.4).
+* ``split_leakage_safe`` — near-duplicate documents must not straddle
+  train/test (classic eval-set contamination): the split key is the
+  *content fingerprint*, not the id, so every member of an exact-dup
+  cluster lands in the same split. Exercised on a corpus with synthetic
+  whitespace-mangled duplicates, like dedup_exact_fingerprint.
+* ``stratified_sample`` — fixed-size per-stratum sample (N docs per
+  language), ordered by the deterministic hash: one shuffle on the
+  stratum key, rank, filter.
+
+Everything is exact integer arithmetic — the DuckDB oracle replays each
+operator verbatim. At 100 TB: split_assign and split_leakage_safe are
+map-only (no shuffle; the fingerprint variant shares the dedup
+fingerprint pass); stratified_sample shuffles once on the stratum key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .text_analysis import normalized_text
+
+# Knuth's multiplicative constant: floor(2^32 / golden_ratio), coprime to 2^32.
+KNUTH_32 = 2_654_435_761
+MOD_32 = 2**32
+TRAIN_CUT = 90  # percent
+VAL_CUT = 95
+
+
+def split_hash(key: Column | str) -> Column:
+    """Deterministic uniform bucket in [0, 100) from an integer key.
+
+    Keys must stay below ~2^31 so key * KNUTH_32 fits a long under ANSI
+    arithmetic (callers pass ids or a 28-bit fingerprint prefix)."""
+    k = F.col(key) if isinstance(key, str) else key
+    return (k * F.lit(KNUTH_32)) % F.lit(MOD_32) * 100 / F.lit(MOD_32)
+
+
+def assign_split(bucket: Column) -> Column:
+    return (
+        F.when(bucket < TRAIN_CUT, "train")
+        .when(bucket < VAL_CUT, "val")
+        .otherwise("test")
+    )
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(split_hash("doc_id"))
+    return docs.select(
+        "doc_id",
+        assign_split(bucket).alias("split"),
+        bucket.cast("long").alias("bucket"),
+    )
+
+
+_O_BUCKET = f"floor(doc_id * {KNUTH_32} % {MOD_32} * 100 / {MOD_32})"
+ORACLE_SPLIT_ASSIGN = f"""
+SELECT doc_id,
+       CASE WHEN {_O_BUCKET} < {TRAIN_CUT} THEN 'train'
+            WHEN {_O_BUCKET} < {VAL_CUT} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST({_O_BUCKET} AS BIGINT) AS bucket
+FROM documents
+"""
+
+
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split keyed on the content fingerprint: whitespace-mangled copies
+    of every 10th document (same synthesis as dedup_exact_fingerprint)
+    provably land in their original's split. The key is the first 7 hex
+    digits (28 bits) of the sha256 fingerprint as an integer — portable
+    to SQL and small enough for overflow-free ANSI multiplication."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.regexp_replace("text", " ", "   ")).alias("text"),
+    )
+    corpus = docs.unionByName(mangled)
+    fp_key = F.conv(
+        F.substring(F.sha2(normalized_text("text"), 256), 1, 7), 16, 10
+    ).cast("long")
+    bucket = F.floor(split_hash(fp_key))
+    return corpus.select(
+        "doc_id",
+        assign_split(bucket).alias("split"),
+        F.sha2(normalized_text("text"), 256).alias("fingerprint"),
+    )
+
+
+_O_FP = r"sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+_O_HEX7 = "".join(
+    f" + CAST((strpos('0123456789abcdef', substr({_O_FP}, {i + 1}, 1)) - 1) "
+    f"AS BIGINT) * {16 ** (6 - i)}"
+    for i in range(7)
+)
+_O_FP_BUCKET = f"floor((0{_O_HEX7}) * {KNUTH_32} % {MOD_32} * 100 / {MOD_32})"
+ORACLE_SPLIT_LEAKAGE_SAFE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         concat('  ', regexp_replace(text, ' ', '   ', 'g'))
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT doc_id,
+       CASE WHEN {_O_FP_BUCKET} < {TRAIN_CUT} THEN 'train'
+            WHEN {_O_FP_BUCKET} < {VAL_CUT} THEN 'val'
+            ELSE 'test' END AS split,
+       {_O_FP} AS fingerprint
+FROM corpus
+"""
+
+STRATUM_N = 20
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-language sample: deterministic hash order, top-N
+    per stratum (one shuffle on lang; rank + filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(KNUTH_32)) % F.lit(MOD_32)
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= STRATUM_N)
+        .select("doc_id", "lang", F.col("rn").cast("long").alias("sample_rank"))
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY doc_id * {KNUTH_32} % {MOD_32} ASC, doc_id ASC
+         ) AS rn
+  FROM documents
+) WHERE rn <= {STRATUM_N}
+"""
+
+
+QUERIES = {
+    "sample_split_assign": (q_split_assign, ORACLE_SPLIT_ASSIGN),
+    "sample_split_leakage_safe": (q_split_leakage_safe, ORACLE_SPLIT_LEAKAGE_SAFE),
+    "sample_stratified": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+}

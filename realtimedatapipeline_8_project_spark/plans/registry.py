@@ -20,6 +20,7 @@ from ..operators import (
     range_join,
     reference_pipeline,
     relational,
+    sampling,
     scale,
     similarity,
     sql_surface,
@@ -42,6 +43,7 @@ _MODULES = (
     pandas_ops,
     asof,
     range_join,
+    sampling,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
