@@ -9,7 +9,7 @@ exact DuckDB oracle mirror.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -270,10 +270,74 @@ FROM m
 """
 
 
+# --- TF-IDF-style term salience + top-k terms per document ----------------
+# Two-level text aggregation at corpus scale: explode terms once; term
+# frequency = groupBy(doc, term); document frequency = groupBy(term)
+# (both map-side-combined); salience = tf * (N / df) — the exact-rational
+# idf keeps the oracle bit-stable (ln() may differ by 1 ulp between
+# engines; swapping in tf*ln(N/df) changes no plan shape, only the
+# weighting curve). df is corpus-wide but tiny after aggregation, so the
+# final join broadcasts.
+
+TOP_TERMS_PER_DOC = 3
+
+
+def q_term_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # metadata-only parquet count — cheap at any scale
+    terms = docs.select(
+        "doc_id", F.explode(words(normalized_text("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # df from tf, not from raw terms: tf rows are already distinct
+    # (doc, term) pairs, so COUNT(*) == COUNT(DISTINCT doc) — one explode
+    # pass, and the second agg reduces ~|corpus| fewer rows; the identical
+    # tf exchange in both branches is dedup'd by AQE exchange reuse.
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    salience = F.round(
+        F.col("tf") * F.lit(float(n_docs)) / F.col("df"), 6
+    ).alias("salience")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("salience"), F.asc("term")
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .select("doc_id", "term", "tf", salience)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_TERMS_PER_DOC)
+        .select("doc_id", "term", "tf", "salience", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_O_WORDS = r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
+ORACLE_TERM_SALIENCE = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_O_WORDS}) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY term
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * n.n_docs / df.df, 6) AS salience
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, salience, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY salience DESC, term ASC
+  ) AS rank
+  FROM scored
+) WHERE rank <= {TOP_TERMS_PER_DOC}
+"""
+
+
 QUERIES = {
     "text_token_count": (q_token_count, ORACLE_TOKEN_COUNT),
     "text_quality_score": (q_quality_score, ORACLE_QUALITY_SCORE),
     "text_lang_id": (q_lang_id, ORACLE_LANG_ID),
     "text_fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),
     "text_winnow_fingerprint": (q_winnow_fingerprint, ORACLE_WINNOW_FINGERPRINT),
+    "text_term_salience": (q_term_salience, ORACLE_TERM_SALIENCE),
 }
