@@ -31,7 +31,11 @@ HEADLINE = [
     "dedup_exact_fingerprint",
     "dedup_minhash_neardup",
     "text_quality_score",
+    "text_winnow_fingerprint",
+    "text_term_salience",
+    "sample_split_leakage_safe",
     "sim_knn_bruteforce",
+    "sim_knn_ivf",
     "asof_last_purchase",
     "range_join_bucketed",
 ]

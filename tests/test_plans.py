@@ -77,3 +77,32 @@ def test_partial_aggregation_before_shuffle(spark, sf_small):
     # partial and final HashAggregate nodes must exist
     assert p.count("HashAggregate") >= 2
     assert first_agg is not None and first_exchange is not None
+
+
+def test_split_assign_is_map_only(spark, sf_small):
+    """Deterministic split must add no exchange: pure projection over the
+    scan (coordination-free at any scale)."""
+    p = plan_of(spark, sf_small, "sample_split_assign")
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_term_salience_broadcasts_df_and_combines_map_side(spark, sf_small):
+    p = plan_of(spark, sf_small, "text_term_salience")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("HashAggregate") >= 4  # partial+final for tf and df
+
+
+def test_winnow_fingerprint_is_map_only(spark, sf_small):
+    p = plan_of(spark, sf_small, "text_winnow_fingerprint")
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_small):
+    """The bucketed rewrite must keep the containment join out of
+    BroadcastNestedLoopJoin (the O(n*m) trap)."""
+    p = plan_of(spark, sf_small, "range_join_bucketed")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
