@@ -345,8 +345,66 @@ GROUP BY label
 """
 
 
+# --- int8 symmetric quantization (storage path for vector corpora) -------
+# At 100 TB of float32 embeddings, int8 quantization cuts storage and
+# shuffle bytes 4x. Per-vector symmetric scale (max |x| / 127), quantize
+# JVM-side, and report reconstruction error stats per label — all exact
+# arithmetic, replayed verbatim by the oracle.
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    xs = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(xs, lambda x: F.abs(x))) / F.lit(127.0)
+    quant = F.transform(xs, lambda x: F.round(x / scale).cast("int"))
+    dequant_err = F.zip_with(
+        xs, quant, lambda x, q: F.abs(x - q.cast("double") * scale)
+    )
+    return (
+        emb.select(
+            "label",
+            scale.alias("scale"),
+            F.array_max(dequant_err).alias("max_err"),
+            F.array_max(F.transform(quant, lambda q: F.abs(q))).alias("max_q"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("max_err") * 1e6, 4).alias("max_err_ppm"),
+            F.max("max_q").alias("max_abs_q"),
+        )
+    )
+
+
+_O_XS = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_O_SCALE = f"list_aggregate(list_transform({_O_XS}, x -> abs(x)), 'max') / 127.0"
+ORACLE_EMBEDDING_QUANTIZE = f"""
+WITH q AS (
+  SELECT label,
+         {_O_SCALE} AS scale,
+         list_transform({_O_XS},
+             x -> CAST(round(x / ({_O_SCALE})) AS INTEGER)) AS quant,
+         {_O_XS} AS xs
+  FROM embeddings
+), e AS (
+  SELECT label,
+         list_aggregate(
+             list_transform(range(1, len(xs) + 1),
+                 i -> abs(xs[i] - CAST(quant[i] AS DOUBLE) * scale)),
+             'max') AS max_err,
+         list_aggregate(list_transform(quant, v -> abs(v)), 'max') AS max_q
+  FROM q
+)
+SELECT label, COUNT(*) AS n,
+       ROUND(MAX(max_err) * 1e6, 4) AS max_err_ppm,
+       MAX(max_q) AS max_abs_q
+FROM e GROUP BY label
+"""
+
+
 QUERIES = {
     "sim_knn_bruteforce": (q_knn_bruteforce, ORACLE_KNN_BRUTEFORCE),
+    "sim_embedding_quantize": (q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE),
     "sim_knn_lsh": (q_knn_lsh, ORACLE_KNN_LSH),
     "sim_knn_ivf": (q_knn_ivf, ORACLE_KNN_IVF),
     "sim_embedding_neardup": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
