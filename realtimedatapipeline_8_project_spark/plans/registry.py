@@ -23,6 +23,7 @@ from ..operators import (
     sampling,
     scale,
     similarity,
+    sketches,
     sql_surface,
     text_analysis,
     windows,
@@ -44,6 +45,7 @@ _MODULES = (
     asof,
     range_join,
     sampling,
+    sketches,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -145,3 +145,18 @@ def test_leakage_safe_split_keeps_duplicates_together(spark, sf_small):
     # and the id-keyed split would NOT have kept them together everywhere
     # (sanity that the test is non-vacuous): splits are non-trivial
     assert out.select("split").distinct().count() == 3
+
+
+def test_count_min_overcount_guarantee(spark, sf_small):
+    """CM sketch point estimates never undercount, and with W=2048 x D=4
+    over the small key space most estimates are exact."""
+    from pyspark.sql import functions as F
+
+    from realtimedatapipeline_8_project_spark.operators.sketches import (
+        q_count_min_estimate,
+    )
+
+    est = q_count_min_estimate(spark, sf_small)
+    assert est.where(F.col("estimate") < F.col("true_n")).count() == 0
+    exact = est.where(F.col("estimate") == F.col("true_n")).count()
+    assert exact / est.count() > 0.9
