@@ -148,8 +148,50 @@ SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank FROM (
 """
 
 
+# --- token-budget sequence packing ----------------------------------------
+# Assign documents to fixed-budget training packs: within each language
+# shard, documents are taken in deterministic id order and a running
+# token total assigns pack_id = floor(exclusive_cumsum / budget) —
+# contiguous-fill packing (a doc may straddle two budget boundaries; the
+# trainer's sample-splitter handles the overflow, as in fixed-length LM
+# batching). One window per shard — the scalable form: packing is
+# per-shard (lang here; split/date shards in production), never a single
+# global sort.
+
+PACK_BUDGET = 2_048
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("long")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    cum_excl = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        docs.select("doc_id", "lang", toks.alias("n_tokens"))
+        .withColumn("pack_id", F.floor(cum_excl / PACK_BUDGET))
+        .select("doc_id", "lang", "n_tokens", "pack_id")
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+SELECT doc_id, lang, n_tokens,
+       CAST(floor(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) / {PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+"""
+
+
 QUERIES = {
     "sample_split_assign": (q_split_assign, ORACLE_SPLIT_ASSIGN),
     "sample_split_leakage_safe": (q_split_leakage_safe, ORACLE_SPLIT_LEAKAGE_SAFE),
     "sample_stratified": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+    "sample_pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
 }

@@ -160,3 +160,37 @@ def test_count_min_overcount_guarantee(spark, sf_small):
     assert est.where(F.col("estimate") < F.col("true_n")).count() == 0
     exact = est.where(F.col("estimate") == F.col("true_n")).count()
     assert exact / est.count() > 0.9
+
+
+def test_pack_sequences_budget_invariants(spark, sf_small):
+    """Packing invariants: pack ids are contiguous from 0 per shard, and
+    every pack except a shard's last starts within budget of its
+    predecessor (contiguous fill never skips a pack)."""
+    from pyspark.sql import functions as F
+
+    from realtimedatapipeline_8_project_spark.operators.sampling import (
+        PACK_BUDGET,
+        q_pack_sequences,
+    )
+
+    out = q_pack_sequences(spark, sf_small)
+    packs = out.groupBy("lang", "pack_id").agg(
+        F.sum("n_tokens").alias("pack_tokens")
+    )
+    per_lang = packs.groupBy("lang").agg(
+        F.min("pack_id").alias("lo"),
+        F.max("pack_id").alias("hi"),
+        F.count(F.lit(1)).alias("n_packs"),
+    )
+    for r in per_lang.collect():
+        assert r.lo == 0
+        assert r.n_packs == r.hi - r.lo + 1, "pack ids must be contiguous"
+    # all packs except possibly the shard's last hold >= budget tokens
+    # minus the largest straddling doc; sanity: mean fill is near budget
+    fills = [
+        r.pack_tokens
+        for r in packs.join(per_lang, "lang")
+        .where(F.col("pack_id") < F.col("hi"))
+        .collect()
+    ]
+    assert fills and sum(fills) / len(fills) >= PACK_BUDGET
