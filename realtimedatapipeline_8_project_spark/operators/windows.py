@@ -237,8 +237,84 @@ FROM b GROUP BY bucket_start
 """
 
 
+# --- funnel / drop-off analysis -------------------------------------------
+# The reference's stated purpose is engagement analytics with "drop-off
+# detection" (README.md:8-12); this is that query. Ordered funnel
+# signup -> first click after signup -> first purchase after that click,
+# computed with three chained min-over-user windows in ONE shuffle (all
+# windows share the user_id partitioning; Catalyst plans a single
+# Exchange), then a tiny stage-count aggregation.
+
+
+def q_funnel_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    with_s = ev.withColumn("s_ts", s)
+    c = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("s_ts")),
+            F.col("ts"),
+        )
+    ).over(w)
+    with_c = with_s.withColumn("c_ts", c)
+    p = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = (
+        with_c.withColumn("p_ts", p)
+        .groupBy("user_id")
+        .agg(
+            F.max("s_ts").alias("s_ts"),
+            F.max("c_ts").alias("c_ts"),
+            F.max("p_ts").alias("p_ts"),
+        )
+        .select(
+            F.when(F.col("p_ts").isNotNull(), "purchase")
+            .when(F.col("c_ts").isNotNull(), "click")
+            .when(F.col("s_ts").isNotNull(), "signup")
+            .otherwise("none")
+            .alias("stage_reached")
+        )
+    )
+    return staged.groupBy("stage_reached").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+ORACLE_FUNNEL_DROPOFF = """
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END)
+           OVER (PARTITION BY user_id) AS s_ts
+  FROM events
+), s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > s_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS c_ts
+  FROM s1
+), s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > c_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS p_ts
+  FROM s2
+), staged AS (
+  SELECT user_id,
+         CASE WHEN MAX(p_ts) IS NOT NULL THEN 'purchase'
+              WHEN MAX(c_ts) IS NOT NULL THEN 'click'
+              WHEN MAX(s_ts) IS NOT NULL THEN 'signup'
+              ELSE 'none' END AS stage_reached
+  FROM s3 GROUP BY user_id
+)
+SELECT stage_reached, COUNT(*) AS n_users
+FROM staged GROUP BY stage_reached
+"""
+
+
 QUERIES = {
     "win_latest_per_user": (q_latest_per_user, ORACLE_LATEST_PER_USER),
+    "win_funnel_dropoff": (q_funnel_dropoff, ORACLE_FUNNEL_DROPOFF),
     "win_rank_family": (q_rank_family, ORACLE_RANK_FAMILY),
     "win_sliding_window": (q_sliding_window, ORACLE_SLIDING_WINDOW),
     "win_rank_orders": (q_rank_orders, ORACLE_RANK_ORDERS),

@@ -106,3 +106,10 @@ def test_range_join_is_hash_join_not_nested_loop(spark, sf_small):
     p = plan_of(spark, sf_small, "range_join_bucketed")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_funnel_shares_one_user_shuffle(spark, sf_small):
+    """All three funnel windows and the per-user aggregate must ride a
+    single user_id exchange (+ the tiny final stage-count exchange)."""
+    p = plan_of(spark, sf_small, "win_funnel_dropoff")
+    assert p.count("hashpartitioning(user_id") == 1
