@@ -314,7 +314,51 @@ FULL OUTER JOIN (SELECT c_custkey, c_mktsegment FROM customer) c
 """
 
 
+# --- data-quality audit (F4 generalized: the validation summary a -----
+# pipeline runs before promoting a batch). One pass over events (null
+# rates + enum violations via conditional aggregation) plus one
+# broadcast anti-join for referential orphans — no full-table second
+# scan, no Python.
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    valid_types = ("click", "view", "purchase", "signup", "error")
+    base = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("null_value"),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("null_props"),
+        F.sum(
+            F.when(~F.col("event_type").isin(*valid_types), 1).otherwise(0)
+        ).alias("bad_enum"),
+    )
+    orphans = (
+        ev.join(F.broadcast(cust), "user_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("fk_orphans"))
+    )
+    return base.crossJoin(orphans)
+
+
+ORACLE_DQ_AUDIT = """
+WITH base AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+         SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+         SUM(CASE WHEN event_type NOT IN
+             ('click','view','purchase','signup','error')
+             THEN 1 ELSE 0 END) AS bad_enum
+  FROM events
+), orphans AS (
+  SELECT COUNT(*) AS fk_orphans FROM events e
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+)
+SELECT * FROM base, orphans
+"""
+
+
 QUERIES = {
+    "dq_audit": (q_dq_audit, ORACLE_DQ_AUDIT),
     "point_lookup_string_hash": (q_point_lookup, ORACLE_POINT_LOOKUP),
     "join_semi_anti": (q_join_semi_anti, ORACLE_JOIN_SEMI_ANTI),
     "join_full_outer": (q_join_full_outer, ORACLE_JOIN_FULL_OUTER),

@@ -194,3 +194,33 @@ def test_pack_sequences_budget_invariants(spark, sf_small):
         .collect()
     ]
     assert fills and sum(fills) / len(fills) >= PACK_BUDGET
+
+
+def test_csv_source_roundtrip_matches_parquet(spark, sf_small, tmp_path):
+    """Source-format coverage: events written as CSV and read back with an
+    explicit schema equal the parquet fixture (schema'd CSV is the other
+    common landing format beside JSON/parquet)."""
+    from pyspark.sql import functions as F
+
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    path = str(tmp_path / "events_csv")
+    (
+        ev.withColumn(
+            "ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        )
+        .write.option("header", True)
+        .csv(path)
+    )
+    back = (
+        spark.read.option("header", True)
+        .schema("event_id BIGINT, ts STRING, user_id BIGINT, "
+                "event_type STRING, value DOUBLE, props STRING")
+        .csv(path)
+        .withColumn("ts", F.to_timestamp("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+        .select(*ev.columns)
+    )
+    got = sorted(map(str, back.collect()))
+    want = sorted(map(str, ev.collect()))
+    assert got == want
