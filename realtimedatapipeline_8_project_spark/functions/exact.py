@@ -52,6 +52,33 @@ def dsum_product(a: Column | str, b: Column | str, alias: str) -> Column:
     return F.round(F.sum(prod), 2).cast("double").alias(alias)
 
 
+def fround(col: Column, n: int) -> Column:
+    """Bit-reproducible round of a double to ``n`` decimal digits.
+
+    ``floor(x * 10^n + 0.5) / 10^n`` — every step is an IEEE-754 double
+    operation that Spark and DuckDB (and any engine) evaluate identically
+    on identical input bits, so the result is bit-stable across engines,
+    partition counts, and cluster sizes. Contrast ``F.round`` on a double:
+    Spark routes through the shortest decimal rendering (HALF_UP on
+    ``Double.toString``) while DuckDB rounds the binary value — and DuckDB
+    can emit ``-0.0`` where Spark normalizes to ``+0.0``, which breaks
+    bit-level value hashing even when the values compare equal. The floor
+    form never produces ``-0.0`` for values that round to zero (the
+    ``0 / 10^n`` quotient is ``+0.0``) and has no engine-dependent tie
+    behavior. Semantics: half-ties round toward +inf (a documented engine
+    contract; ties are measure-zero for real-valued quotients). NULL in,
+    NULL out. Requires ``|x| * 10^n < 2^53``.
+    """
+    p = 10.0 ** n
+    return F.floor(_c(col) * F.lit(p) + F.lit(0.5)).cast("double") / F.lit(p)
+
+
+def oracle_fround(expr_sql: str, n: int) -> str:
+    """DuckDB mirror of :func:`fround` (same IEEE ops, same bits)."""
+    p = repr(10.0 ** n)
+    return f"floor(({expr_sql}) * {p} + 0.5) / {p}"
+
+
 def oracle_dsum(col_sql: str, alias: str) -> str:
     return (
         f"CAST(ROUND(SUM(CAST({col_sql} AS DECIMAL(27,6))), 2) AS DOUBLE)"

@@ -9,8 +9,9 @@ range cross-join:
 
 1. tag both sides and union them on (key, ts) — one dataset;
 2. one window pass per key ordered by (ts, side): ``last_value(ignorenulls)``
-   of the right-side payload gives every left row the most recent right
-   value at or before it;
+   of the right-side payload STRUCT (non-null per right row even when its
+   fields are NULL) gives every left row the most recent right ROW at or
+   before it;
 3. filter back to left rows.
 
 Cost: ONE shuffle on the key (same as any keyed window), regardless of how
@@ -23,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from ..sources.tables import load_table
 
@@ -38,21 +40,30 @@ def asof_join(
     """Left as-of join: left columns + latest right ``value_cols`` with
     right_ts <= left_ts (per key). Right rows at the exact same timestamp
     as a left row DO match (<=)."""
+    # The right payload travels as ONE struct marker (not per-column): the
+    # struct is non-null for every right row even when its fields are NULL,
+    # so last(ignorenulls) tracks row RECENCY, not value non-nullness — a
+    # matched right row with a legitimately NULL value column fills NULL,
+    # exactly like DuckDB's ASOF JOIN, instead of leaking an older version.
+    l_type = StructType(
+        [StructField(c, left.schema[c].dataType, True) for c in left.columns]
+    )
+    r_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in value_cols]
+    )
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),  # left sorts AFTER right at equal ts
         F.struct(*left.columns).alias("_l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(r_type).alias("_r"),
     )
     r_tag = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.lit(None).cast(
-            l_tag.schema["_l"].dataType
-        ).alias("_l"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(l_type).alias("_l"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
     )
     unioned = l_tag.unionByName(r_tag)
     w = (
@@ -63,13 +74,10 @@ def asof_join(
     filled = unioned.select(
         "_side",
         "_l",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}")
-            for c in value_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_rv"),
     )
     out = filled.where(F.col("_side") == 1).select(
-        "_l.*", *[F.col(f"_rv_{c}").alias(c) for c in value_cols]
+        "_l.*", *[F.col(f"_rv.{c}").alias(c) for c in value_cols]
     )
     return out
 

@@ -18,6 +18,7 @@ prove semantics against DuckDB.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -182,9 +183,12 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(n_part, "doc_id")
     # The shingle table feeds both signature generation and verification —
     # persist it so the expensive tokenize+hash pass runs exactly once.
-    # (~8 bytes/shingle; at larger scale use MEMORY_AND_DISK or a staged
-    # parquet temp — the plan shape is identical.)
-    sh = docs.select("doc_id", shingle_hashes("text").alias("sh")).persist()
+    # MEMORY_AND_DISK: at 100 TB the shingle arrays exceed executor RAM and
+    # must spill rather than silently recompute the tokenize+hash pass
+    # (MEMORY_ONLY evicts; a staged parquet temp is the next step up).
+    sh = docs.select("doc_id", shingle_hashes("text").alias("sh")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = sh.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
     rows_per_band = N_MINHASH // N_BANDS
     # bands carry only (doc_id, band, bucket) — the shingle arrays are

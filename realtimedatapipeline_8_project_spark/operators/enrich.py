@@ -11,6 +11,11 @@ derived engagement metrics (stream-processor.py:252-281):
 * ``engagement_pct = round(seconds/length, N)`` guarded by IS NOT NULL
   conjunction, NULL otherwise                      (:273-279)
 
+The rounding uses :func:`..functions.exact.fround` (pure-IEEE floor form)
+rather than ``F.round``: DuckDB's ROUND emits ``-0.0`` for tiny negative
+quotients (negative ``c_acctbal``) where Spark's decimal-rendering round
+normalizes to ``+0.0`` — equal values, different bits, failed value-hash.
+
 Fixture mapping: ``events`` plays the engagement stream (``value`` is the
 duration-like payload), ``customer`` plays the content dimension
 (``c_mktsegment`` ~ content_type, ``c_acctbal`` ~ length_seconds). ~1/15 of
@@ -27,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import fround, oracle_fround
 from ..sources.tables import load_table
 
 
@@ -56,7 +62,7 @@ def enrich_events(events: DataFrame, dim: DataFrame) -> DataFrame:
                 F.col("c_acctbal").isNotNull()
                 & F.col("value").isNotNull()
                 & (F.col("c_acctbal") != 0),
-                F.round((F.col("value") / F.lit(1000.0)) / F.col("c_acctbal"), 6),
+                fround((F.col("value") / F.lit(1000.0)) / F.col("c_acctbal"), 6),
             ).otherwise(F.lit(None).cast("double")),
         )
     )
@@ -78,7 +84,9 @@ def q_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_ENRICH = """
+pct_round = oracle_fround("(e.value / 1000.0) / c.c_acctbal", 6)
+
+ORACLE_ENRICH = f"""
 SELECT
   e.event_id,
   e.ts AS event_time,
@@ -90,7 +98,7 @@ SELECT
   CAST(e.value / 1000.0 AS DOUBLE) AS engagement_seconds,
   CASE
     WHEN c.c_acctbal IS NOT NULL AND e.value IS NOT NULL AND c.c_acctbal <> 0
-    THEN ROUND((e.value / 1000.0) / c.c_acctbal, 6)
+    THEN {pct_round}
     ELSE NULL
   END AS engagement_pct
 FROM events e

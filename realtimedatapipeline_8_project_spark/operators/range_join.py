@@ -15,6 +15,7 @@ loses nothing.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -110,8 +111,10 @@ def q_range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .where(F.col("end_ts").isNotNull())
-        # read twice: once by the bucket-width stats pass, once by the join
-        .persist()
+        # read twice: once by the bucket-width stats pass, once by the join;
+        # MEMORY_AND_DISK so a 100 TB interval table spills instead of
+        # evicting and recomputing the scan
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     clicks = ev.where(F.col("event_type").isin("click", "error")).select(
         "event_id", "user_id", "ts"

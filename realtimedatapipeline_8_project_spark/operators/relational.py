@@ -192,19 +192,23 @@ WHERE event_type IS NOT NULL AND value IS NOT NULL
 
 
 # --- P2 variant: JSON decode to MapType (schema-free extras) ---------------
+# prop_keys is emitted as a sorted comma-joined string (not an array):
+# array cells are unhashable in the driver's pandas canonicalization, and
+# map-key order is engine-dependent anyway — the sorted join is the
+# deterministic, hash-friendly shape.
 def q_json_as_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,string>")
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
         F.element_at(m, "k").cast("int").alias("k"),
     )
 
 
 ORACLE_JSON_AS_MAP = """
 SELECT event_id,
-       json_keys(props) AS prop_keys,
+       array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
 FROM events
 """
@@ -233,16 +237,21 @@ GROUP BY l_returnflag
 
 
 # --- §2.9: set operations --------------------------------------------------
-# Users that viewed but never purchased (EXCEPT), and the INTERSECT of
-# clickers and signup users — distinct-set semantics in both engines.
+# Users that viewed but never purchased (anti-join, distinct-set), and the
+# INTERSECT of clickers and signup users — same semantics in both engines.
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     viewers = ev.where(F.col("event_type") == "view").select("user_id")
     buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
     clickers = ev.where(F.col("event_type") == "click").select("user_id")
     signups = ev.where(F.col("event_type") == "signup").select("user_id")
-    viewed_never_bought = viewers.exceptAll(buyers).distinct().withColumn(
-        "cohort", F.lit("viewed_never_bought")
+    # distinct-set semantics via anti-join: EXCEPT ALL would be multiset
+    # subtraction (a user with 3 views and 1 purchase would survive and be
+    # misclassified); left_anti removes every user with >=1 purchase.
+    viewed_never_bought = (
+        viewers.distinct()
+        .join(buyers, "user_id", "left_anti")
+        .withColumn("cohort", F.lit("viewed_never_bought"))
     )
     click_and_signup = clickers.intersect(signups).withColumn(
         "cohort", F.lit("click_and_signup")
@@ -251,13 +260,11 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SET_OPS = """
-SELECT user_id, 'viewed_never_bought' AS cohort FROM (
-  SELECT DISTINCT user_id FROM (
-    SELECT user_id FROM events WHERE event_type = 'view'
-    EXCEPT ALL
-    SELECT user_id FROM events WHERE event_type = 'purchase'
-  )
-)
+SELECT DISTINCT user_id, 'viewed_never_bought' AS cohort
+FROM events e
+WHERE event_type = 'view'
+  AND NOT EXISTS (SELECT 1 FROM events p
+                  WHERE p.event_type = 'purchase' AND p.user_id = e.user_id)
 UNION ALL
 SELECT user_id, 'click_and_signup' AS cohort FROM (
   SELECT user_id FROM events WHERE event_type = 'click'
@@ -269,16 +276,19 @@ SELECT user_id, 'click_and_signup' AS cohort FROM (
 
 # --- J1 generalization: semi / anti / full join variants ------------------
 # The reference has only the broadcast left join; capability parity exposes
-# the full how= family (SURVEY §2.5). Semi/anti compile to broadcast
-# semi-joins — existence checks that never materialize the right side.
+# the full how= family (SURVEY §2.5). The fact (orders) side is NEVER
+# broadcast — at 100 TB that is a driver OOM. The existence check rides on
+# the distinct key set: map-side partial dedup shrinks the shuffle to one
+# row per key, and AQE upgrades to a broadcast existence join at runtime
+# when the distinct set fits under the threshold.
 def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    order_keys = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
     with_orders = cust.join(
-        F.broadcast(orders), cust["c_custkey"] == orders["o_custkey"], "left_semi"
+        order_keys, cust["c_custkey"] == order_keys["o_custkey"], "left_semi"
     ).select("c_custkey", F.lit("has_orders").alias("cohort"))
     without = cust.join(
-        F.broadcast(orders), cust["c_custkey"] == orders["o_custkey"], "left_anti"
+        order_keys, cust["c_custkey"] == order_keys["o_custkey"], "left_anti"
     ).select("c_custkey", F.lit("no_orders").alias("cohort"))
     return with_orders.unionByName(without)
 
@@ -343,11 +353,16 @@ def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DQ_AUDIT = """
 WITH base AS (
   SELECT COUNT(*) AS n_rows,
-         SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
-         SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
-         SUM(CASE WHEN event_type NOT IN
+         -- BIGINT casts: DuckDB SUM(int) is HUGEINT (int128), which lands
+         -- as float64 in pandas and breaks the bit-level value hash even
+         -- though the values equal Spark's bigint counters.
+         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_value,
+         CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_props,
+         CAST(SUM(CASE WHEN event_type NOT IN
              ('click','view','purchase','signup','error')
-             THEN 1 ELSE 0 END) AS bad_enum
+             THEN 1 ELSE 0 END) AS BIGINT) AS bad_enum
   FROM events
 ), orphans AS (
   SELECT COUNT(*) AS fk_orphans FROM events e

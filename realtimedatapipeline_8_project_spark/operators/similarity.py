@@ -22,7 +22,7 @@ No Python UDFs; nothing leaves the JVM.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, oracle_cosine
@@ -143,38 +143,55 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Centroids are a deterministic sample of the corpus (every k-th vector
     by vec_id) — a stand-in for k-means that keeps the operator seed-free;
-    swapping in trained centroids changes no plan shape. Every vector is
-    assigned to its nearest centroid (small broadcast cross-score), the
-    probe scans only the N_PROBE nearest inverted lists — at 1B vectors
-    with 4k centroids this prunes ~99.95% of the corpus per query.
-    Approximate vs. ground truth (q_knn_bruteforce is the exact baseline,
-    recall measured in test_similarity_quality.py) but deterministic: the
-    oracle replays the identical quantizer + assignment + probe in SQL."""
+    swapping in trained centroids changes no plan shape. Assignment is a
+    ROW-LOCAL argmax: the centroid set is collapsed to a single-row array
+    (tiny aggregate), broadcast, and each vector folds over it picking the
+    best cosine — zero shuffle of the corpus, no per-vector window. (Round
+    1 cross-scored N x C rows and ranked with a row_number window — an
+    avoidable full exchange on vec_id that dies at 1B vectors.) Corpus
+    size for the stride is an in-plan scalar aggregate, not a driver-side
+    ``.count()`` action. The probe scans only the N_PROBE nearest inverted
+    lists — at 1B vectors with 4k centroids this prunes ~99.95% of the
+    corpus per query. Approximate vs. ground truth (q_knn_bruteforce is
+    the exact baseline, recall measured in test_similarity_quality.py) but
+    deterministic: the oracle replays the identical quantizer, fold-argmax
+    (same tie-break: strict improvement keeps the lowest centroid_id), and
+    probe in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n_vec = emb.count()
-    stride = max(n_vec // N_CENTROIDS, 1)
+    n_row = emb.agg(F.count(F.lit(1)).alias("_n"))
+    stride = F.greatest(F.floor(F.col("_n") / N_CENTROIDS), F.lit(1)).cast("long")
     centroids = (
-        emb.where((F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * N_CENTROIDS))
+        emb.crossJoin(F.broadcast(n_row))
+        .withColumn("_stride", stride)
+        .where(
+            (F.col("vec_id") % F.col("_stride") == 0)
+            & (F.col("vec_id") < F.col("_stride") * N_CENTROIDS)
+        )
         .select(
-            (F.col("vec_id") / stride).cast("int").alias("centroid_id"),
+            (F.col("vec_id") / F.col("_stride")).cast("int").alias("centroid_id"),
             F.col("embedding").alias("c_emb"),
         )
     )
-    # assign: argmax cosine over the broadcast centroid set
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        "vec_id",
-        "label",
-        "embedding",
-        "centroid_id",
-        cosine_similarity("embedding", "c_emb").alias("c_sim"),
+    # single-row, id-ascending centroid array — the broadcast "codebook"
+    cent_arr = centroids.agg(
+        F.sort_array(F.collect_list(F.struct("centroid_id", "c_emb"))).alias("cents")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("c_sim"), F.asc("centroid_id")
+    sims = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            cosine_similarity(F.col("embedding"), c["c_emb"]).alias("sim"),
+            c["centroid_id"].alias("cid"),
+        ),
     )
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "label", "embedding", "centroid_id")
+    best = F.aggregate(
+        sims,
+        F.struct(
+            F.lit(-2.0).cast("double").alias("sim"), F.lit(-1).alias("cid")
+        ),
+        lambda acc, s: F.when(s["sim"] > acc["sim"], s).otherwise(acc),
+    )
+    assigned = emb.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "label", "embedding", best["cid"].alias("centroid_id")
     )
     # probe: centroids nearest to the query vector
     probe_vec = emb.where(F.col("vec_id") == PROBE_VEC_ID).select(
@@ -210,16 +227,21 @@ WITH params AS (
          e.embedding AS c_emb
   FROM embeddings e, params p
   WHERE e.vec_id % p.stride = 0 AND e.vec_id < p.stride * {N_CENTROIDS}
+), cent_arr AS (
+  SELECT list(struct_pack(centroid_id := centroid_id, c_emb := c_emb)
+              ORDER BY centroid_id) AS cents
+  FROM centroids
 ), assigned AS (
-  SELECT vec_id, label, embedding, centroid_id FROM (
-    SELECT e.vec_id, e.label, e.embedding, c.centroid_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {oracle_cosine('e.embedding', 'c.c_emb')} DESC,
-                      c.centroid_id ASC
-           ) AS rn
-    FROM embeddings e CROSS JOIN centroids c
-  ) WHERE rn = 1
+  SELECT e.vec_id, e.label, e.embedding,
+         (list_reduce(
+            list_prepend(
+              struct_pack(sim := -2.0, cid := -1),
+              list_transform(ca.cents, c -> struct_pack(
+                sim := {oracle_cosine('e.embedding', 'c.c_emb')},
+                cid := c.centroid_id))),
+            (acc, s) -> CASE WHEN s.sim > acc.sim THEN s ELSE acc END)).cid
+           AS centroid_id
+  FROM embeddings e CROSS JOIN cent_arr ca
 ), probe AS (
   SELECT embedding AS probe_emb FROM embeddings WHERE vec_id = {PROBE_VEC_ID}
 ), probe_lists AS (
@@ -242,6 +264,12 @@ LIMIT {TOP_K}
 COSINE_DUP_THRESHOLD = 0.95
 NEARDUP_COPY_EVERY = 10
 NEARDUP_ID_OFFSET = 1_000_000
+# All-pairs bucketing needs far more buckets than the probe-pruning sketch:
+# within-bucket pairing is quadratic, so bucket population must stay O(1k).
+# 16 sign bits = 65 536 buckets (vs 256 at 8 bits); at 1 B vectors that is
+# ~15 k rows/bucket — and the production knob is simply more bits (dims
+# permitting) or multi-band sketches, same plan shape.
+NEARDUP_SKETCH_BITS = 16
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,7 +297,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = base.unionByName(perturbed).withColumn(
-        "bucket", sign_sketch("embedding")
+        "bucket", sign_sketch("embedding", NEARDUP_SKETCH_BITS)
     )
     a = corpus.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), "bucket"
@@ -300,7 +328,8 @@ WITH base AS (
              (x, i) -> x * (CAST(998 + ((i - 1) % 5) AS DOUBLE) / 1000.0))
   FROM base WHERE vec_id % {NEARDUP_COPY_EVERY} = 0
 ), b AS (
-  SELECT vec_id, embedding, {oracle_sign_sketch('embedding')} AS bucket
+  SELECT vec_id, embedding,
+         {oracle_sign_sketch('embedding', NEARDUP_SKETCH_BITS)} AS bucket
   FROM corpus
 )
 SELECT a.vec_id AS id_a, c.vec_id AS id_b,

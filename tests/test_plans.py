@@ -64,6 +64,12 @@ def test_semi_anti_joins_compile_to_existence_joins(spark, sf_small):
     p = plan_of(spark, sf_small, "join_semi_anti")
     assert "LeftSemi" in p
     assert "LeftAnti" in p
+    # the fact side is reduced to its distinct key set before the join
+    # (never broadcast raw): the distinct shows up as partial+final
+    # HashAggregate pairs feeding the existence joins
+    assert p.count("HashAggregate") >= 2
+    scans = [l for l in p.splitlines() if "ReadSchema" in l and "o_custkey" in l]
+    assert scans and all("o_totalprice" not in l for l in scans)
 
 
 def test_partial_aggregation_before_shuffle(spark, sf_small):
