@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..operators.enrich import enrich_events
 from ..schemas import EVENTS
+from .metrics import MetricsRecorder
 from .sinks import write_batch_fanout
 
 
@@ -104,11 +105,14 @@ def start_pipeline(
     output_dir: str,
     checkpoint_dir: str,
     trigger: dict | None = None,
+    recorder: MetricsRecorder | None = None,
 ):
     """Wire decode -> enrich -> derive -> foreachBatch fan-out.
 
     ``trigger`` examples: {"processingTime": "2 seconds"} (reference
-    default), {"availableNow": True} (bounded replay for tests/backfill)."""
+    default), {"availableNow": True} (bounded replay for tests/backfill).
+    ``recorder``: optional per-batch metrics/alerting hook (reference
+    stream-processor.py:295-320)."""
     events = decode_events(source)
     enriched = derive(enrich_events(events, dim))
     writer = (
@@ -116,7 +120,7 @@ def start_pipeline(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
             lambda batch_df, batch_id: write_batch_fanout(
-                batch_df, batch_id, output_dir
+                batch_df, batch_id, output_dir, recorder=recorder
             )
         )
     )
@@ -131,12 +135,19 @@ def run_replay(
     output_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    recorder: MetricsRecorder | None = None,
 ) -> None:
     """Bounded replay: drain everything currently in source_path
     (availableNow) and block until done — the test/backfill entry point."""
     src = read_json_stream(spark, source_path, max_files_per_trigger)
     q = start_pipeline(
-        spark, src, dim, output_dir, checkpoint_dir, trigger={"availableNow": True}
+        spark,
+        src,
+        dim,
+        output_dir,
+        checkpoint_dir,
+        trigger={"availableNow": True},
+        recorder=recorder,
     )
     q.awaitTermination()
 

@@ -26,9 +26,12 @@ proportional to the batch, not the table.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from .metrics import MetricsRecorder
 
 LATEST_KEY = "event_id"
 LATEST_ORDER = ("event_time", "duration")
@@ -174,16 +177,38 @@ def compact_rollup(spark: SparkSession, output_dir: str) -> None:
     ).write.mode("overwrite").partitionBy("batch_id").parquet(rollup_path)
 
 
-def write_batch_fanout(batch_df: DataFrame, batch_id: int, output_dir: str) -> None:
+def write_batch_fanout(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_dir: str,
+    recorder: MetricsRecorder | None = None,
+) -> None:
     """K1: one micro-batch -> history sink + incremental rollup; the
     latest view is virtual (read_latest) with periodic compaction. The
     reference wrote its two sinks per batch from a
-    ThreadPoolExecutor(max_workers=1) — i.e. serially (SURVEY appendix)."""
+    ThreadPoolExecutor(max_workers=1) — i.e. serially (SURVEY appendix).
+
+    When a :class:`MetricsRecorder` is supplied, each sink write and the
+    whole batch are timed and the per-batch row count recorded — the
+    reference's per-batch monitoring/alerting (stream-processor.py:
+    113-120, 295-320) as a testable hook. The count runs on the persisted
+    batch (one cheap job over cached partitions)."""
+    t0 = time.monotonic()
     if batch_df.isEmpty():  # F3 empty-batch guard, without the RDD detour
         return
     batch_df = batch_df.persist()  # read by both sinks; O(batch) rows
     try:
+        t1 = time.monotonic()
         write_history(batch_df, batch_id, output_dir)
+        t2 = time.monotonic()
         write_rollup(batch_df, batch_id, output_dir)
+        t3 = time.monotonic()
+        if recorder is not None:
+            recorder.record(
+                batch_id=batch_id,
+                n_rows=batch_df.count(),
+                sink_seconds={"history": t2 - t1, "rollup": t3 - t2},
+                total_seconds=time.monotonic() - t0,
+            )
     finally:
         batch_df.unpersist()

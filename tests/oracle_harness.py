@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 import os
+import struct
 
 import duckdb
 
@@ -40,7 +41,10 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        # Bit-exact: the driver value-hashes raw float64 bits, where
+        # -0.0 != +0.0 and any ULP difference fails. Python's == treats
+        # -0.0 == 0.0, so compare the IEEE bit pattern instead.
+        return ("f64", struct.pack("<d", v).hex())
     if hasattr(v, "isoformat"):  # datetime/date
         return v.isoformat()
     if isinstance(v, bytes):
