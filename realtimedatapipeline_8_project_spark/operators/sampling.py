@@ -189,8 +189,69 @@ FROM (
 """
 
 
+# --- deterministic training-shard export ----------------------------------
+# The last step of a training-data pipeline: scatter the corpus into a
+# fixed number of shards, deterministically (re-runs and backfills write
+# byte-identical shards), with documents in a stable pseudo-random order
+# inside each shard (global order-by-hash would be a single total sort;
+# per-shard sortWithinPartitions is embarrassingly parallel). Shard
+# assignment reuses the Knuth multiplicative hash so any engine can
+# recompute membership without reading the output.
+
+N_SHARDS = 8
+
+
+def shard_of(key: Column | str) -> Column:
+    k = F.col(key) if isinstance(key, str) else key
+    return ((k * F.lit(KNUTH_32)) % F.lit(MOD_32)) % F.lit(N_SHARDS)
+
+
+def write_training_shards(docs: DataFrame, out_dir: str) -> None:
+    """Materialize shards: one shuffle on shard id, per-shard hash order,
+    parquet `shard=N/` directories. Deterministic end to end."""
+    h = (F.col("doc_id") * F.lit(KNUTH_32)) % F.lit(MOD_32)
+    (
+        docs.withColumn("shard", shard_of("doc_id"))
+        .repartition(N_SHARDS, "shard")
+        .sortWithinPartitions(h.asc(), F.col("doc_id").asc())
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out_dir)
+    )
+
+
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest: per-shard document count, token budget, id range —
+    the summary a trainer reads before consuming shards. One partial-
+    aggregated shuffle of N_SHARDS groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("long")
+    return (
+        docs.select(shard_of("doc_id").alias("shard"), F.col("doc_id"), toks.alias("n_tokens"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+ORACLE_SHARD_PLAN = f"""
+SELECT doc_id * {KNUTH_32} % {MOD_32} % {N_SHARDS} AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "sample_split_assign": (q_split_assign, ORACLE_SPLIT_ASSIGN),
+    "sample_shard_plan": (q_shard_plan, ORACLE_SHARD_PLAN),
     "sample_split_leakage_safe": (q_split_leakage_safe, ORACLE_SPLIT_LEAKAGE_SAFE),
     "sample_stratified": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "sample_pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),

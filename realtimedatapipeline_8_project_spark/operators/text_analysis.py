@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import fround, oracle_fround
 from ..sources.tables import load_table
 
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
@@ -333,8 +334,116 @@ SELECT doc_id, term, tf, salience, rank FROM (
 """
 
 
+# --- repetition detection (Gopher/MassiveText-style quality signals) ------
+# Repetitious text is the strongest single predictor of low-quality web
+# documents (Rae et al. 2021, "Scaling Language Models", §A.1.1): measure
+# the duplicate-token fraction, the mass of the single most frequent
+# token, and the same two signals over token 2-grams. All four are
+# row-local (higher-order array functions, no shuffle, whole-stage
+# codegen). The per-document mode count is O(len * distinct) — fine for
+# web-scale documents (bounded length); for book-length texts switch to
+# the explode+groupBy shape of q_term_salience.
+
+REP_TOP_TOKEN_MAX = 0.30  # Gopher: docs with >30% mass in one token fail
+REP_DUP_2GRAM_MAX = 0.50
+
+
+def _mode_count(arr: Column) -> Column:
+    """Count of the most frequent element (row-local; NULL for empty)."""
+    return F.array_max(
+        F.transform(
+            F.array_distinct(arr),
+            lambda t: F.size(F.filter(arr, lambda x: x == t)),
+        )
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = words(F.lower(F.col("text")))
+    n_tok = F.size(toks)
+    glen = F.greatest(n_tok - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, glen),
+        F.slice(toks, 2, glen),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    n_gram = F.size(grams)
+    dup_tok = fround(
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / n_tok.cast("double"), 6
+    )
+    top_tok = fround(_mode_count(toks) / n_tok.cast("double"), 6)
+    dup_gram = F.when(
+        n_gram > 0,
+        fround(
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / n_gram.cast("double"),
+            6,
+        ),
+    )
+    top_gram = F.when(
+        n_gram > 0, fround(_mode_count(grams) / n_gram.cast("double"), 6)
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        dup_tok.alias("dup_token_frac"),
+        top_tok.alias("top_token_frac"),
+        dup_gram.alias("dup_2gram_frac"),
+        top_gram.alias("top_2gram_frac"),
+        (
+            (top_tok <= REP_TOP_TOKEN_MAX)
+            & F.coalesce(dup_gram <= REP_DUP_2GRAM_MAX, F.lit(True))
+        ).alias("passes_repetition"),
+    )
+
+
+_O_LTOKS = "string_split(lower(text), ' ')"
+_O_GRAMS = (
+    f"list_transform(range(1, len({_O_LTOKS})), "
+    f"i -> concat_ws(' ', {_O_LTOKS}[i], {_O_LTOKS}[i+1]))"
+)
+
+
+def _o_mode(arr_sql: str) -> str:
+    return (
+        f"list_max(list_transform(list_distinct({arr_sql}), "
+        f"t -> len(list_filter({arr_sql}, x -> x = t))))"
+    )
+
+
+_O_DUP_TOK = oracle_fround(
+    f"1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)", 6
+)
+_O_TOP_TOK = oracle_fround(
+    f"{_o_mode('toks')} / CAST(len(toks) AS DOUBLE)", 6
+)
+_O_DUP_GRAM = oracle_fround(
+    "1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)", 6
+)
+_O_TOP_GRAM = oracle_fround(
+    f"{_o_mode('grams')} / CAST(len(grams) AS DOUBLE)", 6
+)
+
+ORACLE_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id, {_O_LTOKS} AS toks, {_O_GRAMS} AS grams FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       {_O_DUP_TOK} AS dup_token_frac,
+       {_O_TOP_TOK} AS top_token_frac,
+       CASE WHEN len(grams) > 0 THEN {_O_DUP_GRAM} END AS dup_2gram_frac,
+       CASE WHEN len(grams) > 0 THEN {_O_TOP_GRAM} END AS top_2gram_frac,
+       (({_O_TOP_TOK}) <= {REP_TOP_TOKEN_MAX}
+        AND COALESCE(({_O_DUP_GRAM}) <= {REP_DUP_2GRAM_MAX}, TRUE))
+         AS passes_repetition
+FROM t
+"""
+
+
 QUERIES = {
     "text_token_count": (q_token_count, ORACLE_TOKEN_COUNT),
+    "text_repetition": (q_repetition, ORACLE_REPETITION),
     "text_quality_score": (q_quality_score, ORACLE_QUALITY_SCORE),
     "text_lang_id": (q_lang_id, ORACLE_LANG_ID),
     "text_fingerprint": (q_fingerprint, ORACLE_FINGERPRINT),

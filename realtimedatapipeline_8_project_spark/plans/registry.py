@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators import (
     aggregates,
     asof,
+    contamination,
     dedup,
     enrich,
     multimodal,
@@ -32,6 +33,7 @@ from ..operators import (
 _MODULES = (
     enrich,
     reference_pipeline,
+    contamination,
     relational,
     aggregates,
     windows,
@@ -55,8 +57,11 @@ _MODULES = (
 # changed this round — so each earns a hard driver row; long-green,
 # unchanged queries fill the tail. Names not listed keep module order.
 _PRIORITY = (
-    # flagship + this round's fixes (re-verify)
+    # flagship + this round's fixes (re-verify) and new operators
     "enrich_broadcast_left_join",
+    "text_repetition",
+    "contamination_ngram_overlap",
+    "sample_shard_plan",
     "dq_audit",
     "json_as_map",
     "set_ops",

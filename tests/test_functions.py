@@ -224,3 +224,45 @@ def test_csv_source_roundtrip_matches_parquet(spark, sf_small, tmp_path):
     got = sorted(map(str, back.collect()))
     want = sorted(map(str, ev.collect()))
     assert got == want
+
+
+def test_training_shard_export_deterministic(spark, sf_small, tmp_path):
+    """Shard writer: every doc lands in the shard shard_of() predicts,
+    shards partition the corpus, and a re-run writes identical content
+    (the backfill/idempotence contract)."""
+    from pyspark.sql import functions as F
+
+    from realtimedatapipeline_8_project_spark.operators.sampling import (
+        N_SHARDS,
+        shard_of,
+        write_training_shards,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(docs, out_a)
+    write_training_shards(docs, out_b)
+
+    back = spark.read.parquet(out_a)
+    assert back.count() == docs.count()
+    # membership recomputable without reading the output
+    mismatch = back.where(F.col("shard") != shard_of("doc_id")).count()
+    assert mismatch == 0
+    assert back.select("shard").distinct().count() <= N_SHARDS
+    # deterministic re-run: identical (shard, doc_id) multiset
+    a = sorted(map(str, back.select("shard", "doc_id").collect()))
+    b = sorted(map(str, spark.read.parquet(out_b).select("shard", "doc_id").collect()))
+    assert a == b
+
+
+def test_orc_source_roundtrip_matches_parquet(spark, sf_small, tmp_path):
+    """Source-format coverage: ORC round-trip of the documents table (the
+    third columnar landing format beside parquet/CSV; built into Spark)."""
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    path = str(tmp_path / "docs_orc")
+    docs.write.orc(path)
+    back = spark.read.orc(path).select(*docs.columns)
+    assert sorted(map(str, back.collect())) == sorted(map(str, docs.collect()))
