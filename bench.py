@@ -35,9 +35,12 @@ HEADLINE = [
     "dedup_exact_fingerprint",
     "dedup_minhash_neardup",
     "text_quality_score",
+    "text_repetition",
     "text_winnow_fingerprint",
     "text_term_salience",
+    "contamination_ngram_overlap",
     "sample_split_leakage_safe",
+    "sample_shard_plan",
     "sim_knn_bruteforce",
     "sim_knn_ivf",
     "asof_last_purchase",

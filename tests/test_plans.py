@@ -119,3 +119,29 @@ def test_funnel_shares_one_user_shuffle(spark, sf_small):
     single user_id exchange (+ the tiny final stage-count exchange)."""
     p = plan_of(spark, sf_small, "win_funnel_dropoff")
     assert p.count("hashpartitioning(user_id") == 1
+
+
+def test_repetition_is_map_only(spark, sf_small):
+    """Row-local repetition signals must add no exchange or join."""
+    p = plan_of(spark, sf_small, "text_repetition")
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_contamination_broadcasts_probe_not_corpus(spark, sf_small):
+    """The benchmark gram set is broadcast and hash-joined against the
+    exploded corpus grams; the only hash exchange is the tiny per-doc
+    aggregate (partial-combined), never the gram strings."""
+    p = plan_of(spark, sf_small, "contamination_ngram_overlap")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert p.count("hashpartitioning(doc_id") == 1
+    assert p.count("HashAggregate") >= 2  # partial + final per-doc agg
+
+
+def test_shard_plan_partial_aggregates(spark, sf_small):
+    """Shard manifest: map-side combine down to N_SHARDS groups before
+    the one tiny exchange."""
+    p = plan_of(spark, sf_small, "sample_shard_plan")
+    assert p.count("HashAggregate") >= 2
+    assert "Join" not in p
