@@ -335,8 +335,124 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- near-dup cluster collapse: connected components ----------------------
+# Pair output (MinHash bands, SimHash, embedding cosine) is only half of
+# dedup: survivors come from collapsing pairs into CLUSTERS and keeping
+# one member per cluster. Components via iterative min-label propagation
+# plus pointer jumping (comp := comp[comp]) — each round halves path
+# lengths, so diameter-D clusters converge in O(log D) rounds with NO
+# driver-side convergence polling (fixed round count; near-dup clusters
+# are shallow stars/chains). The label table is lineage-truncated every
+# round (localCheckpoint): it is referenced three times per round, so an
+# un-truncated plan grows ~3^rounds — exponential analysis AND
+# re-execution cost. On a real cluster use reliable checkpoint() to a
+# DFS dir instead (fault-tolerant); switch to large-star/small-star
+# (Kiveris et al., "Connected Components in MapReduce") if cluster
+# diameters grow adversarial.
+
+CC_ROUNDS = 4  # handles diameter ~2^4 via propagate+jump per round
+
+
+def connected_components(edges: DataFrame, rounds: int = CC_ROUNDS) -> DataFrame:
+    """(src, dst) undirected edge list -> (id, comp) with comp = min
+    reachable node id. Deterministic."""
+    # The edge list is consumed once per round: localCheckpoint it, or
+    # every round re-executes the (expensive) pair-generation lineage —
+    # measured 10x slower on the embedding near-dup source without this.
+    # Edges are the small output of candidate generation, never the corpus.
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    for _ in range(rounds):
+        # propagate: min over neighbors' labels
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("b"), F.col("comp").alias("bcomp")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("bcomp").alias("nbr_comp"))
+            .select(F.col("a").alias("id"), "nbr_comp")
+        )
+        labels = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+            ).alias("comp"),
+        )
+        # jump: comp := label(comp) — pointer doubling
+        lk = labels.select(
+            F.col("id").alias("comp"), F.col("comp").alias("jcomp")
+        )
+        labels = (
+            labels.join(lk, "comp", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("jcomp", F.col("comp"))
+                ).alias("comp"),
+            )
+            # Truncate lineage: labels is referenced 3x next round, so an
+            # un-truncated plan is ~3^rounds nodes. Cluster deployments
+            # would use checkpoint() to a DFS dir here.
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def q_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse embedding near-dup pairs (the oracle-checkable pair
+    source) into clusters: (vec_id, component_id = min member,
+    n_members). The oracle recomputes components with a recursive CTE."""
+    from .similarity import q_embedding_neardup
+
+    pairs = q_embedding_neardup(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
+    return comp.join(sizes, "comp").select(
+        F.col("id").alias("vec_id"),
+        F.col("comp").alias("component_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+def _oracle_cluster_components() -> str:
+    from .similarity import ORACLE_EMBEDDING_NEARDUP
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({ORACLE_EMBEDDING_NEARDUP}) t
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+), comp AS (
+  SELECT id, MIN(r) AS component_id FROM reach GROUP BY id
+)
+SELECT c.id AS vec_id, c.component_id, s.n_members
+FROM comp c
+JOIN (
+  SELECT component_id, COUNT(*) AS n_members FROM comp GROUP BY component_id
+) s USING (component_id)
+"""
+
+
 QUERIES = {
     "dedup_exact_fingerprint": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_cluster_components": (q_cluster_components, _oracle_cluster_components()),
     "dedup_simhash_neardup": (q_simhash_neardup, None),
     "dedup_jaccard_vs_probe": (q_jaccard_vs_probe, ORACLE_JACCARD_VS_PROBE),
     "dedup_minhash_neardup": (q_minhash_neardup, None),

@@ -62,6 +62,7 @@ _PRIORITY = (
     "text_repetition",
     "contamination_ngram_overlap",
     "sample_shard_plan",
+    "dedup_cluster_components",
     "dq_audit",
     "json_as_map",
     "set_ops",

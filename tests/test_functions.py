@@ -266,3 +266,27 @@ def test_orc_source_roundtrip_matches_parquet(spark, sf_small, tmp_path):
     docs.write.orc(path)
     back = spark.read.orc(path).select(*docs.columns)
     assert sorted(map(str, back.collect())) == sorted(map(str, docs.collect()))
+
+
+def test_connected_components_chain_and_star(spark):
+    """Min-label components on a 6-node chain plus a star plus an isolated
+    edge — pointer jumping must collapse the chain within CC_ROUNDS."""
+    from realtimedatapipeline_8_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        # chain 10-11-12-13-14-15, star 20-(21,22,23), pair 30-31
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+         (20, 21), (20, 22), (20, 23), (30, 31)],
+        "src INT, dst INT",
+    )
+    got = {
+        (r["id"], r["comp"]) for r in connected_components(edges).collect()
+    }
+    want = (
+        {(i, 10) for i in range(10, 16)}
+        | {(i, 20) for i in range(20, 24)}
+        | {(30, 30), (31, 30)}
+    )
+    assert got == want
