@@ -1,0 +1,229 @@
+"""Training-data curation operators (SURVEY §2.13; north-star
+LLM-data-pipeline surface): PII redaction, near-duplicate survivor
+selection, and percentile-based quality gating.
+
+These are the steps between "candidate pairs found" and "training shard
+written": scrub personally-identifying strings, pick one canonical
+document per duplicate cluster, and drop outlier documents outside the
+quality envelope. Everything is JVM built-ins (regexp/percentile/joins) —
+the corpus never crosses into Python — and each query has an exact DuckDB
+oracle mirror.
+
+Scale notes (100 TB): PII redaction is map-only (no shuffle); survivor
+selection reuses the connected-components labels (edge-list sized, tiny
+vs the corpus) and joins them back to the corpus on its key — one shuffle
+of (id, cluster) pairs, never document bodies; the quality gate is a
+two-pass scan where pass one reduces to a single broadcast row of
+thresholds, so the fact table is never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# Redaction patterns — ASCII-only constructs (char classes, \d, \b, bounded
+# repeats) that parse and match identically under Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def with_injected_pii(docs: DataFrame) -> DataFrame:
+    """The synthetic corpus carries no PII, so the operator would be
+    vacuous on raw fixtures. Deterministically prepend a contact line
+    derived from (doc_id, n_chars) — email, US-style phone, IPv4 — so the
+    redactor has real work; the oracle replays the same construction."""
+    d = F.col("doc_id")
+    n = F.col("n_chars")
+    return docs.withColumn(
+        "raw",
+        F.concat(
+            F.lit("contact user"),
+            d.cast("string"),
+            F.lit("@mail"),
+            (d % 10).cast("string"),
+            F.lit(".com or call 555-"),
+            F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((n % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            (n % 256).cast("string"),
+            F.lit(" "),
+            F.col("text"),
+        ),
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and mask emails / phones / IPv4s. Counts come from the raw
+    string; masking applies email -> phone -> IP in a fixed order (the
+    patterns are disjoint on this corpus, but a fixed order keeps the
+    output well-defined if they ever overlap). Map-only: redaction of a
+    100 TB corpus is a single scan-project stage with zero shuffles."""
+    docs = with_injected_pii(load_table(spark, sf_dir, "documents"))
+    raw = F.col("raw")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(raw, F.lit(PII_IPV4), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
+_ORACLE_RAW = """
+SELECT doc_id, n_chars, text,
+       'contact user' || CAST(doc_id AS VARCHAR)
+       || '@mail' || CAST(doc_id % 10 AS VARCHAR)
+       || '.com or call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+       || '-' || lpad(CAST(n_chars % 10000 AS VARCHAR), 4, '0')
+       || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+       || '.' || CAST(n_chars % 256 AS VARCHAR)
+       || ' ' || text AS raw
+FROM documents
+"""
+
+# DuckDB regexp_replace is first-match unless the 'g' flag is passed;
+# Spark's is always global — the flag keeps the two aligned.
+ORACLE_PII_REDACT = rf"""
+WITH raw AS ({_ORACLE_RAW})
+SELECT doc_id,
+       len(regexp_extract_all(raw, '{PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(raw, '{PII_PHONE}')) AS n_phones,
+       len(regexp_extract_all(raw, '{PII_IPV4}')) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(raw,
+           '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_PHONE}', '<PHONE>', 'g'),
+           '{PII_IPV4}', '<IP>', 'g') AS redacted
+FROM raw
+"""
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One canonical vector per near-dup cluster: every corpus id tagged
+    with its cluster (component min-id; singletons are their own cluster)
+    and whether it is the kept representative. Because the component label
+    IS the minimum member id, `kept = (vec_id == cluster_id)` — no second
+    window/aggregation pass is needed."""
+    from .dedup import connected_components
+    from .similarity import (
+        NEARDUP_COPY_EVERY,
+        NEARDUP_ID_OFFSET,
+        q_embedding_neardup,
+    )
+
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    corpus_ids = base.unionByName(
+        base.where(F.col("vec_id") % NEARDUP_COPY_EVERY == 0).select(
+            (F.col("vec_id") + NEARDUP_ID_OFFSET).alias("vec_id")
+        )
+    )
+    pairs = q_embedding_neardup(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(pairs).select(
+        F.col("id").alias("vec_id"), F.col("comp").alias("component_id")
+    )
+    cluster = F.coalesce(F.col("component_id"), F.col("vec_id"))
+    return corpus_ids.join(comp, "vec_id", "left").select(
+        "vec_id",
+        cluster.alias("cluster_id"),
+        (F.col("vec_id") == cluster).alias("kept"),
+    )
+
+
+def _oracle_dedup_survivors() -> str:
+    from .similarity import (
+        NEARDUP_COPY_EVERY,
+        NEARDUP_ID_OFFSET,
+        ORACLE_EMBEDDING_NEARDUP,
+    )
+
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({ORACLE_EMBEDDING_NEARDUP}) t
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+), comp AS (
+  SELECT id, MIN(r) AS component_id FROM reach GROUP BY id
+), corpus_ids AS (
+  SELECT vec_id FROM embeddings
+  UNION ALL
+  SELECT vec_id + {NEARDUP_ID_OFFSET} FROM embeddings
+  WHERE vec_id % {NEARDUP_COPY_EVERY} = 0
+)
+SELECT c.vec_id,
+       COALESCE(k.component_id, c.vec_id) AS cluster_id,
+       c.vec_id = COALESCE(k.component_id, c.vec_id) AS kept
+FROM corpus_ids c LEFT JOIN comp k ON k.id = c.vec_id
+"""
+
+
+# Quality gate: keep documents inside the [p05, p95] length envelope.
+# Exact interpolated percentiles (Spark `percentile` == DuckDB
+# `quantile_cont`, both linear interpolation — the agg_percentiles
+# precedent). Two scans of the corpus, but pass one reduces to ONE row
+# that is broadcast; the fact table is never shuffled or collected.
+GATE_LO, GATE_HI = 0.05, 0.95
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    thresholds = docs.agg(
+        F.expr(f"percentile(n_chars, {GATE_LO})").alias("lo_chars"),
+        F.expr(f"percentile(n_chars, {GATE_HI})").alias("hi_chars"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(thresholds))
+        .where(
+            (F.col("n_chars") >= F.col("lo_chars"))
+            & (F.col("n_chars") <= F.col("hi_chars"))
+        )
+        .select("doc_id", "n_chars", "lo_chars", "hi_chars")
+    )
+
+
+ORACLE_QUALITY_GATE = f"""
+WITH thresholds AS (
+  SELECT quantile_cont(n_chars, {GATE_LO}) AS lo_chars,
+         quantile_cont(n_chars, {GATE_HI}) AS hi_chars
+  FROM documents
+)
+SELECT d.doc_id, d.n_chars, t.lo_chars, t.hi_chars
+FROM documents d CROSS JOIN thresholds t
+WHERE d.n_chars >= t.lo_chars AND d.n_chars <= t.hi_chars
+"""
+
+
+QUERIES = {
+    "curation_pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
+    "dedup_survivors": (q_dedup_survivors, _oracle_dedup_survivors()),
+    "sample_quality_gate": (q_quality_gate, ORACLE_QUALITY_GATE),
+}

@@ -150,6 +150,69 @@ JOIN purchases p
 GROUP BY c.event_id, c.user_id, c.ts
 """
 
+# --- interval-vs-interval overlap join, via bucket cover ------------------
+# "How many user sessions overlap each 6-hour wall-clock window?" The
+# interval-interval analog of the containment join above: a session
+# [start, end] overlaps window [w, w+6h) iff floor6h(start) <= w <=
+# floor6h(end), so exploding each session into the 6h buckets it covers
+# and counting per bucket IS the overlap join — no grid table, no
+# inequality predicate, one narrow shuffle of (bucket) keys. Explode
+# factor = session length / 6h + 1 (~1 for 30-min-gap sessions). The
+# oracle proves the equivalence by running the literal inequality overlap
+# join against a generate_series grid.
+OVERLAP_WINDOW_US = 6 * 3_600 * 1_000_000
+
+
+def q_interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .windows import q_sessionize
+
+    w = OVERLAP_WINDOW_US
+    sess = q_sessionize(spark, sf_dir)
+    return (
+        sess.select(
+            F.explode(
+                F.sequence(
+                    F.expr(f"unix_micros(session_start) div {w}"),
+                    F.expr(f"unix_micros(session_end) div {w}"),
+                )
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .select(
+            F.timestamp_micros(F.col("bucket") * w).alias("window_start"),
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+        )
+    )
+
+
+def _oracle_interval_overlap() -> str:
+    from .windows import ORACLE_SESSIONIZE
+
+    w = OVERLAP_WINDOW_US
+    return f"""
+WITH sess AS (SELECT * FROM ({ORACLE_SESSIONIZE}) t),
+bounds AS (
+  SELECT epoch_us(MIN(session_start)) // {w} AS lob,
+         epoch_us(MAX(session_end)) // {w} AS hib
+  FROM sess
+), grid AS (
+  SELECT UNNEST(generate_series(lob, hib)) AS bucket FROM bounds
+)
+SELECT make_timestamp(g.bucket * {w}) AS window_start,
+       COUNT(*) AS n_sessions
+FROM grid g
+JOIN sess s
+  ON epoch_us(s.session_start) < (g.bucket + 1) * {w}
+ AND epoch_us(s.session_end) >= g.bucket * {w}
+GROUP BY g.bucket
+"""
+
+
 QUERIES = {
     "range_join_bucketed": (q_range_join_sessions, ORACLE_RANGE_JOIN),
+    "interval_overlap_sessions": (
+        q_interval_overlap_sessions,
+        _oracle_interval_overlap(),
+    ),
 }

@@ -14,6 +14,7 @@ from ..operators import (
     aggregates,
     asof,
     contamination,
+    curation,
     dedup,
     enrich,
     multimodal,
@@ -34,6 +35,7 @@ _MODULES = (
     enrich,
     reference_pipeline,
     contamination,
+    curation,
     relational,
     aggregates,
     windows,
@@ -63,6 +65,9 @@ _PRIORITY = (
     "contamination_ngram_overlap",
     "sample_shard_plan",
     "dedup_cluster_components",
+    "curation_pii_redact",
+    "dedup_survivors",
+    "sample_quality_gate",
     "dq_audit",
     "json_as_map",
     "set_ops",
@@ -83,6 +88,7 @@ _PRIORITY = (
     "pandas_user_trend",
     "asof_last_purchase",
     "range_join_bucketed",
+    "interval_overlap_sessions",
     "sample_split_assign",
     "sample_split_leakage_safe",
     "sample_stratified",

@@ -290,3 +290,30 @@ def test_connected_components_chain_and_star(spark):
         | {(30, 30), (31, 30)}
     )
     assert got == want
+
+
+def test_pii_redaction_masks_and_counts(spark):
+    """Crafted strings: each PII kind is masked and counted; non-PII
+    lookalikes (version numbers, bare @handles) survive."""
+    from pyspark.sql import functions as F
+    from realtimedatapipeline_8_project_spark.operators.curation import (
+        PII_EMAIL, PII_IPV4, PII_PHONE,
+    )
+
+    df = spark.createDataFrame(
+        [("a@b.com and c.d-e@f.co.uk here",),
+         ("call 555-123-4567 not 55-123-4567",),
+         ("host 192.168.1.1 v1.2 @handle",)],
+        "raw STRING",
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), PII_EMAIL, "<EMAIL>"),
+            PII_PHONE, "<PHONE>"),
+        PII_IPV4, "<IP>")
+    got = [r[0] for r in df.select(red).collect()]
+    assert got == [
+        "<EMAIL> and <EMAIL> here",
+        "call <PHONE> not 55-123-4567",
+        "host <IP> v1.2 @handle",
+    ]
