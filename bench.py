@@ -41,6 +41,10 @@ HEADLINE = [
     "contamination_ngram_overlap",
     "sample_split_leakage_safe",
     "sample_shard_plan",
+    "curation_pii_redact",
+    "sample_quality_gate",
+    "interval_overlap_sessions",
+    "dedup_cluster_components",
     "sim_knn_bruteforce",
     "sim_knn_ivf",
     "asof_last_purchase",
