@@ -441,8 +441,82 @@ FROM t
 """
 
 
+# --- bigram fluency: corpus-LM scoring plan shape -------------------------
+# The n-gram language-model scoring pipeline (count n-grams over the
+# corpus, join the model back to each document, aggregate a per-doc
+# score) with the statistic kept in exact integer arithmetic: per-doc
+# mean corpus-frequency of its bigrams. A real LM would sum log
+# probabilities — same plan, but cross-engine log() is not bit-stable
+# (libm vs java.lang.Math last-ulp), so the checked statistic stays
+# rational: sum(count)/n is one exact int->double conversion + a single
+# IEEE division, identical everywhere.
+#
+# Scale: the bigram-count table is vocab^2-bounded (MB-scale vs a 100 TB
+# corpus) yet too big to assume broadcastable — the join is a shuffle on
+# the bigram key, where stop-bigram heavy hitters skew; AQE skew-join
+# splits those partitions (enabled in session.py). Map-side partial
+# aggregation keeps the count build one narrow shuffle.
+def q_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", words(F.lower(F.col("text")))
+    )
+    # 1-based element_at mirrors DuckDB's 1-based list indexing exactly.
+    doc_bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("bigram"),
+    )
+    counts = doc_bigrams.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("corpus_count")
+    )
+    return (
+        doc_bigrams.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.count_distinct("bigram").alias("distinct_bigrams"),
+            F.sum("corpus_count").alias("sum_count"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("distinct_bigrams").cast("long").alias("distinct_bigrams"),
+            (
+                F.col("sum_count").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("avg_bigram_freq"),
+        )
+    )
+
+
+ORACLE_BIGRAM_FLUENCY = """
+WITH toksed AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), doc_bigrams AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM toksed
+), counts AS (
+  SELECT bigram, COUNT(*) AS corpus_count FROM doc_bigrams GROUP BY bigram
+)
+SELECT d.doc_id,
+       COUNT(*) AS n_bigrams,
+       COUNT(DISTINCT d.bigram) AS distinct_bigrams,
+       CAST(SUM(c.corpus_count) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           AS avg_bigram_freq
+FROM doc_bigrams d JOIN counts c USING (bigram)
+GROUP BY d.doc_id
+"""
+
+
 QUERIES = {
     "text_token_count": (q_token_count, ORACLE_TOKEN_COUNT),
+    "text_bigram_fluency": (q_bigram_fluency, ORACLE_BIGRAM_FLUENCY),
     "text_repetition": (q_repetition, ORACLE_REPETITION),
     "text_quality_score": (q_quality_score, ORACLE_QUALITY_SCORE),
     "text_lang_id": (q_lang_id, ORACLE_LANG_ID),

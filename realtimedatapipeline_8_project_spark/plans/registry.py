@@ -68,6 +68,7 @@ _PRIORITY = (
     "curation_pii_redact",
     "dedup_survivors",
     "sample_quality_gate",
+    "text_bigram_fluency",
     "dq_audit",
     "json_as_map",
     "set_ops",
