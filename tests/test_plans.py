@@ -145,3 +145,38 @@ def test_shard_plan_partial_aggregates(spark, sf_small):
     p = plan_of(spark, sf_small, "sample_shard_plan")
     assert p.count("HashAggregate") >= 2
     assert "Join" not in p
+
+
+def test_pii_redact_is_map_only(spark, sf_small):
+    """Redaction of a 100 TB corpus must stay a pure scan-project stage."""
+    p = plan_of(spark, sf_small, "curation_pii_redact")
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_quality_gate_broadcasts_one_threshold_row(spark, sf_small):
+    """The percentile pass reduces to ONE row that is broadcast back over
+    the corpus scan — the fact side must not be shuffled or sorted."""
+    p = plan_of(spark, sf_small, "sample_quality_gate")
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+    # the only exchange is the threshold aggregation's single-row reduce
+    # (SinglePartition) — the corpus is never hash-repartitioned
+    assert "hashpartitioning" not in p
+
+
+def test_interval_overlap_single_narrow_shuffle_after_sessions(spark, sf_small):
+    """Bucket-cover overlap join: after sessionization (its own user_id
+    shuffle), counting per window adds exactly one narrow shuffle of
+    bucket keys — no grid join, no nested loop."""
+    p = plan_of(spark, sf_small, "interval_overlap_sessions")
+    assert "NestedLoop" not in p
+    assert "Join" not in p
+
+
+def test_bigram_fluency_joins_counts_not_nested(spark, sf_small):
+    """LM-scoring shape: the model join must be a hash join (broadcast at
+    test scale, AQE-planned SMJ at corpus scale), never a nested loop."""
+    p = plan_of(spark, sf_small, "text_bigram_fluency")
+    assert "NestedLoop" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
