@@ -317,3 +317,34 @@ def test_pii_redaction_masks_and_counts(spark):
         "call <PHONE> not 55-123-4567",
         "host <IP> v1.2 @handle",
     ]
+
+
+def test_jsonl_source_roundtrip_matches_parquet(spark, sf_small, tmp_path):
+    """Source-format coverage: JSON-lines round-trip of the documents
+    table with an explicit schema (schema-on-read, no inference scan —
+    the only sane mode at 100 TB)."""
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    docs.write.json(path)
+    back = spark.read.schema(docs.schema).json(path).select(*docs.columns)
+    assert sorted(map(str, back.collect())) == sorted(map(str, docs.collect()))
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Landing-zone schema drift: old files lack a column that new files
+    carry; mergeSchema reads the union, nulls where absent. At 100 TB the
+    same read works per-partition without rewriting history."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id LONG, text STRING") \
+        .write.parquet(base + "/batch=old")
+    spark.createDataFrame(
+        [(3, "c", "en"), (4, "d", "de")], "id LONG, text STRING, lang STRING"
+    ).write.parquet(base + "/batch=new")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert {f.name for f in merged.schema.fields} >= {"id", "text", "lang"}
+    rows = {r["id"]: (r["text"], r["lang"]) for r in merged.collect()}
+    assert rows[1] == ("a", None) and rows[3] == ("c", "en")
