@@ -48,7 +48,13 @@ def enrich_events(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Broadcast left join + derived engagement metrics.
 
     Works identically on a batch DataFrame and a streaming DataFrame
-    (stream-static join), like the reference's enrich_with_postgres."""
+    (stream-static join), like the reference's enrich_with_postgres.
+
+    The explicit broadcast encodes the reference's contract that the
+    dimension is an operational-DB snapshot (bounded, MBs-to-low-GBs) —
+    the right call no matter how large the fact stream grows. If the
+    dimension itself outgrew executor memory, drop the hint and let AQE
+    pick a shuffle join; the query text is otherwise unchanged."""
     joined = events.join(
         F.broadcast(dim), events["user_id"] == dim["c_custkey"], "left"
     ).drop("c_custkey")  # drop duplicate join key (reference kept both; SURVEY appendix)

@@ -249,8 +249,62 @@ GROUP BY 1
 """
 
 
+# --- z-order layout: multi-dimensional file clustering --------------------
+# Lakehouse data-layout op: interleave the bits of two scan keys so that
+# sorting by the z-value co-locates rows that are close in EITHER key —
+# files then carry tight min/max ranges on both columns and a reader
+# filtering on either key skips most files. Here: events clustered on
+# (user_id, hour). The z-value is pure JVM bit arithmetic (map-only);
+# file assignment uses fixed-width z-ranges (z >> 24), the deterministic
+# stand-in for the quantile sampling a production writer
+# (repartitionByRange on z) would do. Writing is then
+# df.repartitionByRange(N, z).sortWithinPartitions(z).write.parquet(...).
+Z_BITS = 16
+
+
+def _z_interleave(k1: str, k2: str) -> Column:
+    # acc + shifted bits == OR since bit positions are disjoint; addition
+    # is used because DuckDB's list_sum mirrors it exactly.
+    return F.expr(
+        f"aggregate(sequence(0, {Z_BITS - 1}), CAST(0 AS BIGINT),"
+        f" (acc, i) -> acc + shiftleft(shiftright({k1}, i) & 1, 2*i + 1)"
+        f" + shiftleft(shiftright({k2}, i) & 1, 2*i))"
+    )
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        F.expr("user_id & 65535").alias("k1"),
+        F.expr("(unix_micros(ts) div 3600000000) & 65535").alias("k2"),
+    )
+    return keyed.select(
+        "event_id",
+        _z_interleave("k1", "k2").alias("z_value"),
+    ).withColumn("file_id", F.expr("shiftright(z_value, 24)"))
+
+
+ORACLE_ZORDER_LAYOUT = f"""
+WITH keyed AS (
+  SELECT event_id,
+         user_id & 65535 AS k1,
+         (epoch_us(ts) // 3600000000) & 65535 AS k2
+  FROM events
+), z AS (
+  SELECT event_id,
+         CAST(list_sum(list_transform(range(0, {Z_BITS}),
+             i -> (((k1 >> i) & 1) << (2*i + 1))
+                  + (((k2 >> i) & 1) << (2*i)))) AS BIGINT) AS z_value
+  FROM keyed
+)
+SELECT event_id, z_value, z_value >> 24 AS file_id FROM z
+"""
+
+
 QUERIES = {
     "sample_split_assign": (q_split_assign, ORACLE_SPLIT_ASSIGN),
+    "layout_zorder": (q_zorder_layout, ORACLE_ZORDER_LAYOUT),
     "sample_shard_plan": (q_shard_plan, ORACLE_SHARD_PLAN),
     "sample_split_leakage_safe": (q_split_leakage_safe, ORACLE_SPLIT_LEAKAGE_SAFE),
     "sample_stratified": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),

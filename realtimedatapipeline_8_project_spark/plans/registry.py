@@ -69,6 +69,7 @@ _PRIORITY = (
     "dedup_survivors",
     "sample_quality_gate",
     "text_bigram_fluency",
+    "layout_zorder",
     "dq_audit",
     "json_as_map",
     "set_ops",

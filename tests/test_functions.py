@@ -348,3 +348,34 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     assert {f.name for f in merged.schema.fields} >= {"id", "text", "lang"}
     rows = {r["id"]: (r["text"], r["lang"]) for r in merged.collect()}
     assert rows[1] == ("a", None) and rows[3] == ("c", "en")
+
+
+def test_zorder_interleave_known_values_and_locality(spark, sf_small):
+    """Bit-interleave sanity (known values) plus the property that makes
+    z-order worth it: within one file (top-8 z bits), BOTH keys span at
+    most 2^12 — so min/max file stats prune on either key."""
+    from pyspark.sql import functions as F
+    from realtimedatapipeline_8_project_spark.operators.sampling import (
+        _z_interleave, q_zorder_layout,
+    )
+
+    df = spark.createDataFrame(
+        [(0xFFFF, 0), (0, 0xFFFF), (0xFFFF, 0xFFFF), (0, 0)],
+        "k1 LONG, k2 LONG",
+    )
+    got = [r[0] for r in df.select(_z_interleave("k1", "k2")).collect()]
+    assert got == [0xAAAAAAAA, 0x55555555, 0xFFFFFFFF, 0]
+
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+    ev = load_table(spark, sf_small, "events").select(
+        "event_id",
+        F.expr("user_id & 65535").alias("k1"),
+        F.expr("(unix_micros(ts) div 3600000000) & 65535").alias("k2"),
+    )
+    z = q_zorder_layout(spark, sf_small).join(ev, "event_id")
+    spread = z.groupBy("file_id").agg(
+        (F.max("k1") - F.min("k1")).alias("dk1"),
+        (F.max("k2") - F.min("k2")).alias("dk2"),
+    )
+    bad = spread.where((F.col("dk1") >= 4096) | (F.col("dk2") >= 4096)).count()
+    assert bad == 0
