@@ -97,7 +97,54 @@ GROUP BY c_mktsegment
 """
 
 
+# --- salted shuffle join: explicit skew spreading for joins ---------------
+# AQE skew-join splits oversized SMJ partitions, but only after one has
+# materialized; when a key is hot enough that a single (key) hash bucket
+# can't even build, the explicit form is: salt the big side
+# deterministically into S sub-keys and replicate the small side S times,
+# joining on (key, salt) — the hot key now occupies S reducers by
+# construction. Replication cost = |small| * S rows, paid only when this
+# plan is chosen. The oracle is the plain unsalted join, proving the
+# rewrite changes nothing.
+JOIN_SALT = 16
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    salted = ev.withColumn(
+        "_salt", (F.col("event_id") % JOIN_SALT).cast("int")
+    )
+    replicated = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(JOIN_SALT - 1)))
+    )
+    joined = salted.hint("shuffle_hash").join(
+        replicated,
+        (salted["user_id"] == replicated["c_custkey"])
+        & (salted["_salt"] == replicated["_salt"]),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(27,6)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+ORACLE_SALTED_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 2) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "scale_salted_agg": (q_salted_agg, ORACLE_SALTED_AGG),
     "scale_agg_then_join": (q_agg_then_join, ORACLE_AGG_THEN_JOIN),
+    "scale_salted_join": (q_salted_join, ORACLE_SALTED_JOIN),
 }

@@ -87,6 +87,7 @@ _PRIORITY = (
     "explode_top_tokens",
     "scale_salted_agg",
     "scale_agg_then_join",
+    "scale_salted_join",
     "pandas_user_trend",
     "asof_last_purchase",
     "range_join_bucketed",

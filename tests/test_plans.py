@@ -180,3 +180,12 @@ def test_bigram_fluency_joins_counts_not_nested(spark, sf_small):
     p = plan_of(spark, sf_small, "text_bigram_fluency")
     assert "NestedLoop" not in p
     assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark, sf_small):
+    """The salted join must hash-partition on (key, salt) — not broadcast
+    (the demo's premise is broadcast isn't possible) and not a plain key
+    shuffle (which would re-concentrate the hot key)."""
+    p = plan_of(spark, sf_small, "scale_salted_join")
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p
+    assert "hashpartitioning(user_id" in p and "_salt" in p
