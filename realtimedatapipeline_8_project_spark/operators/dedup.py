@@ -341,21 +341,26 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one member per cluster. Components via iterative min-label propagation
 # plus pointer jumping (comp := comp[comp]) — each round halves path
 # lengths, so diameter-D clusters converge in O(log D) rounds with NO
-# driver-side convergence polling (fixed round count; near-dup clusters
-# are shallow stars/chains). The label table is lineage-truncated every
-# round (localCheckpoint): it is referenced three times per round, so an
-# un-truncated plan grows ~3^rounds — exponential analysis AND
-# re-execution cost. On a real cluster use reliable checkpoint() to a
-# DFS dir instead (fault-tolerant); switch to large-star/small-star
-# (Kiveris et al., "Connected Components in MapReduce") if cluster
-# diameters grow adversarial.
+# lengths, so diameter-D clusters converge in O(log D) rounds. Rounds run
+# until a fixpoint: the per-round convergence check is one count() on the
+# label table (edge-list sized, tiny vs the corpus) — the same pattern
+# GraphX/Pregel uses — so arbitrarily deep chains terminate correctly,
+# with CC_MAX_ROUNDS as a runaway backstop. The label table is
+# lineage-truncated every round (localCheckpoint): it is referenced three
+# times per round, so an un-truncated plan grows ~3^rounds — exponential
+# analysis AND re-execution cost. On a real cluster use reliable
+# checkpoint() to a DFS dir instead (fault-tolerant); switch to
+# large-star/small-star (Kiveris et al., "Connected Components in
+# MapReduce") if cluster diameters grow adversarial.
 
-CC_ROUNDS = 4  # handles diameter ~2^4 via propagate+jump per round
+CC_MAX_ROUNDS = 20  # backstop: propagate+jump covers diameter ~2^20
 
 
-def connected_components(edges: DataFrame, rounds: int = CC_ROUNDS) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_rounds: int = CC_MAX_ROUNDS
+) -> DataFrame:
     """(src, dst) undirected edge list -> (id, comp) with comp = min
-    reachable node id. Deterministic."""
+    reachable node id. Deterministic; iterates to fixpoint."""
     # The edge list is consumed once per round: localCheckpoint it, or
     # every round re-executes the (expensive) pair-generation lineage —
     # measured 10x slower on the embedding near-dup source without this.
@@ -367,8 +372,9 @@ def connected_components(edges: DataFrame, rounds: int = CC_ROUNDS) -> DataFrame
     )
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
         "comp", F.col("id")
-    )
-    for _ in range(rounds):
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        prev = labels
         # propagate: min over neighbors' labels
         nbr = (
             sym.join(
@@ -404,6 +410,18 @@ def connected_components(edges: DataFrame, rounds: int = CC_ROUNDS) -> DataFrame
             # would use checkpoint() to a DFS dir here.
             .localCheckpoint(eager=True)
         )
+        # Fixpoint test on the tiny label table: any label still moving?
+        moved = (
+            labels.join(
+                prev.select(F.col("id"), F.col("comp").alias("prev_comp")),
+                "id",
+            )
+            .where(F.col("comp") != F.col("prev_comp"))
+            .limit(1)
+            .count()
+        )
+        if moved == 0:
+            break
     return labels
 
 

@@ -86,3 +86,52 @@ def test_latest_wins_is_idempotent_and_keyed(spark, data):
             best[k] = (ts, v)
     for r in got:
         assert (r.ts, r.v) == best[r.k]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Fixpoint min-label propagation == reference union-find on random
+    graphs (self-loops and duplicate edges included)."""
+    from realtimedatapipeline_8_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == want
+
+
+def test_connected_components_deep_chain_converges(spark):
+    """A 50-node path needs ~log2(50) propagate+jump rounds — well past
+    the old fixed-4 budget; the fixpoint loop must still nail it."""
+    from realtimedatapipeline_8_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 50
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src LONG, dst LONG"
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
