@@ -33,14 +33,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized
     reader rejects by default; we read nanos as long and convert to a
     microsecond TimestampType (integer ``div`` — same truncation DuckDB
-    applies), keeping the scan vectorized."""
+    applies), keeping the scan vectorized. The conversion is schema-aware:
+    an events table that already carries a real timestamp column (e.g.
+    re-exported by this engine) passes through untouched."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(path)
 
 
