@@ -335,6 +335,183 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- portable MinHash: the full banding pipeline, hash-matched ------------
+# Same shape as q_minhash_neardup (signatures -> bands -> bucket self-join
+# -> exact-Jaccard verify) but with sha256-derived 28-bit hashes instead
+# of xxhash64, so EVERY stage replays bit-identically in DuckDB — the
+# oracle checks the whole near-dup pipeline, not just its exact pieces.
+# xxhash64 stays the 100 TB path (cheaper per shingle); this variant is
+# the semantic proof. The fixture corpus has no near-dups, so the input
+# unions in a 5-words-truncated copy of every 20th document — real
+# high-Jaccard pairs the banding must recover.
+PMH_K = 8
+PMH_BANDS = 4  # 2 signature rows per band
+PMH_COPY_EVERY = 20
+PMH_ID_OFFSET = 2_000_000
+PMH_TRIM = 5
+PMH_THRESHOLD = 0.5
+
+
+def _pmh_corpus(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    keep = F.greatest(F.size(toks) - PMH_TRIM, F.lit(1))
+    truncated = docs.where(F.col("doc_id") % PMH_COPY_EVERY == 0).select(
+        (F.col("doc_id") + PMH_ID_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, keep), " ").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(truncated)
+
+
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_part = spark.sparkContext.defaultParallelism
+    docs = _pmh_corpus(
+        load_table(spark, sf_dir, "documents")
+    ).repartition(n_part, "doc_id")
+    sh = docs.select("doc_id", shingles("text").alias("s")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # 28-bit halves of each shingle's sha256 — small enough that
+    # h1 + i*h2 never overflows a long under ANSI arithmetic.
+    hashed = sh.select(
+        "doc_id",
+        F.transform(
+            "s",
+            lambda g: F.struct(
+                F.conv(F.substring(F.sha2(g, 256), 1, 7), 16, 10)
+                .cast("long")
+                .alias("h1"),
+                F.conv(F.substring(F.sha2(g, 256), 8, 7), 16, 10)
+                .cast("long")
+                .alias("h2"),
+            ),
+        ).alias("hp"),
+    )
+    sig = hashed.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        "hp", lambda p: p["h1"] + F.lit(i) * p["h2"]
+                    )
+                )
+                for i in range(PMH_K)
+            ]
+        ).alias("sig"),
+    )
+    rows_per_band = PMH_K // PMH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(
+                                    "sig", b * rows_per_band + r + 1
+                                ).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(PMH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    left, right = bands.alias("l"), bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    jac = F.size(F.array_intersect("s_a", "s_b")).cast("double") / F.size(
+        F.array_union("s_a", "s_b")
+    )
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= PMH_THRESHOLD)
+    )
+
+
+def _o_hex7(hx: str, start: int) -> str:
+    """28-bit integer from 7 hex digits of an expression (DuckDB side)."""
+    return (
+        "(0"
+        + "".join(
+            f" + CAST((strpos('0123456789abcdef', substr({hx}, {start + i}, 1)) - 1)"
+            f" AS BIGINT) * {16 ** (6 - i)}"
+            for i in range(7)
+        )
+        + ")"
+    )
+
+
+def _oracle_minhash_portable() -> str:
+    rows_per_band = PMH_K // PMH_BANDS
+    bucket = " || ',' || ".join(
+        f"CAST(sig[b.band * {rows_per_band} + {r + 1}] AS VARCHAR)"
+        for r in range(rows_per_band)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PMH_ID_OFFSET},
+         array_to_string(
+           (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - {PMH_TRIM}, 1)],
+           ' ')
+  FROM documents WHERE doc_id % {PMH_COPY_EVERY} = 0
+), sh AS (
+  SELECT doc_id, {oracle_shingles('text')} AS s FROM corpus
+), hashed AS (
+  SELECT doc_id, s,
+         list_transform(s, g -> sha256(g)) AS hx
+  FROM sh
+), halves AS (
+  SELECT doc_id, s,
+         list_transform(hx, h -> {_o_hex7('h', 1)}) AS h1s,
+         list_transform(hx, h -> {_o_hex7('h', 8)}) AS h2s
+  FROM hashed
+), sig AS (
+  SELECT doc_id, s,
+         list_transform(range(0, {PMH_K}),
+           i -> list_min(list_transform(range(1, len(h1s) + 1),
+                j -> h1s[j] + i * h2s[j]))) AS sig
+  FROM halves
+), bands AS (
+  SELECT doc_id, b.band, {bucket} AS bucket
+  FROM sig, (SELECT UNNEST(range(0, {PMH_BANDS})) AS band) b
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM cand c
+JOIN sh a ON a.doc_id = c.doc_a
+JOIN sh b ON b.doc_id = c.doc_b
+WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))), 6) >= {PMH_THRESHOLD}
+"""
+
+
 # --- near-dup cluster collapse: connected components ----------------------
 # Pair output (MinHash bands, SimHash, embedding cosine) is only half of
 # dedup: survivors come from collapsing pairs into CLUSTERS and keeping
@@ -470,6 +647,7 @@ JOIN (
 
 QUERIES = {
     "dedup_exact_fingerprint": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_minhash_portable": (q_minhash_portable, _oracle_minhash_portable()),
     "dedup_cluster_components": (q_cluster_components, _oracle_cluster_components()),
     "dedup_simhash_neardup": (q_simhash_neardup, None),
     "dedup_jaccard_vs_probe": (q_jaccard_vs_probe, ORACLE_JACCARD_VS_PROBE),

@@ -65,6 +65,7 @@ _PRIORITY = (
     "contamination_ngram_overlap",
     "sample_shard_plan",
     "dedup_cluster_components",
+    "dedup_minhash_portable",
     "curation_pii_redact",
     "dedup_survivors",
     "sample_quality_gate",
