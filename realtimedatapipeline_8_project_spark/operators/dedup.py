@@ -512,6 +512,131 @@ WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
 """
 
 
+# --- portable SimHash: full sketch + banding, hash-matched ----------------
+# 56-bit SimHash over distinct tokens with sha256-derived token hashes,
+# so sketch, pigeonhole banding (4 bands x 14 bits — hamming<=3 implies
+# at least one equal band), and hamming verification all replay
+# bit-identically in DuckDB. 56 bits (not 28) because a small-vocab
+# corpus correlates bit balances: at 28 bits, sf0.01 produced ~20k
+# hamming<=3 pairs (no discrimination); at 56, only true near-dups
+# survive. Tie rule: a zero bit-balance yields bit 0 in both engines.
+# xxhash64 q_simhash_neardup remains the cheap path.
+SIMH_BITS = 56
+SIMH_BANDS = 4
+SIMH_HAMMING = 3
+
+
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _pmh_corpus(load_table(spark, sf_dir, "documents"))
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
+    th = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.sha2(t, 256), 1, 14), 16, 10).cast(
+            "long"
+        ),
+    )
+    # one pass over tokens: accumulate the 28 per-bit balances as an array
+    zeros = F.array_repeat(F.lit(0).cast("long"), SIMH_BITS)
+    bit_contrib = lambda h: F.array(  # noqa: E731
+        *[
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1
+            for j in range(SIMH_BITS)
+        ]
+    )
+    cnt = F.aggregate(
+        th, zeros, lambda acc, h: F.zip_with(acc, bit_contrib(h), lambda a, b: a + b)
+    )
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMH_BITS)])
+    sim = F.aggregate(
+        F.zip_with(cnt, powers, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sh = docs.select("doc_id", sim.alias("simhash"))
+    band_width = SIMH_BITS // SIMH_BANDS
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_width)
+                        .bitwiseAND(F.lit((1 << band_width) - 1))
+                        .alias("bval"),
+                    )
+                    for b in range(SIMH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bval")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    ).where(F.col("hamming") <= SIMH_HAMMING)
+
+
+def _oracle_simhash_portable() -> str:
+    band_width = SIMH_BITS // SIMH_BANDS
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PMH_ID_OFFSET},
+         array_to_string(
+           (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - {PMH_TRIM}, 1)],
+           ' ')
+  FROM documents WHERE doc_id % {PMH_COPY_EVERY} = 0
+), th AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(lower(text), ' ')),
+             t -> {_o_hex7('sha256(t)', 1)} * {16 ** 7}
+                  + {_o_hex7('sha256(t)', 8)}) AS hs
+  FROM corpus
+), cnt AS (
+  SELECT doc_id,
+         list_transform(range(0, {SIMH_BITS}),
+           j -> list_sum(list_transform(hs, h -> ((h >> j) & 1) * 2 - 1))) AS c
+  FROM th
+), sk AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, {SIMH_BITS}),
+           j -> CASE WHEN c[j + 1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END))
+         AS BIGINT) AS simhash
+  FROM cnt
+), bands AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * {band_width})) & {(1 << band_width) - 1} AS bval
+  FROM sk, (SELECT UNNEST(range(0, {SIMH_BANDS})) AS band) b
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         l.simhash AS sh_a, r.simhash AS sh_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= {SIMH_HAMMING}
+"""
+
+
 # --- near-dup cluster collapse: connected components ----------------------
 # Pair output (MinHash bands, SimHash, embedding cosine) is only half of
 # dedup: survivors come from collapsing pairs into CLUSTERS and keeping
@@ -648,6 +773,7 @@ JOIN (
 QUERIES = {
     "dedup_exact_fingerprint": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash_portable": (q_minhash_portable, _oracle_minhash_portable()),
+    "dedup_simhash_portable": (q_simhash_portable, _oracle_simhash_portable()),
     "dedup_cluster_components": (q_cluster_components, _oracle_cluster_components()),
     "dedup_simhash_neardup": (q_simhash_neardup, None),
     "dedup_jaccard_vs_probe": (q_jaccard_vs_probe, ORACLE_JACCARD_VS_PROBE),

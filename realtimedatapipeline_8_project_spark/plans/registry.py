@@ -66,6 +66,7 @@ _PRIORITY = (
     "sample_shard_plan",
     "dedup_cluster_components",
     "dedup_minhash_portable",
+    "dedup_simhash_portable",
     "curation_pii_redact",
     "dedup_survivors",
     "sample_quality_gate",
