@@ -120,6 +120,52 @@ WHERE json_extract_string(props, '$.k') IS NOT NULL
 """
 
 
+# --- semi-structured VARIANT path (Spark 4 native JSON) -------------------
+# The modern alternative to schema'd from_json for open/evolving payloads:
+# parse once into VariantType (binary-encoded, no schema declared), then
+# typed path extraction. At 100 TB the win is shredded parquet storage and
+# pruned path access instead of repeated string re-parsing. The payload
+# here is built nested (envelope around the flat fixture props) so the
+# extraction exercises multi-level paths; DuckDB's native JSON type
+# replays it.
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("event_type").alias("type"),
+            F.struct(
+                F.col("user_id"),
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+            ).alias("ctx"),
+        )
+    )
+    v = F.parse_json(payload)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.type", "string").alias("etype"),
+        F.variant_get(v, "$.ctx.user_id", "long").alias("vuser"),
+        F.variant_get(v, "$.ctx.k", "int").alias("vk"),
+    )
+
+
+ORACLE_JSON_VARIANT = """
+WITH payload AS (
+  SELECT event_id,
+         to_json(struct_pack(
+           type := event_type,
+           ctx := struct_pack(
+             user_id := user_id,
+             k := CAST(json_extract_string(props, '$.k') AS INTEGER)))) AS j
+  FROM events
+)
+SELECT event_id,
+       json_extract_string(j, '$.type') AS etype,
+       CAST(json_extract(j, '$.ctx.user_id') AS BIGINT) AS vuser,
+       CAST(json_extract(j, '$.ctx.k') AS INTEGER) AS vk
+FROM payload
+"""
+
+
 # --- P10/K4: KV-sink projection (concat key + JSON-ish value) -------------
 # Reference: key = concat('event:', id) (stream-processor.py:96-97); value
 # assembled by concat of literals (:127-159). We mirror the concat shape;
@@ -381,6 +427,7 @@ QUERIES = {
     "topk_recent": (q_topk_recent, ORACLE_TOPK_RECENT),
     "ordered_drain": (q_ordered_drain, ORACLE_ORDERED_DRAIN),
     "json_decode": (q_json_decode, ORACLE_JSON_DECODE),
+    "json_variant": (q_json_variant, ORACLE_JSON_VARIANT),
     "kv_projection": (q_kv_projection, ORACLE_KV_PROJECTION),
     "uuid_repair": (q_uuid_repair, ORACLE_UUID_REPAIR),
     "kafka_producer_projection": (q_kafka_producer_projection, ORACLE_KAFKA_PRODUCER),

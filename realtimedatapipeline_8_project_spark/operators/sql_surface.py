@@ -105,16 +105,20 @@ GROUP BY user_id
 
 # --- ordered array aggregation (collect_list with deterministic order) ----
 def q_event_history_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user chronological event-type history as an array — collect_list
-    is unordered by contract, so the deterministic form sorts structs of
+    """Per-user chronological event-type history — collect_list is
+    unordered by contract, so the deterministic form sorts structs of
     (ts, event_id, type) and projects. The serving shape for 'recent
-    activity' feeds."""
+    activity' feeds. Emitted '>'-joined (not as a raw array): the driver
+    comparator requires scalar cells (tests/test_output_shapes.py)."""
     ev = load_table(spark, sf_dir, "events")
-    hist = F.transform(
-        F.array_sort(
-            F.collect_list(F.struct("ts", "event_id", "event_type"))
+    hist = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
         ),
-        lambda s: s["event_type"],
+        ">",
     )
     return ev.groupBy("user_id").agg(
         hist.alias("history"), F.count(F.lit(1)).alias("n")
@@ -123,7 +127,7 @@ def q_event_history_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EVENT_HISTORY = """
 SELECT user_id,
-       list(event_type ORDER BY ts, event_id) AS history,
+       array_to_string(list(event_type ORDER BY ts, event_id), '>') AS history,
        COUNT(*) AS n
 FROM events
 GROUP BY user_id

@@ -74,6 +74,7 @@ _PRIORITY = (
     "layout_zorder",
     "dq_audit",
     "json_as_map",
+    "json_variant",
     "set_ops",
     "join_semi_anti",
     "sim_knn_ivf",
