@@ -418,8 +418,110 @@ SELECT * FROM base, orphans
 """
 
 
+# --- DQ: per-column table profile -----------------------------------------
+# One row per events column: null count + exact distinct count, plus the
+# table row count. Single input scan; the multi-distinct aggregate is
+# Spark's Expand plan (one pass, rows duplicated per distinct spec) — at
+# 100 TB swap count_distinct for approx_count_distinct and the plan
+# collapses to one partial-aggregated pass. stack() unpivots the 1-row
+# aggregate into the per-column report shape.
+_PROFILE_COLS = ("event_id", "user_id", "event_type", "value", "props")
+
+
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}")
+            for c in _PROFILE_COLS
+        ],
+        *[F.count_distinct(F.col(c)).alias(f"nd_{c}") for c in _PROFILE_COLS],
+    )
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, nd_{c}" for c in _PROFILE_COLS
+    )
+    return agg.select(
+        F.col("n_rows"),
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " AS (col_name, n_null, n_distinct)"
+        ),
+    )
+
+
+ORACLE_DQ_PROFILE = f"""
+WITH a AS (
+  SELECT COUNT(*) AS n_rows,
+         {', '.join(
+             f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+             f" AS null_{c}, COUNT(DISTINCT {c}) AS nd_{c}"
+             for c in _PROFILE_COLS
+         )}
+  FROM events
+)
+{' UNION ALL '.join(
+    f"SELECT n_rows, '{c}' AS col_name, null_{c} AS n_null,"
+    f" nd_{c} AS n_distinct FROM a"
+    for c in _PROFILE_COLS
+)}
+"""
+
+
+# --- DQ: referential integrity across relations ---------------------------
+# Orphan counts for every FK edge in the fixture schema, one row per
+# relation. Each check is an anti-join aggregated to a count: the shuffle
+# carries only the FK column (or a broadcast of the parent key set when
+# the parent is dim-sized).
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def orphan_count(child, fk, parent, pk, label):
+        return (
+            child.select(F.col(fk).alias("k"))
+            .join(
+                F.broadcast(parent.select(F.col(pk).alias("k")).distinct()),
+                "k",
+                "left_anti",
+            )
+            .agg(
+                F.lit(label).alias("relation"),
+                F.count(F.lit(1)).alias("n_orphans"),
+            )
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    checks = [
+        orphan_count(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders"),
+        orphan_count(orders, "o_custkey", cust, "c_custkey", "orders->customer"),
+        orphan_count(cust, "c_nationkey", nation, "n_nationkey", "customer->nation"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+ORACLE_DQ_REFERENTIAL = """
+SELECT 'lineitem->orders' AS relation, COUNT(*) AS n_orphans
+FROM lineitem l
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'orders->customer', COUNT(*)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'customer->nation', COUNT(*)
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+"""
+
+
 QUERIES = {
     "dq_audit": (q_dq_audit, ORACLE_DQ_AUDIT),
+    "dq_profile": (q_dq_profile, ORACLE_DQ_PROFILE),
+    "dq_referential": (q_dq_referential, ORACLE_DQ_REFERENTIAL),
     "point_lookup_string_hash": (q_point_lookup, ORACLE_POINT_LOOKUP),
     "join_semi_anti": (q_join_semi_anti, ORACLE_JOIN_SEMI_ANTI),
     "join_full_outer": (q_join_full_outer, ORACLE_JOIN_FULL_OUTER),

@@ -73,6 +73,8 @@ _PRIORITY = (
     "text_bigram_fluency",
     "layout_zorder",
     "dq_audit",
+    "dq_profile",
+    "dq_referential",
     "json_as_map",
     "json_variant",
     "set_ops",
