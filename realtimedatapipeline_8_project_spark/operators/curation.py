@@ -222,8 +222,46 @@ WHERE d.n_chars >= t.lo_chars AND d.n_chars <= t.hi_chars
 """
 
 
+# Source-mix report: the per-source composition summary read before
+# weighting/sampling a training mix — doc counts, size, length envelope,
+# and per-language doc counts within each source. One partial-aggregated
+# shuffle on (source, lang) then a tiny rollup to source.
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return per_lang.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_chars").cast("long").alias("total_chars"),
+        F.min("min_chars").alias("min_chars"),
+        F.max("max_chars").alias("max_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+
+
+ORACLE_SOURCE_MIX = """
+WITH per_lang AS (
+  SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+         MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+  FROM documents GROUP BY source, lang
+)
+SELECT source,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(sum_chars) AS BIGINT) AS total_chars,
+       MIN(min_chars) AS min_chars,
+       MAX(max_chars) AS max_chars,
+       COUNT(*) AS n_langs
+FROM per_lang GROUP BY source
+"""
+
+
 QUERIES = {
     "curation_pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
+    "curation_source_mix": (q_source_mix, ORACLE_SOURCE_MIX),
     "dedup_survivors": (q_dedup_survivors, _oracle_dedup_survivors()),
     "sample_quality_gate": (q_quality_gate, ORACLE_QUALITY_GATE),
 }

@@ -68,6 +68,7 @@ _PRIORITY = (
     "dedup_minhash_portable",
     "dedup_simhash_portable",
     "curation_pii_redact",
+    "curation_source_mix",
     "dedup_survivors",
     "sample_quality_gate",
     "text_bigram_fluency",
