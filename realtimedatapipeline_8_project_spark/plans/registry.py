@@ -17,17 +17,20 @@ from ..operators import (
     curation,
     dedup,
     enrich,
+    fuzzy,
     multimodal,
     pandas_ops,
     range_join,
     reference_pipeline,
     relational,
+    reshape,
     sampling,
     scale,
     similarity,
     sketches,
     sql_surface,
     text_analysis,
+    timeseries,
     windows,
 )
 
@@ -50,6 +53,9 @@ _MODULES = (
     range_join,
     sampling,
     sketches,
+    timeseries,
+    fuzzy,
+    reshape,
 )
 
 # The driver's per-round CORRECTNESS check covers a prefix of the registry
@@ -61,6 +67,13 @@ _MODULES = (
 _PRIORITY = (
     # flagship + this round's fixes (re-verify) and new operators
     "enrich_broadcast_left_join",
+    "ts_gapfill_forward_fill",
+    "scd2_user_state_history",
+    "win_trailing_range_frame",
+    "fuzzy_name_match",
+    "sparse_doc_cosine",
+    "unpivot_metrics",
+    "hist_price_profile",
     "text_repetition",
     "contamination_ngram_overlap",
     "sample_shard_plan",
