@@ -7,21 +7,20 @@ distance and sparse TF cosine).
   blocking key (shared last token), verified with exact Levenshtein
   distance. The standard blocked fuzzy-join shape: the cross product is
   never materialized, only within-block pairs.
-* ``sparse_doc_cosine`` — document-pair cosine over word-bigram TF
-  vectors through an inverted-index (posting-list) self-join — the
-  sparse-vector complement of the dense-embedding near-dup operator
-  (similarity.py). Stop-gram pruning drops grams whose document frequency
-  exceeds a fraction of the corpus, which both removes uninformative
-  features and bounds posting-list length (the quadratic term at scale).
+* ``sparse_doc_cosine`` — top-k documents most similar to a probe
+  document by cosine over word-bigram TF vectors, through an
+  inverted-index (posting-list) join — sparse retrieval, the
+  sparse-vector complement of the dense-embedding kNN operators
+  (similarity.py).
 
 Scale notes: fuzzy matching shuffles only (block_key, name) for distinct
 names — never the fact table; block-key cardinality controls skew (a
-production variant adds a second char-gram block). The sparse cosine
-shuffles (gram, doc_id, tf) postings; with df <= f*N pruning the per-gram
-pair fan-out is bounded by (f*N)^2 — the knob that keeps the plan alive
-at 100x corpus growth. Integer TF dot products are exact in any
-reduction order; only the final norm division is floating point, done
-identically in both engines (functions/exact.fround).
+production variant adds a second char-gram block). Sparse retrieval
+touches only the postings of the probe's grams (broadcast), so work is
+sum-of-df over probe grams — linear in corpus growth, independent of
+corpus^2. Integer TF dot products are exact in any reduction order; only
+the final norm division is floating point, done identically in both
+engines (functions/exact.fround).
 """
 
 from __future__ import annotations
@@ -74,77 +73,84 @@ WHERE levenshtein(a.p_name, b.p_name) <= {LEV_MAX}
 """
 
 
-# --- sparse TF-cosine via inverted index ----------------------------------
+# --- sparse TF-cosine retrieval via inverted index ------------------------
 
-DF_MAX_FRACTION = 0.2  # stop-gram cutoff: drop grams present in >20% of docs
-TOP_PAIRS = 20
+PROBE_DOC = 0
+TOP_DOCS = 20
 
 
-def q_sparse_doc_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most similar document pairs by cosine over word-bigram term
-    frequencies. Candidates come from an inverted-index self-join (pairs
-    must share >= 1 surviving gram); dot products are exact integer sums,
-    norms exact integer sums under a sqrt — bit-stable in both engines."""
-    docs = load_table(spark, sf_dir, "documents")
+def _bigram_tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, gram, tf) over word bigrams — the sparse feature table.
+
+    Shifted-slice ``zip_with`` keeps gram construction linear in document
+    length (index-based ``transform`` + ``element_at`` re-evaluates the
+    ``split`` per element — O(len^2) per doc, the dedup.shingles pitfall)."""
     toks = F.split(F.lower("text"), " ")
-    n_tok = F.size(toks)
-    grams = F.when(
-        n_tok >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n_tok - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    tf = (
+    glen = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, glen),
+        F.slice(toks, 2, glen),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
         docs.select("doc_id", F.explode(grams).alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    df_tbl = (
-        tf.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .crossJoin(F.broadcast(n_docs))
-        .where(F.col("df") <= F.col("n_docs") * F.lit(DF_MAX_FRACTION))
-        .select("gram")
+
+
+def q_sparse_doc_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents most similar to a probe document by cosine over
+    word-bigram term frequencies — sparse retrieval through an inverted
+    index. Only postings for the probe's grams are touched (the candidate
+    set is bounded by sum of those grams' document frequencies, never by
+    corpus^2 — an ALL-pairs sparse join is quadratic on any corpus whose
+    features aren't rare, so pairwise text near-dup stays with the
+    MinHash/SimHash banding family in dedup.py). Dot products are exact
+    integer sums; norms are integer sums under one sqrt; both engines
+    divide the same bits."""
+    docs = load_table(spark, sf_dir, "documents")
+    # probe branch reads ONE document (doc_id filter reaches the scan)
+    probe_tf = _bigram_tf(docs.where(F.col("doc_id") == PROBE_DOC)).select(
+        "gram", F.col("tf").alias("ptf")
     )
-    pruned = tf.join(df_tbl, "gram")
-    norms = pruned.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("norm")
+    probe_norm = probe_tf.agg(
+        F.sqrt(F.sum(F.col("ptf") * F.col("ptf")).cast("double")).alias(
+            "probe_norm"
+        )
     )
-    lhs = pruned.select(
-        "gram", F.col("doc_id").alias("id_a"), F.col("tf").alias("tf_a")
+    # ONE corpus pass: dot against the broadcast probe vector and the
+    # document's own norm^2 come out of the same per-doc aggregation
+    # (left join keeps non-shared grams contributing to the norm)
+    tf = _bigram_tf(docs.where(F.col("doc_id") != PROBE_DOC))
+    scored = (
+        tf.join(F.broadcast(probe_tf), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.coalesce("ptf", F.lit(0))).alias("dot"),
+            F.sum(F.col("tf") * F.col("tf")).alias("norm_sq"),
+        )
+        .where(F.col("dot") > 0)  # candidates: >=1 shared gram
     )
-    rhs = pruned.select(
-        "gram", F.col("doc_id").alias("id_b"), F.col("tf").alias("tf_b")
-    )
-    dots = (
-        lhs.join(rhs, "gram")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
-    )
-    na = norms.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("norm_a"))
-    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("norm_b"))
     return (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
+        scored.crossJoin(F.broadcast(probe_norm))
         .select(
-            "id_a",
-            "id_b",
+            "doc_id",
+            "dot",
             fround(
-                F.col("dot").cast("double") / (F.col("norm_a") * F.col("norm_b")),
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("norm_sq").cast("double")) * F.col("probe_norm")),
                 8,
             ).alias("cosine"),
         )
-        .orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
-        .limit(TOP_PAIRS)
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(TOP_DOCS)
     )
 
 
-_COS = oracle_fround("CAST(d.dot AS DOUBLE) / (na.norm * nb.norm)", 8)
+_COS = oracle_fround(
+    "CAST(s.dot AS DOUBLE) / (sqrt(CAST(s.norm_sq AS DOUBLE)) * p.probe_norm)", 8
+)
 
 ORACLE_SPARSE_COSINE = f"""
 WITH toks AS (
@@ -155,26 +161,23 @@ WITH toks AS (
   FROM toks WHERE len(t) >= 2
 ), tf AS (
   SELECT doc_id, gram, COUNT(*) AS tf FROM grams GROUP BY doc_id, gram
-), keep AS (
-  SELECT gram FROM tf GROUP BY gram
-  HAVING COUNT(*) <= (SELECT COUNT(*) FROM documents) * {DF_MAX_FRACTION}
-), pruned AS (
-  SELECT tf.* FROM tf JOIN keep USING (gram)
-), norms AS (
-  SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS norm
-  FROM pruned GROUP BY doc_id
-), dots AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.tf * b.tf) AS dot
-  FROM pruned a JOIN pruned b
-    ON a.gram = b.gram AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+), probe_tf AS (
+  SELECT gram, tf AS ptf FROM tf WHERE doc_id = {PROBE_DOC}
+), probe_norm AS (
+  SELECT sqrt(CAST(SUM(ptf * ptf) AS DOUBLE)) AS probe_norm FROM probe_tf
+), scored AS (
+  SELECT t.doc_id,
+         SUM(t.tf * COALESCE(p.ptf, 0)) AS dot,
+         SUM(t.tf * t.tf) AS norm_sq
+  FROM tf t LEFT JOIN probe_tf p USING (gram)
+  WHERE t.doc_id <> {PROBE_DOC}
+  GROUP BY t.doc_id
 )
-SELECT d.id_a, d.id_b, {_COS} AS cosine
-FROM dots d
-JOIN norms na ON na.doc_id = d.id_a
-JOIN norms nb ON nb.doc_id = d.id_b
-ORDER BY cosine DESC, d.id_a ASC, d.id_b ASC
-LIMIT {TOP_PAIRS}
+SELECT s.doc_id, s.dot, {_COS} AS cosine
+FROM scored s CROSS JOIN probe_norm p
+WHERE s.dot > 0
+ORDER BY cosine DESC, doc_id ASC
+LIMIT {TOP_DOCS}
 """
 
 

@@ -189,3 +189,74 @@ def test_salted_join_shuffles_on_key_and_salt(spark, sf_small):
     p = plan_of(spark, sf_small, "scale_salted_join")
     assert "ShuffledHashJoin" in p or "SortMergeJoin" in p
     assert "hashpartitioning(user_id" in p and "_salt" in p
+
+
+def test_gapfill_broadcasts_bounds_and_grid(spark, sf_small):
+    """Densify grid: the single-row bounds aggregate and the grid side are
+    broadcast; the daily aggregate rides one user_id-family shuffle. The
+    event scan is never nested-looped against the calendar."""
+    p = plan_of(spark, sf_small, "ts_gapfill_forward_fill")
+    assert "BroadcastExchange" in p
+    assert "NestedLoop" not in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_scd2_single_user_shuffle(spark, sf_small):
+    """Both window passes (change detect, interval close) must share ONE
+    user_id exchange — the sort order carries through."""
+    p = plan_of(spark, sf_small, "scd2_user_state_history")
+    assert p.count("hashpartitioning(user_id") == 1
+    assert "Join" not in p
+
+
+def test_trailing_range_frame_single_shuffle(spark, sf_small):
+    """RANGE-frame rolling sum: one user_id exchange, one sort, no join."""
+    p = plan_of(spark, sf_small, "win_trailing_range_frame")
+    assert p.count("hashpartitioning(user_id") == 1
+    assert "Join" not in p
+
+
+def test_fuzzy_match_blocks_before_distance(spark, sf_small):
+    """Blocked fuzzy join: candidates come from an equi-join on the block
+    key (hash join), never an all-pairs nested loop with the edit distance
+    as the only predicate."""
+    p = plan_of(spark, sf_small, "fuzzy_name_match")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_sparse_cosine_probe_postings_broadcast(spark, sf_small):
+    """Sparse retrieval: the probe's posting list is broadcast and
+    hash-joined against the corpus postings — never a pair-wise nested
+    loop or cartesian. The only nested-loop allowed is the 1-row
+    probe-norm scalar cross join."""
+    p = plan_of(spark, sf_small, "sparse_doc_cosine")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    # every BNLJ in the plan is the 1-row scalar cross join, never an
+    # unkeyed pair join: each must be Cross with a broadcast build side
+    for line in p.splitlines():
+        # tree lines carry the join type ("BroadcastNestedLoopJoin Cross
+        # BuildRight (23)"); the details section repeats the bare name
+        if "BroadcastNestedLoopJoin" in line and "Build" in line:
+            assert "Cross" in line
+    assert p.count("HashAggregate") >= 4  # tf, norms, dot partial+final
+
+
+def test_unpivot_is_expand_no_extra_shuffle(spark, sf_small):
+    """Melt must compile to Expand (map-side row multiplication) feeding a
+    partial-combined aggregate — one exchange of 18 groups, no join."""
+    p = plan_of(spark, sf_small, "unpivot_metrics")
+    assert "Expand" in p
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_histogram_bounds_broadcast_fact_not_shuffled(spark, sf_small):
+    """The min/max pass reduces to ONE row broadcast over the fact scan;
+    the only hash exchange carries 20 bin groups."""
+    p = plan_of(spark, sf_small, "hist_price_profile")
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+    assert "hashpartitioning(o_totalprice" not in p
