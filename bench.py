@@ -49,6 +49,10 @@ HEADLINE = [
     "sim_knn_ivf",
     "asof_last_purchase",
     "range_join_bucketed",
+    "ts_gapfill_forward_fill",
+    "scd2_user_state_history",
+    "sparse_doc_cosine",
+    "unpivot_metrics",
 ]
 
 

@@ -16,9 +16,10 @@ makes that a first-class, testable hook instead of bare logger calls:
   feeds Spark's own progress events (input rows, trigger duration) into
   the same recorder, for queries that do not go through foreachBatch.
 
-Driver-side cost is O(1) per batch: the row count rides on the
-already-persisted batch DataFrame (one cheap count job over cached
-partitions); nothing here collects rows to the driver.
+Driver-side cost is O(1) per batch: the row count is an in-plan
+``observe()`` metric accumulated during the first sink write (zero extra
+jobs — the batch is never re-scanned just to count it); nothing here
+collects rows to the driver.
 """
 
 from __future__ import annotations
