@@ -15,7 +15,7 @@ the join — only the final few-key aggregate exchanges data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import (
@@ -211,3 +211,50 @@ QUERIES = {
     "agg_approx_distinct": (q_approx_distinct, None),
     "agg_top_customers": (q_top_customers, ORACLE_TOP_CUSTOMERS),
 }
+
+
+# --- deterministic mode + interpolated median -----------------------------
+# F.mode is tie-arbitrary in Spark (and DuckDB's mode likewise), so the
+# mode here is computed explicitly: per-group value counts ranked by
+# (count DESC, value ASC) — deterministic in any engine. Median uses both
+# engines' exact interpolated percentile on the same input bits.
+
+
+def q_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lin = load_table(spark, sf_dir, "lineitem")
+    counts = lin.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), F.asc("l_quantity")
+    )
+    modes = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    medians = lin.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return medians.join(modes, "l_returnflag")
+
+
+ORACLE_MODE_MEDIAN = """
+WITH counts AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+), modes AS (
+  SELECT l_returnflag, l_quantity AS mode_qty
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag
+          ORDER BY cnt DESC, l_quantity ASC) AS rn FROM counts)
+  WHERE rn = 1
+), medians AS (
+  SELECT l_returnflag, median(l_quantity) AS median_qty, COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT m.l_returnflag, m.median_qty, m.n, o.mode_qty
+FROM medians m JOIN modes o USING (l_returnflag)
+"""
+
+QUERIES["agg_mode_median"] = (q_mode_median, ORACLE_MODE_MEDIAN)

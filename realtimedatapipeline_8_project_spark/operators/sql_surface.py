@@ -163,3 +163,37 @@ QUERIES = {
     "array_event_history": (q_event_history_arrays, ORACLE_EVENT_HISTORY),
     "explode_top_tokens": (q_top_tokens, ORACLE_TOP_TOKENS),
 }
+
+
+# --- correlated EXISTS with a non-equi correlated predicate ---------------
+# Catalyst must decorrelate the inequality-correlated subquery into a
+# join; DuckDB's unnesting does the same — the query planner workout the
+# simple IN-subquery above doesn't exercise.
+
+
+def q_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 40 * c.c_acctbal
+        )
+        """
+    )
+
+
+ORACLE_EXISTS_CORRELATED = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_totalprice > 40 * c.c_acctbal
+)
+"""
+
+QUERIES["sql_exists_correlated"] = (q_exists_correlated, ORACLE_EXISTS_CORRELATED)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.exact import dsum, oracle_dsum
+from ..functions.exact import dsum, fround, oracle_dsum, oracle_fround
 from ..sources.tables import load_table
 
 
@@ -323,3 +323,39 @@ QUERIES = {
     "win_sessionize": (q_sessionize, ORACLE_SESSIONIZE),
     "win_tumbling_hour": (q_tumbling_hour, ORACLE_TUMBLING_HOUR),
 }
+
+
+# --- distribution family: percent_rank / cume_dist / ntile ----------------
+# (ntile needs a TOTAL order to be deterministic: ties on o_totalprice are
+# broken by o_orderkey in both engines.)
+
+
+def q_distribution_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        fround(F.percent_rank().over(w), 8).alias("pct_rank"),
+        fround(F.cume_dist().over(w), 8).alias("cume"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+_PR = oracle_fround("percent_rank() OVER w", 8)
+_CD = oracle_fround("cume_dist() OVER w", 8)
+
+ORACLE_DISTRIBUTION_FAMILY = f"""
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+       {_PR} AS pct_rank,
+       {_CD} AS cume,
+       CAST(ntile(10) OVER w AS BIGINT) AS decile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+"""
+
+QUERIES["win_distribution_family"] = (
+    q_distribution_family,
+    ORACLE_DISTRIBUTION_FAMILY,
+)

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators import (
     aggregates,
     asof,
+    cdc,
     contamination,
     curation,
     dedup,
@@ -56,6 +57,7 @@ _MODULES = (
     timeseries,
     fuzzy,
     reshape,
+    cdc,
 )
 
 # The driver's per-round CORRECTNESS check covers a prefix of the registry
