@@ -258,3 +258,51 @@ FROM medians m JOIN modes o USING (l_returnflag)
 """
 
 QUERIES["agg_mode_median"] = (q_mode_median, ORACLE_MODE_MEDIAN)
+
+
+# --- sort-free per-group top-1 --------------------------------------------
+# The window form (row_number()=1) must sort every group, and max over a
+# STRUCT falls back to SortAggregate (structs aren't hash-aggregatable in
+# Spark). Encoding the (value, tiebreak) order into one bigint keeps the
+# whole thing a plain HashAggregate with map-side partial combine —
+# max_by over a UNIQUE ordering key is deterministic by construction.
+# Encoding: exact cents (decimal-cast, <=2dp fixture money) * 1e10 +
+# custkey; valid while custkey < 1e10 and |acctbal| < ~9e5 — both hold
+# for TPC-H-shaped keys; widen to decimal(38) arithmetic beyond that.
+# The oracle states the same semantics in its window form.
+
+
+def q_top1_per_group_sortfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    order_key = (
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100).cast("long")
+        * F.lit(10_000_000_000)
+        + F.col("c_custkey")
+    )
+    top = cust.groupBy("c_nationkey").agg(
+        F.max_by("c_acctbal", order_key).alias("top_acctbal"),
+        F.max_by("c_custkey", order_key).alias("top_custkey"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+    return top.select(
+        "c_nationkey", "top_acctbal", "top_custkey", "n_customers"
+    )
+
+
+ORACLE_TOP1_PER_GROUP = """
+WITH ranked AS (
+  SELECT c_nationkey, c_acctbal, c_custkey,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n_customers
+  FROM customer
+)
+SELECT c_nationkey, c_acctbal AS top_acctbal, c_custkey AS top_custkey,
+       n_customers
+FROM ranked WHERE rn = 1
+"""
+
+QUERIES["agg_top1_per_group_sortfree"] = (
+    q_top1_per_group_sortfree,
+    ORACLE_TOP1_PER_GROUP,
+)

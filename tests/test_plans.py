@@ -260,3 +260,13 @@ def test_histogram_bounds_broadcast_fact_not_shuffled(spark, sf_small):
     assert "BroadcastExchange" in p
     assert "SortMergeJoin" not in p
     assert "hashpartitioning(o_totalprice" not in p
+
+
+def test_top1_per_group_is_hash_agg_no_sort(spark, sf_small):
+    """max_by over the encoded order key must stay a HashAggregate with
+    map-side partial combine — no SortAggregate, no Sort node (the whole
+    point vs the row_number()=1 window form)."""
+    p = plan_of(spark, sf_small, "agg_top1_per_group_sortfree")
+    assert "SortAggregate" not in p
+    assert p.count("HashAggregate") >= 2
+    assert not any("Sort [" in l for l in p.splitlines())
