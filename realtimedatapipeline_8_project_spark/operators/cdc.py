@@ -88,3 +88,50 @@ FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
 QUERIES = {
     "snapshot_diff_cdc": (q_snapshot_diff_cdc, ORACLE_SNAPSHOT_DIFF),
 }
+
+
+# --- MERGE INTO (apply a change feed to a base state) ---------------------
+# Spark's native answer to MERGE without a table format: untouched base
+# rows survive via an anti-join against the touched key set; inserts and
+# updates arrive via union. tests/test_cdc.py proves the algebra:
+# merge(old_state, diff(old, new)) == new_state exactly.
+# Scale: both sides are keyed by user_id; the anti-join ships only the
+# touched-key set (broadcast when it fits), the union is shuffle-free.
+
+
+def q_merge_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = _state(ev, OLD_START, CUT)
+    changes = q_snapshot_diff_cdc(spark, sf_dir)
+    touched = changes.where(F.col("change_type") != "unchanged").select(
+        "user_id", "change_type", "new_n", "new_total"
+    )
+    kept = base.join(touched, "user_id", "left_anti")
+    upserts = touched.where(F.col("change_type") != "delete").select(
+        "user_id",
+        F.col("new_n").alias("n"),
+        F.col("new_total").alias("total"),
+    )
+    return kept.unionByName(upserts)
+
+
+ORACLE_MERGE_APPLY = f"""
+WITH base AS (
+  SELECT user_id, COUNT(*) AS n, {oracle_dsum('value', 'total')}
+  FROM events
+  WHERE ts >= TIMESTAMP '{OLD_START}' AND ts < TIMESTAMP '{CUT}'
+  GROUP BY user_id
+), changes AS ({ORACLE_SNAPSHOT_DIFF}),
+touched AS (
+  SELECT user_id, change_type, new_n, new_total FROM changes
+  WHERE change_type <> 'unchanged'
+)
+SELECT b.user_id, b.n, b.total
+FROM base b
+WHERE NOT EXISTS (SELECT 1 FROM touched t WHERE t.user_id = b.user_id)
+UNION ALL
+SELECT user_id, new_n AS n, new_total AS total
+FROM touched WHERE change_type <> 'delete'
+"""
+
+QUERIES["merge_apply_changes"] = (q_merge_apply_changes, ORACLE_MERGE_APPLY)
