@@ -30,20 +30,31 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Columnar parquet scan; Catalyst prunes.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects by default; we read nanos as long and convert to a
-    microsecond TimestampType (integer ``div`` — same truncation DuckDB
-    applies), keeping the scan vectorized. The conversion is schema-aware:
-    an events table that already carries a real timestamp column (e.g.
-    re-exported by this engine) passes through untouched."""
+    ``events.parquet`` fixtures have shipped with three different physical
+    encodings of ``ts`` across driver generations, and every downstream
+    operator assumes a session-TZ ``TimestampType`` (``unix_micros`` etc.
+    reject TIMESTAMP_NTZ):
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it by default; we
+      read nanos as long (``nanosAsLong``) and convert with integer ``div``
+      — the same truncation DuckDB applies — keeping the scan vectorized.
+    - TIMESTAMP_MICROS(isAdjustedToUTC=false): Spark 4.x reads this as
+      TIMESTAMP_NTZ; we cast to ``timestamp``. The session TZ is pinned UTC
+      (session.py), so wall-clock values — and all DuckDB oracles — are
+      unchanged.
+    - TIMESTAMP_MICROS(isAdjustedToUTC=true): already session-TZ
+      TimestampType; passes through untouched."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        ts_type = dict(df.dtypes).get("ts")
+        from pyspark.sql import functions as F
 
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
