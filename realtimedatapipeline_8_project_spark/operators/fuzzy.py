@@ -34,22 +34,48 @@ from ..sources.tables import load_table
 # --- blocked Levenshtein name matching ------------------------------------
 
 LEV_MAX = 2
+# Length-band width for the conjunctive second block key. Must be > 4 so
+# the +/-LEV_MAX expansion below spans at most TWO distinct bands.
+BAND_W = 6
 
 
-def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-identical part names: block on the last token (the product
-    noun), verify with Levenshtein <= 2. Distinct-name catalog first, so
-    the join is over entities, not rows."""
-    names = (
-        load_table(spark, sf_dir, "part")
-        .select("p_name")
-        .distinct()
-        .withColumn("block", F.element_at(F.split("p_name", " "), -1))
+def blocked_name_pairs(names: DataFrame, name_col: str = "p_name") -> DataFrame:
+    """(name_a, name_b, dist) pairs with Levenshtein <= LEV_MAX from a
+    distinct-name catalog, via conjunctive (last token, length band)
+    blocking.
+
+    The length band bounds block population WITHOUT losing recall:
+    Levenshtein(a,b) <= 2 implies |len(a)-len(b)| <= 2, so the a-side
+    emits the bands of len-2, len, len+2 (at most 2 distinct values
+    since BAND_W > 4 — they cover every band intersecting
+    [len-2, len+2]) while the b-side keeps only its own band; any true
+    pair therefore meets in exactly one (token, band) block (recall
+    pinned exactly vs brute force in tests/test_functions.py). Block
+    population is divided by the catalog's length spread instead of
+    being the whole per-token vocabulary — the O(B^2) verify step scales
+    with (names per token per 6-char length band)^2, and the a-side
+    expansion is a fixed <=2x row factor on the tiny distinct-name
+    table, not on facts."""
+    keyed = names.select(F.col(name_col).alias("_n")).withColumn(
+        "tok", F.element_at(F.split("_n", " "), -1)
+    ).withColumn("ln", F.length("_n"))
+    bands = F.array_distinct(
+        F.array(
+            F.expr(f"(ln - {LEV_MAX}) div {BAND_W}"),
+            F.expr(f"ln div {BAND_W}"),
+            F.expr(f"(ln + {LEV_MAX}) div {BAND_W}"),
+        )
     )
-    a = names.select(F.col("p_name").alias("name_a"), "block")
-    b = names.select(F.col("p_name").alias("name_b"), "block")
+    a = keyed.select(
+        F.col("_n").alias("name_a"), "tok", F.explode(bands).alias("band")
+    )
+    b = keyed.select(
+        F.col("_n").alias("name_b"),
+        "tok",
+        F.expr(f"ln div {BAND_W}").alias("band"),
+    )
     return (
-        a.join(b, "block")
+        a.join(b, ["tok", "band"])
         .where(F.col("name_a") < F.col("name_b"))
         .select(
             "name_a",
@@ -60,16 +86,32 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part names: block on (last token, length band),
+    verify with Levenshtein <= 2. Distinct-name catalog first, so the
+    join is over entities, not rows. See :func:`blocked_name_pairs`."""
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    return blocked_name_pairs(names)
+
+
 ORACLE_FUZZY_NAME = f"""
 WITH names AS (
   SELECT DISTINCT p_name,
-         string_split(p_name, ' ')[-1] AS block
+         string_split(p_name, ' ')[-1] AS tok,
+         length(p_name) AS ln
   FROM part
+), a AS (
+  SELECT p_name AS name_a, tok,
+         unnest(list_distinct([(ln - {LEV_MAX}) // {BAND_W},
+                               ln // {BAND_W},
+                               (ln + {LEV_MAX}) // {BAND_W}])) AS band
+  FROM names
+), b AS (
+  SELECT p_name AS name_b, tok, ln // {BAND_W} AS band FROM names
 )
-SELECT a.p_name AS name_a, b.p_name AS name_b,
-       levenshtein(a.p_name, b.p_name) AS dist
-FROM names a JOIN names b ON a.block = b.block AND a.p_name < b.p_name
-WHERE levenshtein(a.p_name, b.p_name) <= {LEV_MAX}
+SELECT a.name_a, b.name_b, levenshtein(a.name_a, b.name_b) AS dist
+FROM a JOIN b ON a.tok = b.tok AND a.band = b.band AND a.name_a < b.name_b
+WHERE levenshtein(a.name_a, b.name_b) <= {LEV_MAX}
 """
 
 
@@ -127,8 +169,10 @@ def q_sparse_doc_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(probe_tf), "gram", "left")
         .groupBy("doc_id")
         .agg(
-            F.sum(F.col("tf") * F.coalesce("ptf", F.lit(0))).alias("dot"),
-            F.sum(F.col("tf") * F.col("tf")).alias("norm_sq"),
+            F.sum(F.col("tf") * F.coalesce("ptf", F.lit(0)))
+            .cast("long")
+            .alias("dot"),
+            F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm_sq"),
         )
         .where(F.col("dot") > 0)  # candidates: >=1 shared gram
     )
@@ -166,9 +210,12 @@ WITH toks AS (
 ), probe_norm AS (
   SELECT sqrt(CAST(SUM(ptf * ptf) AS DOUBLE)) AS probe_norm FROM probe_tf
 ), scored AS (
+  -- CAST: DuckDB SUM(BIGINT) widens to HUGEINT (int128); the driver's
+  -- value-hash canonicalizes HUGEINT differently from Spark's LongType,
+  -- so pin both engines to 64-bit (see ORACLE_SHARD_PLAN precedent).
   SELECT t.doc_id,
-         SUM(t.tf * COALESCE(p.ptf, 0)) AS dot,
-         SUM(t.tf * t.tf) AS norm_sq
+         CAST(SUM(t.tf * COALESCE(p.ptf, 0)) AS BIGINT) AS dot,
+         CAST(SUM(t.tf * t.tf) AS BIGINT) AS norm_sq
   FROM tf t LEFT JOIN probe_tf p USING (gram)
   WHERE t.doc_id <> {PROBE_DOC}
   GROUP BY t.doc_id
