@@ -292,6 +292,28 @@ def test_connected_components_chain_and_star(spark):
     assert got == want
 
 
+def test_connected_components_reliable_checkpoint_dir(spark, tmp_path):
+    """Cluster-grade path: lineage truncation via reliable checkpoint()
+    to a directory (DFS on a real cluster) instead of executor-local
+    localCheckpoint. Same answer, and checkpoint files actually land."""
+    import os
+
+    from realtimedatapipeline_8_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src INT, dst INT"
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        (r["id"], r["comp"])
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+    assert any(os.scandir(ckpt)), "no reliable checkpoint data written"
+
+
 def test_pii_redaction_masks_and_counts(spark):
     """Crafted strings: each PII kind is masked and counted; non-PII
     lookalikes (version numbers, bare @handles) survive."""
