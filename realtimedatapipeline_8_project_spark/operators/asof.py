@@ -127,6 +127,76 @@ ASOF LEFT JOIN purchases p
   ON v.user_id = p.p_user AND v.ts >= p.p_ts
 """
 
+def q_pit_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join — the leakage-safe feature lookup of a
+    training-data pipeline: for every purchase event, attach the user's
+    behavioral state (the SCD2 regime of timeseries.scd2_user_state_history,
+    built over NON-purchase events) valid at the purchase instant. Joining
+    the *current* dim value instead would leak future state into training
+    features; joining on interval containment (valid_from <= ts < valid_to)
+    is a range join; expressed as an as-of join against the change points it
+    is ONE keyed window pass (see module docstring) — the 100 TB-safe plan.
+    State changes at the same instant collapse deterministically to the
+    highest event_id (the final state at that timestamp)."""
+    ev = load_table(spark, sf_dir, "events")
+    behav = ev.where(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = behav.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changed = marked.where(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    w_tie = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    dim = (
+        changed.withColumn("_rn", F.row_number().over(w_tie))
+        .where(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.col("event_type").alias("state_at_event"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        dim,
+        key="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        value_cols=["state_at_event"],
+    )
+
+
+ORACLE_PIT_STATE_JOIN = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events WHERE event_type <> 'purchase'
+), dim AS (
+  SELECT user_id, ts AS valid_from, event_type AS state_at_event
+  FROM marked
+  WHERE prev_type IS NULL OR prev_type <> event_type
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+), purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, d.state_at_event
+FROM purchases p
+ASOF LEFT JOIN dim d
+  ON p.user_id = d.user_id AND p.ts >= d.valid_from
+"""
+
+
 QUERIES = {
     "asof_last_purchase": (q_asof_last_purchase, ORACLE_ASOF_LAST_PURCHASE),
+    "pit_state_join": (q_pit_state_join, ORACLE_PIT_STATE_JOIN),
 }

@@ -143,8 +143,110 @@ GROUP BY c_mktsegment
 """
 
 
+# --- Bloom-filter semi-join reduction -------------------------------------
+# The shuffle-reduction pattern for a selective join whose dim side is too
+# big to broadcast whole but whose BLOOM FILTER is not: build a bit table
+# from the dim keys (one tiny aggregation -> <=1024 rows of 64-bit words),
+# broadcast it, and pre-filter the fact side map-side before the exact
+# shuffle join. False positives only ever ADD rows to the (exact) join
+# input, so the result is bit-identical to the plain semi join — the
+# oracle proves it. At 100 TB this turns "shuffle every fact row" into
+# "shuffle only rows that can match" for the cost of k broadcast hash
+# probes per row; Spark's own runtime bloom filter
+# (spark.sql.optimizer.runtime.bloomFilter.enabled) does this implicitly
+# for suitable shapes — this operator is the explicit, plannable form.
+
+BLOOM_BITS = 1 << 16  # 65 536 bits -> 1024 64-bit words
+BLOOM_SALTS = (2_654_435_761, 2_246_822_519, 3_266_489_917)
+_BLOOM_MOD = 2**32
+
+
+def _bloom_bit(key_col, salt: int):
+    return (key_col * F.lit(salt)) % F.lit(_BLOOM_MOD) % F.lit(BLOOM_BITS)
+
+
+def build_bloom(dim: DataFrame, key: str) -> DataFrame:
+    """(word, bits) Bloom table over the dim keys — one aggregation,
+    output bounded by BLOOM_BITS/64 rows regardless of dim size."""
+    cells = dim.select(
+        F.explode(
+            F.array(*[_bloom_bit(F.col(key), s) for s in BLOOM_SALTS])
+        ).alias("bit")
+    ).select(
+        (F.col("bit") / 64).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").alias(
+            "mask"
+        ),
+    )
+    return cells.groupBy("word").agg(F.expr("bit_or(mask)").alias("bits"))
+
+
+def bloom_prefilter(fact: DataFrame, key: str, bloom: DataFrame) -> DataFrame:
+    """Keep only fact rows whose key passes all k Bloom probes. Each probe
+    is a broadcast hash join on the word index — map-side, no shuffle of
+    the fact table. A key absent from a probed word (null bits) fails."""
+    out = fact
+    for i, s in enumerate(BLOOM_SALTS):
+        out = out.withColumn(f"_bit{i}", _bloom_bit(F.col(key), s))
+        b = bloom.select(
+            F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_bits{i}")
+        )
+        out = (
+            out.join(
+                F.broadcast(b),
+                (F.col(f"_bit{i}") / 64).cast("long") == F.col(f"_w{i}"),
+                "left",
+            )
+            .where(
+                F.expr(
+                    f"(_bits{i} & shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(_bit{i} % 64 AS INT))) != 0"
+                )
+            )
+            .drop(f"_bit{i}", f"_w{i}", f"_bits{i}")
+        )
+    return out
+
+
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event rollup restricted to BUILDING-segment users via Bloom
+    pre-filter + exact shuffle join. Identical to the plain semi join
+    (the oracle) — the Bloom stage only reduces shuffled rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bloom = build_bloom(dim, "c_custkey")
+    filtered = bloom_prefilter(ev, "user_id", bloom)
+    # exact join: shuffle_hash (NOT broadcast — the scenario is a dim too
+    # large to broadcast; only its bloom fits in memory)
+    joined = filtered.hint("shuffle_hash").join(
+        dim, filtered["user_id"] == dim["c_custkey"]
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(27,6)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+ORACLE_BLOOM_SEMIJOIN = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(27,6))), 2) AS DOUBLE) AS sum_value
+FROM events
+WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "scale_salted_agg": (q_salted_agg, ORACLE_SALTED_AGG),
     "scale_agg_then_join": (q_agg_then_join, ORACLE_AGG_THEN_JOIN),
     "scale_salted_join": (q_salted_join, ORACLE_SALTED_JOIN),
+    "scale_bloom_semijoin": (q_bloom_semijoin, ORACLE_BLOOM_SEMIJOIN),
 }

@@ -181,8 +181,141 @@ GROUP BY p.user_id, p.true_n
 """
 
 
+# --- portable HyperLogLog --------------------------------------------------
+# Spark's approx_count_distinct is HLL++ but its hash (xxhash64) has no
+# DuckDB twin, so it can only be rows-only checked. This is the portable
+# twin: the SAME deterministic 32-bit mix, register table, and estimator
+# evaluated in both engines — the sketch semantics (register max, zero
+# count, linear-counting branch) earn a hard value-hash row. The estimator
+# keeps ALL reductions in integer space (sum of 2^(K - M_j) as BIGINT) so
+# no float ordering can diverge; the only float ops are one division and
+# one ln(), identical bit patterns in both engines.
+#
+# Grouped form: distinct user_id per event_type — a per-group sketch is
+# one groupBy((group, bucket)) then one groupBy(group): two map-side-
+# combined shuffles of at most |groups| * m rows, regardless of fact size.
+
+HLL_P = 6
+HLL_M = 1 << HLL_P  # 64 registers
+HLL_K = 27  # max rho for a 26-bit remainder (32 - p bits)
+HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al., HLL for m = 64)
+_HLL_MOD = 2**32
+
+
+def _hll_hash_sql(key: str) -> str:
+    """Portable 32-bit avalanche: mul-xor-shift twice. Intermediates stay
+    under 2^63 (key < 2^31, multipliers chosen so product < 9.2e18) —
+    identical BIGINT arithmetic in Spark SQL and DuckDB."""
+    h0 = f"(({key} * 2654435761) % {_HLL_MOD})"
+    h1 = f"xor({h0}, {h0} // 65536)"
+    h2 = f"(({h1} * 1000000007) % {_HLL_MOD})"
+    return f"xor({h2}, {h2} // 8192)"
+
+
+def _hll_hash_spark(key: str) -> str:
+    h0 = f"(({key} * 2654435761) % {_HLL_MOD})"
+    h1 = f"({h0} ^ ({h0} div 65536))"
+    h2 = f"(({h1} * 1000000007) % {_HLL_MOD})"
+    return f"({h2} ^ ({h2} div 8192))"
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimate from a 64-register portable
+    HLL, joined against the true distinct count. rho = leading-zero count
+    of the 26-bit remainder + 1, via the bit-length of bin() (no leading
+    zeros in either engine); estimate = alpha * m^2 / sum(2^-M_j) with the
+    standard linear-counting branch for small ranges."""
+    ev = load_table(spark, sf_dir, "events")
+    h = _hll_hash_spark("user_id")
+    cells = ev.select(
+        "event_type",
+        F.expr(f"{h} % {HLL_M}").alias("bucket"),
+        F.expr(f"{h} div {HLL_M}").alias("rem"),
+    ).select(
+        "event_type",
+        "bucket",
+        F.when(F.col("rem") == 0, F.lit(HLL_K))
+        .otherwise(F.lit(HLL_K) - F.length(F.bin("rem")))
+        .alias("rho"),
+    )
+    regs = cells.groupBy("event_type", "bucket").agg(F.max("rho").alias("m_j"))
+    per_type = regs.groupBy("event_type").agg(
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("long").alias("n_zero"),
+        F.sum(F.expr(f"CAST(pow(2, {HLL_K} - m_j) AS BIGINT)"))
+        .cast("long")
+        .alias("s_present"),
+    )
+    est = per_type.select(
+        "event_type",
+        "n_zero",
+        (
+            F.col("s_present") + F.col("n_zero") * F.lit(2**HLL_K)
+        ).alias("s_total"),
+    ).select(
+        "event_type",
+        "n_zero",
+        F.expr(
+            f"CAST(round(CASE WHEN n_zero > 0 AND "
+            f"({HLL_ALPHA} * {HLL_M} * {HLL_M} * {2**HLL_K}) / s_total "
+            f"<= 2.5 * {HLL_M} "
+            f"THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / n_zero) "
+            f"ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M} * {2**HLL_K}) / s_total "
+            f"END, 4) AS DOUBLE)"
+        ).alias("hll_estimate"),
+    )
+    truth = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("true_distinct")
+    )
+    return est.join(truth, "event_type").select(
+        "event_type", "true_distinct", "hll_estimate", "n_zero"
+    )
+
+
+def _oracle_hll_distinct() -> str:
+    h = _hll_hash_sql("user_id")
+    return f"""
+WITH cells AS (
+  SELECT event_type,
+         {h} % {HLL_M} AS bucket,
+         {h} // {HLL_M} AS rem
+  FROM events
+), rhos AS (
+  SELECT event_type, bucket,
+         CASE WHEN rem = 0 THEN {HLL_K}
+              ELSE {HLL_K} - length(bin(rem)) END AS rho
+  FROM cells
+), regs AS (
+  SELECT event_type, bucket, MAX(rho) AS m_j FROM rhos
+  GROUP BY event_type, bucket
+), per_type AS (
+  SELECT event_type,
+         CAST({HLL_M} - COUNT(*) AS BIGINT) AS n_zero,
+         CAST(SUM(CAST(pow(2, {HLL_K} - m_j) AS BIGINT)) AS BIGINT)
+           AS s_present
+  FROM regs GROUP BY event_type
+), est AS (
+  SELECT event_type, n_zero,
+         s_present + n_zero * {2**HLL_K} AS s_total
+  FROM per_type
+), truth AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS true_distinct FROM events
+  GROUP BY event_type
+)
+SELECT e.event_type, t.true_distinct,
+       CAST(round(CASE WHEN e.n_zero > 0 AND
+         ({HLL_ALPHA} * {HLL_M} * {HLL_M} * {2**HLL_K}) / e.s_total
+           <= 2.5 * {HLL_M}
+         THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / e.n_zero)
+         ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M} * {2**HLL_K}) / e.s_total
+         END, 4) AS DOUBLE) AS hll_estimate,
+       e.n_zero
+FROM est e JOIN truth t USING (event_type)
+"""
+
+
 QUERIES = {
     "hypertable_rollup": (q_hypertable_rollup, ORACLE_HYPERTABLE_ROLLUP),
     "sketch_count_min": (q_count_min_sketch, ORACLE_COUNT_MIN_SKETCH),
     "sketch_count_min_estimate": (q_count_min_estimate, ORACLE_COUNT_MIN_ESTIMATE),
+    "sketch_hll_portable": (q_hll_distinct, _oracle_hll_distinct()),
 }

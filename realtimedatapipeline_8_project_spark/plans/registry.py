@@ -19,6 +19,7 @@ from ..operators import (
     dedup,
     enrich,
     fuzzy,
+    graph,
     multimodal,
     pandas_ops,
     range_join,
@@ -56,69 +57,81 @@ _MODULES = (
     sketches,
     timeseries,
     fuzzy,
+    graph,
     reshape,
     cdc,
 )
 
 # The driver's per-round CORRECTNESS check covers a prefix of the registry
-# (50 entries in round 1). Order is therefore a verification budget:
-# queries named here register FIRST — the round-1-unchecked families
-# (media/sql/scale/pandas/asof/range/sample/sketch) plus every operator
-# changed this round — so each earns a hard driver row; long-green,
-# unchanged queries fill the tail. Names not listed keep module order.
+# (50 entries). Order is therefore a verification budget: queries named
+# here register FIRST. Round-3 budget: the six queries un-broken by the
+# TIMESTAMP_NTZ load fix, the two operators changed this round
+# (sparse_doc_cosine HUGEINT cast, fuzzy_name_match second block key),
+# the six queries added late in round 2 that never earned a driver row,
+# every operator NEW this round, then the oldest-green rows (r01-only —
+# rotated out of round 2's prefix) to refresh their evidence. Names not
+# listed keep module order.
 _PRIORITY = (
-    # flagship + this round's fixes (re-verify) and new operators
-    "enrich_broadcast_left_join",
-    "ts_gapfill_forward_fill",
-    "scd2_user_state_history",
+    # NTZ-fix re-verification (err/regressed in r02)
+    "win_sessionize",
+    "win_event_gaps",
     "win_trailing_range_frame",
-    "fuzzy_name_match",
-    "sparse_doc_cosine",
-    "unpivot_metrics",
-    "hist_price_profile",
-    "text_repetition",
-    "contamination_ngram_overlap",
-    "sample_shard_plan",
-    "dedup_cluster_components",
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "curation_pii_redact",
-    "curation_source_mix",
-    "dedup_survivors",
-    "sample_quality_gate",
-    "text_bigram_fluency",
-    "layout_zorder",
-    "dq_audit",
-    "dq_profile",
-    "dq_referential",
-    "json_as_map",
-    "json_variant",
-    "set_ops",
-    "join_semi_anti",
-    "sim_knn_ivf",
-    "sim_embedding_neardup",
-    # round-1 driver-unchecked families
-    "media_metadata",
-    "media_decode_stub",
-    "sql_grouping_sets",
-    "sql_scalar_subquery",
-    "sql_in_subquery",
-    "pivot_event_types",
-    "array_event_history",
-    "explode_top_tokens",
-    "scale_salted_agg",
-    "scale_agg_then_join",
-    "scale_salted_join",
-    "pandas_user_trend",
-    "asof_last_purchase",
     "range_join_bucketed",
     "interval_overlap_sessions",
-    "sample_split_assign",
-    "sample_split_leakage_safe",
-    "sample_stratified",
-    "sample_pack_sequences",
-    "hypertable_rollup",
-    "sketch_count_min_estimate",
+    "layout_zorder",
+    # changed this round
+    "sparse_doc_cosine",
+    "fuzzy_name_match",
+    # registered late in r02, never driver-checked
+    "agg_mode_median",
+    "agg_top1_per_group_sortfree",
+    "win_distribution_family",
+    "sql_exists_correlated",
+    "snapshot_diff_cdc",
+    "merge_apply_changes",
+    # flagship stays verified every round
+    "enrich_broadcast_left_join",
+    # --- new in round 3 ---
+    "pit_state_join",
+    "sketch_hll_portable",
+    "graph_pagerank",
+    "scale_bloom_semijoin",
+    # --- oldest-green rotation (rows only from r01) ---
+    "reference_engagement_metrics",
+    "point_lookup_string_hash",
+    "join_full_outer",
+    "enum_validation_filter",
+    "topk_recent",
+    "ordered_drain",
+    "json_decode",
+    "kv_projection",
+    "uuid_repair",
+    "kafka_producer_projection",
+    "agg_percentiles",
+    "agg_pricing_summary",
+    "agg_revenue_by_nation",
+    "agg_rollup",
+    "agg_cube",
+    "agg_distinct_counts",
+    "agg_approx_distinct",
+    "agg_top_customers",
+    "win_latest_per_user",
+    "win_funnel_dropoff",
+    "win_rank_family",
+    "win_sliding_window",
+    "win_rank_orders",
+    "win_running_spend",
+    "win_tumbling_hour",
+    "dedup_exact_fingerprint",
+    "dedup_simhash_neardup",
+    "dedup_jaccard_vs_probe",
+    "dedup_minhash_neardup",
+    "dedup_events_exact",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_winnow_fingerprint",
 )
 
 # Redundant registry entries retired to keep the checked prefix dense:

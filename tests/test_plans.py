@@ -270,3 +270,88 @@ def test_top1_per_group_is_hash_agg_no_sort(spark, sf_small):
     assert "SortAggregate" not in p
     assert p.count("HashAggregate") >= 2
     assert not any("Sort [" in l for l in p.splitlines())
+
+
+def test_bloom_semijoin_broadcasts_filter_shuffles_only_join(spark, sf_small):
+    """Bloom probes must be broadcast hash joins (map-side, no fact
+    shuffle before them); the exact join is the shuffle-hash form (the
+    scenario is a dim too big to broadcast), never a nested loop."""
+    p = plan_of(spark, sf_small, "scale_bloom_semijoin")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "ShuffledHashJoin" in p
+
+
+def test_pit_state_join_single_entity_shuffle(spark, sf_small):
+    """The point-in-time lookup rides the as-of union-marker plan: every
+    exchange is on the entity key (one logical user shuffle shared by the
+    change-point window and the as-of fill) — no inequality join."""
+    p = plan_of(spark, sf_small, "pit_state_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # formatted plans carry partitioning in the details section
+    ex = [l for l in p.splitlines() if "hashpartitioning" in l]
+    assert ex and all("user_id" in l or "_k" in l for l in ex)
+
+
+def test_hll_sketch_partial_aggregates(spark, sf_small):
+    """Register build must map-side combine: HashAggregate pairs around
+    the (event_type, bucket) exchange; no Sort-based aggregation."""
+    p = plan_of(spark, sf_small, "sketch_hll_portable")
+    assert p.count("HashAggregate") >= 4
+    assert "SortAggregate" not in p
+
+
+def test_fuzzy_blocking_full_recall_and_bounded_blocks(spark):
+    """The conjunctive (token, length-band) block key must (a) keep FULL
+    recall — every Levenshtein<=2 pair of a varied-length synthetic
+    catalog is found, identical to brute force — and (b) actually split
+    per-token blocks when name lengths vary (the scale property; the
+    part fixture's 7-12 char names can't exercise it)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from realtimedatapipeline_8_project_spark.operators.fuzzy import (
+        BAND_W,
+        LEV_MAX,
+        blocked_name_pairs,
+    )
+
+    base = ["widget", "widgit", "gadget", "gadgets", "sprocket"]
+    names = list(
+        {
+            f"{'x' * pad} {b} unit"
+            for b in base
+            for pad in (0, 1, 2, 3, 8, 9, 16, 17, 24)
+        }
+    )
+    df = spark.createDataFrame([(n,) for n in names], ["p_name"])
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in blocked_name_pairs(df).collect()
+    }
+    # brute-force ground truth computed Spark-side (catalog is tiny)
+    a = df.select(F.col("p_name").alias("name_a"))
+    b = df.select(F.col("p_name").alias("name_b"))
+    want = {
+        (r["name_a"], r["name_b"])
+        for r in a.crossJoin(b)
+        .where(F.col("name_a") < F.col("name_b"))
+        .where(F.levenshtein("name_a", "name_b") <= LEV_MAX)
+        .collect()
+    }
+    assert got == want, "blocking lost or invented pairs"
+    # block bound: (tok, band) splits the single shared token's block
+    keyed = df.select(
+        F.element_at(F.split("p_name", " "), -1).alias("tok"),
+        F.expr(f"length(p_name) div {BAND_W}").alias("band"),
+    )
+    tok_max = keyed.groupBy("tok").count().agg(F.max("count")).first()[0]
+    block_max = (
+        keyed.groupBy("tok", "band").count().agg(F.max("count")).first()[0]
+    )
+    assert block_max <= max(2, tok_max // 2), (
+        f"(tok, band) block {block_max} vs per-token {tok_max}"
+    )
