@@ -233,6 +233,40 @@ def streaming_event_match_join(
     ).select("left_id", "right_id", "user_id", "left_ts", "right_ts")
 
 
+def streaming_trailing_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming form of the trailing 1-hour per-user engagement rollup
+    (the batch RANGE-frame operator, timeseries.q_trailing_range_frame —
+    the README's "real-time engagement" shape). A per-event RANGE frame
+    isn't incrementally maintainable, so the streaming analog discretizes
+    the trail into sliding windows: each emitted (user, bucket) is the
+    user's value-sum/count for the hour ending at ``bucket_end``,
+    refreshed every ``slide``. Watermark bounds state: closed buckets are
+    evicted, so memory is O(users x windows-in-watermark), not O(events).
+    Exact per-event trails, when needed, belong to the stateful operator
+    family (stateful.running_user_stats)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("user_id"))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(27,6)")), 2)
+            .cast("double")
+            .alias("trailing_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.end").alias("trail_end"),
+            "user_id",
+            "trailing_value",
+            "n_events",
+        )
+    )
+
+
 def streaming_session_window(
     events: DataFrame,
     gap: str = "30 minutes",

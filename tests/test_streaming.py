@@ -231,6 +231,52 @@ def test_streaming_sliding_window_availablenow(spark, sf_small, workdir):
     assert all(e in want for e in emitted)
 
 
+def test_streaming_trailing_rollup_availablenow(spark, sf_small, workdir):
+    """Streaming analog of the batch trailing-RANGE rollup
+    (timeseries.q_trailing_range_frame): every emitted (user, bucket)
+    trail must match the batch sliding-window aggregation exactly."""
+    from realtimedatapipeline_8_project_spark.streaming.pipeline import (
+        streaming_trailing_rollup,
+    )
+
+    src = os.path.join(workdir, "src")
+    _write_event_jsonl(spark, sf_small, src, n_files=2)
+    raw = spark.readStream.format("text").load(src)
+    events = decode_events(raw).withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = streaming_trailing_rollup(events)
+    out = os.path.join(workdir, "trail")
+    q = (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", os.path.join(workdir, "chk_trail"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    batch = (
+        load_table(spark, sf_small, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "user_id")
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(27,6)")), 2)
+            .cast("double")
+            .alias("trailing_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.end").alias("trail_end"),
+            "user_id",
+            "trailing_value",
+            "n_events",
+        )
+    )
+    emitted = sorted(map(str, got.collect()))
+    want = {str(r) for r in batch.collect()}
+    assert len(emitted) > 0
+    assert all(e in want for e in emitted)
+
+
 def test_streaming_session_window_availablenow(spark, sf_small, workdir):
     src = os.path.join(workdir, "src")
     _write_event_jsonl(spark, sf_small, src, n_files=1)
