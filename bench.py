@@ -53,6 +53,11 @@ HEADLINE = [
     "scd2_user_state_history",
     "sparse_doc_cosine",
     "unpivot_metrics",
+    # round-3 additions
+    "pit_state_join",
+    "sketch_hll_portable",
+    "graph_pagerank",
+    "scale_bloom_semijoin",
 ]
 
 

@@ -259,9 +259,73 @@ FROM per_lang GROUP BY source
 """
 
 
+# End-to-end curation pipeline: the composition a training-data run
+# actually executes — exact dedup (normalized-text fingerprint, min-id
+# survivor) -> quality gate (percentile envelope computed over the
+# SURVIVORS, not the raw corpus) -> deterministic split assignment. One
+# query, fully oracle-checked, proving the stages compose without
+# re-materialization: fingerprint+survivor is one fp-key window,
+# thresholds reduce to a broadcast row, split is a map-side hash — the
+# corpus shuffles ONCE (on the fingerprint).
+def q_curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .sampling import assign_split, split_hash
+    from .text_analysis import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.sha2(normalized_text("text"), 256)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    survivors = (
+        docs.select("doc_id", "n_chars", fp.alias("fingerprint"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    thresholds = survivors.agg(
+        F.expr(f"percentile(n_chars, {GATE_LO})").alias("lo_chars"),
+        F.expr(f"percentile(n_chars, {GATE_HI})").alias("hi_chars"),
+    )
+    gated = (
+        survivors.crossJoin(F.broadcast(thresholds))
+        .where(
+            (F.col("n_chars") >= F.col("lo_chars"))
+            & (F.col("n_chars") <= F.col("hi_chars"))
+        )
+        .select("doc_id", "n_chars", "fingerprint")
+    )
+    bucket = F.floor(split_hash("doc_id"))
+    return gated.select(
+        "doc_id", "n_chars", assign_split(bucket).alias("split")
+    )
+
+
+def _oracle_curation_end_to_end() -> str:
+    from .sampling import _O_BUCKET, _O_FP, TRAIN_CUT, VAL_CUT
+
+    return f"""
+WITH survivors AS (
+  SELECT doc_id, n_chars, {_O_FP} AS fingerprint
+  FROM documents
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+), thresholds AS (
+  SELECT quantile_cont(n_chars, {GATE_LO}) AS lo_chars,
+         quantile_cont(n_chars, {GATE_HI}) AS hi_chars
+  FROM survivors
+)
+SELECT doc_id, n_chars,
+       CASE WHEN {_O_BUCKET} < {TRAIN_CUT} THEN 'train'
+            WHEN {_O_BUCKET} < {VAL_CUT} THEN 'val'
+            ELSE 'test' END AS split
+FROM survivors s CROSS JOIN thresholds t
+WHERE s.n_chars >= t.lo_chars AND s.n_chars <= t.hi_chars
+"""
+
+
 QUERIES = {
     "curation_pii_redact": (q_pii_redact, ORACLE_PII_REDACT),
     "curation_source_mix": (q_source_mix, ORACLE_SOURCE_MIX),
+    "curation_end_to_end": (q_curation_end_to_end, _oracle_curation_end_to_end()),
     "dedup_survivors": (q_dedup_survivors, _oracle_dedup_survivors()),
     "sample_quality_gate": (q_quality_gate, ORACLE_QUALITY_GATE),
 }

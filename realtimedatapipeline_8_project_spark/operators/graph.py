@@ -27,11 +27,12 @@ real cluster (bucketing; AQE handles the local case).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as WindowSpec
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 
-PR_ITERS = 6
+PR_ITERS = 5
 PR_SCALE = 10**12  # initial integer rank mass per node
 PR_DAMP_NUM = 85  # damping 0.85 as an integer ratio
 PR_DAMP_DEN = 100
@@ -65,9 +66,18 @@ def pagerank(
     edges: DataFrame,
     iters: int = PR_ITERS,
     checkpoint_dir: str | None = None,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """(src, dst) directed edges (every src must have out-degree >= 1)
-    -> (node, rank) after ``iters`` integer power iterations."""
+    -> (node, rank) after ``iters`` integer power iterations.
+
+    Unlike connected components (labels referenced 3x per round ->
+    3^rounds plan without truncation), each iteration references ``ranks``
+    exactly ONCE, so the logical plan grows linearly — the whole
+    iteration chain runs as one multi-stage job. Only the edge+degree
+    table (consumed every round) is materialized up front, and ranks are
+    truncated every ``checkpoint_every`` rounds as a long-run guard
+    (plan-analysis cost and scheduler lineage, not correctness)."""
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
@@ -76,16 +86,23 @@ def pagerank(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    e = _truncate(edges.select("src", "dst"))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # degree table is reused every round: truncate it too
-    ed = _truncate(e.join(deg, "src"))
-    ranks = _truncate(
-        ed.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("rank", F.lit(PR_SCALE))
+    # degree via a window over ONE src shuffle — a groupBy+self-join would
+    # evaluate the (join+distinct) edge lineage twice before materializing
+    e = edges.select("src", "dst")
+    ed = _truncate(
+        e.withColumn(
+            "deg", F.count(F.lit(1)).over(WindowSpec.partitionBy("src"))
+        )
     )
-    for _ in range(iters):
+    # init ranks from ed (already hash-partitioned by src -> the distinct
+    # reuses that exchange). Per-iteration join strategy is left to AQE:
+    # it broadcasts the rank table while it fits and falls back to a
+    # shuffle join (the honest 100 TB plan, where bucketing both tables
+    # on the node key removes the per-round exchange) when it doesn't.
+    ranks = ed.select(F.col("src").alias("node")).distinct().withColumn(
+        "rank", F.lit(PR_SCALE)
+    )
+    for i in range(iters):
         contrib = ed.join(
             ranks.select(F.col("node").alias("src"), "rank"), "src"
         ).select(
@@ -96,11 +113,13 @@ def pagerank(
                 f"(rank * {PR_DAMP_NUM}) div ({PR_DAMP_DEN} * deg)"
             ).alias("c"),
         )
-        ranks = _truncate(
+        ranks = (
             contrib.groupBy("dst")
             .agg((F.lit(PR_BASE) + F.sum("c")).cast("long").alias("rank"))
             .select(F.col("dst").alias("node"), "rank")
         )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            ranks = _truncate(ranks)
     return ranks
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.exact import fround, oracle_fround
 from ..sources.tables import load_table
 from .text_analysis import normalized_text
 
@@ -302,8 +303,55 @@ SELECT event_id, z_value, z_value >> 24 AS file_id FROM z
 """
 
 
+# --- deterministic weighted reservoir (Efraimidis-Spirakis) ---------------
+# Weighted sampling without replacement as a top-k: priority =
+# -ln(u)/w with u a deterministic hash-uniform in (0,1) — the item set
+# with the k SMALLEST priorities is an exact ES weighted sample, and
+# "top-k by a computed key" is TakeOrderedAndProject in Spark: a per-
+# partition heap + driver merge of k rows, NO global sort, no shuffle of
+# the corpus. Deterministic u makes the sample reproducible and
+# oracle-checkable; ln() is the only float op and both engines evaluate
+# the identical expression per-row (no reductions, so no ordering drift).
+
+RES_K = 50
+
+
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """50-document weighted sample, weight = n_chars: longer documents
+    proportionally more likely, selection exactly reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * F.lit(KNUTH_32)) % F.lit(MOD_32) + 1) / F.lit(
+        MOD_32 + 1
+    )
+    pri = -F.ln(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            fround(pri, 10).alias("priority"),
+        )
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .limit(RES_K)
+    )
+
+
+_O_PRI = oracle_fround(
+    f"-ln((doc_id * {KNUTH_32} % {MOD_32} + 1)"
+    f" / CAST({MOD_32 + 1} AS DOUBLE)) / n_chars",
+    10,
+)
+
+ORACLE_WEIGHTED_RESERVOIR = f"""
+SELECT doc_id, n_chars, {_O_PRI} AS priority
+FROM documents
+ORDER BY priority ASC, doc_id ASC
+LIMIT {RES_K}
+"""
+
+
 QUERIES = {
     "sample_split_assign": (q_split_assign, ORACLE_SPLIT_ASSIGN),
+    "sample_weighted_reservoir": (q_weighted_reservoir, ORACLE_WEIGHTED_RESERVOIR),
     "layout_zorder": (q_zorder_layout, ORACLE_ZORDER_LAYOUT),
     "sample_shard_plan": (q_shard_plan, ORACLE_SHARD_PLAN),
     "sample_split_leakage_safe": (q_split_leakage_safe, ORACLE_SPLIT_LEAKAGE_SAFE),

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.exact import fround, oracle_fround
 from ..sources.tables import load_table
 
 # --- hypertable rollup -----------------------------------------------------
@@ -245,6 +246,10 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("s_present"),
     )
+    # numerator precomputed once so both engines divide the SAME double
+    num = HLL_ALPHA * HLL_M * HLL_M * float(2**HLL_K)
+    raw = F.lit(num) / F.col("s_total")
+    lin = F.lit(float(HLL_M)) * F.ln(F.lit(float(HLL_M)) / F.col("n_zero"))
     est = per_type.select(
         "event_type",
         "n_zero",
@@ -254,13 +259,11 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type",
         "n_zero",
-        F.expr(
-            f"CAST(round(CASE WHEN n_zero > 0 AND "
-            f"({HLL_ALPHA} * {HLL_M} * {HLL_M} * {2**HLL_K}) / s_total "
-            f"<= 2.5 * {HLL_M} "
-            f"THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / n_zero) "
-            f"ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M} * {2**HLL_K}) / s_total "
-            f"END, 4) AS DOUBLE)"
+        fround(
+            F.when(
+                (F.col("n_zero") > 0) & (raw <= F.lit(2.5 * HLL_M)), lin
+            ).otherwise(raw),
+            4,
         ).alias("hll_estimate"),
     )
     truth = ev.groupBy("event_type").agg(
@@ -273,6 +276,7 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_hll_distinct() -> str:
     h = _hll_hash_sql("user_id")
+    num = HLL_ALPHA * HLL_M * HLL_M * float(2**HLL_K)
     return f"""
 WITH cells AS (
   SELECT event_type,
@@ -302,12 +306,12 @@ WITH cells AS (
   GROUP BY event_type
 )
 SELECT e.event_type, t.true_distinct,
-       CAST(round(CASE WHEN e.n_zero > 0 AND
-         ({HLL_ALPHA} * {HLL_M} * {HLL_M} * {2**HLL_K}) / e.s_total
-           <= 2.5 * {HLL_M}
-         THEN {HLL_M} * ln(CAST({HLL_M} AS DOUBLE) / e.n_zero)
-         ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M} * {2**HLL_K}) / e.s_total
-         END, 4) AS DOUBLE) AS hll_estimate,
+       {oracle_fround(
+           f"CASE WHEN e.n_zero > 0 AND {num!r} / e.s_total <= {2.5 * HLL_M!r} "
+           f"THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / e.n_zero) "
+           f"ELSE {num!r} / e.s_total END",
+           4,
+       )} AS hll_estimate,
        e.n_zero
 FROM est e JOIN truth t USING (event_type)
 """

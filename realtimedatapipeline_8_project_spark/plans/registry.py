@@ -96,6 +96,8 @@ _PRIORITY = (
     "sketch_hll_portable",
     "graph_pagerank",
     "scale_bloom_semijoin",
+    "sample_weighted_reservoir",
+    "curation_end_to_end",
     # --- oldest-green rotation (rows only from r01) ---
     "reference_engagement_metrics",
     "point_lookup_string_hash",

@@ -401,3 +401,72 @@ def test_zorder_interleave_known_values_and_locality(spark, sf_small):
     )
     bad = spread.where((F.col("dk1") >= 4096) | (F.col("dk2") >= 4096)).count()
     assert bad == 0
+
+
+def test_pagerank_star_graph_ranks_hub_highest(spark, tmp_path):
+    """Power iteration on a symmetric star (hub 1 - leaves 2..6) plus a
+    detached pair: the hub must out-rank every leaf, all ranks are at
+    least the teleport base, and the reliable-checkpoint path gives the
+    identical answer."""
+    from realtimedatapipeline_8_project_spark.operators.graph import (
+        PR_BASE,
+        pagerank,
+    )
+
+    edges_rows = [(1, i) for i in range(2, 7)] + [(i, 1) for i in range(2, 7)]
+    edges_rows += [(10, 11), (11, 10)]
+    edges = spark.createDataFrame(edges_rows, "src INT, dst INT")
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    assert set(ranks) == {1, 2, 3, 4, 5, 6, 10, 11}
+    assert all(v >= PR_BASE for v in ranks.values())
+    hub = ranks[1]
+    assert all(hub > ranks[i] for i in range(2, 7))
+    # leaves are symmetric -> identical ranks
+    assert len({ranks[i] for i in range(2, 7)}) == 1
+    ckpt = str(tmp_path / "pr_ckpt")
+    ranks2 = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert ranks2 == ranks
+
+
+def test_hll_estimate_within_error_bound(spark, sf_oracle):
+    """Portable HLL with m=64 registers: every per-group estimate must be
+    within 35% of the true distinct count (standard error ~1.04/sqrt(64)
+    = 13%; linear counting covers the small-range groups)."""
+    from realtimedatapipeline_8_project_spark.operators.sketches import (
+        q_hll_distinct,
+    )
+
+    rows = q_hll_distinct(spark, sf_oracle).collect()
+    assert rows
+    for r in rows:
+        err = abs(r["hll_estimate"] - r["true_distinct"]) / r["true_distinct"]
+        assert err < 0.35, (
+            f"{r['event_type']}: est {r['hll_estimate']} vs "
+            f"true {r['true_distinct']}"
+        )
+
+
+def test_weighted_reservoir_prefers_heavy_docs(spark, sf_oracle):
+    """Efraimidis-Spirakis sample (weight = n_chars): the sampled docs'
+    mean length must exceed the corpus mean — the weighting bites — and
+    the sample is exactly reproducible across runs."""
+    from pyspark.sql import functions as F
+
+    from realtimedatapipeline_8_project_spark.operators.sampling import (
+        q_weighted_reservoir,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    s1 = q_weighted_reservoir(spark, sf_oracle).collect()
+    s2 = q_weighted_reservoir(spark, sf_oracle).collect()
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2]
+    sample_mean = sum(r["n_chars"] for r in s1) / len(s1)
+    corpus_mean = (
+        load_table(spark, sf_oracle, "documents")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    assert sample_mean > corpus_mean
