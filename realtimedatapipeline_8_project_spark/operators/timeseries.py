@@ -187,8 +187,62 @@ FROM events
 """
 
 
+# --- M4 downsampling -------------------------------------------------------
+# The standard error-free rendering reduction for time series: per
+# (entity, time bucket), keep min/max/first/last of the value — any
+# line-chart pixel column drawn from the 4 retained points is identical
+# to one drawn from all points. One map-side-combined aggregation; output
+# is bounded by entities x buckets, never event count. first/last are
+# made deterministic by (ts, event_id) ordering via min_by/max_by on an
+# encoded order key (the agg_top1_per_group_sortfree technique — no
+# window, no sort).
+
+
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # order key: BUCKET-RELATIVE microseconds * 2^20 + event_id — monotone
+    # in (ts, event_id) within a bucket (all min_by/max_by needs) and
+    # bounded by 3.6e9 * 2^20 + id < 2^63 (absolute micros would overflow)
+    okey = F.expr(
+        "(unix_micros(ts) - unix_micros(date_trunc('hour', ts)))"
+        " * 1048576 + event_id"
+    )
+    b = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        F.col("value").cast(DEC).alias("v"),
+        okey.alias("ok"),
+    )
+    return b.groupBy("user_id", "bucket").agg(
+        F.min("v").cast("double").alias("v_min"),
+        F.max("v").cast("double").alias("v_max"),
+        F.expr("min_by(v, ok)").cast("double").alias("v_first"),
+        F.expr("max_by(v, ok)").cast("double").alias("v_last"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+ORACLE_M4_DOWNSAMPLE = """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         CAST(value AS DECIMAL(27,6)) AS v,
+         (epoch_us(ts) - epoch_us(date_trunc('hour', ts))) * 1048576
+           + event_id AS ok
+  FROM events
+)
+SELECT user_id, bucket,
+       CAST(MIN(v) AS DOUBLE) AS v_min,
+       CAST(MAX(v) AS DOUBLE) AS v_max,
+       CAST(min_by(v, ok) AS DOUBLE) AS v_first,
+       CAST(max_by(v, ok) AS DOUBLE) AS v_last,
+       COUNT(*) AS n_points
+FROM b GROUP BY user_id, bucket
+"""
+
+
 QUERIES = {
     "ts_gapfill_forward_fill": (q_gapfill_forward_fill, ORACLE_GAPFILL),
     "scd2_user_state_history": (q_scd2_user_state_history, ORACLE_SCD2),
     "win_trailing_range_frame": (q_trailing_range_frame, ORACLE_TRAILING_RANGE),
+    "ts_m4_downsample": (q_m4_downsample, ORACLE_M4_DOWNSAMPLE),
 }

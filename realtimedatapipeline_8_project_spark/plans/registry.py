@@ -98,6 +98,7 @@ _PRIORITY = (
     "scale_bloom_semijoin",
     "sample_weighted_reservoir",
     "curation_end_to_end",
+    "ts_m4_downsample",
     # --- oldest-green rotation (rows only from r01) ---
     "reference_engagement_metrics",
     "point_lookup_string_hash",

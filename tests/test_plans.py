@@ -355,3 +355,12 @@ def test_fuzzy_blocking_full_recall_and_bounded_blocks(spark):
     assert block_max <= max(2, tok_max // 2), (
         f"(tok, band) block {block_max} vs per-token {tok_max}"
     )
+
+
+def test_m4_downsample_is_one_partial_combined_agg(spark, sf_small):
+    """M4 must be a single map-side-combined hash aggregation — no join,
+    no sort; output bounded by entities x buckets."""
+    p = plan_of(spark, sf_small, "ts_m4_downsample")
+    assert p.count("HashAggregate") >= 2
+    assert "SortAggregate" not in p
+    assert "Join" not in p

@@ -135,3 +135,54 @@ def test_connected_components_deep_chain_converges(spark):
     )
     got = {r["id"]: r["comp"] for r in connected_components(df).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_asof_join_matches_bruteforce(spark, data):
+    """The union-marker as-of join equals the brute-force definition
+    (latest right row with rts <= lts per key; NULL when none) on random
+    inputs, including equal-timestamp and empty-right edge cases."""
+    from realtimedatapipeline_8_project_spark.operators.asof import asof_join
+
+    lefts = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 20)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    rights = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(-99, 99)),
+            min_size=0,
+            max_size=40,
+        )
+    )
+    # unique right (key, ts): keep max payload (deterministic tie-break),
+    # mirroring the dedup contract asof_join requires of its right side
+    best = {}
+    for k, ts, v in rights:
+        if (k, ts) not in best or v > best[(k, ts)]:
+            best[(k, ts)] = v
+    rrows = [(k, ts, v) for (k, ts), v in best.items()]
+    ldf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(lefts)], ["lid", "k", "lts"]
+    )
+    rdf = (
+        spark.createDataFrame(rrows, ["k", "rts", "v"])
+        if rrows
+        else spark.createDataFrame([], "k INT, rts INT, v INT")
+    )
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            ldf, rdf, key="k", left_ts="lts", right_ts="rts",
+            value_cols=["v"],
+        ).collect()
+    }
+    for i, (k, lts) in enumerate(lefts):
+        cands = [(ts, v) for (kk, ts), v in best.items()
+                 if kk == k and ts <= lts]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, f"left {i} key {k} ts {lts}"

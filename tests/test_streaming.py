@@ -145,6 +145,61 @@ def test_latest_wins_on_duplicate_key(spark, sf_small, workdir):
     assert snap.where(F.col("duration") == 999.0).count() == 10
 
 
+def test_checkpoint_recovery_resumes_where_stopped(spark, sf_small, workdir):
+    """Kill the stream after the first micro-batch, restart from the same
+    checkpoint: the resumed query must NOT reprocess committed batches and
+    the final history must exactly equal the batch computation (T3
+    checkpoint recovery + T6 effective exactly-once, end to end)."""
+    src = os.path.join(workdir, "src")
+    out = os.path.join(workdir, "out")
+    chk = os.path.join(workdir, "chk")
+    n = _write_event_jsonl(spark, sf_small, src, n_files=4)
+    dim = load_dim(spark, sf_small)
+
+    from realtimedatapipeline_8_project_spark.streaming.pipeline import (
+        read_json_stream,
+        start_pipeline,
+    )
+
+    # phase 1: drain ONE file per trigger and stop after the first commit
+    q = start_pipeline(
+        spark,
+        read_json_stream(spark, src, max_files_per_trigger=1),
+        dim,
+        out,
+        chk,
+        trigger={"processingTime": "0 seconds"},
+    )
+    import time as _t
+
+    deadline = _t.time() + 60
+    while _t.time() < deadline and not q.recentProgress:
+        _t.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    done_rows = spark.read.parquet(os.path.join(out, "history")).count()
+    assert 0 < done_rows <= n
+
+    # phase 2: restart from the same checkpoint, drain the rest
+    q2 = start_pipeline(
+        spark,
+        read_json_stream(spark, src, max_files_per_trigger=1),
+        dim,
+        out,
+        chk,
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination()
+
+    hist = spark.read.parquet(os.path.join(out, "history"))
+    assert hist.count() == n, "resume lost or duplicated rows"
+    batch = derive(enrich_events(load_table(spark, sf_small, "events"), dim))
+    cols = [c for c in hist.columns if c != "batch_id"]
+    got = sorted(map(str, hist.select(*sorted(cols)).collect()))
+    want = sorted(map(str, batch.select(*sorted(cols)).collect()))
+    assert got == want
+
+
 def test_decode_drops_unknown_and_nulls_on_malformed(spark):
     """from_json strictness: unknown fields dropped, malformed rows null
     (SURVEY §1.3)."""
