@@ -177,6 +177,57 @@ def compact_rollup(spark: SparkSession, output_dir: str) -> None:
     ).write.mode("overwrite").partitionBy("batch_id").parquet(rollup_path)
 
 
+# --- incremental count-min sketch (mergeable-sketch sink) ------------------
+# Sketches are the streaming-native rollup for key frequencies: counters
+# are associative, so each micro-batch writes its own O(W x D) partial
+# sketch partition and the serving read merges by cell addition — the
+# same exactness-under-replay story as the rollup sink (idempotent per
+# batch id), with state bounded by the sketch dimensions regardless of
+# key cardinality. Different clusters / days / shards can build sketches
+# independently and merge them losslessly.
+
+
+def write_sketch(
+    batch_df: DataFrame, batch_id: int, output_dir: str, key: str = "user_id"
+) -> None:
+    """O(batch) partial count-min contribution, idempotent per batch id."""
+    from ..operators.sketches import CM_DEPTH, _cm_slot
+
+    cells = batch_df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        _cm_slot(F.col(key), d).alias("slot"),
+                    )
+                    for d in range(CM_DEPTH)
+                ]
+            )
+        ).alias("c")
+    ).select("c.depth", "c.slot")
+    (
+        cells.groupBy("depth", "slot")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(output_dir, "sketch"))
+    )
+
+
+def read_sketch(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Serving view: the merged sketch = cell-wise sum of all partials —
+    identical to a single-pass sketch over the union of the batches."""
+    partials = spark.read.parquet(os.path.join(output_dir, "sketch"))
+    return (
+        partials.drop("batch_id")
+        .groupBy("depth", "slot")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
 def write_batch_fanout(
     batch_df: DataFrame,
     batch_id: int,

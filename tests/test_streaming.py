@@ -145,6 +145,34 @@ def test_latest_wins_on_duplicate_key(spark, sf_small, workdir):
     assert snap.where(F.col("duration") == 999.0).count() == 10
 
 
+def test_incremental_sketch_merges_to_batch_sketch(spark, sf_small, workdir):
+    """Mergeable-sketch sink: per-batch partial count-min sketches summed
+    on read must equal the one-pass batch sketch over all events, stay
+    exact after an idempotent batch replay, and never undercount."""
+    from realtimedatapipeline_8_project_spark.operators.sketches import (
+        q_count_min_sketch,
+    )
+    from realtimedatapipeline_8_project_spark.streaming.sinks import (
+        read_sketch,
+        write_sketch,
+    )
+
+    out = os.path.join(workdir, "out")
+    ev = load_table(spark, sf_small, "events")
+    n = ev.count()
+    per = (n + 3) // 4
+    chunks = [
+        ev.orderBy("event_id").offset(i * per).limit(per) for i in range(4)
+    ]
+    for i, c in enumerate(chunks):
+        write_sketch(c, i, out)
+    write_sketch(chunks[2], 2, out)  # replay one committed batch id
+
+    got = sorted(map(tuple, read_sketch(spark, out).collect()))
+    want = sorted(map(tuple, q_count_min_sketch(spark, sf_small).collect()))
+    assert got == want
+
+
 def test_checkpoint_recovery_resumes_where_stopped(spark, sf_small, workdir):
     """Kill the stream after the first micro-batch, restart from the same
     checkpoint: the resumed query must NOT reprocess committed batches and
