@@ -431,7 +431,149 @@ FROM e GROUP BY label
 """
 
 
+# --- integer-exact k-means training ----------------------------------------
+# The trained-codebook half of the IVF story (q_knn_ivf uses a
+# deterministic sample as its coarse quantizer; this operator trains a
+# real one). Float Lloyd iterations can never hash-match across engines
+# (distance sums and mean updates are reduction-order-dependent), so the
+# entire algorithm runs in integer space: vectors quantized once by
+# floor(x * 1e6) (exact double op), distances are exact int64 sums of
+# squared differences, and centroid updates are floor(sum / count) with
+# the division done in (exact-range) double then floored — every
+# iteration bit-identical in Spark and DuckDB, at any partition count.
+#
+# Scale shape: assignment is a ROW-LOCAL fold over the broadcast K-row
+# centroid array (zero corpus shuffle — same plan as IVF assignment);
+# the update is posexplode to (cluster, dim) cells with map-side combine
+# — the shuffle carries K x D partial sums per partition, never vectors.
+# The plan grows linearly in iterations (each references the assignment
+# once), so no per-round checkpoint is needed at these depths.
+
+KM_K = 4
+KM_ITERS = 3
+KM_QSCALE = 10**6
+KM_INIT_IDS = (0, 100, 200, 300)
+KM_DIM = 64
+
+
+def _km_quantize(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {KM_QSCALE}) AS BIGINT))"
+        ).alias("qv"),
+    )
+
+
+_KM_DIST = (
+    "aggregate(zip_with(qv, cent.c, (a, b) -> (a - b) * (a - b)), "
+    "CAST(0 AS BIGINT), (s, x) -> s + x)"
+)
+
+
+def _km_assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, qv, k, d): nearest centroid per vector — row-local fold
+    over the broadcast centroid array; ties break to the lowest k via
+    struct ordering (d first, k second)."""
+    row = cents.agg(
+        F.array_sort(F.collect_list(F.struct("k", "c"))).alias("cents")
+    )
+    best = F.expr(
+        f"array_min(transform(cents, cent -> "
+        f"named_struct('d', {_KM_DIST}, 'k', cent.k)))"
+    )
+    return (
+        q.crossJoin(F.broadcast(row))
+        .withColumn("_b", best)
+        .select("vec_id", "qv", F.col("_b.k").alias("k"), F.col("_b.d").alias("d"))
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """New centroids: element-wise floor-mean of member vectors."""
+    cells = assigned.select("k", F.posexplode("qv").alias("pos", "val"))
+    sums = cells.groupBy("k", "pos").agg(
+        F.sum("val").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        sums.select(
+            "k",
+            "pos",
+            F.expr("CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)").alias("m"),
+        )
+        .groupBy("k")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("k", F.expr("transform(pm, x -> x.m)").alias("c"))
+    )
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM_ITERS Lloyd iterations from a fixed spread of seed vectors;
+    output = final assignment (vec_id, cluster, dist) — integer-exact."""
+    q = _km_quantize(load_table(spark, sf_dir, "embeddings"))
+    k_of = F.expr(
+        "CASE vec_id " + " ".join(
+            f"WHEN {v} THEN {i}" for i, v in enumerate(KM_INIT_IDS)
+        ) + " END"
+    ).cast("int")
+    cents = q.where(F.col("vec_id").isin(*KM_INIT_IDS)).select(
+        k_of.alias("k"), F.col("qv").alias("c")
+    )
+    assigned = None
+    for _ in range(KM_ITERS):
+        assigned = _km_assign(q, cents)
+        cents = _km_update(assigned)
+    return assigned.select(
+        "vec_id", F.col("k").alias("cluster"), F.col("d").alias("dist")
+    )
+
+
+def _oracle_kmeans_train() -> str:
+    k_case = "CASE vec_id " + " ".join(
+        f"WHEN {v} THEN {i}" for i, v in enumerate(KM_INIT_IDS)
+    ) + " END"
+    dist = (
+        f"CAST(list_sum(list_transform(range(1, {KM_DIM + 1}), "
+        f"i -> (v.qv[i] - c.c[i]) * (v.qv[i] - c.c[i]))) AS BIGINT)"
+    )
+    its = []
+    prev_c = "c0"
+    for t in range(1, KM_ITERS + 1):
+        its.append(f"""a{t} AS (
+  SELECT v.vec_id, v.qv, c.k, {dist} AS d
+  FROM q v CROSS JOIN {prev_c} c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY d, c.k) = 1
+)""")
+        if t < KM_ITERS:
+            its.append(f"""e{t} AS (
+  SELECT k, i, CAST(SUM(qv[i]) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a{t} CROSS JOIN range(1, {KM_DIM + 1}) t{t}(i)
+  GROUP BY k, i
+), c{t} AS (
+  SELECT k, array_agg(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+                      ORDER BY i) AS c
+  FROM e{t} GROUP BY k
+)""")
+            prev_c = f"c{t}"
+    chain = ",\n".join(its)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {KM_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+), c0 AS (
+  SELECT {k_case} AS k, qv AS c FROM q
+  WHERE vec_id IN {KM_INIT_IDS}
+),
+{chain}
+SELECT vec_id, k AS cluster, d AS dist FROM a{KM_ITERS}
+"""
+
+
 QUERIES = {
+    "sim_kmeans_train": (q_kmeans_train, _oracle_kmeans_train()),
     "sim_knn_bruteforce": (q_knn_bruteforce, ORACLE_KNN_BRUTEFORCE),
     "sim_embedding_quantize": (q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE),
     "sim_knn_lsh": (q_knn_lsh, ORACLE_KNN_LSH),

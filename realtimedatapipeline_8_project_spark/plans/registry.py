@@ -99,6 +99,7 @@ _PRIORITY = (
     "sample_weighted_reservoir",
     "curation_end_to_end",
     "ts_m4_downsample",
+    "sim_kmeans_train",
     # --- oldest-green rotation (rows only from r01) ---
     "reference_engagement_metrics",
     "point_lookup_string_hash",

@@ -364,3 +364,13 @@ def test_m4_downsample_is_one_partial_combined_agg(spark, sf_small):
     assert p.count("HashAggregate") >= 2
     assert "SortAggregate" not in p
     assert "Join" not in p
+
+
+def test_kmeans_assignment_is_broadcast_fold_no_smj(spark, sf_small):
+    """k-means assignment must stay a row-local fold over the broadcast
+    centroid row (no sort-merge join anywhere); updates are partial-
+    combined hash aggregates."""
+    p = plan_of(spark, sf_small, "sim_kmeans_train")
+    assert "SortMergeJoin" not in p
+    assert "BroadcastExchange" in p
+    assert p.count("HashAggregate") >= 2

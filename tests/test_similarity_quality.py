@@ -32,3 +32,38 @@ def test_minhash_pairs_are_verified_neardups(spark, sf_small):
 def test_embedding_neardup_threshold(spark, sf_small):
     rows = QUERIES["sim_embedding_neardup"](spark, sf_small).collect()
     assert all(r.cosine >= 0.95 for r in rows)
+
+
+def test_kmeans_inertia_non_increasing(spark, sf_small):
+    """Lloyd iterations must not increase total inertia (sum of member
+    distances), and the final clustering must be non-trivial (every
+    cluster populated, more than one cluster used)."""
+    from pyspark.sql import functions as F
+
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        KM_INIT_IDS,
+        KM_ITERS,
+        _km_assign,
+        _km_quantize,
+        _km_update,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    q = _km_quantize(load_table(spark, sf_small, "embeddings"))
+    k_of = F.expr(
+        "CASE vec_id "
+        + " ".join(f"WHEN {v} THEN {i}" for i, v in enumerate(KM_INIT_IDS))
+        + " END"
+    ).cast("int")
+    cents = q.where(F.col("vec_id").isin(*KM_INIT_IDS)).select(
+        k_of.alias("k"), F.col("qv").alias("c")
+    )
+    inertias = []
+    for _ in range(KM_ITERS):
+        assigned = _km_assign(q, cents)
+        inertias.append(assigned.agg(F.sum("d")).first()[0])
+        cents = _km_update(assigned)
+    assert all(a >= b for a, b in zip(inertias, inertias[1:])), inertias
+    sizes = assigned.groupBy("k").count().collect()
+    assert len(sizes) > 1
+    assert all(r["count"] > 0 for r in sizes)
