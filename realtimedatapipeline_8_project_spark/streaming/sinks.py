@@ -76,6 +76,28 @@ def read_latest(spark: SparkSession, output_dir: str) -> DataFrame:
     return _latest_wins(hist)
 
 
+def read_history_asof(
+    spark: SparkSession, output_dir: str, batch_id: int
+) -> DataFrame:
+    """Time-travel read: the history exactly as of ``batch_id``. Because
+    the sink layout is one immutable partition per committed batch, an
+    as-of read is a partition-pruned scan (batch_id <= N reaches the
+    parquet scan as partition filters — no tombstones, no log replay):
+    reproducible training snapshots and debugging reads come free from
+    the idempotent layout."""
+    return spark.read.parquet(os.path.join(output_dir, "history")).where(
+        F.col("batch_id") <= batch_id
+    )
+
+
+def read_latest_asof(
+    spark: SparkSession, output_dir: str, batch_id: int
+) -> DataFrame:
+    """Latest-per-key view as it stood after ``batch_id`` committed —
+    the keyed serving table's time-travel twin."""
+    return _latest_wins(read_history_asof(spark, output_dir, batch_id))
+
+
 def compact_latest(spark: SparkSession, output_dir: str) -> None:
     """Materialize the latest view for serving (amortized; idempotent via
     write-then-swap)."""
