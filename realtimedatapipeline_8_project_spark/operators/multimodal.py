@@ -181,7 +181,34 @@ FROM d GROUP BY kind
 """
 
 
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-10th-frame sampling plan for the video rows: one exploded
+    (media_id, frame_idx) row per frame to decode. Runs through the
+    Arrow decode stub for n_frames, then pure JVM sequence+explode — the
+    oracle replays the stub's sha256-derived frame counts in SQL, so the
+    whole mapInPandas -> explode pipeline is value-checked."""
+    decoded = decode_media(synthesize_media(spark, sf_dir))
+    return frame_sample(decoded).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+ORACLE_MEDIA_FRAME_SAMPLE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, sha256(text) AS hx
+  FROM documents
+  WHERE (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] = 'video'
+), d AS (
+  SELECT media_id, 1 + {_oracle_hex_byte(2)} % 30 AS n_frames FROM m
+)
+SELECT media_id,
+       CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx
+FROM d
+"""
+
+
 QUERIES = {
     "media_metadata": (q_media_metadata, ORACLE_MEDIA_METADATA),
     "media_decode_stub": (q_media_decode, ORACLE_MEDIA_DECODE),
+    "media_frame_sample": (q_media_frame_sample, ORACLE_MEDIA_FRAME_SAMPLE),
 }

@@ -100,6 +100,7 @@ _PRIORITY = (
     "curation_end_to_end",
     "ts_m4_downsample",
     "sim_kmeans_train",
+    "media_frame_sample",
     # --- oldest-green rotation (rows only from r01) ---
     "reference_engagement_metrics",
     "point_lookup_string_hash",
