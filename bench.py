@@ -58,6 +58,12 @@ HEADLINE = [
     "sketch_hll_portable",
     "graph_pagerank",
     "scale_bloom_semijoin",
+    "sample_weighted_reservoir",
+    "curation_end_to_end",
+    "ts_m4_downsample",
+    "sim_kmeans_train",
+    "media_frame_sample",
+    "dq_outliers",
 ]
 
 

@@ -518,10 +518,83 @@ WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
 """
 
 
+# --- DQ: per-entity z-score outliers ---------------------------------------
+# Anomaly surfacing for the engagement stream: events whose value sits
+# > 3 sigma from their user's own distribution. The integer-twin
+# discipline makes it hash-checkable: values are half-up quantized to
+# centi-units ONCE (floor(v*100 + 0.5) — exact double ops), the moments
+# are exact int64 sums, and the remaining mean/variance/sqrt arithmetic
+# is the identical IEEE expression in both engines. One user-key shuffle
+# for the moments (map-side combined), broadcast back over the scan.
+
+DQ_Z_THRESHOLD = 3.0
+DQ_Z_MIN_N = 20
+
+
+def q_dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import fround
+
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v100"),
+    )
+    m = q.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v100").alias("s"),
+        F.sum(F.expr("v100 * v100")).alias("ss"),
+    ).where(F.col("n") >= DQ_Z_MIN_N)
+    z = F.expr(
+        "(v100 - CAST(s AS DOUBLE) / n) / "
+        "sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n)"
+    )
+    return (
+        q.join(m, "user_id")
+        .where(
+            F.expr(
+                "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n > 0"
+            )
+        )
+        .withColumn("zscore", fround(z, 6))
+        .where(F.abs(F.col("zscore")) > DQ_Z_THRESHOLD)
+        .select("event_id", "user_id", "value", "zscore")
+    )
+
+
+def _oracle_dq_outliers() -> str:
+    from ..functions.exact import oracle_fround
+
+    z = oracle_fround(
+        "(q.v100 - CAST(m.s AS DOUBLE) / m.n) / "
+        "sqrt((CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n) / m.n)",
+        6,
+    )
+    return f"""
+WITH q AS (
+  SELECT event_id, user_id, value,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+  FROM events
+), m AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(v100) AS BIGINT) AS s,
+         CAST(SUM(v100 * v100) AS BIGINT) AS ss
+  FROM q GROUP BY user_id
+  HAVING COUNT(*) >= {DQ_Z_MIN_N}
+)
+SELECT q.event_id, q.user_id, q.value, {z} AS zscore
+FROM q JOIN m USING (user_id)
+WHERE (CAST(m.ss AS DOUBLE) - CAST(m.s AS DOUBLE) * m.s / m.n) / m.n > 0
+  AND abs({z}) > {DQ_Z_THRESHOLD}
+"""
+
+
 QUERIES = {
     "dq_audit": (q_dq_audit, ORACLE_DQ_AUDIT),
     "dq_profile": (q_dq_profile, ORACLE_DQ_PROFILE),
     "dq_referential": (q_dq_referential, ORACLE_DQ_REFERENTIAL),
+    "dq_outliers": (q_dq_outliers, _oracle_dq_outliers()),
     "point_lookup_string_hash": (q_point_lookup, ORACLE_POINT_LOOKUP),
     "join_semi_anti": (q_join_semi_anti, ORACLE_JOIN_SEMI_ANTI),
     "join_full_outer": (q_join_full_outer, ORACLE_JOIN_FULL_OUTER),

@@ -101,6 +101,7 @@ _PRIORITY = (
     "ts_m4_downsample",
     "sim_kmeans_train",
     "media_frame_sample",
+    "dq_outliers",
     # --- oldest-green rotation (rows only from r01) ---
     "reference_engagement_metrics",
     "point_lookup_string_hash",
