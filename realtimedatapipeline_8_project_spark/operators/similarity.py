@@ -572,8 +572,125 @@ SELECT vec_id, k AS cluster, d AS dist FROM a{KM_ITERS}
 """
 
 
+# --- IVF with a TRAINED codebook -------------------------------------------
+# q_knn_ivf's deterministic-sample quantizer, upgraded with the k-means
+# trainer above: one Lloyd iteration from spread seeds, then the same
+# probe-limited scan — entirely in quantized integer space so the whole
+# train -> assign -> probe -> rank pipeline is hash-checkable. Same scale
+# shape as q_knn_ivf: assignment is a row-local fold over the broadcast
+# codebook, and the probe touches only IVFT_PROBE inverted lists.
+
+IVFT_K = 8
+IVFT_SEEDS = tuple(range(0, 400, 50))  # vec_ids present at every sf
+IVFT_PROBE = 2
+IVFT_TOP = 10
+IVFT_PROBE_ID = 0
+
+_IVFT_PDIST = (
+    "aggregate(zip_with(qv, pqv, (a, b) -> (a - b) * (a - b)), "
+    "CAST(0 AS BIGINT), (s, x) -> s + x)"
+)
+
+
+def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 nearest vectors to the probe by exact quantized L2, scanning
+    only the IVFT_PROBE clusters of a 1-iteration-trained codebook."""
+    q = _km_quantize(load_table(spark, sf_dir, "embeddings"))
+    k_of = F.expr(
+        "CASE vec_id " + " ".join(
+            f"WHEN {v} THEN {i}" for i, v in enumerate(IVFT_SEEDS)
+        ) + " END"
+    ).cast("int")
+    cents = q.where(F.col("vec_id").isin(*IVFT_SEEDS)).select(
+        k_of.alias("k"), F.col("qv").alias("c")
+    )
+    cents = _km_update(_km_assign(q, cents))  # one Lloyd iteration
+    assigned = _km_assign(q, cents)
+    probe = q.where(F.col("vec_id") == IVFT_PROBE_ID).select(
+        F.col("qv").alias("pqv")
+    )
+    # 2 nearest inverted lists for the probe (tiny: K rows)
+    plists = (
+        cents.crossJoin(F.broadcast(probe))
+        .select(
+            "k",
+            F.expr(
+                "aggregate(zip_with(c, pqv, (a, b) -> (a - b) * (a - b)), "
+                "CAST(0 AS BIGINT), (s, x) -> s + x)"
+            ).alias("pd"),
+        )
+        .orderBy(F.asc("pd"), F.asc("k"))
+        .limit(IVFT_PROBE)
+        .select("k")
+    )
+    return (
+        assigned.join(F.broadcast(plists), "k")
+        .crossJoin(F.broadcast(probe))
+        .where(F.col("vec_id") != IVFT_PROBE_ID)
+        .select("vec_id", F.expr(_IVFT_PDIST).alias("dist"))
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(IVFT_TOP)
+    )
+
+
+def _oracle_knn_ivf_trained() -> str:
+    k_case = "CASE vec_id " + " ".join(
+        f"WHEN {v} THEN {i}" for i, v in enumerate(IVFT_SEEDS)
+    ) + " END"
+    dist = (
+        f"CAST(list_sum(list_transform(range(1, {KM_DIM + 1}), "
+        f"i -> (v.qv[i] - c.c[i]) * (v.qv[i] - c.c[i]))) AS BIGINT)"
+    )
+    pdist = (
+        f"CAST(list_sum(list_transform(range(1, {KM_DIM + 1}), "
+        f"i -> (a.qv[i] - p.pqv[i]) * (a.qv[i] - p.pqv[i]))) AS BIGINT)"
+    )
+    cdist = (
+        f"CAST(list_sum(list_transform(range(1, {KM_DIM + 1}), "
+        f"i -> (c.c[i] - p.pqv[i]) * (c.c[i] - p.pqv[i]))) AS BIGINT)"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {KM_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+), c0 AS (
+  SELECT {k_case} AS k, qv AS c FROM q WHERE vec_id IN {IVFT_SEEDS}
+), a1 AS (
+  SELECT v.vec_id, v.qv, c.k, {dist} AS d
+  FROM q v CROSS JOIN c0 c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY d, c.k) = 1
+), e1 AS (
+  SELECT k, i, CAST(SUM(qv[i]) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a1 CROSS JOIN range(1, {KM_DIM + 1}) t1(i)
+  GROUP BY k, i
+), c1 AS (
+  SELECT k, array_agg(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+                      ORDER BY i) AS c
+  FROM e1 GROUP BY k
+), a2 AS (
+  SELECT v.vec_id, v.qv, c.k, {dist} AS d
+  FROM q v CROSS JOIN c1 c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY d, c.k) = 1
+), probe AS (
+  SELECT qv AS pqv FROM q WHERE vec_id = {IVFT_PROBE_ID}
+), plists AS (
+  SELECT c.k FROM c1 c CROSS JOIN probe p
+  ORDER BY {cdist} ASC, c.k ASC
+  LIMIT {IVFT_PROBE}
+)
+SELECT a.vec_id, {pdist} AS dist
+FROM a2 a JOIN plists USING (k) CROSS JOIN probe p
+WHERE a.vec_id <> {IVFT_PROBE_ID}
+ORDER BY dist ASC, a.vec_id ASC
+LIMIT {IVFT_TOP}
+"""
+
+
 QUERIES = {
     "sim_kmeans_train": (q_kmeans_train, _oracle_kmeans_train()),
+    "sim_knn_ivf_trained": (q_knn_ivf_trained, _oracle_knn_ivf_trained()),
     "sim_knn_bruteforce": (q_knn_bruteforce, ORACLE_KNN_BRUTEFORCE),
     "sim_embedding_quantize": (q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE),
     "sim_knn_lsh": (q_knn_lsh, ORACLE_KNN_LSH),

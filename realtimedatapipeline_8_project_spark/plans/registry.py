@@ -102,6 +102,7 @@ _PRIORITY = (
     "sim_kmeans_train",
     "media_frame_sample",
     "dq_outliers",
+    "sim_knn_ivf_trained",
     # --- oldest-green rotation (rows only from r01) ---
     "reference_engagement_metrics",
     "point_lookup_string_hash",

@@ -186,3 +186,34 @@ def test_asof_join_matches_bruteforce(spark, data):
                  if kk == k and ts <= lts]
         want = max(cands)[1] if cands else None
         assert got[i] == want, f"left {i} key {k} ts {lts}"
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_bloom_prefilter_never_drops_matches(spark, data):
+    """Bloom semi-join guarantee: the pre-filter may pass extra rows
+    (false positives — corrected by the exact join) but must NEVER drop a
+    fact row whose key IS in the dim (false negatives would change the
+    join result)."""
+    from realtimedatapipeline_8_project_spark.operators.scale import (
+        bloom_prefilter,
+        build_bloom,
+    )
+
+    dim_keys = data.draw(
+        st.lists(st.integers(0, 2**31 - 1), min_size=1, max_size=60)
+    )
+    fact_keys = data.draw(
+        st.lists(st.integers(0, 2**31 - 1), min_size=1, max_size=120)
+    )
+    # ensure overlap so the guarantee is actually exercised
+    fact_keys += dim_keys[: len(dim_keys) // 2 + 1]
+    dim = spark.createDataFrame([(k,) for k in set(dim_keys)], ["k"])
+    fact = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(fact_keys)], ["rid", "k"]
+    )
+    bloom = build_bloom(dim, "k")
+    kept = {r["rid"] for r in bloom_prefilter(fact, "k", bloom).collect()}
+    dimset = set(dim_keys)
+    must_keep = {i for i, k in enumerate(fact_keys) if k in dimset}
+    assert must_keep <= kept, "bloom pre-filter dropped a true match"

@@ -67,3 +67,36 @@ def test_kmeans_inertia_non_increasing(spark, sf_small):
     sizes = assigned.groupBy("k").count().collect()
     assert len(sizes) > 1
     assert all(r["count"] > 0 for r in sizes)
+
+
+def test_ivf_trained_recall_at_10(spark, sf_oracle):
+    """Trained-codebook IVF with 2/8 probes must reach recall@10 >= 0.7
+    against the exact quantized-L2 ground truth (measured 0.8-0.9)."""
+    from pyspark.sql import functions as F
+
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        _IVFT_PDIST,
+        IVFT_PROBE_ID,
+        IVFT_TOP,
+        _km_quantize,
+        q_knn_ivf_trained,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    got = {r["vec_id"] for r in q_knn_ivf_trained(spark, sf_oracle).collect()}
+    q = _km_quantize(load_table(spark, sf_oracle, "embeddings"))
+    probe = q.where(F.col("vec_id") == IVFT_PROBE_ID).select(
+        F.col("qv").alias("pqv")
+    )
+    exact = {
+        r["vec_id"]
+        for r in (
+            q.crossJoin(F.broadcast(probe))
+            .where(F.col("vec_id") != IVFT_PROBE_ID)
+            .select("vec_id", F.expr(_IVFT_PDIST).alias("d"))
+            .orderBy("d", "vec_id")
+            .limit(IVFT_TOP)
+            .collect()
+        )
+    }
+    assert len(got & exact) / IVFT_TOP >= 0.7
