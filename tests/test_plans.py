@@ -374,3 +374,19 @@ def test_kmeans_assignment_is_broadcast_fold_no_smj(spark, sf_small):
     assert "SortMergeJoin" not in p
     assert "BroadcastExchange" in p
     assert p.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize("name", sorted(__import__(
+    "realtimedatapipeline_8_project_spark.plans.registry",
+    fromlist=["ORACLES"]).ORACLES))
+def test_no_query_plans_a_cartesian_or_unkeyed_nested_loop(spark, sf_small, name):
+    """Blanket plan lint: NO oracle query may compile to a CartesianProduct
+    or a non-Cross BroadcastNestedLoopJoin (an unkeyed join predicate —
+    the O(n*m) trap). Intentional 1-row scalar cross joins (bounds,
+    thresholds, probe vectors) plan as BNLJ Cross with a broadcast build
+    side and are allowed."""
+    p = plan_of(spark, sf_small, name)
+    assert "CartesianProduct" not in p, name
+    for line in p.splitlines():
+        if "BroadcastNestedLoopJoin" in line and "Build" in line:
+            assert "Cross" in line, f"{name}: {line.strip()[:100]}"

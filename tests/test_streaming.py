@@ -571,3 +571,32 @@ def test_incremental_rollup_matches_batch(spark, sf_small, workdir):
     merged = read_rollup(spark, out)
     n_total = merged.agg(F.sum("n")).first()[0]
     assert n_total == load_table(spark, sf_small, "events").count() + 25
+
+
+def test_rate_limit_bounds_micro_batches(spark, sf_small, workdir):
+    """T4 rate limiting: maxFilesPerTrigger=1 over 4 source files must
+    drain in >= 4 micro-batches (one file per trigger), and without the
+    cap availableNow drains in fewer batches."""
+    src = os.path.join(workdir, "src")
+    _write_event_jsonl(spark, sf_small, src, n_files=4)
+    dim = load_dim(spark, sf_small)
+
+    out1, chk1 = os.path.join(workdir, "o1"), os.path.join(workdir, "c1")
+    run_replay(spark, src, dim, out1, chk1, max_files_per_trigger=1)
+    batches_limited = (
+        spark.read.parquet(os.path.join(out1, "history"))
+        .select("batch_id")
+        .distinct()
+        .count()
+    )
+    assert batches_limited >= 4
+
+    out2, chk2 = os.path.join(workdir, "o2"), os.path.join(workdir, "c2")
+    run_replay(spark, src, dim, out2, chk2)
+    batches_free = (
+        spark.read.parquet(os.path.join(out2, "history"))
+        .select("batch_id")
+        .distinct()
+        .count()
+    )
+    assert batches_free < batches_limited
