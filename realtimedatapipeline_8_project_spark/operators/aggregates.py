@@ -202,7 +202,64 @@ LIMIT 10
 """
 
 
+# --- TPC-H Q3-shaped shipping priority ------------------------------------
+# The classic selective multi-join top-k: both date predicates and the
+# segment filter push to their scans, the customer side broadcasts, the
+# orders<->lineitem join is the one real shuffle, and the final ranking
+# is TakeOrderedAndProject (per-partition heap, no global sort).
+Q3_DATE = "1995-03-15"
+Q3_SEGMENT = "BUILDING"
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum_product(
+                F.col("l_extendedprice"),
+                F.lit(1.0) - F.col("l_discount"),
+                "revenue",
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       {oracle_dsum_product('l_extendedprice', '1.0 - l_discount', 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
+    "agg_shipping_priority": (q_shipping_priority, ORACLE_SHIPPING_PRIORITY),
     "agg_pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
     "agg_revenue_by_nation": (q_revenue_by_nation, ORACLE_REVENUE_BY_NATION),
     "agg_rollup": (q_rollup, ORACLE_ROLLUP),

@@ -103,6 +103,7 @@ _PRIORITY = (
     "media_frame_sample",
     "dq_outliers",
     "sim_knn_ivf_trained",
+    "agg_shipping_priority",
     # --- oldest-green rotation (rows only from r01) ---
     "reference_engagement_metrics",
     "point_lookup_string_hash",
