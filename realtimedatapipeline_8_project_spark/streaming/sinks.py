@@ -250,6 +250,53 @@ def read_sketch(spark: SparkSession, output_dir: str) -> DataFrame:
     )
 
 
+def write_hll(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_dir: str,
+    group: str = "event_type",
+    key: str = "user_id",
+) -> None:
+    """Per-batch partial HLL register table (grouped distinct-count
+    sketch): registers merge by MAX, the other associative sketch merge —
+    counters add (write_sketch), registers max. Idempotent per batch id;
+    state per batch is |groups| x m rows."""
+    from ..operators.sketches import HLL_K, HLL_M, _hll_hash_spark
+
+    h = _hll_hash_spark(key)
+    cells = batch_df.select(
+        F.col(group).alias("grp"),
+        F.expr(f"{h} % {HLL_M}").alias("bucket"),
+        F.expr(f"{h} div {HLL_M}").alias("rem"),
+    ).select(
+        "grp",
+        "bucket",
+        F.when(F.col("rem") == 0, F.lit(HLL_K))
+        .otherwise(F.lit(HLL_K) - F.length(F.bin("rem")))
+        .alias("rho"),
+    )
+    (
+        cells.groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(output_dir, "hll"))
+    )
+
+
+def read_hll(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Merged register table — identical to a single-pass build over the
+    union of all batches (register max is associative/idempotent)."""
+    partials = spark.read.parquet(os.path.join(output_dir, "hll"))
+    return (
+        partials.drop("batch_id")
+        .groupBy("grp", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+
+
 def write_batch_fanout(
     batch_df: DataFrame,
     batch_id: int,

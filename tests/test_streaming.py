@@ -220,6 +220,55 @@ def test_incremental_sketch_merges_to_batch_sketch(spark, sf_small, workdir):
     assert got == want
 
 
+def test_incremental_hll_merges_to_batch_registers(spark, sf_small, workdir):
+    """HLL register sink: per-batch partials merged by register MAX must
+    equal the one-pass register table (and replaying a batch id changes
+    nothing — max is idempotent)."""
+    from pyspark.sql import functions as F2
+
+    from realtimedatapipeline_8_project_spark.operators.sketches import (
+        HLL_K,
+        HLL_M,
+        _hll_hash_spark,
+    )
+    from realtimedatapipeline_8_project_spark.streaming.sinks import (
+        read_hll,
+        write_hll,
+    )
+
+    out = os.path.join(workdir, "out")
+    ev = load_table(spark, sf_small, "events")
+    n = ev.count()
+    per = (n + 2) // 3
+    for i in range(3):
+        write_hll(ev.orderBy("event_id").offset(i * per).limit(per), i, out)
+    write_hll(ev.orderBy("event_id").limit(per), 0, out)  # replay batch 0
+
+    got = sorted(map(tuple, read_hll(spark, out).collect()))
+    h = _hll_hash_spark("user_id")
+    want = sorted(
+        map(
+            tuple,
+            ev.select(
+                F2.col("event_type").alias("grp"),
+                F2.expr(f"{h} % {HLL_M}").alias("bucket"),
+                F2.expr(f"{h} div {HLL_M}").alias("rem"),
+            )
+            .select(
+                "grp",
+                "bucket",
+                F2.when(F2.col("rem") == 0, F2.lit(HLL_K))
+                .otherwise(F2.lit(HLL_K) - F2.length(F2.bin("rem")))
+                .alias("rho"),
+            )
+            .groupBy("grp", "bucket")
+            .agg(F2.max("rho").alias("m_j"))
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_checkpoint_recovery_resumes_where_stopped(spark, sf_small, workdir):
     """Kill the stream after the first micro-batch, restart from the same
     checkpoint: the resumed query must NOT reprocess committed batches and
