@@ -184,26 +184,39 @@ def build_bloom(dim: DataFrame, key: str) -> DataFrame:
 def bloom_prefilter(fact: DataFrame, key: str, bloom: DataFrame) -> DataFrame:
     """Keep only fact rows whose key passes all k Bloom probes. Each probe
     is a broadcast hash join on the word index — map-side, no shuffle of
-    the fact table. A key absent from a probed word (null bits) fails."""
+    the fact table. A key absent from a probed word (null bits) fails.
+
+    Probe bookkeeping columns are named fresh against the fact schema so a
+    caller column can never be clobbered or silently dropped."""
+    taken = set(fact.columns)
+    tag = 0
+
+    def _names(i: int) -> tuple[str, str, str]:
+        p = f"_bloom{tag}_" if tag else "_"
+        return (f"{p}bit{i}", f"{p}w{i}", f"{p}bits{i}")
+
+    while any(
+        c in taken for i in range(len(BLOOM_SALTS)) for c in _names(i)
+    ):
+        tag += 1
     out = fact
     for i, s in enumerate(BLOOM_SALTS):
-        out = out.withColumn(f"_bit{i}", _bloom_bit(F.col(key), s))
-        b = bloom.select(
-            F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_bits{i}")
-        )
+        bit, w, bits = _names(i)
+        out = out.withColumn(bit, _bloom_bit(F.col(key), s))
+        b = bloom.select(F.col("word").alias(w), F.col("bits").alias(bits))
         out = (
             out.join(
                 F.broadcast(b),
-                (F.col(f"_bit{i}") / 64).cast("long") == F.col(f"_w{i}"),
+                (F.col(bit) / 64).cast("long") == F.col(w),
                 "left",
             )
             .where(
                 F.expr(
-                    f"(_bits{i} & shiftleft(CAST(1 AS BIGINT), "
-                    f"CAST(_bit{i} % 64 AS INT))) != 0"
+                    f"(`{bits}` & shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(`{bit}` % 64 AS INT))) != 0"
                 )
             )
-            .drop(f"_bit{i}", f"_w{i}", f"_bits{i}")
+            .drop(bit, w, bits)
         )
     return out
 

@@ -200,12 +200,15 @@ FROM events
 
 def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    # order key: BUCKET-RELATIVE microseconds * 2^20 + event_id — monotone
-    # in (ts, event_id) within a bucket (all min_by/max_by needs) and
-    # bounded by 3.6e9 * 2^20 + id < 2^63 (absolute micros would overflow)
+    # order key: BUCKET-RELATIVE microseconds * 2^31 + event_id — monotone
+    # in (ts, event_id) within a bucket (all min_by/max_by needs) for any
+    # event_id < 2^31, and bounded: (3.6e9 - 1) * 2^31 + (2^31 - 1)
+    # ~= 7.73e18 < 2^63 (absolute micros would overflow; a 2^32 shift
+    # would too). event_id is the fixture's 64-bit row id but stays far
+    # below 2^31 at every SF; the bound is part of the operator contract.
     okey = F.expr(
         "(unix_micros(ts) - unix_micros(date_trunc('hour', ts)))"
-        " * 1048576 + event_id"
+        " * 2147483648 + event_id"
     )
     b = ev.select(
         "user_id",
@@ -226,7 +229,7 @@ ORACLE_M4_DOWNSAMPLE = """
 WITH b AS (
   SELECT user_id, date_trunc('hour', ts) AS bucket,
          CAST(value AS DECIMAL(27,6)) AS v,
-         (epoch_us(ts) - epoch_us(date_trunc('hour', ts))) * 1048576
+         (epoch_us(ts) - epoch_us(date_trunc('hour', ts))) * 2147483648
            + event_id AS ok
   FROM events
 )

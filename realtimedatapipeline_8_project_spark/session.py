@@ -46,6 +46,10 @@ def get_session(
         # pinned here because the bench depends on them).
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
+        # TIMESTAMP(NANOS) parquet columns read as long (sources/tables.py
+        # normalizes); only consulted for nanos files, pinned here so
+        # loaders never need to mutate an engine-built session.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -27,6 +27,25 @@ TABLE_NAMES = (
 )
 
 
+def _parquet_has_nanos_ts(path: str, column: str = "ts") -> bool:
+    """True iff the parquet file/dir stores ``column`` as TIMESTAMP(NANOS).
+
+    Footer-only pyarrow probe (no data pages read) so the Spark-side
+    ``nanosAsLong`` legacy conf is touched ONLY for files that need it —
+    there is no per-read datasource option for it in Spark 4.x
+    (ParquetOptions: mergeSchema/compression/rebase modes only)."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow as pa
+
+        field = ds.dataset(path, format="parquet").schema.field(column)
+        return pa.types.is_timestamp(field.type) and field.type.unit == "ns"
+    except Exception:
+        # unknown layout/column: leave session conf untouched; the plain
+        # read below surfaces any real incompatibility
+        return False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Columnar parquet scan; Catalyst prunes.
 
@@ -38,6 +57,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     - TIMESTAMP(NANOS): Spark's vectorized reader rejects it by default; we
       read nanos as long (``nanosAsLong``) and convert with integer ``div``
       — the same truncation DuckDB applies — keeping the scan vectorized.
+      The legacy conf has no read-option-scoped form, so it is latched on
+      the session — but only after a footer probe proves this file actually
+      stores nanos (a micros-encoded load never mutates session state).
+      Engine-built sessions pin the conf at build time (session.py); the
+      latch here covers vanilla sessions such as the driver's.
     - TIMESTAMP_MICROS(isAdjustedToUTC=false): Spark 4.x reads this as
       TIMESTAMP_NTZ; we cast to ``timestamp``. The session TZ is pinned UTC
       (session.py), so wall-clock values — and all DuckDB oracles — are
@@ -46,7 +70,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       TimestampType; passes through untouched."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if _parquet_has_nanos_ts(path):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F

@@ -217,3 +217,54 @@ def test_bloom_prefilter_never_drops_matches(spark, data):
     dimset = set(dim_keys)
     must_keep = {i for i, k in enumerate(fact_keys) if k in dimset}
     assert must_keep <= kept, "bloom pre-filter dropped a true match"
+
+
+def test_bloom_prefilter_survives_colliding_column_names(spark):
+    """A fact table that already carries the probe bookkeeping names must
+    pass through untouched: temp columns are named fresh per schema."""
+    from realtimedatapipeline_8_project_spark.operators.scale import (
+        bloom_prefilter,
+        build_bloom,
+    )
+
+    dim = spark.createDataFrame([(1,), (2,)], ["k"])
+    fact = spark.createDataFrame(
+        [(0, 1, 111, 222), (1, 2, 333, 444), (2, 99, 555, 666)],
+        ["rid", "k", "_bit0", "_w1"],
+    )
+    out = bloom_prefilter(fact, "k", build_bloom(dim, "k"))
+    assert out.columns == fact.columns
+    rows = {r["rid"]: (r["_bit0"], r["_w1"]) for r in out.collect()}
+    assert {0, 1} <= set(rows)
+    assert rows[0] == (111, 222) and rows[1] == (333, 444)
+
+
+def test_approx_distinct_within_error_bound(spark, sf_small, sf_oracle):
+    """approx_count_distinct (HLL++, rsd=0.01) must land within 5% of the
+    exact per-group COUNT(DISTINCT) — turns the rows-only driver check
+    into a quantified accuracy contract at two scale factors."""
+    from realtimedatapipeline_8_project_spark.operators.aggregates import (
+        q_approx_distinct,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    for sf_dir in (sf_small, sf_oracle):
+        got = {
+            r["o_orderstatus"]: r["approx_buyers"]
+            for r in q_approx_distinct(spark, sf_dir).collect()
+        }
+        exact = {
+            r["o_orderstatus"]: r["n"]
+            for r in load_table(spark, sf_dir, "orders")
+            .groupBy("o_orderstatus")
+            .agg(F.countDistinct("o_custkey").alias("n"))
+            .collect()
+        }
+        assert set(got) == set(exact)
+        for status, n in exact.items():
+            assert abs(got[status] - n) <= max(1, 0.05 * n), (
+                sf_dir,
+                status,
+                got[status],
+                n,
+            )

@@ -75,6 +75,41 @@ def test_load_table_normalizes_ts_encoding(spark, tmp_path, enc):
     assert got == want, f"{enc}: wall-clock micros mismatch"
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def test_nanos_conf_latched_only_for_nanos_files(spark, tmp_path):
+    """A micros-encoded load must not touch the session conf (vanilla
+    driver sessions stay pristine); a nanos load latches it and a mixed
+    session keeps normalizing every encoding afterwards."""
+    d_us = str(tmp_path / "us")
+    d_ns = str(tmp_path / "ns")
+    _write_events(d_us, pa.timestamp("us"), False)
+    _write_events(d_ns, pa.timestamp("ns"), False)
+    prior = spark.conf.get(_NANOS_CONF, None)
+    spark.conf.unset(_NANOS_CONF)
+    try:
+        load_table(spark, d_us, "events").collect()
+        assert spark.conf.get(_NANOS_CONF, "false") == "false"
+        want = sorted(
+            int(r[1].replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+            for r in _ROWS
+        )
+        for d in (d_ns, d_us, d_ns):  # mixed-encoding session
+            got = [
+                r["u"]
+                for r in load_table(spark, d, "events")
+                .select(F.unix_micros("ts").alias("u"))
+                .orderBy("u")
+                .collect()
+            ]
+            assert got == want
+        assert spark.conf.get(_NANOS_CONF) == "true"
+    finally:
+        if prior is not None:
+            spark.conf.set(_NANOS_CONF, prior)
+
+
 def test_real_fixture_ts_is_timestamp(spark, sf_small):
     df = load_table(spark, sf_small, "events")
     assert dict(df.dtypes)["ts"] == "timestamp"
