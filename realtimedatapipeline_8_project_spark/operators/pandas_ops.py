@@ -13,13 +13,28 @@ Python escape hatches, when built-ins genuinely can't express the logic:
 
 Both keep data in Arrow columnar batches — 10-100x less overhead than
 row-at-a-time UDFs; the group-map shuffles once on the grouping key.
+
+Exactness contract (the dq_outliers integer-twin discipline applied to a
+Python-side operator): the OLS moments are computed with EXACT integer
+arithmetic — values half-up quantized to centi-units
+(``floor(v*100 + 0.5)``, exact IEEE double ops), times as integer seconds
+since the group's first event — summed as arbitrary-precision Python ints,
+and the 6-dp half-up rounding of the slope is one exact integer floor
+division. The only float steps are a < 2^53 int -> double conversion and
+one IEEE division by 1e6, identical in every engine, so the DuckDB oracle
+(same moments in HUGEINT, same floor division spelled with a
+mod-normalized ``//`` — DuckDB's ``//`` truncates toward zero while
+Python's floors) is bit-identical at any partition count.
+
+Bounds: exact while |n*Stv - St*Sv| * 8.64e8 < 1.7e38 (HUGEINT) and the
+rounded slope/mean micro-units stay < 2^53 — about 12 orders of magnitude
+above the sf0.1 fixture's worst case.
 """
 
 from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from ..sources.tables import load_table
@@ -37,24 +52,42 @@ TREND_SCHEMA = StructType(
 def user_trend(events: DataFrame) -> DataFrame:
     """Group-map: one shuffle on user_id, one Arrow batch per group.
 
+    Per-user OLS slope of value (in original units) per DAY over seconds-
+    resolution time offsets, plus the 6-dp mean — both bit-identical to the
+    module-level integer recurrence (see module docstring).
+
     The group function is a self-contained closure (shipped by value via
     cloudpickle) so workers never need this package importable."""
 
     def _trend(pdf: pd.DataFrame) -> pd.DataFrame:
-        # OLS slope of value vs time (days since the user's first event)
-        user_id = pdf["user_id"].iloc[0]
-        n = len(pdf)
-        t = (pdf["ts"] - pdf["ts"].min()).dt.total_seconds() / 86400.0
-        v = pdf["value"].astype(float)
-        tc, vc = t - t.mean(), v - v.mean()
-        denom = float((tc * tc).sum())
-        slope = float((tc * vc).sum()) / denom if denom > 0 else None
+        import math
+
+        user_id = int(pdf["user_id"].iloc[0])
+        # Spark timestamps are exact micros; ns -> us is lossless
+        us = pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+        us0 = min(us)
+        t = [(u - us0) // 1_000_000 for u in us]  # seconds since first event
+        v100 = [int(math.floor(v * 100 + 0.5)) for v in pdf["value"].tolist()]
+        n = len(v100)
+        st, sv = sum(t), sum(v100)
+        stt = sum(x * x for x in t)
+        stv = sum(x * y for x, y in zip(t, v100))
+        num = n * stv - st * sv
+        den = n * stt - st * st  # >= 0 (Cauchy-Schwarz); 0 iff constant t
+        if den > 0:
+            # slope in value-units/day, half-up at 6 dp, as ONE exact
+            # integer floor division: v100/100 per second * 86400 * 1e6
+            slope_micro = (2 * num * 864_000_000 + den) // (2 * den)
+            slope = float(slope_micro) / 1e6
+        else:
+            slope = None
+        mean_micro = (2 * sv * 10_000 + n) // (2 * n)
         return pd.DataFrame(
             {
                 "user_id": [user_id],
                 "n_events": [n],
-                "slope_per_day": [round(slope, 6) if slope is not None else None],
-                "mean_value": [round(float(v.mean()), 6)],
+                "slope_per_day": [slope],
+                "mean_value": [float(mean_micro) / 1e6],
             }
         )
 
@@ -62,11 +95,54 @@ def user_trend(events: DataFrame) -> DataFrame:
 
 
 def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only check (Python-side math); exactness is pinned by the unit
-    test against an independent driver-side computation."""
     return user_trend(load_table(spark, sf_dir, "events"))
 
 
+def _fdiv(a_sql: str, b_sql: str) -> str:
+    """DuckDB floor division for a possibly-negative exact quotient
+    context: ``//`` truncates toward zero, so normalize the remainder
+    first; the resulting division is exact, where truncation == floor."""
+    return (
+        f"(({a_sql}) - ((({a_sql}) % ({b_sql}) + ({b_sql})) % ({b_sql})))"
+        f" // ({b_sql})"
+    )
+
+
+def _oracle_user_trend() -> str:
+    slope_div = _fdiv("2 * num * 864000000 + den", "2 * den")
+    mean_div = _fdiv("2 * sv * 10000 + n", "2 * n")
+    return f"""
+WITH q AS (
+  SELECT user_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100,
+         epoch_us(ts) AS us,
+         MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS us0
+  FROM events
+), m AS (
+  SELECT user_id,
+         COUNT(*) AS n,
+         CAST(SUM((us - us0) // 1000000) AS HUGEINT) AS st,
+         CAST(SUM(v100) AS HUGEINT) AS sv,
+         SUM(CAST((us - us0) // 1000000 AS HUGEINT)
+             * ((us - us0) // 1000000)) AS stt,
+         SUM(CAST((us - us0) // 1000000 AS HUGEINT) * v100) AS stv
+  FROM q GROUP BY user_id
+), s AS (
+  SELECT user_id, n, sv,
+         n * stv - st * sv AS num,
+         n * stt - st * st AS den
+  FROM m
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_events,
+       CASE WHEN den > 0
+            THEN CAST({slope_div} AS DOUBLE) / 1000000.0
+            ELSE NULL END AS slope_per_day,
+       CAST({mean_div} AS DOUBLE) / 1000000.0 AS mean_value
+FROM s
+"""
+
+
 QUERIES = {
-    "pandas_user_trend": (q_user_trend, None),
+    "pandas_user_trend": (q_user_trend, _oracle_user_trend()),
 }

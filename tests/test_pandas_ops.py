@@ -1,33 +1,65 @@
 """applyInPandas group-map: exactness vs an independent driver-side
-computation, and batch-shape sanity."""
+computation of the same integer recurrence, agreement with plain float
+OLS, and edge-case shape."""
 
 from __future__ import annotations
 
-import pandas as pd
+import math
+
 import pytest
 
 from realtimedatapipeline_8_project_spark.operators.pandas_ops import user_trend
 from realtimedatapipeline_8_project_spark.sources.tables import load_table
 
 
-def test_user_trend_matches_driver_side_ols(spark, sf_small):
+def test_user_trend_matches_driver_side_integer_ols(spark, sf_small):
     ev = load_table(spark, sf_small, "events")
     got = {r.user_id: r for r in user_trend(ev).collect()}
 
     pdf = ev.select("user_id", "ts", "value").toPandas()
+    import datetime as dt
+
     for uid, g in pdf.groupby("user_id"):
-        t = (g["ts"] - g["ts"].min()).dt.total_seconds() / 86400.0
-        v = g["value"].astype(float)
-        tc, vc = t - t.mean(), v - v.mean()
-        denom = float((tc * tc).sum())
-        want_slope = round(float((tc * vc).sum()) / denom, 6) if denom > 0 else None
+        rows = {
+            "ts": [
+                ts.to_pydatetime().replace(tzinfo=dt.timezone.utc)
+                for ts in g["ts"]
+            ],
+            "value": list(g["value"]),
+        }
+        # timestamp() on aware datetimes -> exact epoch micros
+        us = [int(ts.timestamp() * 1_000_000) for ts in rows["ts"]]
+        us0 = min(us)
+        t = [(u - us0) // 1_000_000 for u in us]
+        v100 = [int(math.floor(v * 100 + 0.5)) for v in rows["value"]]
+        n = len(v100)
+        st, sv = sum(t), sum(v100)
+        stt = sum(x * x for x in t)
+        stv = sum(x * y for x, y in zip(t, v100))
+        num, den = n * stv - st * sv, n * stt - st * st
+        want_slope = (
+            float((2 * num * 864_000_000 + den) // (2 * den)) / 1e6
+            if den > 0
+            else None
+        )
+        want_mean = float((2 * sv * 10_000 + n) // (2 * n)) / 1e6
         r = got[uid]
-        assert r.n_events == len(g)
-        assert r.mean_value == pytest.approx(round(float(v.mean()), 6))
-        if want_slope is None:
-            assert r.slope_per_day is None
-        else:
-            assert r.slope_per_day == pytest.approx(want_slope)
+        assert r.n_events == n
+        assert r.mean_value == want_mean  # bit-exact, not approx
+        assert r.slope_per_day == want_slope
+
+        # and the quantized slope tracks plain float OLS
+        if den > 0 and n > 2:
+            tm = sum(t) / n
+            vm = sum(v100) / 100 / n
+            fden = sum((x - tm) ** 2 for x in t)
+            if fden > 0:
+                fslope = (
+                    sum((x - tm) * (y / 100 - vm) for x, y in zip(t, v100))
+                    / fden
+                    * 86400
+                )
+                assert r.slope_per_day == pytest.approx(fslope, abs=1e-4)
 
 
 def test_single_event_user_has_null_slope(spark):
@@ -38,3 +70,38 @@ def test_single_event_user_has_null_slope(spark):
     )
     r = user_trend(df).collect()[0]
     assert r.n_events == 1 and r.slope_per_day is None
+    assert r.mean_value == 5.0
+
+
+def test_negative_slope_floor_division_parity(spark):
+    """Negative-slope groups exercise the DuckDB mod-normalized floor
+    division path — pin Spark-side and oracle values identical."""
+    from datetime import datetime, timedelta
+
+    import duckdb
+
+    rows = [
+        (i, datetime(2024, 1, 1) + timedelta(seconds=17 * i), 1, 100.0 - 3.7 * i)
+        for i in range(9)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = user_trend(df).collect()[0]
+    assert got.slope_per_day is not None and got.slope_per_day < 0
+
+    from realtimedatapipeline_8_project_spark.operators.pandas_ops import (
+        _oracle_user_trend,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({eid}, TIMESTAMP '{ts}', {uid}, {val})"
+            for eid, ts, uid, val in rows
+        )
+        + ") t(event_id, ts, user_id, value)"
+    )
+    want = con.execute(_oracle_user_trend()).fetchall()[0]
+    assert (got.user_id, got.n_events, got.slope_per_day, got.mean_value) == want
