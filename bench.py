@@ -64,6 +64,9 @@ HEADLINE = [
     "sim_kmeans_train",
     "media_frame_sample",
     "dq_outliers",
+    # round-4 additions
+    "graph_pagerank_bucketed",
+    "pandas_user_trend",
 ]
 
 

@@ -16,12 +16,19 @@ CTEs — iteration-for-iteration bit equality.
 Scale shape: the edge list is built once (one orders<->lineitem shuffle,
 distinct), degree is one small aggregate, and each iteration is ONE
 shuffle (join ranks on src, groupBy dst) over the edge table — the
-standard Pregel-on-DataFrame plan. Lineage is truncated per round
-(localCheckpoint; pass checkpoint_dir for a cluster-grade reliable
-checkpoint, as in connected_components), so the physical plan stays O(1)
-per iteration instead of O(3^t). Partitioning both the edge table and the
-rank table by the join key would co-locate successive iterations on a
-real cluster (bucketing; AQE handles the local case).
+standard Pregel-on-DataFrame plan. Only the up-front tables (edges with
+degree, the node universe) are checkpoint-truncated — they are consumed
+every round; the rank chain grows linearly (each iteration references
+ranks exactly once) and is truncated every ``checkpoint_every`` rounds as
+a long-run lineage guard (``localCheckpoint`` locally; pass
+``checkpoint_dir`` for a cluster-grade reliable checkpoint, as in
+connected_components). ``pagerank_bucketed`` is the cluster path for the
+per-round join: the degree-annotated edge table is written ONCE bucketed
+by ``src``, after which every iteration's rank join is exchange-free on
+both sides (the bucketed scan provides hash(src); the previous round's
+aggregation provides hash(node)) — the only per-iteration shuffle left is
+the irreducible message aggregation by ``dst`` (plan-pinned in
+tests/test_plans.py).
 """
 
 from __future__ import annotations
@@ -62,22 +69,108 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _has_source_only_nodes(ed: DataFrame) -> bool:
+    """True iff some node has out-edges but no in-edges. One-time bounded
+    driver probe (isEmpty = limit-1 scan) — the same discipline as the
+    connected-components fixpoint probe; NOT a per-row collect."""
+    srcs = ed.select(F.col("src").alias("node")).distinct()
+    dsts = ed.select(F.col("dst").alias("node")).distinct()
+    return not srcs.join(dsts, "node", "left_anti").isEmpty()
+
+
+def _power_iterate(
+    ed: DataFrame,
+    iters: int,
+    truncate,
+    checkpoint_every: int,
+    reseed: bool,
+) -> DataFrame:
+    """The shared integer power-iteration loop over a degree-annotated
+    edge table ``ed`` (src, dst, deg).
+
+    With ``reseed`` (required when some node has out-edges but no
+    in-edges), every round rebuilds the rank table from the full
+    src-union-dst node universe with a left join, so such a node keeps
+    its teleport-base rank (and keeps contributing) instead of silently
+    dropping out after round 1. When every contributor also receives
+    (e.g. the symmetric bipartite query graph), the direct aggregation is
+    the same function minus a per-round join and the universe build, so
+    callers that know their graph (or the one-time probe) pick the cheap
+    path. Nodes with in-edges only (sinks) accumulate rank but contribute
+    none — their dangling mass is NOT redistributed, which is why the API
+    requires out-degree >= 1 for every src."""
+    if reseed:
+        nodes = truncate(
+            ed.select(F.col("src").alias("node"))
+            .union(ed.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        ranks = nodes.withColumn("rank", F.lit(PR_SCALE))
+    else:
+        # no source-only nodes => src-set == receiving universe; on a
+        # src-bucketed/partitioned ed this distinct needs no exchange
+        ranks = (
+            ed.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("rank", F.lit(PR_SCALE))
+        )
+    for i in range(iters):
+        contrib = ed.join(
+            ranks.select(F.col("node").alias("src"), "rank"), "src"
+        ).select(
+            "dst",
+            # div (integer division), NOT `/`: float division + cast
+            # truncates differently between engines near-integer quotients
+            F.expr(
+                f"(rank * {PR_DAMP_NUM}) div ({PR_DAMP_DEN} * deg)"
+            ).alias("c"),
+        )
+        if reseed:
+            agg = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+            ranks = nodes.join(
+                agg.select(F.col("dst").alias("node"), "s"), "node", "left"
+            ).select(
+                "node",
+                (F.lit(PR_BASE) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+        else:
+            ranks = (
+                contrib.groupBy("dst")
+                .agg(
+                    (F.lit(PR_BASE) + F.sum("c")).cast("long").alias("rank")
+                )
+                .select(F.col("dst").alias("node"), "rank")
+            )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
+            ranks = truncate(ranks)
+    return ranks
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = PR_ITERS,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 8,
+    reseed: bool | None = None,
 ) -> DataFrame:
     """(src, dst) directed edges (every src must have out-degree >= 1)
-    -> (node, rank) after ``iters`` integer power iterations.
+    -> (node, rank) after ``iters`` integer power iterations over the
+    full src-union-dst node universe.
+
+    ``reseed`` — whether a per-round re-seed join is needed to keep
+    source-only nodes (out-edges, no in-edges) alive; ``None`` (default)
+    probes the edge table once, callers that know their graph shape pass
+    False (symmetric graphs) or True to skip the probe.
 
     Unlike connected components (labels referenced 3x per round ->
     3^rounds plan without truncation), each iteration references ``ranks``
     exactly ONCE, so the logical plan grows linearly — the whole
-    iteration chain runs as one multi-stage job. Only the edge+degree
-    table (consumed every round) is materialized up front, and ranks are
-    truncated every ``checkpoint_every`` rounds as a long-run guard
-    (plan-analysis cost and scheduler lineage, not correctness)."""
+    iteration chain runs as one multi-stage job. The edge+degree table
+    (consumed every round) is materialized up front; ranks are truncated
+    every ``checkpoint_every`` rounds as a long-run guard (plan-analysis
+    cost and scheduler lineage, not correctness)."""
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
@@ -94,39 +187,57 @@ def pagerank(
             "deg", F.count(F.lit(1)).over(WindowSpec.partitionBy("src"))
         )
     )
-    # init ranks from ed (already hash-partitioned by src -> the distinct
-    # reuses that exchange). Per-iteration join strategy is left to AQE:
-    # it broadcasts the rank table while it fits and falls back to a
-    # shuffle join (the honest 100 TB plan, where bucketing both tables
-    # on the node key removes the per-round exchange) when it doesn't.
-    ranks = ed.select(F.col("src").alias("node")).distinct().withColumn(
-        "rank", F.lit(PR_SCALE)
+    if reseed is None:
+        reseed = _has_source_only_nodes(ed)
+    return _power_iterate(ed, iters, _truncate, checkpoint_every, reseed)
+
+
+def pagerank_bucketed(
+    spark: SparkSession,
+    edges: DataFrame,
+    table_name: str = "pr_edges_bucketed",
+    iters: int = PR_ITERS,
+    n_buckets: int | None = None,
+    checkpoint_every: int = 8,
+    reseed: bool | None = None,
+) -> DataFrame:
+    """Same recurrence, cluster-grade per-round plan: the degree-annotated
+    edge table is written ONCE as a managed table bucketed (and sorted) by
+    ``src``, so every iteration's rank join needs NO exchange on either
+    side — the bucketed scan arrives hash-partitioned on src, and the
+    previous round's aggregation output arrives hash-partitioned on node.
+    The bucket count must equal ``spark.sql.shuffle.partitions`` (default)
+    for the two partitionings to align."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from .bucketing import write_bucketed
+
+    if n_buckets is None:
+        n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # the in-memory catalog forgets tables across sessions while their
+    # warehouse directories persist; clear both so the one-time write is
+    # reproducible (DDL-level maintenance, not a data-path action)
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, table_name.lower()), ignore_errors=True)
+    e = edges.select("src", "dst")
+    ed = e.withColumn(
+        "deg", F.count(F.lit(1)).over(WindowSpec.partitionBy("src"))
     )
-    for i in range(iters):
-        contrib = ed.join(
-            ranks.select(F.col("node").alias("src"), "rank"), "src"
-        ).select(
-            "dst",
-            # div (integer division), NOT `/`: float division + cast
-            # truncates differently between engines near-integer quotients
-            F.expr(
-                f"(rank * {PR_DAMP_NUM}) div ({PR_DAMP_DEN} * deg)"
-            ).alias("c"),
-        )
-        ranks = (
-            contrib.groupBy("dst")
-            .agg((F.lit(PR_BASE) + F.sum("c")).cast("long").alias("rank"))
-            .select(F.col("dst").alias("node"), "rank")
-        )
-        if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
-            ranks = _truncate(ranks)
-    return ranks
+    write_bucketed(ed, table_name, "src", n_buckets, sort_col="src")
+    ed_b = spark.table(table_name)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True)
+
+    if reseed is None:
+        reseed = _has_source_only_nodes(ed_b)
+    return _power_iterate(ed_b, iters, _truncate, checkpoint_every, reseed)
 
 
-def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-50 nodes of the purchase graph by PageRank, deterministic
-    tie-break on node id; side decoded back to a label."""
-    ranks = pagerank(_edges(spark, sf_dir))
+def _top_ranked(ranks: DataFrame) -> DataFrame:
     return (
         ranks.select(
             F.when(F.col("node") % 2 == 0, F.lit("customer"))
@@ -140,8 +251,30 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 nodes of the purchase graph by PageRank, deterministic
+    tie-break on node id; side decoded back to a label. The union-built
+    edge list is symmetric by construction, so the source-only probe is
+    statically answered (reseed=False)."""
+    return _top_ranked(pagerank(_edges(spark, sf_dir), reseed=False))
+
+
+def q_graph_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical result to q_graph_pagerank (same oracle) through the
+    bucketed-edge plan — proves the exchange-free iteration join end to
+    end, including the one-time bucketed write."""
+    return _top_ranked(
+        pagerank_bucketed(
+            spark, _edges(spark, sf_dir), "pr_edges_b_q", reseed=False
+        )
+    )
+
+
 def _oracle_pagerank() -> str:
-    """The same integer recurrence unrolled into chained CTEs."""
+    """The same integer recurrence unrolled into chained CTEs. (The
+    engine re-seeds every round from the full node universe; on this
+    symmetric graph every node receives contributions each round, so the
+    groupBy-only oracle recurrence is the identical function.)"""
     its = []
     prev = "r0"
     for t in range(1, PR_ITERS + 1):
@@ -183,4 +316,5 @@ LIMIT {TOP_RANKED}
 
 QUERIES = {
     "graph_pagerank": (q_graph_pagerank, _oracle_pagerank()),
+    "graph_pagerank_bucketed": (q_graph_pagerank_bucketed, _oracle_pagerank()),
 }

@@ -68,3 +68,44 @@ def test_bucketed_join_has_no_exchange_and_is_correct(spark, sf_small):
     assert got == want
 
     _cleanup(spark)
+
+
+def test_bucketed_pagerank_iteration_join_is_exchange_free(spark, sf_small):
+    """The scale claim from graph.py made checkable: with the degree-
+    annotated edge table bucketed by src, a 2-iteration rank plan contains
+    EXCHANGES ONLY for the per-round message aggregation (hash on dst) —
+    the rank join itself never shuffles either side. The non-bucketed
+    path, by contrast, must exchange the edge table for its joins."""
+    import re
+
+    from realtimedatapipeline_8_project_spark.operators.graph import (
+        _edges,
+        pagerank_bucketed,
+    )
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ranks = pagerank_bucketed(
+            spark, _edges(spark, sf_small), "pr_plan_test", iters=2
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            ranks.explain("formatted")
+        plan = buf.getvalue()
+        n_exchanges = len(
+            re.findall(r"^\(\d+\) Exchange", plan, flags=re.MULTILINE)
+        )
+        assert n_exchanges == 2, f"want 1 exchange per iteration, plan:\n{plan}"
+        assert "hashpartitioning(dst" in plan
+        assert "hashpartitioning(src" not in plan, (
+            "edge side of the rank join must come from bucket files, "
+            "not a shuffle"
+        )
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql("DROP TABLE IF EXISTS pr_plan_test")

@@ -470,3 +470,38 @@ def test_weighted_reservoir_prefers_heavy_docs(spark, sf_oracle):
         .first()[0]
     )
     assert sample_mean > corpus_mean
+
+
+def test_pagerank_source_only_node_keeps_contributing(spark):
+    """General-digraph semantics: a node with out-edges but no in-edges
+    must keep its teleport-base rank every round and keep feeding its
+    successors (it must not drop out of the rank table after round 1).
+    Pinned against a driver-side replica of the integer recurrence."""
+    from realtimedatapipeline_8_project_spark.operators.graph import (
+        PR_BASE,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_SCALE,
+        pagerank,
+    )
+
+    # 1 -> 2 (source-only node 1); 2 <-> 3 cycle
+    edges_rows = [(1, 2), (2, 3), (3, 2)]
+    edges = spark.createDataFrame(edges_rows, "src INT, dst INT")
+    got = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+
+    out = {}
+    for s, d in edges_rows:
+        out.setdefault(s, []).append(d)
+    nodes = {n for e in edges_rows for n in e}
+    ranks = {n: PR_SCALE for n in nodes}
+    for _ in range(PR_ITERS):
+        nxt = {n: PR_BASE for n in nodes}
+        for s, dsts in out.items():
+            c = (ranks[s] * PR_DAMP_NUM) // (PR_DAMP_DEN * len(dsts))
+            for d in dsts:
+                nxt[d] += c
+        ranks = nxt
+    assert got == ranks
+    assert got[1] == PR_BASE  # re-seeded, not dropped
