@@ -531,21 +531,38 @@ DQ_Z_THRESHOLD = 3.0
 DQ_Z_MIN_N = 20
 
 
-def q_dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.exact import fround
-
-    ev = load_table(spark, sf_dir, "events")
-    q = ev.select(
+def quantize_events(ev: DataFrame) -> DataFrame:
+    """(event_id, user_id, value, v100): half-up centi-quantization — the
+    shared first step of the batch query and the incremental moments sink
+    (streaming/sinks.py), so both score against identical integers."""
+    return ev.select(
         "event_id",
         "user_id",
         "value",
         F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("v100"),
     )
-    m = q.groupBy("user_id").agg(
+
+
+def event_moments(q: DataFrame) -> DataFrame:
+    """Exact per-user integer moments (n, s, ss) of v100. Associative —
+    partial moment tables from micro-batches/shards sum cell-wise to the
+    one-pass result (the mergeable-sink property)."""
+    return q.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("v100").alias("s"),
         F.sum(F.expr("v100 * v100")).alias("ss"),
-    ).where(F.col("n") >= DQ_Z_MIN_N)
+    )
+
+
+def outliers_vs_moments(q: DataFrame, m: DataFrame) -> DataFrame:
+    """Score quantized events against a (user_id, n, s, ss) moment table:
+    |z| > DQ_Z_THRESHOLD where the user has >= DQ_Z_MIN_N events and
+    positive variance. The moment table may come from the inline
+    aggregation (batch) or from merged micro-batch partials (streaming) —
+    identical integers either way."""
+    from ..functions.exact import fround
+
+    m = m.where(F.col("n") >= DQ_Z_MIN_N)
     z = F.expr(
         "(v100 - CAST(s AS DOUBLE) / n) / "
         "sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n)"
@@ -561,6 +578,11 @@ def q_dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(F.col("zscore")) > DQ_Z_THRESHOLD)
         .select("event_id", "user_id", "value", "zscore")
     )
+
+
+def q_dq_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = quantize_events(load_table(spark, sf_dir, "events"))
+    return outliers_vs_moments(q, event_moments(q))
 
 
 def _oracle_dq_outliers() -> str:

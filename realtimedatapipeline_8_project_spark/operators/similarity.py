@@ -592,9 +592,14 @@ _IVFT_PDIST = (
 )
 
 
-def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_knn_ivf_trained(
+    spark: SparkSession, sf_dir: str, n_probe: int = IVFT_PROBE
+) -> DataFrame:
     """Top-10 nearest vectors to the probe by exact quantized L2, scanning
-    only the IVFT_PROBE clusters of a 1-iteration-trained codebook."""
+    only ``n_probe`` (default IVFT_PROBE) clusters of a 1-iteration-
+    trained codebook. ``n_probe`` is the recall/cost knob a user turns:
+    more probed lists -> monotonically higher recall, linearly more rows
+    scanned (tests/test_similarity_quality.py pins the curve)."""
     q = _km_quantize(load_table(spark, sf_dir, "embeddings"))
     k_of = F.expr(
         "CASE vec_id " + " ".join(
@@ -609,7 +614,7 @@ def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = q.where(F.col("vec_id") == IVFT_PROBE_ID).select(
         F.col("qv").alias("pqv")
     )
-    # 2 nearest inverted lists for the probe (tiny: K rows)
+    # n_probe nearest inverted lists for the probe (tiny: K rows)
     plists = (
         cents.crossJoin(F.broadcast(probe))
         .select(
@@ -620,7 +625,7 @@ def q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pd"),
         )
         .orderBy(F.asc("pd"), F.asc("k"))
-        .limit(IVFT_PROBE)
+        .limit(n_probe)
         .select("k")
     )
     return (

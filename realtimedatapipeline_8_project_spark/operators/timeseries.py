@@ -198,24 +198,32 @@ FROM events
 # window, no sort).
 
 
-def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    # order key: BUCKET-RELATIVE microseconds * 2^31 + event_id — monotone
-    # in (ts, event_id) within a bucket (all min_by/max_by needs) for any
-    # event_id < 2^31, and bounded: (3.6e9 - 1) * 2^31 + (2^31 - 1)
-    # ~= 7.73e18 < 2^63 (absolute micros would overflow; a 2^32 shift
-    # would too). event_id is the fixture's 64-bit row id but stays far
-    # below 2^31 at every SF; the bound is part of the operator contract.
-    okey = F.expr(
-        "(unix_micros(ts) - unix_micros(date_trunc('hour', ts)))"
-        " * 2147483648 + event_id"
-    )
-    b = ev.select(
+# order key: BUCKET-RELATIVE microseconds * 2^31 + event_id — monotone
+# in (ts, event_id) within a bucket (all min_by/max_by needs) for any
+# event_id < 2^31, and bounded: (3.6e9 - 1) * 2^31 + (2^31 - 1)
+# ~= 7.73e18 < 2^63 (absolute micros would overflow; a 2^32 shift
+# would too). event_id is the fixture's 64-bit row id but stays far
+# below 2^31 at every SF; the bound is part of the operator contract.
+# Shared with the incremental M4 sink (streaming/sinks.py).
+M4_OKEY_SQL = (
+    "(unix_micros(ts) - unix_micros(date_trunc('hour', ts)))"
+    " * 2147483648 + event_id"
+)
+
+
+def m4_buckets(ev: DataFrame) -> DataFrame:
+    """(user_id, bucket, v, ok): the quantized M4 input — shared by the
+    batch query and the per-micro-batch partial aggregation."""
+    return ev.select(
         "user_id",
         F.date_trunc("hour", F.col("ts")).alias("bucket"),
         F.col("value").cast(DEC).alias("v"),
-        okey.alias("ok"),
+        F.expr(M4_OKEY_SQL).alias("ok"),
     )
+
+
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = m4_buckets(load_table(spark, sf_dir, "events"))
     return b.groupBy("user_id", "bucket").agg(
         F.min("v").cast("double").alias("v_min"),
         F.max("v").cast("double").alias("v_max"),

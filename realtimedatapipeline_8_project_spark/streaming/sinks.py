@@ -297,6 +297,91 @@ def read_hll(spark: SparkSession, output_dir: str) -> DataFrame:
     )
 
 
+def write_moments(
+    batch_df: DataFrame, batch_id: int, output_dir: str
+) -> None:
+    """Per-batch partial integer moment table (user_id, n, s, ss) for the
+    z-score outlier detector (operators/relational.py): counts and sums
+    are associative, so micro-batch partials sum cell-wise to the one-pass
+    moments — same exactness-under-replay story as the rollup sink.
+    O(|batch users|) state per batch; idempotent per batch id."""
+    from ..operators.relational import event_moments, quantize_events
+
+    (
+        event_moments(quantize_events(batch_df))
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(output_dir, "moments"))
+    )
+
+
+def read_moments(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Serving view: merged per-user moments = cell-wise sum of all
+    partials — identical integers to a single-pass aggregation, so
+    scoring events against them (outliers_vs_moments) is bit-identical
+    to the batch q_dq_outliers."""
+    partials = spark.read.parquet(os.path.join(output_dir, "moments"))
+    return (
+        partials.drop("batch_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("s").cast("long").alias("s"),
+            F.sum("ss").cast("long").alias("ss"),
+        )
+    )
+
+
+def write_m4(batch_df: DataFrame, batch_id: int, output_dir: str) -> None:
+    """Per-batch partial M4 cells: per (user_id, hour bucket) keep
+    min/max value plus the argmin/argmax (order-key, value) pairs for
+    first/last — all five merge associatively (min, max, min_by on the
+    kept key, max_by, sum), so the downsample is maintained incrementally
+    with state bounded by users x buckets per batch. Values stay
+    DECIMAL until the serving read so merges are exact."""
+    from ..operators.timeseries import m4_buckets
+
+    (
+        m4_buckets(batch_df)
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+            F.expr("min_by(v, ok)").alias("v_first"),
+            F.min("ok").alias("ok_min"),
+            F.expr("max_by(v, ok)").alias("v_last"),
+            F.max("ok").alias("ok_max"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(output_dir, "m4"))
+    )
+
+
+def read_m4(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Serving view: merged M4 cells, projected to the batch query's
+    schema (operators/timeseries.py:q_m4_downsample) — min/max of
+    partial min/max, first/last via min_by/max_by on the partial
+    order-key extrema, counts summed."""
+    partials = spark.read.parquet(os.path.join(output_dir, "m4"))
+    return (
+        partials.drop("batch_id")
+        .groupBy("user_id", "bucket")
+        .agg(
+            F.min("v_min").cast("double").alias("v_min"),
+            F.max("v_max").cast("double").alias("v_max"),
+            F.expr("min_by(v_first, ok_min)").cast("double").alias("v_first"),
+            F.expr("max_by(v_last, ok_max)").cast("double").alias("v_last"),
+            F.sum("n_points").cast("long").alias("n_points"),
+        )
+    )
+
+
 def write_batch_fanout(
     batch_df: DataFrame,
     batch_id: int,

@@ -100,3 +100,47 @@ def test_ivf_trained_recall_at_10(spark, sf_oracle):
         )
     }
     assert len(got & exact) / IVFT_TOP >= 0.7
+
+
+def test_ivf_trained_recall_improves_with_probes(spark, sf_oracle):
+    """The knob a real user turns: probing more inverted lists must give
+    monotonically non-decreasing recall@10, reaching perfect recall when
+    every list is scanned (the probe-limited scan degrades gracefully to
+    brute force)."""
+    from pyspark.sql import functions as F
+
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        _IVFT_PDIST,
+        IVFT_K,
+        IVFT_PROBE_ID,
+        IVFT_TOP,
+        _km_quantize,
+        q_knn_ivf_trained,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    q = _km_quantize(load_table(spark, sf_oracle, "embeddings"))
+    probe = q.where(F.col("vec_id") == IVFT_PROBE_ID).select(
+        F.col("qv").alias("pqv")
+    )
+    exact = {
+        r["vec_id"]
+        for r in (
+            q.crossJoin(F.broadcast(probe))
+            .where(F.col("vec_id") != IVFT_PROBE_ID)
+            .select("vec_id", F.expr(_IVFT_PDIST).alias("d"))
+            .orderBy("d", "vec_id")
+            .limit(IVFT_TOP)
+            .collect()
+        )
+    }
+    recalls = []
+    for n_probe in (2, 4, IVFT_K):
+        got = {
+            r["vec_id"]
+            for r in q_knn_ivf_trained(spark, sf_oracle, n_probe).collect()
+        }
+        recalls.append(len(got & exact) / IVFT_TOP)
+    assert recalls == sorted(recalls), recalls
+    assert recalls[0] >= 0.7, recalls
+    assert recalls[-1] == 1.0, recalls  # all lists scanned == brute force

@@ -649,3 +649,74 @@ def test_rate_limit_bounds_micro_batches(spark, sf_small, workdir):
         .count()
     )
     assert batches_free < batches_limited
+
+
+def test_incremental_moments_merge_and_score_like_batch(spark, sf_small, workdir):
+    """Moments sink: per-batch (n, s, ss) partials summed on read must
+    equal the one-pass moments, survive an idempotent batch replay, and
+    scoring events against the merged table must reproduce the batch
+    q_dq_outliers rows exactly."""
+    from realtimedatapipeline_8_project_spark.operators.relational import (
+        event_moments,
+        outliers_vs_moments,
+        q_dq_outliers,
+        quantize_events,
+    )
+    from realtimedatapipeline_8_project_spark.streaming.sinks import (
+        read_moments,
+        write_moments,
+    )
+
+    out = os.path.join(workdir, "out")
+    ev = load_table(spark, sf_small, "events")
+    n = ev.count()
+    per = (n + 3) // 4
+    chunks = [
+        ev.orderBy("event_id").offset(i * per).limit(per) for i in range(4)
+    ]
+    for i, c in enumerate(chunks):
+        write_moments(c, i, out)
+    write_moments(chunks[1], 1, out)  # replay a committed batch id
+
+    merged = read_moments(spark, out)
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(
+        map(tuple, event_moments(quantize_events(ev)).collect())
+    )
+    assert got == want
+
+    scored = sorted(
+        map(
+            tuple,
+            outliers_vs_moments(quantize_events(ev), merged).collect(),
+        )
+    )
+    batch = sorted(map(tuple, q_dq_outliers(spark, sf_small).collect()))
+    assert scored == batch
+    assert len(batch) > 0  # the fixture does contain outliers
+
+
+def test_incremental_m4_merges_to_batch_downsample(spark, sf_small, workdir):
+    """M4 sink: per-batch partial cells merged on read (min/max/min_by/
+    max_by/sum) must equal the one-pass q_m4_downsample, including after
+    an idempotent replay of a committed batch."""
+    from realtimedatapipeline_8_project_spark.operators.timeseries import (
+        q_m4_downsample,
+    )
+    from realtimedatapipeline_8_project_spark.streaming.sinks import (
+        read_m4,
+        write_m4,
+    )
+
+    out = os.path.join(workdir, "out")
+    ev = load_table(spark, sf_small, "events")
+    n = ev.count()
+    per = (n + 2) // 3
+    for i in range(3):
+        write_m4(ev.orderBy("event_id").offset(i * per).limit(per), i, out)
+    write_m4(ev.orderBy("event_id").limit(per), 0, out)  # replay batch 0
+
+    got = sorted(map(tuple, read_m4(spark, out).collect()))
+    want = sorted(map(tuple, q_m4_downsample(spark, sf_small).collect()))
+    assert got == want
+    assert len(want) > 0
