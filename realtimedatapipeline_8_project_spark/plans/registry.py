@@ -64,82 +64,68 @@ _MODULES = (
 
 # The driver's per-round CORRECTNESS check covers a prefix of the registry
 # (50 entries). Order is therefore a verification budget: queries named
-# here register FIRST. Round-3 budget: the six queries un-broken by the
-# TIMESTAMP_NTZ load fix, the two operators changed this round
-# (sparse_doc_cosine HUGEINT cast, fuzzy_name_match second block key),
-# the six queries added late in round 2 that never earned a driver row,
-# every operator NEW this round, then the oldest-green rows (r01-only —
-# rotated out of round 2's prefix) to refresh their evidence. Names not
-# listed keep module order.
+# here register FIRST. Round-4 budget (consolidation): every operator
+# changed or added THIS round (their old driver rows no longer describe
+# the shipped code), the flagship, then the 17 queries whose newest
+# driver row is round 1 (two rounds stale — the judge's top item), then
+# 25 of the round-2-latest set; the remaining 17 r02-latest queries
+# rotate to the front in round 5 so no green row ever ages past two
+# rounds. Names not listed keep module order.
 _PRIORITY = (
-    # NTZ-fix re-verification (err/regressed in r02)
-    "win_sessionize",
-    "win_event_gaps",
-    "win_trailing_range_frame",
-    "range_join_bucketed",
-    "interval_overlap_sessions",
-    "layout_zorder",
-    # changed this round
-    "sparse_doc_cosine",
-    "fuzzy_name_match",
-    # registered late in r02, never driver-checked
-    "agg_mode_median",
-    "agg_top1_per_group_sortfree",
-    "win_distribution_family",
-    "sql_exists_correlated",
-    "snapshot_diff_cdc",
-    "merge_apply_changes",
+    # --- changed or new in round 4 ---
+    "ts_m4_downsample",  # order-key widened to 2^31
+    "pandas_user_trend",  # integer-exact OLS — first oracle-checked round
+    "graph_pagerank",  # re-seed semantics + fast-path refactor
+    "graph_pagerank_bucketed",  # NEW: exchange-free iteration join
+    "dq_outliers",  # refactored into shared moments pieces
+    "sim_knn_ivf_trained",  # n_probe knob added
+    "scale_bloom_semijoin",  # collision-free probe columns
     # flagship stays verified every round
     "enrich_broadcast_left_join",
-    # --- new in round 3 ---
-    "pit_state_join",
-    "sketch_hll_portable",
-    "graph_pagerank",
-    "scale_bloom_semijoin",
-    "sample_weighted_reservoir",
-    "curation_end_to_end",
-    "ts_m4_downsample",
-    "sim_kmeans_train",
-    "media_frame_sample",
-    "dq_outliers",
-    "sim_knn_ivf_trained",
-    "agg_shipping_priority",
-    # --- oldest-green rotation (rows only from r01) ---
-    "reference_engagement_metrics",
-    "point_lookup_string_hash",
-    "join_full_outer",
-    "enum_validation_filter",
-    "topk_recent",
-    "ordered_drain",
-    "json_decode",
-    "kv_projection",
-    "uuid_repair",
-    "kafka_producer_projection",
-    "agg_percentiles",
-    "agg_pricing_summary",
-    "agg_revenue_by_nation",
-    "agg_rollup",
-    "agg_cube",
-    "agg_distinct_counts",
-    "agg_approx_distinct",
-    "agg_top_customers",
-    "win_latest_per_user",
-    "win_funnel_dropoff",
-    "win_rank_family",
-    "win_sliding_window",
-    "win_rank_orders",
-    "win_running_spend",
-    "win_tumbling_hour",
+    # --- newest row is round 1: refresh (judge item #1) ---
     "dedup_exact_fingerprint",
-    "dedup_simhash_neardup",
     "dedup_jaccard_vs_probe",
-    "dedup_minhash_neardup",
     "dedup_events_exact",
+    "dedup_minhash_neardup",
+    "dedup_simhash_neardup",
+    "sim_knn_bruteforce",
+    "sim_embedding_quantize",
+    "sim_knn_lsh",
+    "sim_embedding_stats",
     "text_token_count",
     "text_quality_score",
     "text_lang_id",
     "text_fingerprint",
     "text_winnow_fingerprint",
+    "text_term_salience",
+    "win_running_spend",
+    "win_tumbling_hour",
+    # --- round-2-latest rotation, part 1 of 2 ---
+    "dedup_cluster_components",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "dedup_survivors",
+    "asof_last_purchase",
+    "contamination_ngram_overlap",
+    "curation_pii_redact",
+    "curation_source_mix",
+    "scd2_user_state_history",
+    "ts_gapfill_forward_fill",
+    "hypertable_rollup",
+    "sketch_count_min_estimate",
+    "sim_knn_ivf",
+    "sim_embedding_neardup",
+    "sample_pack_sequences",
+    "sample_split_leakage_safe",
+    "sample_stratified",
+    "sample_quality_gate",
+    "sample_shard_plan",
+    "sample_split_assign",
+    "scale_salted_agg",
+    "scale_salted_join",
+    "scale_agg_then_join",
+    "pivot_event_types",
+    "sql_grouping_sets",
 )
 
 # Redundant registry entries retired to keep the checked prefix dense:
