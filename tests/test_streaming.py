@@ -720,3 +720,47 @@ def test_incremental_m4_merges_to_batch_downsample(spark, sf_small, workdir):
     want = sorted(map(tuple, q_m4_downsample(spark, sf_small).collect()))
     assert got == want
     assert len(want) > 0
+
+
+def test_stats_replay_stream_equals_batch(spark, sf_small, workdir):
+    """End-to-end streaming wiring for the moments/M4 sinks: JSON source
+    -> decode -> foreachBatch partials over several micro-batches; the
+    merged serving views must equal the one-pass batch answers, and
+    scoring against streamed moments must reproduce q_dq_outliers."""
+    from realtimedatapipeline_8_project_spark.operators.relational import (
+        q_dq_outliers,
+        outliers_vs_moments,
+        quantize_events,
+    )
+    from realtimedatapipeline_8_project_spark.operators.timeseries import (
+        q_m4_downsample,
+    )
+    from realtimedatapipeline_8_project_spark.streaming.pipeline import (
+        run_stats_replay,
+    )
+    from realtimedatapipeline_8_project_spark.streaming.sinks import (
+        read_m4,
+        read_moments,
+    )
+
+    src = os.path.join(workdir, "src")
+    out = os.path.join(workdir, "out")
+    chk = os.path.join(workdir, "chk")
+    _write_event_jsonl(spark, sf_small, src, n_files=4)
+    run_stats_replay(spark, src, out, chk, max_files_per_trigger=1)
+
+    got_m4 = sorted(map(tuple, read_m4(spark, out).collect()))
+    want_m4 = sorted(map(tuple, q_m4_downsample(spark, sf_small).collect()))
+    assert got_m4 == want_m4
+
+    ev = load_table(spark, sf_small, "events")
+    scored = sorted(
+        map(
+            tuple,
+            outliers_vs_moments(
+                quantize_events(ev), read_moments(spark, out)
+            ).collect(),
+        )
+    )
+    batch = sorted(map(tuple, q_dq_outliers(spark, sf_small).collect()))
+    assert scored == batch and len(batch) > 0
