@@ -67,6 +67,7 @@ HEADLINE = [
     # round-4 additions
     "graph_pagerank_bucketed",
     "pandas_user_trend",
+    "dedup_semantic_pairs",
 ]
 
 

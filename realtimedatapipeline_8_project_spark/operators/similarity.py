@@ -693,8 +693,116 @@ LIMIT {IVFT_TOP}
 """
 
 
+# --- semantic dedup (SemDeDup-style) ---------------------------------------
+# Embedding-space near-duplicate pruning for training corpora: cluster
+# with the trained codebook (1 Lloyd iteration from the IVFT seeds — the
+# same quantized-integer pipeline as q_knn_ivf_trained), then emit exact
+# quantized-L2 candidate pairs WITHIN each cluster below a distance
+# threshold. Scale shape: the all-pairs work is confined to within-
+# cluster blocks — on a real corpus K grows with N (K ~ N / target
+# cluster size) so blocks stay bounded, and the 16-bit sign-sketch
+# banding of sim_embedding_neardup composes as a second blocking level
+# inside still-large clusters. Everything stays in integer space, so the
+# cluster assignment AND the pair distances are hash-checkable.
+
+SEM_T = 1_250_000_000_000  # ~0.1% quantile of pairwise quantized L2
+
+_SEM_PAIR_DIST = (
+    "aggregate(zip_with(qa, qb, (a, b) -> (a - b) * (a - b)), "
+    "CAST(0 AS BIGINT), (s, x) -> s + x)"
+)
+
+
+def semantic_pairs(emb: DataFrame, threshold: int = SEM_T) -> DataFrame:
+    """(vec_id, embedding) -> within-cluster candidate pairs under the
+    quantized-L2 ``threshold``. Exact duplicates (distance 0) can never be
+    missed by the cluster blocking: identical vectors assign identically
+    (the fold is deterministic), so they always share a cluster — pinned
+    in tests/test_similarity_quality.py."""
+    q = _km_quantize(emb)
+    k_of = F.expr(
+        "CASE vec_id " + " ".join(
+            f"WHEN {v} THEN {i}" for i, v in enumerate(IVFT_SEEDS)
+        ) + " END"
+    ).cast("int")
+    cents = q.where(F.col("vec_id").isin(*IVFT_SEEDS)).select(
+        k_of.alias("k"), F.col("qv").alias("c")
+    )
+    cents = _km_update(_km_assign(q, cents))  # one Lloyd iteration
+    assigned = _km_assign(q, cents)
+    a = assigned.select(
+        F.col("k").alias("cluster"),
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("qv").alias("qa"),
+    )
+    b = assigned.select(
+        F.col("k").alias("cluster"),
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("qv").alias("qb"),
+    )
+    return (
+        a.join(b, "cluster")
+        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        .withColumn("dist", F.expr(_SEM_PAIR_DIST))
+        .where(F.col("dist") <= F.lit(threshold))
+        .select("cluster", "vec_id_a", "vec_id_b", "dist")
+    )
+
+
+def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+def _oracle_semantic_dedup_pairs() -> str:
+    k_case = "CASE vec_id " + " ".join(
+        f"WHEN {v} THEN {i}" for i, v in enumerate(IVFT_SEEDS)
+    ) + " END"
+    dist = (
+        f"CAST(list_sum(list_transform(range(1, {KM_DIM + 1}), "
+        f"i -> (v.qv[i] - c.c[i]) * (v.qv[i] - c.c[i]))) AS BIGINT)"
+    )
+    pair = (
+        f"CAST(list_sum(list_transform(range(1, {KM_DIM + 1}), "
+        f"i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS BIGINT)"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {KM_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+), c0 AS (
+  SELECT {k_case} AS k, qv AS c FROM q WHERE vec_id IN {IVFT_SEEDS}
+), a1 AS (
+  SELECT v.vec_id, v.qv, c.k, {dist} AS d
+  FROM q v CROSS JOIN c0 c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY d, c.k) = 1
+), e1 AS (
+  SELECT k, i, CAST(SUM(qv[i]) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a1 CROSS JOIN range(1, {KM_DIM + 1}) t1(i)
+  GROUP BY k, i
+), c1 AS (
+  SELECT k, array_agg(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+                      ORDER BY i) AS c
+  FROM e1 GROUP BY k
+), a2 AS (
+  SELECT v.vec_id, v.qv, c.k, {dist} AS d
+  FROM q v CROSS JOIN c1 c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY d, c.k) = 1
+)
+SELECT a.k AS cluster, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       {pair} AS dist
+FROM a2 a JOIN a2 b ON a.k = b.k AND a.vec_id < b.vec_id
+WHERE {pair} <= {SEM_T}
+"""
+
+
 QUERIES = {
     "sim_kmeans_train": (q_kmeans_train, _oracle_kmeans_train()),
+    "dedup_semantic_pairs": (
+        q_semantic_dedup_pairs,
+        _oracle_semantic_dedup_pairs(),
+    ),
     "sim_knn_ivf_trained": (q_knn_ivf_trained, _oracle_knn_ivf_trained()),
     "sim_knn_bruteforce": (q_knn_bruteforce, ORACLE_KNN_BRUTEFORCE),
     "sim_embedding_quantize": (q_embedding_quantize, ORACLE_EMBEDDING_QUANTIZE),

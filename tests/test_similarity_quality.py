@@ -144,3 +144,52 @@ def test_ivf_trained_recall_improves_with_probes(spark, sf_oracle):
     assert recalls == sorted(recalls), recalls
     assert recalls[0] >= 0.7, recalls
     assert recalls[-1] == 1.0, recalls  # all lists scanned == brute force
+
+
+def test_semantic_pairs_invariants_on_fixture(spark, sf_small):
+    """Within-cluster candidate pairs: canonical order, threshold
+    respected, and both members really share the emitted cluster."""
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        SEM_T,
+        q_semantic_dedup_pairs,
+    )
+
+    rows = q_semantic_dedup_pairs(spark, sf_small).collect()
+    assert len(rows) > 0
+    assert all(r.vec_id_a < r.vec_id_b for r in rows)
+    assert all(0 <= r.dist <= SEM_T for r in rows)
+
+
+def test_semantic_pairs_never_miss_exact_duplicates(spark, sf_small):
+    """The SemDeDup guarantee that matters: an exact duplicate vector
+    (distance 0) always lands in the same cluster as its twin (the
+    assignment fold is deterministic), so cluster blocking can never drop
+    it — unlike threshold-tail 'near' pairs, which may legitimately split
+    across cluster boundaries."""
+    from pyspark.sql import functions as F
+
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        semantic_pairs,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    # duplicate 10 deterministically-chosen vectors under fresh ids
+    ids = [
+        r.vec_id
+        for r in emb.where(F.col("vec_id") % 37 == 1)
+        .orderBy("vec_id")
+        .limit(10)
+        .select("vec_id")
+        .collect()
+    ]
+    dups = emb.where(F.col("vec_id").isin(ids)).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        *[c for c in emb.columns if c != "vec_id"],
+    )
+    expected = {(i, i + 1_000_000) for i in ids}
+    got = semantic_pairs(emb.unionByName(dups)).collect()
+    zero_pairs = {
+        (r.vec_id_a, r.vec_id_b) for r in got if r.dist == 0
+    }
+    assert expected <= zero_pairs
