@@ -197,3 +197,30 @@ WHERE EXISTS (
 """
 
 QUERIES["sql_exists_correlated"] = (q_exists_correlated, ORACLE_EXISTS_CORRELATED)
+
+
+# --- correlated LATERAL subquery with ORDER BY/LIMIT ----------------------
+# Top-k-per-group spelled the SQL-first way: a correlated lateral derived
+# table with its own ORDER BY ... LIMIT. Catalyst plans this via lateral
+# join decorrelation (the DataFrame twin is the window row_number <= k of
+# agg_top1_per_group_sortfree / win_rank_family); the identical string
+# runs on DuckDB. Deterministic under ties via the c_custkey tie-break.
+
+SQL_LATERAL_TOPK = """
+SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_name, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) t
+"""
+
+
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_LATERAL_TOPK)
+
+
+QUERIES["sql_lateral_topk"] = (q_lateral_topk, SQL_LATERAL_TOPK)
