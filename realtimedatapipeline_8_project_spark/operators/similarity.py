@@ -729,7 +729,12 @@ def semantic_pairs(emb: DataFrame, threshold: int = SEM_T) -> DataFrame:
         k_of.alias("k"), F.col("qv").alias("c")
     )
     cents = _km_update(_km_assign(q, cents))  # one Lloyd iteration
-    assigned = _km_assign(q, cents)
+    # both self-join sides reference the assignment: persist it so the
+    # quantize -> train -> assign lineage runs once, not twice (the same
+    # cached-intermediate discipline as the minhash shingle pass)
+    assigned = (
+        _km_assign(q, cents).select("k", "vec_id", "qv").persist()
+    )
     a = assigned.select(
         F.col("k").alias("cluster"),
         F.col("vec_id").alias("vec_id_a"),
