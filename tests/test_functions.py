@@ -505,3 +505,28 @@ def test_pagerank_source_only_node_keeps_contributing(spark):
         ranks = nxt
     assert got == ranks
     assert got[1] == PR_BASE  # re-seeded, not dropped
+
+
+def test_duckdb_fdiv_matches_python_floor_division():
+    """The mod-normalized floor division used in oracles (DuckDB // and %
+    truncate toward zero; Python's floor) must equal Python's // for
+    every sign combination, including exact multiples and huge values."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from realtimedatapipeline_8_project_spark.operators.pandas_ops import _fdiv
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(-(10**30), 10**30),
+        st.integers(-(10**15), 10**15).filter(lambda b: b != 0),
+    )
+    def check(a, b):
+        expr = _fdiv(f"CAST({a} AS HUGEINT)", f"CAST({b} AS HUGEINT)")
+        got = con.execute(f"SELECT {expr}").fetchone()[0]
+        assert int(got) == a // b, (a, b, got)
+
+    check()

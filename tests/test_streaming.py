@@ -764,3 +764,43 @@ def test_stats_replay_stream_equals_batch(spark, sf_small, workdir):
     )
     batch = sorted(map(tuple, q_dq_outliers(spark, sf_small).collect()))
     assert scored == batch and len(batch) > 0
+
+
+def test_stats_replay_checkpoint_incremental_restart(spark, sf_small, workdir):
+    """Restarting the stats replay from the same checkpoint after new data
+    arrives must fold ONLY the new files into the partial state (committed
+    batches are not reprocessed), and a restart with no new data must
+    change nothing — the merged moments always equal the one-pass batch
+    over everything drained so far."""
+    from realtimedatapipeline_8_project_spark.operators.relational import (
+        event_moments,
+        quantize_events,
+    )
+    from realtimedatapipeline_8_project_spark.streaming.pipeline import (
+        run_stats_replay,
+    )
+    from realtimedatapipeline_8_project_spark.streaming.sinks import read_moments
+
+    src = os.path.join(workdir, "src")
+    out = os.path.join(workdir, "out")
+    chk = os.path.join(workdir, "chk")
+    _write_event_jsonl(spark, sf_small, src, n_files=4)
+    # hold one file back
+    held = os.path.join(workdir, "part-3.jsonl")
+    os.rename(os.path.join(src, "part-3.jsonl"), held)
+
+    run_stats_replay(spark, src, out, chk, max_files_per_trigger=1)
+    partial_n = read_moments(spark, out).agg(F.sum("n")).first()[0]
+
+    # no new data: restart is a no-op
+    run_stats_replay(spark, src, out, chk, max_files_per_trigger=1)
+    assert read_moments(spark, out).agg(F.sum("n")).first()[0] == partial_n
+
+    # late file arrives; restart folds only the delta
+    os.rename(held, os.path.join(src, "part-3.jsonl"))
+    run_stats_replay(spark, src, out, chk, max_files_per_trigger=1)
+
+    got = sorted(map(tuple, read_moments(spark, out).collect()))
+    ev = load_table(spark, sf_small, "events")
+    want = sorted(map(tuple, event_moments(quantize_events(ev)).collect()))
+    assert got == want
