@@ -52,7 +52,17 @@ def get_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 12g default: the single-JVM bench session runs 40+ query shapes
+        # back to back; headroom keeps GC pauses out of per-query timings
+        # (the box has 128 GiB)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        # 40+ whole-stage-codegen shapes overflow the JVM's default 240m
+        # code cache mid-session, deoptimizing later queries (measured
+        # ~10% on the iterative ones); reserve enough for the full suite
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
