@@ -5,7 +5,7 @@ local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Each query is materialized with a count-style noop action (collect for
 small results) so the full plan executes. Each query runs
-$SPARK_GRAFT_BENCH_RUNS times (default 2) and reports the BEST run:
+$SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the BEST run:
 first-run numbers are dominated by whole-stage-codegen compilation
 (~2-4 s for complex shapes, measured), which at real scale amortizes to
 zero — steady-state is the honest throughput number. The cold total is
@@ -84,7 +84,7 @@ def main() -> None:
     # Warm up the session (JVM, codegen, parquet footers) outside timing.
     spark.range(1).count()
 
-    runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")), 1)
+    runs = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")), 1)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
