@@ -243,6 +243,72 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q10 shape: returned-item revenue report ------------------------
+# The classic "who returned the most revenue last quarter" 4-table join:
+# lineitem filtered to returned rows AT THE SCAN (PushedFilters), orders
+# pruned to one quarter, ONE fact-fact shuffle join on orderkey, then the
+# customer->nation dim chain broadcast; a single agg shuffle on custkey
+# feeds TakeOrderedAndProject. Exact revenue via decimal dsum_product.
+
+Q10_START = "1996-01-01"
+Q10_END = "1996-04-01"
+
+
+def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    dim = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "c_acctbal", "n_name")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit(Q10_START).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(Q10_END).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            dsum_product(
+                F.col("l_extendedprice"),
+                F.lit(1.0) - F.col("l_discount"),
+                "revenue",
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_RETURNED_ITEM = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {oracle_dsum_product('l_extendedprice', '1.0 - l_discount', 'revenue')}
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '{Q10_START}'
+  AND o_orderdate < TIMESTAMP '{Q10_END}'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 ORACLE_SHIPPING_PRIORITY = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
        {oracle_dsum_product('l_extendedprice', '1.0 - l_discount', 'revenue')}
@@ -260,6 +326,7 @@ LIMIT 10
 
 QUERIES = {
     "agg_shipping_priority": (q_shipping_priority, ORACLE_SHIPPING_PRIORITY),
+    "agg_returned_item_report": (q_returned_item_report, ORACLE_RETURNED_ITEM),
     "agg_pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
     "agg_revenue_by_nation": (q_revenue_by_nation, ORACLE_REVENUE_BY_NATION),
     "agg_rollup": (q_rollup, ORACLE_ROLLUP),
