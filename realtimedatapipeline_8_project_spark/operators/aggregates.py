@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import (
+    DEC,
     davg,
     dsum,
     dsum_product,
@@ -309,6 +310,65 @@ LIMIT 20
 """
 
 
+# --- TPC-H Q18 shape: large-volume customers -------------------------------
+# HAVING over an aggregate: find orders whose total quantity exceeds a
+# threshold, then report them with their customers. The classic spelling
+# re-scans lineitem through an IN subquery; the Spark-first plan
+# aggregates lineitem ONCE (map-side combined, exact decimal) and joins
+# the tiny qualifying set back to orders + the broadcast customer dim —
+# same result, half the fact scans. The threshold compare runs on the
+# exact DECIMAL sum in both engines, so qualification is deterministic.
+
+Q18_MIN_QTY = 300
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sq"))
+        .where(F.col("sq") > Q18_MIN_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("sq"), 2).cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+ORACLE_LARGE_VOLUME = f"""
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(27,6))) AS sq
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(27,6))) > {Q18_MIN_QTY}
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(ROUND(sq, 2) AS DOUBLE) AS sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 ORACLE_SHIPPING_PRIORITY = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
        {oracle_dsum_product('l_extendedprice', '1.0 - l_discount', 'revenue')}
@@ -327,6 +387,7 @@ LIMIT 10
 QUERIES = {
     "agg_shipping_priority": (q_shipping_priority, ORACLE_SHIPPING_PRIORITY),
     "agg_returned_item_report": (q_returned_item_report, ORACLE_RETURNED_ITEM),
+    "agg_large_volume_customers": (q_large_volume_customers, ORACLE_LARGE_VOLUME),
     "agg_pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
     "agg_revenue_by_nation": (q_revenue_by_nation, ORACLE_REVENUE_BY_NATION),
     "agg_rollup": (q_rollup, ORACLE_ROLLUP),
