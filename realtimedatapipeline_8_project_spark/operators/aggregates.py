@@ -205,9 +205,16 @@ LIMIT 10
 
 # --- TPC-H Q3-shaped shipping priority ------------------------------------
 # The classic selective multi-join top-k: both date predicates and the
-# segment filter push to their scans, the customer side broadcasts, the
-# orders<->lineitem join is the one real shuffle, and the final ranking
-# is TakeOrderedAndProject (per-partition heap, no global sort).
+# segment filter push to their scans, the orders<->lineitem join is the
+# one real shuffle, and the final ranking is TakeOrderedAndProject
+# (per-partition heap, no global sort). The customer side carries NO
+# broadcast hint: customer grows linearly with scale (~10B rows at TPC-H
+# 100 TB, where the classic plan shuffles it), so strategy choice belongs
+# to the optimizer — auto-broadcast under the size threshold locally, AQE
+# runtime switch at scale (tests/test_plans.py pins that the hint-free
+# plan still broadcasts at test SF, proving the hint was redundant).
+# Fixed-cardinality dims (nation: 25 rows, region: 5) keep their hints —
+# they are scale-invariant by schema.
 Q3_DATE = "1995-03-15"
 Q3_SEGMENT = "BUILDING"
 
@@ -230,7 +237,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             dsum_product(
@@ -248,8 +255,11 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The classic "who returned the most revenue last quarter" 4-table join:
 # lineitem filtered to returned rows AT THE SCAN (PushedFilters), orders
 # pruned to one quarter, ONE fact-fact shuffle join on orderkey, then the
-# customer->nation dim chain broadcast; a single agg shuffle on custkey
-# feeds TakeOrderedAndProject. Exact revenue via decimal dsum_product.
+# customer->nation dim chain (nation broadcast-hinted — 25 rows by
+# schema; customer hint-free, since it scales with the data: the
+# optimizer broadcasts it below threshold and shuffles it at 100x, the
+# classic Q10 plan); a single agg shuffle on custkey feeds
+# TakeOrderedAndProject. Exact revenue via decimal dsum_product.
 
 Q10_START = "1996-01-01"
 Q10_END = "1996-04-01"
@@ -280,7 +290,7 @@ def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
             dsum_product(
@@ -315,9 +325,11 @@ LIMIT 20
 # threshold, then report them with their customers. The classic spelling
 # re-scans lineitem through an IN subquery; the Spark-first plan
 # aggregates lineitem ONCE (map-side combined, exact decimal) and joins
-# the tiny qualifying set back to orders + the broadcast customer dim —
-# same result, half the fact scans. The threshold compare runs on the
-# exact DECIMAL sum in both engines, so qualification is deterministic.
+# the tiny qualifying set back to orders + the customer dim (hint-free:
+# customer scales with the data, so the optimizer broadcasts below
+# threshold and shuffles at 100x — the classic Q18 plan) — same result,
+# half the fact scans. The threshold compare runs on the exact DECIMAL
+# sum in both engines, so qualification is deterministic.
 
 Q18_MIN_QTY = 300
 
@@ -339,7 +351,7 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",

@@ -62,8 +62,12 @@ FROM lineitem GROUP BY l_returnflag
 
 def q_agg_then_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate-then-join: sum order totals per custkey FIRST, then attach
-    the customer dim by broadcast — the shuffle carries one row per key, not
-    one per order. Same result as join-then-aggregate."""
+    the customer dim — the shuffle carries one row per key, not one per
+    order. Same result as join-then-aggregate. The dim join is hint-free:
+    customer grows with scale, so the optimizer picks broadcast below the
+    size threshold (the local plan, pinned in tests/test_plans.py) and a
+    shuffle join at 100x; the aggregate-first shape is what this operator
+    pins, not the dim strategy."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     per_cust = orders.groupBy("o_custkey").agg(
@@ -72,7 +76,7 @@ def q_agg_then_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("spend")
     )
     return (
-        per_cust.join(F.broadcast(cust), per_cust["o_custkey"] == cust["c_custkey"])
+        per_cust.join(cust, per_cust["o_custkey"] == cust["c_custkey"])
         .groupBy("c_mktsegment")
         .agg(
             F.round(F.sum(F.col("spend").cast("decimal(27,6)")), 2)

@@ -376,6 +376,33 @@ def test_kmeans_assignment_is_broadcast_fold_no_smj(spark, sf_small):
     assert p.count("HashAggregate") >= 2
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "agg_shipping_priority",
+        "agg_returned_item_report",
+        "agg_large_volume_customers",
+        "scale_agg_then_join",
+    ],
+)
+def test_customer_dim_joins_are_hint_free_but_broadcast_locally(
+    spark, sf_small, name
+):
+    """The four reports that join the scale-growing customer dim carry NO
+    forced broadcast hint (at 100x scale the classic Q3/Q10/Q18 plans
+    shuffle customer — a forced broadcast would OOM the executors). This
+    pins that at test SF the optimizer still chooses a broadcast join on
+    its own via the size threshold, i.e. the removed hint was redundant
+    locally and the strategy choice is now the optimizer's."""
+    p = plan_of(spark, sf_small, name)
+    assert "BroadcastHashJoin" in p, name
+    # customer must not be forced: no hint survives into the optimized
+    # logical plan (ResolvedHint would appear only with an explicit hint)
+    df = QUERIES[name](spark, sf_small)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical, name
+
+
 @pytest.mark.parametrize("name", sorted(__import__(
     "realtimedatapipeline_8_project_spark.plans.registry",
     fromlist=["ORACLES"]).ORACLES))
