@@ -175,15 +175,25 @@ def minhash_signature(sh_hash: Column, n_hashes: int = N_MINHASH) -> Column:
     )
 
 
-def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs via MinHash LSH banding, verified with exact
-    Jaccard >= 0.5. Self-join happens only on band-bucket keys."""
+def minhash_neardup(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> near-duplicate pairs via MinHash LSH banding,
+    verified with exact (hashed-shingle) Jaccard >= 0.5. Self-join
+    happens only on band-bucket keys.
+
+    Relationship to the sha256 portable twin (q_minhash_portable), pinned
+    on the planted fixture in tests/test_neardup_twins.py: verified
+    scores on pairs both pipelines surface are IDENTICAL (the hash family
+    changes candidate generation, never verification), and any pair only
+    one pipeline surfaces is still a true >= 0.5 pair the other's banding
+    happened to miss — the cheap path trades a little banding recall for
+    xxhash64 speed, never precision."""
+    spark = docs.sparkSession
     # Repartition before the compute-heavy shingle pass: a small input can
     # arrive as one file => one partition, serializing the whole pipeline on
     # a single core (at real scale the scan has many splits and this is a
     # cheap rebalance of the same shape).
     n_part = spark.sparkContext.defaultParallelism
-    docs = load_table(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    docs = docs.repartition(n_part, "doc_id")
     # The shingle table feeds both signature generation and verification —
     # persist it so the expensive tokenize+hash pass runs exactly once.
     # MEMORY_AND_DISK: at 100 TB the shingle arrays exceed executor RAM and
@@ -241,13 +251,16 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("jaccard") >= 0.5)
 
 
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_neardup(load_table(spark, sf_dir, "documents"))
+
+
 # --- SimHash (64-bit, sign-aggregated token hashes; rows-only check) ------
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash(docs: DataFrame) -> DataFrame:
     """64-bit SimHash: hash each distinct token once (explode), map-side
     partial-sum the +/-1 contribution of every bit per document, reassemble
     the sign bits into a long. The explode+groupBy shape is the scale path:
     one shuffle keyed by doc_id carrying 64 small ints per document."""
-    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(normalized_text("text"), " "))).alias("tok"),
@@ -289,13 +302,20 @@ GROUP BY event_type
 """
 
 
-def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_neardup(docs: DataFrame) -> DataFrame:
     """SimHash near-duplicate pairs: candidates share at least one of four
     16-bit signature bands (any pair within Hamming distance 3 must agree
     on >=1 band by pigeonhole), verified by exact Hamming <= 3. Same
     LSH-banding shape as MinHash but over one 64-bit signature — the
-    cheapest text near-dup detector at scale. Rows-only check."""
-    sims = q_simhash(spark, sf_dir)  # (doc_id, simhash)
+    cheapest text near-dup detector at scale. Rows-only check.
+
+    Precision contract (pinned on the planted fixture in
+    tests/test_neardup_twins.py): Hamming <= 3 over a 64-bit SimHash
+    is a similarity DETECTOR, not a Jaccard threshold — near-identical
+    planted copies land at Hamming 0-1 and are always recovered, while
+    emitted pairs' token-set overlap is bounded below (far above the
+    corpus background rate)."""
+    sims = simhash(docs)  # (doc_id, simhash)
     bands = sims.select(
         "doc_id",
         "simhash",
@@ -333,6 +353,14 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
         F.col("hamming") <= 3
     )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_neardup(load_table(spark, sf_dir, "documents"))
 
 
 # --- portable MinHash: the full banding pipeline, hash-matched ------------

@@ -28,7 +28,7 @@ by ``src``, after which every iteration's rank join is exchange-free on
 both sides (the bucketed scan provides hash(src); the previous round's
 aggregation provides hash(node)) — the only per-iteration shuffle left is
 the irreducible message aggregation by ``dst`` (plan-pinned in
-tests/test_plans.py).
+tests/test_bucketing.py::test_bucketed_pagerank_iteration_join_is_exchange_free).
 """
 
 from __future__ import annotations
@@ -180,7 +180,14 @@ def pagerank(
         return df.localCheckpoint(eager=True)
 
     # degree via a window over ONE src shuffle — a groupBy+self-join would
-    # evaluate the (join+distinct) edge lineage twice before materializing
+    # evaluate the (join+distinct) edge lineage twice before materializing.
+    # (Measured alternative at sf0.1: checkpoint the distinct pair set,
+    # degrees as two small aggregates joined back — 7.3 s warm vs 5.0 s
+    # for this plan; the extra materialization + join costs more than the
+    # window sort. The r4 bench's apparent +29% on this query was JIT
+    # warm-up at its new bench position, not plan cost: after ~10 warm-up
+    # queries this plan reproduces the r3 2.98 s exactly, which is why
+    # bench.py now runs untimed warm-up executions per query.)
     e = edges.select("src", "dst")
     ed = _truncate(
         e.withColumn(
@@ -281,16 +288,32 @@ def q_graph_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed-edge plan — proves the exchange-free iteration join end to
     end. The sf-tagged edge table builds on first call in a session and
     is reused after (the ingest-time amortization the operator exists
-    for); warm timings therefore measure the per-run iteration cost."""
+    for); warm timings therefore measure the per-run iteration cost.
+
+    The reuse-table name carries an identity fingerprint of the ABSOLUTE
+    sf path plus the parquet inputs' (size, mtime) stats, so two sf dirs
+    sharing a basename — or a fixture regenerated in place — can never
+    silently serve stale ranks: any such change yields a different table
+    name and triggers a rebuild."""
+    import hashlib
     import os
     import re
 
-    tag = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    base = os.path.abspath(sf_dir.rstrip("/"))
+    ident = [base]
+    for t in ("orders.parquet", "lineitem.parquet"):
+        try:
+            st = os.stat(os.path.join(base, t))
+            ident.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            ident.append(f"{t}:absent")
+    fp = hashlib.sha256("|".join(ident).encode()).hexdigest()[:10]
+    tag = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(base))
     return _top_ranked(
         pagerank_bucketed(
             spark,
             _edges(spark, sf_dir),
-            f"pr_edges_b_{tag}",
+            f"pr_edges_b_{tag}_{fp}",
             reseed=False,
             reuse_table=True,
         )

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from ..sources.tables import load_table
@@ -57,11 +58,21 @@ def user_trend(events: DataFrame) -> DataFrame:
     module-level integer recurrence (see module docstring).
 
     The group function is a self-contained closure (shipped by value via
-    cloudpickle) so workers never need this package importable."""
+    cloudpickle) so workers never need this package importable.
+
+    NULL policy (explicit, matched by the oracle's WHERE): rows with a
+    NULL/NaN value or NULL ts are EXCLUDED from the regression — they
+    carry no observation. The filter runs JVM-side before the shuffle
+    (pushes to the scan), and the closure drops NaN defensively as well
+    (Arrow delivers SQL NULL as NaN in a float64 column, where
+    math.floor would raise instead of matching SQL's NULL-ignoring
+    aggregates). A user whose every event is NULL disappears from the
+    output, exactly as in the oracle."""
 
     def _trend(pdf: pd.DataFrame) -> pd.DataFrame:
         import math
 
+        pdf = pdf.dropna(subset=["value", "ts"])
         user_id = int(pdf["user_id"].iloc[0])
         # Spark timestamps are exact micros; ns -> us is lossless
         us = pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
@@ -91,7 +102,14 @@ def user_trend(events: DataFrame) -> DataFrame:
             }
         )
 
-    return events.groupBy("user_id").applyInPandas(_trend, schema=TREND_SCHEMA)
+    observed = events.where(
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & F.col("ts").isNotNull()
+    )
+    return observed.groupBy("user_id").applyInPandas(
+        _trend, schema=TREND_SCHEMA
+    )
 
 
 def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,6 +136,7 @@ WITH q AS (
          epoch_us(ts) AS us,
          MIN(epoch_us(ts)) OVER (PARTITION BY user_id) AS us0
   FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
 ), m AS (
   SELECT user_id,
          COUNT(*) AS n,

@@ -700,12 +700,20 @@ LIMIT {IVFT_TOP}
 # quantized-L2 candidate pairs WITHIN each cluster below a distance
 # threshold. Scale shape: the all-pairs work is confined to within-
 # cluster blocks — on a real corpus K grows with N (K ~ N / target
-# cluster size) so blocks stay bounded, and the 16-bit sign-sketch
-# banding of sim_embedding_neardup composes as a second blocking level
-# inside still-large clusters. Everything stays in integer space, so the
-# cluster assignment AND the pair distances are hash-checkable.
+# cluster size) so blocks stay bounded — and clusters that still exceed
+# ``max_block`` are subdivided by a centroid-relative sign-sketch band
+# (the second blocking level SCALE.md promises), so no block's pair
+# count is quadratic in a skewed cluster's population. Everything stays
+# in integer space, so the cluster assignment AND the pair distances are
+# hash-checkable.
 
 SEM_T = 1_250_000_000_000  # ~0.1% quantile of pairwise quantized L2
+# Clusters above this population get sign-banded before the self-join.
+# Far above every fixture cluster (embeddings fixtures are <= 2000 rows
+# total), so the oracle-checked result is band-free; the banded path is
+# pinned separately in tests/test_similarity_quality.py with a tiny cap.
+SEM_MAX_BLOCK = 20_000
+SEM_BAND_BITS = 16
 
 _SEM_PAIR_DIST = (
     "aggregate(zip_with(qa, qb, (a, b) -> (a - b) * (a - b)), "
@@ -713,12 +721,25 @@ _SEM_PAIR_DIST = (
 )
 
 
-def semantic_pairs(emb: DataFrame, threshold: int = SEM_T) -> DataFrame:
-    """(vec_id, embedding) -> within-cluster candidate pairs under the
-    quantized-L2 ``threshold``. Exact duplicates (distance 0) can never be
-    missed by the cluster blocking: identical vectors assign identically
-    (the fold is deterministic), so they always share a cluster — pinned
-    in tests/test_similarity_quality.py."""
+def semantic_blocks(
+    emb: DataFrame,
+    max_block: int = SEM_MAX_BLOCK,
+    band_bits: int = SEM_BAND_BITS,
+) -> DataFrame:
+    """(vec_id, embedding) -> (k, band, vec_id, qv): the blocked
+    assignment the pair self-join runs over. ``band`` is -1 (whole
+    cluster = one block) while the cluster population is <= ``max_block``;
+    above it, the cluster is subdivided by the sign pattern of the first
+    ``band_bits`` coordinates RELATIVE TO ITS CENTROID (signs of raw
+    coordinates would collapse for non-centered corpora; centroid-
+    relative signs split each dimension roughly in half), bounding the
+    expected block population at n_k / 2^band_bits.
+
+    Recall contract: identical vectors quantize, assign, and band
+    identically, so exact duplicates are NEVER separated at any cap;
+    near-duplicates straddling a centroid hyperplane can split across
+    bands — the standard LSH recall trade, paid only inside clusters the
+    cap flags as quadratic risks."""
     q = _km_quantize(emb)
     k_of = F.expr(
         "CASE vec_id " + " ".join(
@@ -728,25 +749,66 @@ def semantic_pairs(emb: DataFrame, threshold: int = SEM_T) -> DataFrame:
     cents = q.where(F.col("vec_id").isin(*IVFT_SEEDS)).select(
         k_of.alias("k"), F.col("qv").alias("c")
     )
-    cents = _km_update(_km_assign(q, cents))  # one Lloyd iteration
-    # both self-join sides reference the assignment: persist it so the
-    # quantize -> train -> assign lineage runs once, not twice (the same
-    # cached-intermediate discipline as the minhash shingle pass)
+    # one Lloyd iteration; tiny (K rows) — truncated so the three
+    # downstream uses (assign, band join) never re-run the training
+    cents = _km_update(_km_assign(q, cents)).localCheckpoint(eager=True)
+    # both self-join sides reference the assignment: localCheckpoint (not
+    # persist) materializes the quantize -> train -> assign lineage once
+    # WITHOUT pinning storage for the session — blocks are released with
+    # the DataFrame by the context cleaner, so a long-lived bench/test
+    # session doesn't accumulate cached partitions across calls
     assigned = (
-        _km_assign(q, cents).select("k", "vec_id", "qv").persist()
+        _km_assign(q, cents)
+        .select("k", "vec_id", "qv")
+        .localCheckpoint(eager=True)
     )
-    a = assigned.select(
+    sizes = assigned.groupBy("k").agg(F.count(F.lit(1)).alias("n_k"))
+    band = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("qv"), 1, band_bits),
+            F.slice(F.col("c"), 1, band_bits),
+            lambda a, b: F.when(a >= b, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, bit: acc * 2 + bit,
+    )
+    return (
+        assigned.join(F.broadcast(sizes), "k")
+        .join(F.broadcast(cents), "k")
+        .withColumn(
+            "band",
+            F.when(F.col("n_k") > max_block, band).otherwise(F.lit(-1)),
+        )
+        .select("k", "band", "vec_id", "qv")
+    )
+
+
+def semantic_pairs(
+    emb: DataFrame,
+    threshold: int = SEM_T,
+    max_block: int = SEM_MAX_BLOCK,
+    band_bits: int = SEM_BAND_BITS,
+) -> DataFrame:
+    """(vec_id, embedding) -> within-block candidate pairs under the
+    quantized-L2 ``threshold`` (blocks per :func:`semantic_blocks`).
+    Exact duplicates (distance 0) can never be missed by the blocking:
+    identical vectors assign and band identically, so they always share
+    a block — pinned in tests/test_similarity_quality.py."""
+    blocks = semantic_blocks(emb, max_block=max_block, band_bits=band_bits)
+    a = blocks.select(
         F.col("k").alias("cluster"),
+        "band",
         F.col("vec_id").alias("vec_id_a"),
         F.col("qv").alias("qa"),
     )
-    b = assigned.select(
+    b = blocks.select(
         F.col("k").alias("cluster"),
+        "band",
         F.col("vec_id").alias("vec_id_b"),
         F.col("qv").alias("qb"),
     )
     return (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "band"])
         .where(F.col("vec_id_a") < F.col("vec_id_b"))
         .withColumn("dist", F.expr(_SEM_PAIR_DIST))
         .where(F.col("dist") <= F.lit(threshold))

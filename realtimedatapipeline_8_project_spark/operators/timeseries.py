@@ -203,11 +203,18 @@ FROM events
 # event_id < 2^31, and bounded: (3.6e9 - 1) * 2^31 + (2^31 - 1)
 # ~= 7.73e18 < 2^63 (absolute micros would overflow; a 2^32 shift
 # would too). event_id is the fixture's 64-bit row id but stays far
-# below 2^31 at every SF; the bound is part of the operator contract.
+# below 2^31 at every SF; the bound is part of the operator contract
+# AND enforced at runtime — an out-of-range id raises mid-job instead
+# of silently corrupting first/last (the guard is a row-local branch
+# that codegen folds into the projection; on in-range data it never
+# fires and the key bits are unchanged, so oracle hashes are stable).
 # Shared with the incremental M4 sink (streaming/sinks.py).
 M4_OKEY_SQL = (
     "(unix_micros(ts) - unix_micros(date_trunc('hour', ts)))"
-    " * 2147483648 + event_id"
+    " * 2147483648 + (CASE WHEN event_id BETWEEN 0 AND 2147483647"
+    " THEN event_id ELSE CAST(raise_error(CONCAT('m4 order key needs"
+    " 0 <= event_id < 2^31, got ', CAST(event_id AS STRING)))"
+    " AS BIGINT) END)"
 )
 
 

@@ -1,0 +1,140 @@
+"""Machine-checked relationship between the cheap-hash (xxhash64) near-dup
+paths — permanently rows-only in the driver check — and their oracle-green
+portable twins, on the planted (truncated-copy) corpus:
+
+* MinHash: the hash family changes CANDIDATE GENERATION only. Verified
+  scores agree bit-for-bit on every pair both pipelines surface; pairs
+  only one pipeline surfaces are still true >= 0.5 pairs (precision is
+  perfect on both sides — banding recall is the only difference), and
+  both recover nearly all planted above-threshold pairs.
+* SimHash: Hamming <= 3 over 4 x 16-bit bands is pigeonhole-LOSSLESS —
+  the banded pipeline must emit exactly the brute-force all-pairs
+  Hamming <= 3 set, no more, no less.
+
+These turn the two `no_oracle` driver rows into "rows-only but
+twin-equivalent / exhaustively-checked" (VERDICT r4 item 6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtimedatapipeline_8_project_spark.operators import dedup
+from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+
+def _planted(spark, sf_dir):
+    return dedup._pmh_corpus(load_table(spark, sf_dir, "documents"))
+
+
+def _string_shingle_jaccard(planted, pairs_df):
+    shs = planted.select("doc_id", dedup.shingles("text").alias("s"))
+    return (
+        pairs_df.join(
+            shs.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            shs.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sa", "sb"))
+                / F.size(F.array_union("sa", "sb"))
+            ).alias("j"),
+        )
+    )
+
+
+def test_minhash_cheap_path_is_twin_equivalent(spark, sf_small):
+    planted = _planted(spark, sf_small)
+    cheap = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_neardup(planted).collect()
+    }
+    port = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.q_minhash_portable(spark, sf_small).collect()
+    }
+    assert cheap and port
+
+    # 1. verification semantics identical wherever both banded pipelines
+    #    surfaced the pair: hashed-shingle jaccard == string-shingle
+    #    jaccard (no xxhash64 collisions on the fixture), to the 6 dp
+    #    both emit
+    shared = set(cheap) & set(port)
+    assert len(shared) >= 0.9 * max(len(cheap), len(port))
+    assert all(abs(cheap[p] - port[p]) < 1e-9 for p in shared)
+
+    # 2. the symmetric difference is pure banding recall, never a false
+    #    emission: every one-sided pair's TRUE string-shingle jaccard is
+    #    still >= the 0.5 threshold
+    only = set(cheap) ^ set(port)
+    if only:
+        pdf = spark.createDataFrame(
+            sorted(only), "doc_a long, doc_b long"
+        )
+        assert all(
+            r.j >= dedup.PMH_THRESHOLD
+            for r in _string_shingle_jaccard(planted, pdf).collect()
+        )
+
+    # 3. both recover nearly all planted truncated-copy pairs whose true
+    #    jaccard clears the threshold (LSH banding recall; deterministic
+    #    on the fixture)
+    docs = load_table(spark, sf_small, "documents")
+    planted_pairs = {
+        (r.doc_id, r.doc_id + dedup.PMH_ID_OFFSET)
+        for r in docs.where(
+            F.col("doc_id") % dedup.PMH_COPY_EVERY == 0
+        ).collect()
+    }
+    pdf = spark.createDataFrame(sorted(planted_pairs), "doc_a long, doc_b long")
+    above = {
+        (r.doc_a, r.doc_b)
+        for r in _string_shingle_jaccard(planted, pdf).collect()
+        if r.j >= dedup.PMH_THRESHOLD
+    }
+    assert len(above) > 0
+    assert len(above & set(cheap)) >= 0.85 * len(above)
+    assert len(above & set(port)) >= 0.85 * len(above)
+
+
+def test_simhash_banding_is_exhaustive_for_its_hamming_radius(spark, sf_small):
+    """Pigeonhole guarantee, checked exhaustively: 4 disjoint 16-bit bands
+    mean any signature pair within Hamming 3 agrees on >= 1 band, so the
+    banded self-join surfaces EVERY such pair — emitted set == brute-force
+    all-pairs Hamming <= 3, including all planted copies that stayed
+    within the radius."""
+    planted = _planted(spark, sf_small)
+    emitted = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_neardup(planted).collect()
+    }
+    sims = dedup.simhash(planted)
+    a = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    brute = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert emitted == brute
+    # the planted copies inside the radius are part of that set
+    docs = load_table(spark, sf_small, "documents")
+    planted_pairs = {
+        (r.doc_id, r.doc_id + dedup.PMH_ID_OFFSET)
+        for r in docs.where(
+            F.col("doc_id") % dedup.PMH_COPY_EVERY == 0
+        ).collect()
+    }
+    assert len(planted_pairs & set(brute)) > 0
+    assert planted_pairs & set(brute) == planted_pairs & set(emitted)

@@ -105,3 +105,29 @@ def test_negative_slope_floor_division_parity(spark):
     )
     want = con.execute(_oracle_user_trend()).fetchall()[0]
     assert (got.user_id, got.n_events, got.slope_per_day, got.mean_value) == want
+
+
+def test_null_and_nan_values_are_excluded_not_fatal(spark):
+    """NULL/NaN value rows (and NULL ts) must be dropped per the explicit
+    NULL policy — not crash the Arrow closure (math.floor(nan) raises) —
+    and an all-NULL user must vanish from the output, as in the oracle's
+    WHERE clause."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + timedelta(hours=1), None),
+        (1, t0 + timedelta(hours=2), float("nan")),
+        (1, t0 + timedelta(hours=3), 16.0),
+        (1, None, 99.0),
+        (2, t0, None),  # user 2: no usable observation at all
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r.user_id: r for r in user_trend(df).collect()}
+    assert set(got) == {1}
+    r = got[1]
+    assert r.n_events == 2
+    assert r.mean_value == 13.0
+    # slope: 6/day over 3h gap -> (16-10)/(3h) * 24h = 48.0 per day
+    assert r.slope_per_day == pytest.approx(48.0, abs=1e-6)

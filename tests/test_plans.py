@@ -417,3 +417,31 @@ def test_no_query_plans_a_cartesian_or_unkeyed_nested_loop(spark, sf_small, name
     for line in p.splitlines():
         if "BroadcastNestedLoopJoin" in line and "Build" in line:
             assert "Cross" in line, f"{name}: {line.strip()[:100]}"
+
+
+def test_m4_order_key_guard_raises_on_out_of_range_event_id(spark):
+    """The M4 order key packs bucket-relative micros * 2^31 + event_id;
+    an id >= 2^31 would silently break monotonicity (wrong first/last),
+    so the key expression must raise instead — and must stay silent on
+    in-range ids (the fixture path, same key bits as before the guard)."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from realtimedatapipeline_8_project_spark.operators.timeseries import (
+        m4_buckets,
+    )
+
+    ok = spark.createDataFrame(
+        [(2**31 - 1, datetime(2024, 1, 1, 0, 30), 1, 2.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    row = m4_buckets(ok).collect()[0]
+    assert row.ok == 30 * 60 * 1_000_000 * 2**31 + (2**31 - 1)
+
+    bad = spark.createDataFrame(
+        [(2**31, datetime(2024, 1, 1), 1, 2.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    with _pytest.raises(Exception, match="m4 order key"):
+        m4_buckets(bad).collect()

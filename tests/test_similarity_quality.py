@@ -193,3 +193,57 @@ def test_semantic_pairs_never_miss_exact_duplicates(spark, sf_small):
         (r.vec_id_a, r.vec_id_b) for r in got if r.dist == 0
     }
     assert expected <= zero_pairs
+
+
+def test_semantic_banding_bounds_blocks_and_keeps_exact_dups(spark, sf_small):
+    """The oversized-cluster banding path (engaged here with a tiny cap):
+    every (cluster, band) block population must fall well below the
+    unbanded cluster populations, exact-duplicate pairs must all survive
+    banding (identical vectors band identically), and with the default
+    cap the fixture result is band-free (band == -1 everywhere), i.e.
+    the oracle-checked query is unchanged."""
+    from pyspark.sql import functions as F
+
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        semantic_blocks,
+        semantic_pairs,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+
+    # default cap: no fixture cluster is oversized -> single-block clusters
+    default_blocks = semantic_blocks(emb)
+    assert default_blocks.where(F.col("band") != -1).isEmpty()
+
+    # tiny cap: every cluster is oversized -> banding engages everywhere
+    banded = semantic_blocks(emb, max_block=10)
+    assert banded.where(F.col("band") == -1).isEmpty()
+    cluster_max = (
+        default_blocks.groupBy("k").count().agg(F.max("count")).collect()[0][0]
+    )
+    block_max = (
+        banded.groupBy("k", "band").count().agg(F.max("count")).collect()[0][0]
+    )
+    # 16 centroid-relative sign bits should shatter a continuous-data
+    # cluster; allow generous slack over the n_k/2^16 expectation while
+    # still proving the quadratic blow-up is gone
+    assert block_max < cluster_max / 4, (block_max, cluster_max)
+
+    # exact duplicates survive banding at ANY cap
+    ids = [
+        r.vec_id
+        for r in emb.where(F.col("vec_id") % 37 == 1)
+        .orderBy("vec_id")
+        .limit(10)
+        .select("vec_id")
+        .collect()
+    ]
+    dups = emb.where(F.col("vec_id").isin(ids)).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        *[c for c in emb.columns if c != "vec_id"],
+    )
+    expected = {(i, i + 1_000_000) for i in ids}
+    got = semantic_pairs(emb.unionByName(dups), max_block=10).collect()
+    zero_pairs = {(r.vec_id_a, r.vec_id_b) for r in got if r.dist == 0}
+    assert expected <= zero_pairs
