@@ -358,3 +358,56 @@ QUERIES = {
     "sample_stratified": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "sample_pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
 }
+
+
+# --- deterministic per-epoch global shuffle (training data loading) -------
+# Every training epoch re-reads the corpus in a fresh pseudo-random order;
+# at 100 TB that order must be computable WITHOUT a driver-side RNG or a
+# single global sort. Same Fibonacci-hash trick as split_assign, salted
+# by the epoch: ekey = (doc_id * K + epoch * P) mod 2^32 is a
+# deterministic scramble any worker computes row-locally; shard = ekey
+# mod n_shards spreads documents over reader shards, and the within-
+# shard position is a row_number over ONE shard-key shuffle — shards
+# sort in parallel, no global single-partition window. Changing EPOCH
+# re-permutes everything; the oracle replays the identical arithmetic.
+
+EPOCH = 3
+EPOCH_SALT = 2_246_822_519  # xxhash PRIME32_2, coprime to 2^32
+N_READER_SHARDS = 8
+
+
+def epoch_shuffle(
+    docs: DataFrame, epoch: int = EPOCH, n_shards: int = N_READER_SHARDS
+) -> DataFrame:
+    """(doc_id, ...) -> (shard, position, doc_id): the read plan for one
+    training epoch — per-shard sequential positions in a per-epoch
+    pseudo-random order."""
+    ekey = (
+        F.col("doc_id") * F.lit(KNUTH_32) + F.lit(epoch) * F.lit(EPOCH_SALT)
+    ) % F.lit(MOD_32)
+    w = Window.partitionBy("shard").orderBy("ekey", "doc_id")
+    return (
+        docs.select("doc_id", ekey.alias("ekey"))
+        .withColumn("shard", (F.col("ekey") % n_shards).cast("int"))
+        .select("shard", F.row_number().over(w).alias("position"), "doc_id")
+    )
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return epoch_shuffle(load_table(spark, sf_dir, "documents"))
+
+
+ORACLE_EPOCH_SHUFFLE = f"""
+WITH e AS (
+  SELECT doc_id,
+         (doc_id * {KNUTH_32} + {EPOCH} * {EPOCH_SALT}) % {MOD_32} AS ekey
+  FROM documents
+)
+SELECT CAST(ekey % {N_READER_SHARDS} AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY ekey % {N_READER_SHARDS}
+                               ORDER BY ekey, doc_id) AS BIGINT) AS position,
+       doc_id
+FROM e
+"""
+
+QUERIES["sample_epoch_shuffle"] = (q_epoch_shuffle, ORACLE_EPOCH_SHUFFLE)

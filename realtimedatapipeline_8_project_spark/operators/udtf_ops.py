@@ -1,0 +1,92 @@
+"""Python UDTF surface (SURVEY §2.11 completion).
+
+The reference's UDF story is one row-at-a-time scalar
+(stream-processor.py:33-38) and nothing else; this engine's blessed
+Python escape hatches are pandas UDFs / applyInPandas (pandas_ops.py)
+and — for one-row-in, many-rows-out generators — the Python UDTF API
+(Spark 4 table functions), demonstrated here on a real training-data
+operator: overlapping context-window chunking (split every document
+into windows of ``CHUNK_W`` tokens advancing by stride ``CHUNK_S`` —
+the preprocessing step before embedding/packing long corpora).
+
+The UDTF runs per input row on the executors via a LATERAL join — a
+map-side operator, no shuffle, parallel across document partitions; the
+generator is a self-contained class shipped by value (cloudpickle), so
+workers never import this package. Chunking IS expressible with
+sequence()+explode built-ins (and the DuckDB oracle proves the
+semantics that way); the UDTF form exists because the API surface is
+part of capability parity — a user porting a custom Python generator
+gets this exact shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import register_views
+
+CHUNK_W = 32  # window length (tokens)
+CHUNK_S = 24  # stride (tokens); W - S = 8 tokens of overlap
+
+
+def chunk_windows(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, chunk_idx, n_tokens, chunk): overlapping
+    token windows, one output row per window. Chunk starts are 0, S, 2S,
+    ... while start < len(tokens); the final window may be short. NULL or
+    empty text yields no rows (inner lateral semantics, matching the
+    oracle's join)."""
+    from pyspark.sql.functions import udtf
+
+    w, s = CHUNK_W, CHUNK_S
+
+    @udtf(returnType="chunk_idx int, n_tokens int, chunk string")
+    class _ChunkWindows:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = text.split(" ")
+            if toks == [""]:
+                return
+            idx = 0
+            for start in range(0, len(toks), s):
+                window = toks[start : start + w]
+                yield idx, len(window), " ".join(window)
+                idx += 1
+
+    spark.udtf.register("chunk_windows", _ChunkWindows)
+    docs.select("doc_id", "text").createOrReplaceTempView("_chunk_in")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk "
+        "FROM _chunk_in d, LATERAL chunk_windows(d.text) c"
+    )
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return chunk_windows(spark, spark.table("documents"))
+
+
+# DuckDB proves the same semantics with pure SQL generation: one start
+# index per stride step (bounded cross join + filter), 1-based inclusive
+# list_slice for the window. The fixture's max document length is 100
+# tokens; the 1000-start bound is just the portable spelling of
+# "enough", the filter keeps exactly ceil(len/S) real starts.
+ORACLE_CHUNK_WINDOWS = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents
+  WHERE text IS NOT NULL AND text <> ''
+)
+SELECT t.doc_id,
+       CAST(r.s AS INT) AS chunk_idx,
+       CAST(len(list_slice(t.toks, r.s * {CHUNK_S} + 1,
+                           r.s * {CHUNK_S} + {CHUNK_W})) AS INT) AS n_tokens,
+       array_to_string(list_slice(t.toks, r.s * {CHUNK_S} + 1,
+                                  r.s * {CHUNK_S} + {CHUNK_W}), ' ') AS chunk
+FROM t CROSS JOIN range(0, 1000) r(s)
+WHERE r.s * {CHUNK_S} < len(t.toks)
+"""
+
+QUERIES = {
+    "udtf_chunk_windows": (q_chunk_windows, ORACLE_CHUNK_WINDOWS),
+}
