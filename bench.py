@@ -82,6 +82,10 @@ HEADLINE = [
     # round-4 additions
     "pandas_user_trend",
     "dedup_semantic_pairs",
+    # round-5 additions
+    "sql_min_cost_supplier",
+    "udtf_chunk_windows",
+    "sample_epoch_shuffle",
 ]
 
 
