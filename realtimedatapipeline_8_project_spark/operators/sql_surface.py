@@ -226,55 +226,57 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["sql_lateral_topk"] = (q_lateral_topk, SQL_LATERAL_TOPK)
 
 
-# --- TPC-H Q2 shape: min-cost supplier per part (correlated agg = MIN) ----
+# --- TPC-H Q2 shape: min-cost supplier per part ---------------------------
 # The fixture has no partsupp table, so supply cost is derived from
 # observed trade: per (part, supplier), the best truncated-cent unit
 # price across that pair's lineitems; the report keeps, for each
 # small-size part, exactly the supplier(s) achieving the part's global
-# minimum — the classic correlated-MIN subquery Catalyst decorrelates
-# into an aggregate + join (same plan DuckDB's unnesting produces).
+# minimum. Q2's textbook spelling is a correlated MIN subquery over the
+# cost CTE — but Spark plans the CTE's second reference as a SECOND full
+# lineitem scan+aggregate (no CTE materialization; verified with
+# .explain), which at 100 TB doubles the fact I/O. The windowed-MIN
+# rewrite below is the classic optimization: ONE lineitem scan, then
+# MIN() OVER (PARTITION BY part) on the already-aggregated (part,
+# supplier) cost table — per-part min and the equality filter in a
+# single pass over the small side. Correlated-subquery *surface*
+# coverage lives in sql_scalar_subquery / sql_exists_correlated /
+# sql_lateral_topk; this query pins the plan you'd actually run. The
+# identical string executes on DuckDB (only integer division is
+# dialect-split: DIV vs //).
 #
 # Unit cost stays in exact integer cents (price has 2 dp, quantity is
 # integral and > 0 in TPC-H-shaped data; ROUND(x*100) is exact for money
-# < 2^49), truncated via integer division — so the correlated equality
-# `unit_cost = MIN(unit_cost)` is deterministic in both engines, with no
-# float-tie hazard. At 100 TB: the cost CTE is one map-side-combined
-# aggregate of lineitem; the correlated MIN is a second aggregation of
-# the (much smaller) cost table; part/supplier joins shuffle only
-# qualifying keys (part is size-filtered AT THE SCAN).
+# < 2^49), truncated via integer division — so the min-equality compare
+# is deterministic in both engines, with no float-tie hazard.
 
-_Q2_COST_CTE = """
+_Q2_SQL = """
+WITH cost AS (
   SELECT l_partkey, l_suppkey,
          MIN(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) {div}
              CAST(l_quantity AS BIGINT)) AS unit_cost_c
   FROM lineitem
   WHERE l_quantity > 0
   GROUP BY l_partkey, l_suppkey
-"""
-
-_Q2_BODY = """
-SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, c.unit_cost_c
+), best AS (
+  SELECT l_partkey, l_suppkey, unit_cost_c,
+         MIN(unit_cost_c) OVER (PARTITION BY l_partkey) AS part_min_c
+  FROM cost
+)
+SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, b.unit_cost_c
 FROM part p
-JOIN cost c ON c.l_partkey = p.p_partkey
-JOIN supplier s ON s.s_suppkey = c.l_suppkey
+JOIN best b ON b.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = b.l_suppkey
 WHERE p.p_size <= 10
-  AND c.unit_cost_c = (
-    SELECT MIN(c2.unit_cost_c) FROM cost c2
-    WHERE c2.l_partkey = p.p_partkey
-  )
+  AND b.unit_cost_c = b.part_min_c
 """
 
 
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.sql(
-        "WITH cost AS (" + _Q2_COST_CTE.format(div="DIV") + ")" + _Q2_BODY
-    )
+    return spark.sql(_Q2_SQL.format(div="DIV"))
 
 
-ORACLE_MIN_COST_SUPPLIER = (
-    "WITH cost AS (" + _Q2_COST_CTE.format(div="//") + ")" + _Q2_BODY
-)
+ORACLE_MIN_COST_SUPPLIER = _Q2_SQL.format(div="//")
 
 QUERIES["sql_min_cost_supplier"] = (
     q_min_cost_supplier,

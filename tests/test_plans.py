@@ -445,3 +445,13 @@ def test_m4_order_key_guard_raises_on_out_of_range_event_id(spark):
     )
     with _pytest.raises(Exception, match="m4 order key"):
         m4_buckets(bad).collect()
+
+
+def test_min_cost_supplier_scans_lineitem_once(spark, sf_small):
+    """The Q2 shape must use the windowed-MIN rewrite, not the textbook
+    correlated subquery: Spark does not materialize CTEs, so the
+    correlated form plans a SECOND full lineitem scan+aggregate —
+    double fact I/O at 100 TB. Pin exactly one lineitem scan node."""
+    p = plan_of(spark, sf_small, "sql_min_cost_supplier")
+    assert sum("lineitem.parquet" in l for l in p.splitlines()) == 1
+    assert "CartesianProduct" not in p
