@@ -503,3 +503,82 @@ QUERIES["agg_top1_per_group_sortfree"] = (
     q_top1_per_group_sortfree,
     ORACLE_TOP1_PER_GROUP,
 )
+
+
+# --- TPC-H Q7 shape: volume shipping between two nations -------------------
+# The dim-self-join shape the other reports don't exercise: nation joins
+# TWICE under different roles (supplier's nation n1, customer's nation
+# n2) with a symmetric pair predicate. Supplier and customer are
+# scale-growing -> hint-free (the optimizer broadcasts them locally,
+# shuffles at 100x); the two nation roles are fixed-cardinality ->
+# broadcast-hinted. One lineitem<->orders shuffle is the only fact-fact
+# exchange; the year bucket collapses everything to a few rows with
+# map-side combine. Exact decimal revenue (dsum_product).
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            dsum_product(
+                F.col("l_extendedprice"),
+                F.lit(1.0) - F.col("l_discount"),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_VOLUME_SHIPPING = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       {oracle_dsum_product('l_extendedprice', '1.0 - l_discount', 'revenue')},
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND n2.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["agg_volume_shipping"] = (q_volume_shipping, ORACLE_VOLUME_SHIPPING)
