@@ -832,3 +832,245 @@ QUERIES = {
     "dedup_simhash": (q_simhash, None),
     "dedup_events_exact": (q_dedup_events_exact, ORACLE_DEDUP_EVENTS),
 }
+
+
+# --- incremental (ingestion-time) dedup vs an existing corpus -------------
+# The operation a 100 TB pipeline actually runs day to day: dedup the
+# ARRIVING delta against the already-ingested base without re-pairing
+# the base with itself. Uses the portable (sha256) MinHash pieces so the
+# whole decision — banding, verification, best-match selection — is
+# hash-checkable in DuckDB. Scale shape: in production the base's band
+# table is an ingest-time artifact (computed once, stored keyed by
+# (band, bucket), exactly like the bucketed PageRank edge table); the
+# delta computes its own bands on arrival, the candidate join shuffles
+# band keys only (never text), and shingle verification touches only
+# candidate doc ids — cost is proportional to the delta and its
+# collisions, never the base corpus. Here the base bands are derived
+# inline because the driver contract is a pure (spark, sf_dir) query.
+#
+# Fixture delta: truncated copies of every 20th base doc (true near-dups
+# the banding must flag) + token-REVERSED copies of every 31st doc
+# (reversal destroys word 3-gram shingles -> genuinely new content that
+# must be kept; even an accidental band collision is rejected by exact
+# verification, so kept/flagged is deterministic, not probabilistic).
+
+INC_REV_OFFSET = 3_000_000
+INC_REV_EVERY = 31
+
+
+def _inc_delta(docs: DataFrame) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    keep = F.greatest(F.size(toks) - PMH_TRIM, F.lit(1))
+    truncated = docs.where(F.col("doc_id") % PMH_COPY_EVERY == 0).select(
+        (F.col("doc_id") + PMH_ID_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, keep), " ").alias("text"),
+    )
+    reversed_ = docs.where(F.col("doc_id") % INC_REV_EVERY == 0).select(
+        (F.col("doc_id") + INC_REV_OFFSET).alias("doc_id"),
+        F.array_join(F.reverse(toks), " ").alias("text"),
+    )
+    return truncated.unionByName(reversed_)
+
+
+def _pmh_sig_of(sh: DataFrame) -> DataFrame:
+    """(doc_id, s) -> (doc_id, sig): the portable sha256-derived MinHash
+    signature (same arithmetic as q_minhash_portable)."""
+    hashed = sh.select(
+        "doc_id",
+        F.transform(
+            "s",
+            lambda g: F.struct(
+                F.conv(F.substring(F.sha2(g, 256), 1, 7), 16, 10)
+                .cast("long")
+                .alias("h1"),
+                F.conv(F.substring(F.sha2(g, 256), 8, 7), 16, 10)
+                .cast("long")
+                .alias("h2"),
+            ),
+        ).alias("hp"),
+    )
+    return hashed.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform("hp", lambda p: p["h1"] + F.lit(i) * p["h2"])
+                )
+                for i in range(PMH_K)
+            ]
+        ).alias("sig"),
+    )
+
+
+def _pmh_bands_of(sig: DataFrame) -> DataFrame:
+    rows_per_band = PMH_K // PMH_BANDS
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(
+                                    "sig", b * rows_per_band + r + 1
+                                ).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(PMH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def incremental_dedup(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """(base, delta) -> one row per delta doc: (doc_id, is_kept, dup_of,
+    jaccard). A delta doc is a duplicate iff some BASE doc verifies at
+    string-shingle Jaccard >= PMH_THRESHOLD among its band candidates;
+    dup_of is the best verified match (highest Jaccard, ties to the
+    lowest base id — deterministic via an encoded order key)."""
+    base_sh = base.select("doc_id", shingles("text").alias("s")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    delta_sh = delta.select("doc_id", shingles("text").alias("s")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    base_bands = _pmh_bands_of(_pmh_sig_of(base_sh))
+    delta_bands = _pmh_bands_of(_pmh_sig_of(delta_sh))
+    cand = (
+        delta_bands.alias("d")
+        .join(
+            base_bands.alias("b"),
+            (F.col("d.band") == F.col("b.band"))
+            & (F.col("d.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("d.doc_id").alias("delta_id"),
+            F.col("b.doc_id").alias("base_id"),
+        )
+        .dropDuplicates(["delta_id", "base_id"])
+    )
+    jac = F.size(F.array_intersect("ds", "bs")).cast("double") / F.size(
+        F.array_union("ds", "bs")
+    )
+    verified = (
+        cand.join(
+            delta_sh.select(F.col("doc_id").alias("delta_id"), F.col("s").alias("ds")),
+            "delta_id",
+        )
+        .join(
+            base_sh.select(F.col("doc_id").alias("base_id"), F.col("s").alias("bs")),
+            "base_id",
+        )
+        .select("delta_id", "base_id", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= PMH_THRESHOLD)
+    )
+    # best match per delta doc: jaccard desc, base_id asc, as ONE hash agg
+    # via an encoded order key (6dp jaccard is exact in micro-units;
+    # base ids < 1e10 — the agg_top1_per_group_sortfree discipline)
+    okey = (
+        F.round(F.col("jaccard") * 1_000_000, 0).cast("long")
+        * F.lit(10_000_000_000)
+        - F.col("base_id")
+    )
+    best = verified.groupBy("delta_id").agg(
+        F.max_by("base_id", okey).alias("dup_of"),
+        F.max("jaccard").alias("jaccard"),
+    )
+    return (
+        delta.select("doc_id")
+        .join(best.withColumnRenamed("delta_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNull().alias("is_kept"),
+            "dup_of",
+            "jaccard",
+        )
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return incremental_dedup(base, _inc_delta(base))
+
+
+def _oracle_dedup_incremental() -> str:
+    rows_per_band = PMH_K // PMH_BANDS
+    bucket = " || ',' || ".join(
+        f"CAST(sig[b.band * {rows_per_band} + {r + 1}] AS VARCHAR)"
+        for r in range(rows_per_band)
+    )
+    sig_cte = f"""
+  SELECT doc_id, s,
+         list_transform(range(0, {PMH_K}),
+           i -> list_min(list_transform(range(1, len(h1s) + 1),
+                j -> h1s[j] + i * h2s[j]))) AS sig
+  FROM (
+    SELECT doc_id, s,
+           list_transform(hx, h -> {_o_hex7('h', 1)}) AS h1s,
+           list_transform(hx, h -> {_o_hex7('h', 8)}) AS h2s
+    FROM (SELECT doc_id, s, list_transform(s, g -> sha256(g)) AS hx FROM {{src}})
+  )"""
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+), delta AS (
+  SELECT doc_id + {PMH_ID_OFFSET} AS doc_id,
+         array_to_string(
+           (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - {PMH_TRIM}, 1)],
+           ' ') AS text
+  FROM documents WHERE doc_id % {PMH_COPY_EVERY} = 0
+  UNION ALL
+  SELECT doc_id + {INC_REV_OFFSET},
+         array_to_string(list_reverse(string_split(text, ' ')), ' ')
+  FROM documents WHERE doc_id % {INC_REV_EVERY} = 0
+), base_sh AS (
+  SELECT doc_id, {oracle_shingles('text')} AS s FROM base
+), delta_sh AS (
+  SELECT doc_id, {oracle_shingles('text')} AS s FROM delta
+), base_sig AS ({sig_cte.format(src='base_sh')}
+), delta_sig AS ({sig_cte.format(src='delta_sh')}
+), base_bands AS (
+  SELECT doc_id, b.band, {bucket} AS bucket
+  FROM base_sig, (SELECT UNNEST(range(0, {PMH_BANDS})) AS band) b
+), delta_bands AS (
+  SELECT doc_id, b.band, {bucket} AS bucket
+  FROM delta_sig, (SELECT UNNEST(range(0, {PMH_BANDS})) AS band) b
+), cand AS (
+  SELECT DISTINCT d.doc_id AS delta_id, bb.doc_id AS base_id
+  FROM delta_bands d JOIN base_bands bb
+    ON d.band = bb.band AND d.bucket = bb.bucket
+), verified AS (
+  SELECT c.delta_id, c.base_id,
+         ROUND(CAST(len(list_intersect(ds.s, bs.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(ds.s, bs.s))), 6) AS jaccard
+  FROM cand c
+  JOIN delta_sh ds ON ds.doc_id = c.delta_id
+  JOIN base_sh bs ON bs.doc_id = c.base_id
+  WHERE ROUND(CAST(len(list_intersect(ds.s, bs.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(ds.s, bs.s))), 6) >= {PMH_THRESHOLD}
+), best AS (
+  SELECT delta_id,
+         max_by(base_id,
+                CAST(ROUND(jaccard * 1000000, 0) AS BIGINT) * 10000000000
+                  - base_id) AS dup_of,
+         MAX(jaccard) AS jaccard
+  FROM verified GROUP BY delta_id
+)
+SELECT d.doc_id,
+       b.dup_of IS NULL AS is_kept,
+       b.dup_of,
+       b.jaccard
+FROM delta d LEFT JOIN best b ON b.delta_id = d.doc_id
+"""
+
+
+QUERIES["dedup_incremental"] = (
+    q_dedup_incremental,
+    _oracle_dedup_incremental(),
+)

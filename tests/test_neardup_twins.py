@@ -138,3 +138,30 @@ def test_simhash_banding_is_exhaustive_for_its_hamming_radius(spark, sf_small):
     }
     assert len(planted_pairs & set(brute)) > 0
     assert planted_pairs & set(brute) == planted_pairs & set(emitted)
+
+
+def test_incremental_dedup_keeps_new_content_flags_copies(spark, sf_small):
+    """Ingestion-time dedup invariants on the planted delta: every
+    token-REVERSED doc is genuinely new content and must be kept (even an
+    accidental band collision is rejected by exact verification); nearly
+    all truncated copies must be flagged with their source as best match
+    (banding recall); flagged rows carry a >= threshold jaccard."""
+    from realtimedatapipeline_8_project_spark.operators.dedup import (
+        INC_REV_OFFSET,
+        PMH_ID_OFFSET,
+        PMH_THRESHOLD,
+        q_dedup_incremental,
+    )
+
+    rows = {r.doc_id: r for r in q_dedup_incremental(spark, sf_small).collect()}
+    rev = {i for i in rows if i >= INC_REV_OFFSET}
+    trunc = {i for i in rows if PMH_ID_OFFSET <= i < INC_REV_OFFSET}
+    assert rev and trunc and rev | trunc == set(rows)
+    assert all(rows[i].is_kept for i in rev)
+    flagged = {i for i in trunc if not rows[i].is_kept}
+    assert len(flagged) >= 0.85 * len(trunc)
+    for i in flagged:
+        assert rows[i].jaccard >= PMH_THRESHOLD
+    # the dominant case: a truncated copy's best match is its own source
+    own = sum(1 for i in flagged if rows[i].dup_of == i - PMH_ID_OFFSET)
+    assert own >= 0.9 * len(flagged)
