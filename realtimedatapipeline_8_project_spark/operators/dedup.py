@@ -928,19 +928,42 @@ def _pmh_bands_of(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
-def incremental_dedup(base: DataFrame, delta: DataFrame) -> DataFrame:
+def base_band_table(base: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, band, bucket): the ingest-time artifact
+    of incremental dedup. On a cluster this is written ONCE when the base
+    corpus lands (parquet partitioned/bucketed by (band, bucket) — the
+    same one-time-write discipline as the bucketed PageRank edge table)
+    and every future delta joins against the stored table instead of
+    re-deriving the base's signatures; ``incremental_dedup`` accepts it
+    via ``base_bands`` (round-trip equality pinned in
+    tests/test_neardup_twins.py)."""
+    sh = base.select("doc_id", shingles("text").alias("s"))
+    return _pmh_bands_of(_pmh_sig_of(sh))
+
+
+def incremental_dedup(
+    base: DataFrame,
+    delta: DataFrame,
+    base_bands: DataFrame | None = None,
+) -> DataFrame:
     """(base, delta) -> one row per delta doc: (doc_id, is_kept, dup_of,
     jaccard). A delta doc is a duplicate iff some BASE doc verifies at
     string-shingle Jaccard >= PMH_THRESHOLD among its band candidates;
     dup_of is the best verified match (highest Jaccard, ties to the
-    lowest base id — deterministic via an encoded order key)."""
+    lowest base id — deterministic via an encoded order key).
+
+    ``base_bands``: optionally the precomputed/stored band table
+    (:func:`base_band_table`) — the production path, where bands are an
+    ingest-time artifact and only candidate verification touches base
+    text (to re-shingle the few candidate docs)."""
     base_sh = base.select("doc_id", shingles("text").alias("s")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     delta_sh = delta.select("doc_id", shingles("text").alias("s")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    base_bands = _pmh_bands_of(_pmh_sig_of(base_sh))
+    if base_bands is None:
+        base_bands = _pmh_bands_of(_pmh_sig_of(base_sh))
     delta_bands = _pmh_bands_of(_pmh_sig_of(delta_sh))
     cand = (
         delta_bands.alias("d")

@@ -165,3 +165,28 @@ def test_incremental_dedup_keeps_new_content_flags_copies(spark, sf_small):
     # the dominant case: a truncated copy's best match is its own source
     own = sum(1 for i in flagged if rows[i].dup_of == i - PMH_ID_OFFSET)
     assert own >= 0.9 * len(flagged)
+
+
+def test_incremental_dedup_stored_band_table_round_trip(spark, sf_small, tmp_path):
+    """The production path: base bands written once at ingest, read back
+    from parquet, passed to incremental_dedup — results must be identical
+    to deriving bands inline."""
+    from realtimedatapipeline_8_project_spark.operators.dedup import (
+        _inc_delta,
+        base_band_table,
+        incremental_dedup,
+    )
+
+    base = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    delta = _inc_delta(base)
+    path = str(tmp_path / "base_bands")
+    base_band_table(base).write.parquet(path)
+    stored = spark.read.parquet(path)
+    inline = {
+        tuple(r) for r in incremental_dedup(base, delta).collect()
+    }
+    from_store = {
+        tuple(r)
+        for r in incremental_dedup(base, delta, base_bands=stored).collect()
+    }
+    assert inline == from_store and inline
