@@ -582,3 +582,60 @@ GROUP BY 1, 2, 3
 """
 
 QUERIES["agg_volume_shipping"] = (q_volume_shipping, ORACLE_VOLUME_SHIPPING)
+
+
+# --- TPC-H Q12 shape: conditional aggregation ------------------------------
+# SUM(CASE WHEN ...) pivot-style counting inside one hash aggregate — the
+# conditional-aggregation shape the rollup/cube/pivot queries don't
+# exercise (pivot generates columns from DATA; this branches on a
+# predicate). The fixture lacks l_shipmode/commitdate, so the Q12
+# semantics ("how many lineitems of each class came from high- vs
+# low-priority orders in a year") keep the classic high/low CASE split
+# over o_orderpriority. One fact-fact shuffle join (date-pruned at the
+# lineitem scan), then a 3-group map-side-combined aggregate; the CASE
+# arms are codegen arithmetic, zero extra passes.
+
+Q12_START = "1996-01-01"
+Q12_END = "1997-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q_priority_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit(Q12_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q12_END).cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin(*Q12_HIGH)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_PRIORITY_SHIPMENTS = f"""
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN {Q12_HIGH} THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN {Q12_HIGH} THEN 0 ELSE 1 END)
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_START}'
+  AND l_shipdate < TIMESTAMP '{Q12_END}'
+GROUP BY l_returnflag
+"""
+
+QUERIES["agg_priority_shipments"] = (
+    q_priority_shipments,
+    ORACLE_PRIORITY_SHIPMENTS,
+)

@@ -71,12 +71,13 @@ _MODULES = (
 # de-broadcasted reports, the pagerank pair, semantic dedup's block cap,
 # the pandas null policy, the M4 guard), the flagship, the 4 queries the
 # driver has NEVER sampled, then all 17 queries whose newest row is
-# round 2 (at the two-round staleness limit), the 5 queries NEW this
-# round, then 17 of the 44 round-3-latest queries; the remaining 27
+# round 2 (at the two-round staleness limit), the 6 queries NEW this
+# round, then 16 of the 44 round-3-latest queries; the remaining 28
 # r03-latest entries (incl. curation_end_to_end, fuzzy_name_match,
-# interval_overlap_sessions, sim_kmeans_train, win_trailing_range_frame)
-# rotate to the front in round 6 together with the r04 set so no green
-# row ever ages past two rounds. Names not listed keep module order.
+# interval_overlap_sessions, sim_kmeans_train, win_trailing_range_frame,
+# win_latest_per_user) rotate to the front in round 6 together with the
+# r04 set so no green row ever ages past two rounds. Names not listed
+# keep module order.
 _PRIORITY = (
     # --- plan changed in round 5: old rows no longer describe the code ---
     "agg_shipping_priority",  # forced customer broadcast dropped (AQE picks)
@@ -98,6 +99,7 @@ _PRIORITY = (
     "sample_epoch_shuffle",  # per-epoch deterministic training shuffle
     "agg_volume_shipping",  # TPC-H Q7 shape, nation self-join roles
     "dedup_incremental",  # ingestion-time delta-vs-base dedup
+    "agg_priority_shipments",  # TPC-H Q12 shape, conditional aggregation
     # --- newest row is round 2: at the staleness limit, refresh all 17 ---
     "dq_audit",
     "dq_profile",
@@ -133,7 +135,6 @@ _PRIORITY = (
     "win_distribution_family",
     "win_event_gaps",
     "win_funnel_dropoff",
-    "win_latest_per_user",
 )
 
 # Redundant registry entries retired to keep the checked prefix dense:
