@@ -1,0 +1,102 @@
+"""Streaming dedup ingestion (streaming/ingest.py): replayed micro-batch
+ingestion must equal the sequential batch application of
+incremental_dedup, and a replayed batch must not change the corpus."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from realtimedatapipeline_8_project_spark.operators.dedup import (
+    incremental_dedup,
+)
+from realtimedatapipeline_8_project_spark.sources.tables import load_table
+from realtimedatapipeline_8_project_spark.streaming.ingest import (
+    dedup_ingest_batch,
+    read_kept,
+    run_dedup_ingest,
+)
+
+
+def _doc_batches(spark, sf_dir):
+    """Three arrival batches with planted cross-batch duplicates:
+    b1 = docs 0..149; b2 = docs 150..299 plus truncated copies of b1
+    docs (near-dups that must be dropped, ids +500k); b3 = docs 300..449
+    plus verbatim copies of b2 docs (exact dups, ids +600k)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    keep = F.greatest(F.size(toks) - 4, F.lit(1))
+    trunc = F.array_join(F.slice(toks, 1, keep), " ")
+    b1 = docs.where(F.col("doc_id") < 150)
+    b2 = docs.where((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)).unionByName(
+        docs.where(F.col("doc_id") % 17 == 0)
+        .where(F.col("doc_id") < 150)
+        .select((F.col("doc_id") + 500_000).alias("doc_id"), trunc.alias("text"))
+    )
+    b3 = docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 450)).unionByName(
+        docs.where(F.col("doc_id") % 23 == 0)
+        .where((F.col("doc_id") >= 150) & (F.col("doc_id") < 300))
+        .select((F.col("doc_id") + 600_000).alias("doc_id"), F.col("text"))
+    )
+    return [b1, b2, b3]
+
+
+def _write_jsonl(df, path):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        for r in df.collect():
+            fh.write(json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+
+
+def _sequential_truth(spark, batches):
+    kept = batches[0]
+    for delta in batches[1:]:
+        verdict = incremental_dedup(kept, delta)
+        kept = kept.unionByName(
+            delta.join(
+                verdict.where(F.col("is_kept")).select("doc_id"), "doc_id"
+            )
+        )
+    return {r.doc_id for r in kept.collect()}
+
+
+def test_streamed_ingest_equals_sequential_batches(spark, sf_small, tmp_path):
+    batches = _doc_batches(spark, sf_small)
+    src = str(tmp_path / "src")
+    for i, b in enumerate(batches):
+        _write_jsonl(b, os.path.join(src, f"b{i}.jsonl"))
+        time.sleep(1.1)  # distinct mtimes -> deterministic arrival order
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    docs = raw.select(
+        F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+        F.get_json_object("value", "$.text").alias("text"),
+    )
+    corpus = str(tmp_path / "corpus")
+    q = run_dedup_ingest(docs, corpus, str(tmp_path / "chk"))
+    q.awaitTermination()
+
+    got = {r.doc_id for r in read_kept(spark, corpus).collect()}
+    want = _sequential_truth(spark, batches)
+    assert got == want
+    # verbatim copies (b3's 600k ids) are always caught
+    assert not any(d >= 600_000 for d in got)
+    # truncated copies (b2's 500k ids): nearly all dropped (banding recall)
+    n_trunc_kept = sum(1 for d in got if 500_000 <= d < 600_000)
+    n_trunc = sum(
+        1 for r in batches[1].collect() if r.doc_id >= 500_000
+    )
+    assert n_trunc_kept <= 0.15 * n_trunc
+
+    # replaying an already-committed batch must not change the corpus
+    before = sorted(got)
+    dedup_ingest_batch(batches[2], 2, corpus)
+    after = sorted(r.doc_id for r in read_kept(spark, corpus).collect())
+    assert after == before
