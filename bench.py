@@ -86,6 +86,9 @@ HEADLINE = [
     "sql_min_cost_supplier",
     "udtf_chunk_windows",
     "sample_epoch_shuffle",
+    "agg_volume_shipping",
+    "agg_priority_shipments",
+    "dedup_incremental",
 ]
 
 
