@@ -625,10 +625,10 @@ def q_priority_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PRIORITY_SHIPMENTS = f"""
 SELECT l_returnflag,
-       SUM(CASE WHEN o_orderpriority IN {Q12_HIGH} THEN 1 ELSE 0 END)
-         AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN {Q12_HIGH} THEN 0 ELSE 1 END)
-         AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN {Q12_HIGH} THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN {Q12_HIGH} THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '{Q12_START}'
   AND l_shipdate < TIMESTAMP '{Q12_END}'
