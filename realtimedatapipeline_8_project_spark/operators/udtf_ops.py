@@ -34,7 +34,10 @@ def chunk_windows(spark: SparkSession, docs: DataFrame) -> DataFrame:
     token windows, one output row per window. Chunk starts are 0, S, 2S,
     ... while start < len(tokens); the final window may be short. NULL or
     empty text yields no rows (inner lateral semantics, matching the
-    oracle's join)."""
+    oracle's join). Wired with ``DataFrame.lateralJoin`` — no temp view,
+    no session-level registration, so concurrent calls in one session
+    can never race on shared names."""
+    from pyspark.sql import functions as F
     from pyspark.sql.functions import udtf
 
     w, s = CHUNK_W, CHUNK_S
@@ -53,11 +56,10 @@ def chunk_windows(spark: SparkSession, docs: DataFrame) -> DataFrame:
                 yield idx, len(window), " ".join(window)
                 idx += 1
 
-    spark.udtf.register("chunk_windows", _ChunkWindows)
-    docs.select("doc_id", "text").createOrReplaceTempView("_chunk_in")
-    return spark.sql(
-        "SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk "
-        "FROM _chunk_in d, LATERAL chunk_windows(d.text) c"
+    return (
+        docs.select("doc_id", "text")
+        .lateralJoin(_ChunkWindows(F.col("text").outer()))
+        .select("doc_id", "chunk_idx", "n_tokens", "chunk")
     )
 
 
