@@ -956,14 +956,16 @@ def incremental_dedup(
     (:func:`base_band_table`) — the production path, where bands are an
     ingest-time artifact and only candidate verification touches base
     text (to re-shingle the few candidate docs)."""
-    base_sh = base.select("doc_id", shingles("text").alias("s")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    base_sh = base.select("doc_id", shingles("text").alias("s"))
+    if base_bands is None:
+        # base shingles feed both band derivation and verification ->
+        # persist; with stored bands they are consumed exactly once
+        # (verification), so no cache is pinned
+        base_sh = base_sh.persist(StorageLevel.MEMORY_AND_DISK)
+        base_bands = _pmh_bands_of(_pmh_sig_of(base_sh))
     delta_sh = delta.select("doc_id", shingles("text").alias("s")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    if base_bands is None:
-        base_bands = _pmh_bands_of(_pmh_sig_of(base_sh))
     delta_bands = _pmh_bands_of(_pmh_sig_of(delta_sh))
     cand = (
         delta_bands.alias("d")
