@@ -329,3 +329,162 @@ QUERIES = {
     "dedup_survivors": (q_dedup_survivors, _oracle_dedup_survivors()),
     "sample_quality_gate": (q_quality_gate, ORACLE_QUALITY_GATE),
 }
+
+
+# --- quality-aware survivor selection --------------------------------------
+# dedup_survivors keeps the minimum-id cluster member — fine when ids
+# carry no meaning, WRONG when a cluster mixes a full document with a
+# degraded near-copy that happens to hold the lower id (crawl re-visits,
+# truncated mirrors). This operator makes the survivor policy explicit:
+# keep the member with the RICHEST text (most distinct tokens, then most
+# tokens, then lowest id), computed as ONE hash aggregate via an encoded
+# order key (the agg_top1_per_group_sortfree discipline — no window, no
+# sort). The planted corpus puts the truncated copy AT THE ORIGINAL'S ID
+# and moves the full text to id + offset, so min-id policy would keep
+# the degraded copy — the test pins that this operator keeps the
+# original instead. Bounds: n_uniq, n_tokens <= ~1e3 and doc_id < 1e10
+# keep the key inside a long.
+
+SURVQ_EVERY = 20
+SURVQ_OFFSET = 2_000_000
+SURVQ_TRIM = 5
+
+
+def _survq_corpus(docs: DataFrame) -> DataFrame:
+    sel = F.col("doc_id") % SURVQ_EVERY == 0
+    toks = F.split(F.col("text"), " ")
+    keep = F.greatest(F.size(toks) - SURVQ_TRIM, F.lit(1))
+    degraded = docs.where(sel).select(
+        "doc_id", F.array_join(F.slice(toks, 1, keep), " ").alias("text")
+    )
+    moved = docs.where(sel).select(
+        (F.col("doc_id") + SURVQ_OFFSET).alias("doc_id"), "text"
+    )
+    return (
+        docs.where(~sel)
+        .select("doc_id", "text")
+        .unionByName(degraded)
+        .unionByName(moved)
+    )
+
+
+def q_dedup_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import connected_components, portable_neardup_pairs
+
+    corpus = _survq_corpus(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    pairs = portable_neardup_pairs(corpus).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component_id")
+    )
+    toks = F.split(F.lower(F.col("text")), " ")
+    scored = corpus.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).cast("long").alias("n_uniq"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    okey = (
+        F.col("n_uniq") * F.lit(1_000_000_000_000_000)
+        + F.col("n_tokens") * F.lit(10_000_000_000)
+        - F.col("doc_id")
+    )
+    cluster = F.coalesce(F.col("component_id"), F.col("doc_id"))
+    return (
+        scored.join(comp, "doc_id", "left")
+        .select(cluster.alias("cluster_id"), "doc_id", okey.alias("okey"))
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by("doc_id", F.col("okey")).alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+def _oracle_dedup_survivors_quality() -> str:
+    from .dedup import (
+        PMH_BANDS,
+        PMH_K,
+        PMH_THRESHOLD,
+        _o_hex7,
+        oracle_shingles,
+    )
+
+    rows_per_band = PMH_K // PMH_BANDS
+    bucket = " || ',' || ".join(
+        f"CAST(sig[b.band * {rows_per_band} + {r + 1}] AS VARCHAR)"
+        for r in range(rows_per_band)
+    )
+    return f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {SURVQ_EVERY} <> 0
+  UNION ALL
+  SELECT doc_id,
+         array_to_string(
+           (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - {SURVQ_TRIM}, 1)],
+           ' ')
+  FROM documents WHERE doc_id % {SURVQ_EVERY} = 0
+  UNION ALL
+  SELECT doc_id + {SURVQ_OFFSET}, text
+  FROM documents WHERE doc_id % {SURVQ_EVERY} = 0
+), sh AS (
+  SELECT doc_id, {oracle_shingles('text')} AS s FROM corpus
+), halves AS (
+  SELECT doc_id, s,
+         list_transform(hx, h -> {_o_hex7('h', 1)}) AS h1s,
+         list_transform(hx, h -> {_o_hex7('h', 8)}) AS h2s
+  FROM (SELECT doc_id, s, list_transform(s, g -> sha256(g)) AS hx FROM sh)
+), sig AS (
+  SELECT doc_id, s,
+         list_transform(range(0, {PMH_K}),
+           i -> list_min(list_transform(range(1, len(h1s) + 1),
+                j -> h1s[j] + i * h2s[j]))) AS sig
+  FROM halves
+), bands AS (
+  SELECT doc_id, b.band, {bucket} AS bucket
+  FROM sig, (SELECT UNNEST(range(0, {PMH_BANDS})) AS band) b
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+), pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b
+  WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))), 6)
+        >= {PMH_THRESHOLD}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+), comp AS (
+  SELECT id, MIN(r) AS component_id FROM reach GROUP BY id
+), scored AS (
+  SELECT c.doc_id,
+         COALESCE(k.component_id, c.doc_id) AS cluster_id,
+         CAST(len(list_distinct(string_split(lower(c.text), ' '))) AS BIGINT)
+           * 1000000000000000
+         + CAST(len(string_split(lower(c.text), ' ')) AS BIGINT)
+           * 10000000000
+         - c.doc_id AS okey
+  FROM corpus c LEFT JOIN comp k ON k.id = c.doc_id
+)
+SELECT cluster_id,
+       max_by(doc_id, okey) AS survivor_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM scored GROUP BY cluster_id
+"""
+
+
+QUERIES["dedup_survivors_quality"] = (
+    q_dedup_survivors_quality,
+    _oracle_dedup_survivors_quality(),
+)

@@ -390,66 +390,18 @@ def _pmh_corpus(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").unionByName(truncated)
 
 
-def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+def portable_neardup_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> verified near-dup pairs (doc_a, doc_b, jaccard)
+    through the portable sha256 MinHash pipeline (sig/bands shared with
+    incremental dedup via _pmh_sig_of/_pmh_bands_of). The 28-bit sha256
+    halves keep h1 + i*h2 inside a long under ANSI arithmetic."""
+    spark = docs.sparkSession
     n_part = spark.sparkContext.defaultParallelism
-    docs = _pmh_corpus(
-        load_table(spark, sf_dir, "documents")
-    ).repartition(n_part, "doc_id")
+    docs = docs.repartition(n_part, "doc_id")
     sh = docs.select("doc_id", shingles("text").alias("s")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # 28-bit halves of each shingle's sha256 — small enough that
-    # h1 + i*h2 never overflows a long under ANSI arithmetic.
-    hashed = sh.select(
-        "doc_id",
-        F.transform(
-            "s",
-            lambda g: F.struct(
-                F.conv(F.substring(F.sha2(g, 256), 1, 7), 16, 10)
-                .cast("long")
-                .alias("h1"),
-                F.conv(F.substring(F.sha2(g, 256), 8, 7), 16, 10)
-                .cast("long")
-                .alias("h2"),
-            ),
-        ).alias("hp"),
-    )
-    sig = hashed.select(
-        "doc_id",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        "hp", lambda p: p["h1"] + F.lit(i) * p["h2"]
-                    )
-                )
-                for i in range(PMH_K)
-            ]
-        ).alias("sig"),
-    )
-    rows_per_band = PMH_K // PMH_BANDS
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at(
-                                    "sig", b * rows_per_band + r + 1
-                                ).cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("bucket"),
-                    )
-                    for b in range(PMH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    bands = _pmh_bands_of(_pmh_sig_of(sh))
     left, right = bands.alias("l"), bands.alias("r")
     cand = (
         left.join(
@@ -473,6 +425,12 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sh_b, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= PMH_THRESHOLD)
+    )
+
+
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return portable_neardup_pairs(
+        _pmh_corpus(load_table(spark, sf_dir, "documents"))
     )
 
 

@@ -190,3 +190,38 @@ def test_incremental_dedup_stored_band_table_round_trip(spark, sf_small, tmp_pat
         for r in incremental_dedup(base, delta, base_bands=stored).collect()
     }
     assert inline == from_store and inline
+
+
+def test_quality_survivor_keeps_original_where_min_id_would_not(
+    spark, sf_small
+):
+    """The planted corpus puts a truncated copy at the ORIGINAL's id and
+    the full text at id + offset, so the min-id policy would keep the
+    degraded copy; the quality policy must keep the original in every
+    planted cluster, and singletons must survive as themselves."""
+    from realtimedatapipeline_8_project_spark.operators.curation import (
+        SURVQ_EVERY,
+        SURVQ_OFFSET,
+        q_dedup_survivors_quality,
+    )
+
+    rows = q_dedup_survivors_quality(spark, sf_small).collect()
+    # pure planted pairs: {degraded copy at id, original at id + offset}.
+    # (A few planted clusters legitimately merge with other corpus
+    # near-dups — there the richest member may be a third doc.)
+    pairs = [
+        r
+        for r in rows
+        if r.n_members == 2
+        and r.cluster_id % SURVQ_EVERY == 0
+        and r.cluster_id < SURVQ_OFFSET
+        and r.survivor_doc_id in (r.cluster_id, r.cluster_id + SURVQ_OFFSET)
+    ]
+    assert len(pairs) >= 10
+    assert all(
+        r.survivor_doc_id == r.cluster_id + SURVQ_OFFSET for r in pairs
+    )
+    singles = [r for r in rows if r.n_members == 1]
+    assert singles and all(
+        r.survivor_doc_id == r.cluster_id for r in singles
+    )
