@@ -425,3 +425,92 @@ def write_batch_fanout(
             )
     finally:
         batch_df.unpersist()
+
+
+# --- data lifecycle: key purge + batch retention ---------------------------
+# The two maintenance operations the batch-partitioned history layout
+# makes cheap, completing the lifecycle story (ingest -> serve ->
+# time-travel -> retire):
+#
+# * purge_keys (GDPR "right to be forgotten"): rewrite ONLY the batch
+#   partitions that actually contain a purged key (found with one
+#   key-column scan + semi join), via broadcast anti-join + dynamic
+#   partition overwrite. Untouched partitions keep their files byte for
+#   byte — cost ∝ affected partitions, not table size.
+# * expire_batches (retention): a batch partition is an immutable
+#   directory, so retiring history older than a cutoff is a partition
+#   DROP — O(1) per expired batch, no rewrite, and read_history_asof
+#   over remaining batches is unaffected.
+#
+# Caveat (documented, inherent to physical deletion): purge/expire
+# change what time-travel reads can see — as-of reads reconstruct the
+# PURGED view of old batches, which is exactly what a legal erasure
+# requires.
+
+
+def purge_keys(
+    spark: SparkSession,
+    output_dir: str,
+    keys_df: DataFrame,
+    key_col: str = LATEST_KEY,
+) -> int:
+    """Physically delete every history row whose ``key_col`` appears in
+    ``keys_df`` (single column, same name). Returns the number of batch
+    partitions rewritten."""
+    hist_path = os.path.join(output_dir, "history")
+    hist = spark.read.parquet(hist_path)
+    keys = keys_df.select(key_col).distinct()
+    affected = [
+        r.batch_id
+        for r in hist.select(key_col, "batch_id")
+        .join(F.broadcast(keys), key_col, "left_semi")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    ]
+    if affected:
+        (
+            hist.where(F.col("batch_id").isin(affected))
+            .join(F.broadcast(keys), key_col, "left_anti")
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(hist_path)
+        )
+    # the compacted serving view, if materialized, must also forget
+    latest_path = os.path.join(output_dir, "latest")
+    try:
+        compacted = spark.read.parquet(latest_path)
+    except Exception:
+        compacted = None
+    if compacted is not None:
+        tmp_path = os.path.join(output_dir, "_latest_tmp")
+        (
+            compacted.join(F.broadcast(keys), key_col, "left_anti")
+            .write.mode("overwrite")
+            .parquet(tmp_path)
+        )
+        spark.read.parquet(tmp_path).write.mode("overwrite").parquet(
+            latest_path
+        )
+    return len(affected)
+
+
+def expire_batches(
+    spark: SparkSession, output_dir: str, keep_from_batch_id: int
+) -> int:
+    """Retention: drop every history batch partition with
+    batch_id < ``keep_from_batch_id``. Pure directory removal — no data
+    rewrite. Returns the number of partitions dropped."""
+    import shutil
+
+    hist_path = os.path.join(output_dir, "history")
+    dropped = 0
+    for name in sorted(os.listdir(hist_path)):
+        if not name.startswith("batch_id="):
+            continue
+        bid = int(name.split("=", 1)[1])
+        if bid < keep_from_batch_id:
+            shutil.rmtree(os.path.join(hist_path, name))
+            dropped += 1
+    return dropped

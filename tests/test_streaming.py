@@ -804,3 +804,71 @@ def test_stats_replay_checkpoint_incremental_restart(spark, sf_small, workdir):
     ev = load_table(spark, sf_small, "events")
     want = sorted(map(tuple, event_moments(quantize_events(ev)).collect()))
     assert got == want
+
+
+def test_purge_keys_rewrites_only_affected_partitions(spark, sf_small, workdir):
+    """GDPR purge: purged event_ids vanish from history, as-of reads, and
+    the compacted latest snapshot; unaffected batch partitions keep their
+    files untouched (checked by mtime); cost = affected partitions only."""
+    import glob
+    import time as _time
+
+    from realtimedatapipeline_8_project_spark.streaming.sinks import (
+        compact_latest,
+        expire_batches,
+        purge_keys,
+        read_history_asof,
+        read_latest,
+        write_history,
+    )
+
+    out = os.path.join(workdir, "out")
+    dim = load_dim(spark, sf_small)
+    ev = load_table(spark, sf_small, "events").limit(30)
+    batches = [
+        derive(enrich_events(ev.limit(10), dim)),
+        derive(enrich_events(ev.offset(10).limit(10), dim)),
+        derive(enrich_events(ev.offset(20).limit(10), dim)),
+    ]
+    for i, b in enumerate(batches):
+        write_history(b, i, out)
+    compact_latest(spark, out)
+
+    # purge two keys that live only in batch 1
+    victims = [r.event_id for r in batches[1].select("event_id").limit(2).collect()]
+    keys = spark.createDataFrame([(k,) for k in victims], "event_id long")
+
+    hist = os.path.join(out, "history")
+    mtimes_before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(hist, "batch_id=*", "*.parquet"))
+    }
+    _time.sleep(1.1)  # mtime resolution guard
+    n_rewritten = purge_keys(spark, out, keys)
+    assert n_rewritten == 1  # only batch 1 contained the victims
+
+    remaining = spark.read.parquet(hist)
+    assert remaining.count() == 28
+    assert remaining.where(F.col("event_id").isin(victims)).count() == 0
+    # time travel reconstructs the PURGED view (legal erasure semantics)
+    asof1 = read_history_asof(spark, out, 1)
+    assert asof1.count() == 18
+    assert asof1.where(F.col("event_id").isin(victims)).count() == 0
+    # the compacted serving snapshot forgot the keys too
+    latest = read_latest(spark, out)
+    assert latest.count() == 28
+    assert latest.where(F.col("event_id").isin(victims)).count() == 0
+    # batches 0 and 2 were not rewritten: same files, same mtimes
+    untouched = {
+        p: m
+        for p, m in mtimes_before.items()
+        if "batch_id=1" not in p
+    }
+    for p, m in untouched.items():
+        assert os.path.exists(p) and os.path.getmtime(p) == m, p
+
+    # retention: dropping batches < 1 removes exactly one partition dir
+    assert expire_batches(spark, out, keep_from_batch_id=1) == 1
+    left = spark.read.parquet(hist)
+    assert left.select("batch_id").distinct().count() == 2
+    assert left.count() == 18  # batch1 (8 after purge) + batch2 (10)
