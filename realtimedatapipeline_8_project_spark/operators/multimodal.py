@@ -212,3 +212,55 @@ QUERIES = {
     "media_decode_stub": (q_media_decode, ORACLE_MEDIA_DECODE),
     "media_frame_sample": (q_media_frame_sample, ORACLE_MEDIA_FRAME_SAMPLE),
 }
+
+
+# --- exact media dedup by content hash -------------------------------------
+# The binary-column twin of dedup_exact_fingerprint: identical payloads
+# collapse on their sha256 regardless of metadata/id. At 100 TB of media
+# this is THE first dedup pass (content-addressed storage): one shuffle
+# of (hash, id, byte_len) — payload bytes never move. The fixture plants
+# re-ingested copies (same payload, new media_id) of every 15th item.
+
+MDUP_EVERY = 15
+MDUP_OFFSET = 1_000_000
+
+
+def q_media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(spark, sf_dir)
+    copies = media.where(F.col("media_id") % MDUP_EVERY == 0).select(
+        (F.col("media_id") + MDUP_OFFSET).alias("media_id"),
+        "kind",
+        "payload",
+        "byte_len",
+        "sha256",
+    )
+    corpus = media.unionByName(copies)
+    return corpus.groupBy("sha256").agg(
+        F.min("media_id").alias("survivor_media_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("byte_len").alias("byte_len"),
+        ((F.count(F.lit(1)) - 1) * F.min("byte_len")).alias("dup_bytes"),
+    )
+
+
+ORACLE_MEDIA_DEDUP_EXACT = f"""
+WITH media AS (
+  SELECT doc_id AS media_id, sha256(text) AS sha256,
+         CAST(length(text) AS BIGINT) AS byte_len
+  FROM documents
+), corpus AS (
+  SELECT media_id, sha256, byte_len FROM media
+  UNION ALL
+  SELECT media_id + {MDUP_OFFSET}, sha256, byte_len
+  FROM media WHERE media_id % {MDUP_EVERY} = 0
+)
+SELECT sha256,
+       MIN(media_id) AS survivor_media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(byte_len) AS byte_len,
+       CAST((COUNT(*) - 1) * MIN(byte_len) AS BIGINT) AS dup_bytes
+FROM corpus
+GROUP BY sha256
+"""
+
+QUERIES["media_dedup_exact"] = (q_media_dedup_exact, ORACLE_MEDIA_DEDUP_EXACT)

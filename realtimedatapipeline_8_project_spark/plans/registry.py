@@ -71,13 +71,13 @@ _MODULES = (
 # de-broadcasted reports, the pagerank pair, semantic dedup's block cap,
 # the pandas null policy, the M4 guard), the flagship, the 4 queries the
 # driver has NEVER sampled, then all 17 queries whose newest row is
-# round 2 (at the two-round staleness limit), the 7 queries NEW this
-# round, then 15 of the 44 round-3-latest queries; the remaining 29
+# round 2 (at the two-round staleness limit), the 8 queries NEW this
+# round, then 14 of the 44 round-3-latest queries; the remaining 30
 # r03-latest entries (incl. curation_end_to_end, fuzzy_name_match,
 # interval_overlap_sessions, sim_kmeans_train, win_trailing_range_frame,
-# win_latest_per_user, win_funnel_dropoff) rotate to the front in round
-# 6 together with the r04 set so no green row ever ages past two rounds.
-# Names not listed keep module order.
+# win_latest_per_user, win_funnel_dropoff, win_event_gaps) rotate to the
+# front in round 6 together with the r04 set so no green row ever ages
+# past two rounds. Names not listed keep module order.
 _PRIORITY = (
     # --- plan changed in round 5: old rows no longer describe the code ---
     "agg_shipping_priority",  # forced customer broadcast dropped (AQE picks)
@@ -101,6 +101,7 @@ _PRIORITY = (
     "dedup_incremental",  # ingestion-time delta-vs-base dedup
     "agg_priority_shipments",  # TPC-H Q12 shape, conditional aggregation
     "dedup_survivors_quality",  # quality-aware survivor policy
+    "media_dedup_exact",  # content-hash dedup of binary media
     # --- newest row is round 2: at the staleness limit, refresh all 17 ---
     "dq_audit",
     "dq_profile",
@@ -134,7 +135,6 @@ _PRIORITY = (
     "win_sessionize",
     "win_sliding_window",
     "win_distribution_family",
-    "win_event_gaps",
 )
 
 # Redundant registry entries retired to keep the checked prefix dense:
