@@ -411,3 +411,61 @@ FROM e
 """
 
 QUERIES["sample_epoch_shuffle"] = (q_epoch_shuffle, ORACLE_EPOCH_SHUFFLE)
+
+
+# --- rate-based source rebalancing (data mixing, the map-only path) -------
+# Training mixes reweight sources (curriculum: upweight curated data).
+# sample_stratified takes EXACTLY N per stratum but pays a per-stratum
+# rank (shuffle + sort per stratum). This is its scale twin: each source
+# gets a deterministic acceptance RATE = w_s / max_w, and a document is
+# kept iff its Fibonacci hash falls under rate * 2^32 — a pure row-local
+# integer compare, ZERO shuffle for the decision (the only exchange is
+# the tiny per-source report aggregate). Kept-set membership is
+# deterministic and engine-portable: the rate threshold is an exact
+# integer (w * 2^32 div max_w) and the hash is the split_assign lattice.
+# Weights here derive from the source id (1 + num mod 3 in {1,2,3}) —
+# the stand-in for a configured mixing table, which at scale is a
+# broadcast map exactly like this constant expression.
+
+MIX_MAX_W = 3
+
+
+def q_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    num = F.substring("source", 4, 10).cast("int")
+    w = (num % MIX_MAX_W) + 1
+    threshold = (w.cast("long") * F.lit(MOD_32)) / F.lit(MIX_MAX_W)
+    hashed = (F.col("doc_id") * F.lit(KNUTH_32)) % F.lit(MOD_32)
+    kept = hashed < F.floor(threshold)
+    return (
+        docs.select("source", w.alias("w"), kept.alias("kept"))
+        .groupBy("source", "w")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+
+
+ORACLE_SOURCE_REBALANCE = f"""
+WITH t AS (
+  SELECT source,
+         (CAST(substr(source, 4, 10) AS INT) % {MIX_MAX_W}) + 1 AS w,
+         (doc_id * {KNUTH_32}) % {MOD_32}
+           < CAST(floor(CAST((CAST(substr(source, 4, 10) AS INT)
+               % {MIX_MAX_W} + 1) AS BIGINT) * {MOD_32} / {MIX_MAX_W})
+             AS BIGINT) AS kept
+  FROM documents
+)
+SELECT source, w,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM t GROUP BY source, w
+"""
+
+QUERIES["sample_source_rebalance"] = (
+    q_source_rebalance,
+    ORACLE_SOURCE_REBALANCE,
+)

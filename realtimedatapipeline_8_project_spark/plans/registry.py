@@ -71,13 +71,14 @@ _MODULES = (
 # de-broadcasted reports, the pagerank pair, semantic dedup's block cap,
 # the pandas null policy, the M4 guard), the flagship, the 4 queries the
 # driver has NEVER sampled, then all 17 queries whose newest row is
-# round 2 (at the two-round staleness limit), the 8 queries NEW this
-# round, then 14 of the 44 round-3-latest queries; the remaining 30
+# round 2 (at the two-round staleness limit), the 9 queries NEW this
+# round, then 13 of the 44 round-3-latest queries; the remaining 31
 # r03-latest entries (incl. curation_end_to_end, fuzzy_name_match,
 # interval_overlap_sessions, sim_kmeans_train, win_trailing_range_frame,
-# win_latest_per_user, win_funnel_dropoff, win_event_gaps) rotate to the
-# front in round 6 together with the r04 set so no green row ever ages
-# past two rounds. Names not listed keep module order.
+# win_latest_per_user, win_funnel_dropoff, win_event_gaps,
+# win_distribution_family) rotate to the front in round 6 together with
+# the r04 set so no green row ever ages past two rounds. Names not
+# listed keep module order.
 _PRIORITY = (
     # --- plan changed in round 5: old rows no longer describe the code ---
     "agg_shipping_priority",  # forced customer broadcast dropped (AQE picks)
@@ -102,6 +103,7 @@ _PRIORITY = (
     "agg_priority_shipments",  # TPC-H Q12 shape, conditional aggregation
     "dedup_survivors_quality",  # quality-aware survivor policy
     "media_dedup_exact",  # content-hash dedup of binary media
+    "sample_source_rebalance",  # map-only data-mixing rates
     # --- newest row is round 2: at the staleness limit, refresh all 17 ---
     "dq_audit",
     "dq_profile",
@@ -134,7 +136,6 @@ _PRIORITY = (
     "win_rank_orders",
     "win_sessionize",
     "win_sliding_window",
-    "win_distribution_family",
 )
 
 # Redundant registry entries retired to keep the checked prefix dense:

@@ -455,3 +455,17 @@ def test_min_cost_supplier_scans_lineitem_once(spark, sf_small):
     p = plan_of(spark, sf_small, "sql_min_cost_supplier")
     assert sum("lineitem.parquet" in l for l in p.splitlines()) == 1
     assert "CartesianProduct" not in p
+
+
+def test_source_rebalance_decision_is_map_only(spark, sf_small):
+    """The mixing-rate keep/drop decision must be a row-local integer
+    compare: no join, and the only exchange is the tiny per-source
+    report aggregate (partial+final)."""
+    import re
+
+    p = plan_of(spark, sf_small, "sample_source_rebalance")
+    assert "Join" not in p
+    # formatted explain lists each node in the tree AND a detail section;
+    # count detail headers -> exactly one physical Exchange
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
+    assert p.count("HashAggregate") >= 2
