@@ -57,9 +57,19 @@ def dedup_ingest_batch(
     batch_df: DataFrame, batch_id: int, corpus_dir: str
 ) -> None:
     """foreachBatch body: dedup ``batch_df`` (doc_id, text) against the
-    accumulated kept corpus and append the survivors + their bands."""
+    accumulated kept corpus and append the survivors + their bands.
+
+    Malformed rows (NULL id, NULL/empty text — routine in real streams:
+    truncated JSON, missing fields) are dropped at the gate: a NULL id
+    can never be deduped later and empty text has no content to match,
+    so admitting either would pollute the kept corpus forever (the F3
+    guard discipline applied to content)."""
     spark = batch_df.sparkSession
-    delta = batch_df.select("doc_id", "text")
+    delta = batch_df.select("doc_id", "text").where(
+        F.col("doc_id").isNotNull()
+        & F.col("text").isNotNull()
+        & (F.col("text") != "")
+    )
     if delta.isEmpty():
         return
     kept_path = os.path.join(corpus_dir, KEPT)

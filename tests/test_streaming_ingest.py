@@ -44,11 +44,15 @@ def _doc_batches(spark, sf_dir):
     return [b1, b2, b3]
 
 
-def _write_jsonl(df, path):
+def _write_jsonl(df, path, junk=False):
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as fh:
         for r in df.collect():
             fh.write(json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+        if junk:  # routine stream dirt: the ingest gate must drop these
+            fh.write(json.dumps({"doc_id": None, "text": "x y z"}) + "\n")
+            fh.write(json.dumps({"doc_id": 999_999}) + "\n")
+            fh.write(json.dumps({"doc_id": 999_998, "text": ""}) + "\n")
 
 
 def _sequential_truth(spark, batches):
@@ -67,7 +71,7 @@ def test_streamed_ingest_equals_sequential_batches(spark, sf_small, tmp_path):
     batches = _doc_batches(spark, sf_small)
     src = str(tmp_path / "src")
     for i, b in enumerate(batches):
-        _write_jsonl(b, os.path.join(src, f"b{i}.jsonl"))
+        _write_jsonl(b, os.path.join(src, f"b{i}.jsonl"), junk=(i == 1))
         time.sleep(1.1)  # distinct mtimes -> deterministic arrival order
 
     raw = (
@@ -86,6 +90,8 @@ def test_streamed_ingest_equals_sequential_batches(spark, sf_small, tmp_path):
     got = {r.doc_id for r in read_kept(spark, corpus).collect()}
     want = _sequential_truth(spark, batches)
     assert got == want
+    # the malformed b2 lines (null id / missing / empty text) were gated
+    assert None not in got and 999_999 not in got and 999_998 not in got
     # verbatim copies (b3's 600k ids) are always caught
     assert not any(d >= 600_000 for d in got)
     # truncated copies (b2's 500k ids): nearly all dropped (banding recall)
