@@ -460,6 +460,8 @@ def purge_keys(
     hist_path = os.path.join(output_dir, "history")
     hist = spark.read.parquet(hist_path)
     keys = keys_df.select(key_col).distinct()
+    if keys.isEmpty():
+        return 0
     affected = [
         r.batch_id
         for r in hist.select(key_col, "batch_id")
@@ -501,7 +503,11 @@ def expire_batches(
 ) -> int:
     """Retention: drop every history batch partition with
     batch_id < ``keep_from_batch_id``. Pure directory removal — no data
-    rewrite. Returns the number of partitions dropped."""
+    rewrite. Returns the number of partitions dropped.
+
+    Local-filesystem path ops, like the rest of this parquet-dir sink
+    family; on HDFS/S3 the drop becomes the same O(1) per-partition
+    delete through the Hadoop FileSystem API."""
     import shutil
 
     hist_path = os.path.join(output_dir, "history")
