@@ -98,11 +98,23 @@ def load_jdbc_dim(
     password: str,
     num_partitions: int = 4,
     fetchsize: int = 10_000,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    driver: str | None = None,
 ) -> DataFrame:
     """JDBC dimension snapshot — same options as the reference
     (stream-processor.py:254-263: fetchsize=10000, numPartitions=4).
-    Optional path; tests use parquet fixtures instead."""
-    return (
+
+    NOTE the reference quirk its options hide: Spark's JDBC source
+    ignores ``numPartitions`` on read unless ``partitionColumn`` +
+    bounds are also given — the reference's snapshot is actually a
+    single-partition read. Pass ``partition_column``/``lower_bound``/
+    ``upper_bound`` for the genuinely parallel scan (N range-split
+    queries); tested end-to-end against the embedded Derby engine
+    bundled with Spark (tests/test_jdbc_source.py), so this leg is no
+    longer environment-gated."""
+    reader = (
         spark.read.format("jdbc")
         .option("url", url)
         .option("dbtable", table)
@@ -110,5 +122,13 @@ def load_jdbc_dim(
         .option("password", password)
         .option("fetchsize", str(fetchsize))
         .option("numPartitions", str(num_partitions))
-        .load()
     )
+    if driver is not None:
+        reader = reader.option("driver", driver)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    return reader.load()
