@@ -469,3 +469,44 @@ def test_source_rebalance_decision_is_map_only(spark, sf_small):
     # count detail headers -> exactly one physical Exchange
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 1
     assert p.count("HashAggregate") >= 2
+
+
+def _n_exchanges(p: str) -> int:
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+
+
+def test_udtf_chunker_is_map_only(spark, sf_small):
+    """The context-window UDTF must run as a map-side Python generator
+    over the scan partitions: zero exchanges, zero joins."""
+    p = plan_of(spark, sf_small, "udtf_chunk_windows")
+    assert _n_exchanges(p) == 0
+    assert "Join" not in p
+
+
+def test_epoch_shuffle_single_shard_exchange(spark, sf_small):
+    """The epoch permutation pays exactly ONE exchange (the shard-key
+    window); the hash itself is row-local."""
+    p = plan_of(spark, sf_small, "sample_epoch_shuffle")
+    assert _n_exchanges(p) == 1
+    assert "Join" not in p
+
+
+def test_volume_shipping_broadcasts_dims_one_fact_exchange(spark, sf_small):
+    """Q7 shape at test SF: every join is a broadcast hash join (nation
+    roles by hint, supplier/customer by threshold), leaving a single
+    real exchange for the final aggregate."""
+    p = plan_of(spark, sf_small, "agg_volume_shipping")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert _n_exchanges(p) == 1
+
+
+def test_media_dedup_single_agg_exchange_no_payload(spark, sf_small):
+    """Content-hash dedup must shuffle only (hash, id, len): a single
+    aggregate exchange, and the payload bytes never appear past the
+    projection (no binary column in the exchange schema)."""
+    p = plan_of(spark, sf_small, "media_dedup_exact")
+    assert _n_exchanges(p) == 1
+    assert "Join" not in p
