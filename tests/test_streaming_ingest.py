@@ -106,3 +106,56 @@ def test_streamed_ingest_equals_sequential_batches(spark, sf_small, tmp_path):
     dedup_ingest_batch(batches[2], 2, corpus)
     after = sorted(r.doc_id for r in read_kept(spark, corpus).collect())
     assert after == before
+
+
+def test_ingest_resumes_from_checkpoint_across_runs(spark, sf_small, tmp_path):
+    """T3 for the ingest loop: a second availableNow run with the SAME
+    checkpoint processes only files that arrived after the first run —
+    no re-ingestion of old batches, and late-arriving duplicates of
+    already-kept docs are still caught against the accumulated corpus."""
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    b1 = docs.where(F.col("doc_id") < 100)
+    src = str(tmp_path / "src")
+    _write_jsonl(b1, os.path.join(src, "b0.jsonl"))
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    stream = raw.select(
+        F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+        F.get_json_object("value", "$.text").alias("text"),
+    )
+    corpus = str(tmp_path / "corpus")
+    chk = str(tmp_path / "chk")
+    run_dedup_ingest(stream, corpus, chk).awaitTermination()
+    first = {r.doc_id for r in read_kept(spark, corpus).collect()}
+    assert first == {r.doc_id for r in b1.collect()}
+
+    # new arrivals after the first run: fresh docs + verbatim copies of
+    # already-kept docs (must be deduped against the ACCUMULATED corpus)
+    b2 = docs.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 150)).unionByName(
+        b1.where(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 700_000).alias("doc_id"), "text"
+        )
+    )
+    time.sleep(1.1)
+    _write_jsonl(b2, os.path.join(src, "b1.jsonl"))
+    run_dedup_ingest(stream, corpus, chk).awaitTermination()
+
+    got = {r.doc_id for r in read_kept(spark, corpus).collect()}
+    # truth = sequential application; NOTE a couple of fresh b2 docs are
+    # genuine near-dups of kept b1 docs (natural corpus pairs) and are
+    # correctly dropped, so compare against the reference computation,
+    # not a naive "all fresh kept" expectation
+    want = _sequential_truth(spark, [b1, b2])
+    assert got == want
+    # the planted verbatim copies never survive
+    assert not any(d >= 700_000 for d in got)
+    # exactly two batch partitions exist (one per run)
+    kept_dir = os.path.join(corpus, "kept")
+    parts = sorted(
+        d for d in os.listdir(kept_dir) if d.startswith("batch_id=")
+    )
+    assert len(parts) == 2
