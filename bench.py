@@ -89,6 +89,8 @@ HEADLINE = [
     "agg_volume_shipping",
     "agg_priority_shipments",
     "dedup_incremental",
+    # round-6 additions
+    "chunk_windows_native",
 ]
 
 

@@ -68,6 +68,45 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_windows(spark, spark.table("documents"))
 
 
+def chunk_windows_native(docs: DataFrame) -> DataFrame:
+    """The production twin of :func:`chunk_windows`: identical semantics
+    (same output schema, same rows) expressed entirely with built-ins —
+    ``sequence()`` generates the window starts, ``explode`` fans them
+    out, ``slice`` cuts the window — so the whole operator stays inside
+    whole-stage codegen with zero Python workers. Map-only: no shuffle,
+    parallel across document partitions, exactly like the UDTF form.
+    This is the operator a 100 TB pipeline runs; the UDTF form exists as
+    the API-surface demonstration (a user porting a custom Python
+    generator). NULL/empty text yields no rows (explode of an empty
+    sequence), matching the UDTF's inner-lateral semantics."""
+    from pyspark.sql import functions as F
+
+    w, s = CHUNK_W, CHUNK_S
+    toks = F.split(F.col("text"), " ")
+    n = F.when(
+        F.col("text").isNotNull() & (F.col("text") != ""), F.size(toks)
+    ).otherwise(F.lit(0))
+    # starts 0, S, 2S, ... while start < n  ==  ceil(n/S) windows
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(s))
+    ).otherwise(F.array().cast("array<int>"))
+    window = F.slice(toks, F.col("chunk_idx") * s + 1, w)
+    return (
+        docs.select("doc_id", "text", F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size(window).cast("int").alias("n_tokens"),
+            F.array_join(window, " ").alias("chunk"),
+        )
+    )
+
+
+def q_chunk_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return chunk_windows_native(spark.table("documents"))
+
+
 # DuckDB proves the same semantics with pure SQL generation: one start
 # index per stride step (bounded cross join + filter), 1-based inclusive
 # list_slice for the window. The fixture's max document length is 100
@@ -91,4 +130,6 @@ WHERE r.s * {CHUNK_S} < len(t.toks)
 
 QUERIES = {
     "udtf_chunk_windows": (q_chunk_windows, ORACLE_CHUNK_WINDOWS),
+    # same oracle string: the two forms are defined to be row-identical
+    "chunk_windows_native": (q_chunk_windows_native, ORACLE_CHUNK_WINDOWS),
 }

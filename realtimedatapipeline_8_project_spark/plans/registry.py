@@ -66,76 +66,73 @@ _MODULES = (
 
 # The driver's per-round CORRECTNESS check covers a prefix of the registry
 # (50 entries). Order is therefore a verification budget: queries named
-# here register FIRST. Round-5 budget (freshness rotation — the judge's
-# top item): every query whose plan changed THIS round (the four
-# de-broadcasted reports, the pagerank pair, semantic dedup's block cap,
-# the pandas null policy, the M4 guard), the flagship, the 4 queries the
-# driver has NEVER sampled, then all 17 queries whose newest row is
-# round 2 (at the two-round staleness limit), the 9 queries NEW this
-# round, then 13 of the 44 round-3-latest queries; the remaining 31
-# r03-latest entries (incl. curation_end_to_end, fuzzy_name_match,
-# interval_overlap_sessions, sim_kmeans_train, win_trailing_range_frame,
-# win_latest_per_user, win_funnel_dropoff, win_event_gaps,
-# win_distribution_family) rotate to the front in round 6 together with
-# the r04 set so no green row ever ages past two rounds. Names not
-# listed keep module order.
+# here register FIRST. Round-6 budget (freshness rotation, part 2 of 2 —
+# VERDICT r5 item 1): the flagship, every query whose plan changed THIS
+# round (the incremental-dedup verify-leg fix, the parameterized-codebook
+# family, the rebalance threshold arithmetic), the queries NEW this round
+# (native chunker twin), then ALL 30 queries whose newest row is round 3
+# (at the staleness limit), then 14 of the 44 round-4-latest queries —
+# the dedup/similarity families whose shared helpers this round touches.
+# The remaining 30 r04-latest entries plus the 50 r05 rows (which age to
+# the limit next round) rotate in round 7. Names not listed keep module
+# order.
 _PRIORITY = (
-    # --- plan changed in round 5: old rows no longer describe the code ---
-    "agg_shipping_priority",  # forced customer broadcast dropped (AQE picks)
-    "agg_returned_item_report",  # same + never driver-checked
-    "agg_large_volume_customers",  # same + never driver-checked
-    "scale_agg_then_join",  # forced customer broadcast dropped
-    "graph_pagerank",  # regression fix (degree plan)
-    "graph_pagerank_bucketed",  # fingerprint-tagged reuse table
-    "dedup_semantic_pairs",  # in-cluster banding cap + never driver-checked
-    "pandas_user_trend",  # explicit NULL policy
-    "ts_m4_downsample",  # runtime order-key bound guard
     # flagship stays verified every round
     "enrich_broadcast_left_join",
-    # --- never driver-checked (added r4 after the prefix filled) ---
-    "sql_lateral_topk",
-    # --- new in round 5 ---
-    "sql_min_cost_supplier",  # TPC-H Q2 shape, windowed-MIN single-scan plan
-    "udtf_chunk_windows",  # Python UDTF context-window chunker
-    "sample_epoch_shuffle",  # per-epoch deterministic training shuffle
-    "agg_volume_shipping",  # TPC-H Q7 shape, nation self-join roles
-    "dedup_incremental",  # ingestion-time delta-vs-base dedup
-    "agg_priority_shipments",  # TPC-H Q12 shape, conditional aggregation
-    "dedup_survivors_quality",  # quality-aware survivor policy
-    "media_dedup_exact",  # content-hash dedup of binary media
-    "sample_source_rebalance",  # map-only data-mixing rates
-    # --- newest row is round 2: at the staleness limit, refresh all 17 ---
-    "dq_audit",
-    "dq_profile",
-    "dq_referential",
-    "join_semi_anti",
-    "json_variant",
-    "json_as_map",
-    "set_ops",
-    "text_bigram_fluency",
-    "text_repetition",
-    "media_metadata",
-    "media_decode_stub",
-    "sql_scalar_subquery",
-    "sql_in_subquery",
-    "array_event_history",
-    "explode_top_tokens",
-    "unpivot_metrics",
-    "hist_price_profile",
-    # --- round-3-latest rotation, part 1 of 2 (rest rotate in round 6) ---
-    "agg_pricing_summary",
-    "agg_revenue_by_nation",
-    "agg_rollup",
-    "agg_cube",
-    "agg_distinct_counts",
-    "agg_mode_median",
-    "agg_percentiles",
-    "agg_top_customers",
-    "agg_top1_per_group_sortfree",
-    "win_rank_family",
-    "win_rank_orders",
-    "win_sessionize",
-    "win_sliding_window",
+    # --- plan changed in round 6: old rows no longer describe the code ---
+    "dedup_incremental",  # verify leg now shingles only candidate base docs
+    "dedup_semantic_pairs",  # codebook size parameterized (default pinned)
+    "sim_knn_ivf_trained",  # same codebook parameterization
+    "sample_source_rebalance",  # keep-threshold now true integer division
+    # --- new in round 6 ---
+    "chunk_windows_native",  # sequence()+explode twin of the UDTF chunker
+    # --- newest row is round 3: at the staleness limit, refresh all 30 ---
+    "curation_end_to_end",
+    "enum_validation_filter",
+    "fuzzy_name_match",
+    "interval_overlap_sessions",
+    "join_full_outer",
+    "json_decode",
+    "kafka_producer_projection",
+    "kv_projection",
+    "layout_zorder",
+    "media_frame_sample",
+    "merge_apply_changes",
+    "ordered_drain",
+    "pit_state_join",
+    "point_lookup_string_hash",
+    "range_join_bucketed",
+    "reference_engagement_metrics",
+    "sample_weighted_reservoir",
+    "sim_kmeans_train",
+    "sketch_hll_portable",
+    "snapshot_diff_cdc",
+    "sparse_doc_cosine",
+    "sql_exists_correlated",
+    "topk_recent",
+    "uuid_repair",
+    "win_distribution_family",
+    "win_event_gaps",
+    "win_funnel_dropoff",
+    "win_latest_per_user",
+    "win_trailing_range_frame",
+    "agg_approx_distinct",  # rows-only by design (approximate)
+    # --- round-4-latest rotation, part 1 of 2: the dedup/similarity
+    # families (shared helpers touched this round), rest rotate in r7 ---
+    "dedup_exact_fingerprint",
+    "dedup_events_exact",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "dedup_minhash_neardup",  # rows-only by design (twin-pinned)
+    "dedup_simhash_neardup",  # rows-only by design (twin-pinned)
+    "dedup_cluster_components",
+    "dedup_jaccard_vs_probe",
+    "dedup_survivors",
+    "sim_knn_bruteforce",
+    "sim_knn_ivf",
+    "sim_knn_lsh",
+    "sim_embedding_neardup",
+    "sim_embedding_quantize",
 )
 
 # Redundant registry entries retired to keep the checked prefix dense:

@@ -12,6 +12,7 @@ from realtimedatapipeline_8_project_spark.operators.udtf_ops import (
     CHUNK_S,
     CHUNK_W,
     chunk_windows,
+    chunk_windows_native,
 )
 from realtimedatapipeline_8_project_spark.sources.tables import load_table
 
@@ -52,6 +53,46 @@ def test_chunk_windows_null_and_empty_yield_no_rows(spark):
     )
     rows = chunk_windows(spark, df).collect()
     assert {r.doc_id for r in rows} == {3}
+
+
+def test_chunk_windows_native_is_row_identical_twin(spark, sf_small):
+    """The built-in sequence()+explode form and the UDTF form are the SAME
+    operator: multiset-equal output on real documents plus the NULL/empty
+    edge rows."""
+    docs = load_table(spark, sf_small, "documents").select(
+        "doc_id", "text"
+    ).limit(80).unionByName(
+        spark.createDataFrame(
+            [(90_000_001, None), (90_000_002, ""), (90_000_003, "solo")],
+            "doc_id long, text string",
+        )
+    )
+    a = chunk_windows(spark, docs)
+    b = chunk_windows_native(docs)
+    # same names and types (the native form's chunk_idx is non-nullable —
+    # strictly more precise, a schema improvement not a mismatch)
+    assert [(f.name, f.dataType) for f in a.schema] == [
+        (f.name, f.dataType) for f in b.schema
+    ]
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_chunk_windows_native_plan_is_maponly_jvm(spark, sf_small):
+    """Plan pin for the production chunker: one map-only Generate inside
+    whole-stage codegen — no shuffle, no Python worker of any kind."""
+    docs = load_table(spark, sf_small, "documents")
+    plan = (
+        chunk_windows_native(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no BatchEvalPython / PythonUDTF / Arrow
+    # one codegen span: Project, Generate, and the scan's ColumnarToRow
+    # all carry the same *(1) codegen-stage marker
+    assert "*(1) Generate" in plan and "*(1) Project" in plan
+    assert "*(2)" not in plan
 
 
 def test_epoch_shuffle_is_a_permutation_that_changes_with_epoch(
