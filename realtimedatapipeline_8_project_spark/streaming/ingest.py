@@ -5,28 +5,43 @@ kept corpus + its band table grow as idempotent batch-partitioned
 parquet (the write_history discipline from sinks.py).
 
 Per batch N:
-1. base = kept docs of batches < N; bands = stored band partitions < N
+1. Within-batch pass: near-dup clusters INSIDE the batch collapse to
+   their lowest doc_id (operators/dedup.py:intra_batch_dedup) — the
+   bursty-producer case (a crawler re-visit landing twice in one batch)
+   that delta-vs-base alone cannot see.
+2. base = kept docs of batches < N; bands = stored band partitions < N
    (the ingest-time artifact — batch N never re-derives the base's
    signatures, only its own).
-2. verdict = incremental_dedup(base, batch, base_bands=bands); kept =
-   batch rows the verdict keeps.
-3. kept docs and THEIR bands are written under partition batch_id=N with
-   dynamic partition overwrite.
+3. verdict = incremental_dedup(base, survivors, base_bands=bands); kept
+   = survivor rows the verdict keeps.
+4. kept docs are written under partition batch_id=N (dynamic partition
+   overwrite), sorted by doc_id within files so the verify leg's
+   candidate-id fetch prunes row groups via parquet min/max stats; the
+   batch's bands are then derived FROM the just-written partition (one
+   cheap pruned scan) — the dedup lineage executes once per batch, not
+   once per output table. On a real cluster the kept table is written
+   bucketed by doc_id (bucketBy + saveAsTable) so the candidate fetch
+   prunes whole files; path-based parquet here keeps the test surface
+   catalog-free, the sort gives the same pruning at row-group grain.
 
 Recovery/idempotency: a replayed batch N reads strictly batch_id < N, so
 it recomputes the identical verdict and overwrites its own partitions —
 effective exactly-once on the kept corpus (pinned by test alongside the
 replay-equals-sequential-batch parity).
 
-Semantics note: dedup is delta-vs-accumulated-base; duplicates WITHIN a
-single micro-batch are not paired against each other (same contract as
-incremental_dedup). Compaction or an exact-fingerprint pass downstream
-covers intra-batch dups where that matters.
+Failure policy: ONLY the path-missing read error means "first batch".
+Any other read failure (corrupt footer, fs hiccup, permissions) raises,
+failing the micro-batch so the checkpoint replays it — silently
+admitting the whole delta would pollute the kept corpus permanently.
+Exactly one of kept/bands readable is likewise an inconsistent-state
+error, never a fall-through.
 
 Scale: each batch's cost is proportional to the batch and its band
 collisions — the base corpus is touched only via its stored band table
-and the few candidate docs re-shingled for verification. The kept/bands
-tables are append-only partitions; no rewrite ever touches old batches.
+and the few candidate docs re-shingled for verification (plan-pinned in
+tests/test_plans.py: shingle-after-semi-join, no full-base exchange).
+The kept/bands tables are append-only partitions; no rewrite ever
+touches old batches.
 """
 
 from __future__ import annotations
@@ -37,7 +52,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.dedup import base_band_table, incremental_dedup
+from ..operators.dedup import (
+    base_band_table,
+    incremental_dedup,
+    intra_batch_dedup,
+)
 
 KEPT = "kept"
 BANDS = "bands"
@@ -46,18 +65,25 @@ BANDS = "bands"
 def _read_prior(
     spark: SparkSession, path: str, batch_id: int
 ) -> DataFrame | None:
+    """Prior-batch partitions of ``path``, or None iff the path does not
+    exist yet (genuine first batch). Every OTHER read failure re-raises:
+    a transient error must fail (and replay) the micro-batch, not
+    silently disable dedup."""
     try:
         df = spark.read.parquet(path)
-    except Exception:
-        return None
+    except Exception as exc:  # AnalysisException, version-stable match
+        if "PATH_NOT_FOUND" in str(exc):
+            return None
+        raise
     return df.where(F.col("batch_id") < batch_id).drop("batch_id")
 
 
 def dedup_ingest_batch(
     batch_df: DataFrame, batch_id: int, corpus_dir: str
 ) -> None:
-    """foreachBatch body: dedup ``batch_df`` (doc_id, text) against the
-    accumulated kept corpus and append the survivors + their bands.
+    """foreachBatch body: dedup ``batch_df`` (doc_id, text) within itself
+    and against the accumulated kept corpus, then append the survivors +
+    their bands.
 
     Malformed rows (NULL id, NULL/empty text — routine in real streams:
     truncated JSON, missing fields) are dropped at the gate: a NULL id
@@ -76,24 +102,49 @@ def dedup_ingest_batch(
     bands_path = os.path.join(corpus_dir, BANDS)
     base = _read_prior(spark, kept_path, batch_id)
     bands = _read_prior(spark, bands_path, batch_id)
-    if base is not None and bands is not None and not base.isEmpty():
+    if (base is None) != (bands is None):
+        raise RuntimeError(
+            "inconsistent dedup corpus state: exactly one of "
+            f"{kept_path!r} / {bands_path!r} is readable — refusing to "
+            "ingest (kept and bands must grow in lockstep)"
+        )
+    # within-batch near-dup collapse first: survivors carry the batch's
+    # lowest doc_id per cluster into the base comparison
+    intra = intra_batch_dedup(delta)
+    delta = delta.join(intra.where(F.col("is_kept")).select("doc_id"), "doc_id")
+    if base is not None and not base.isEmpty():
         verdict = incremental_dedup(base, delta, base_bands=bands)
         kept = delta.join(
             verdict.where(F.col("is_kept")).select("doc_id"), "doc_id"
         )
     else:
         kept = delta
-    for df, path in (
-        (kept, kept_path),
-        (base_band_table(kept), bands_path),
-    ):
-        (
-            df.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(path)
-        )
+    (
+        kept.withColumn("batch_id", F.lit(batch_id))
+        # doc_id-ordered row groups: the next batches' candidate fetch
+        # (broadcast semi-join on candidate ids) prunes via min/max stats
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(kept_path)
+    )
+    # derive this batch's bands from the partition just written: the
+    # dedup lineage above ran exactly once (for the kept write); this is
+    # a pruned re-read of the new rows only
+    written = (
+        spark.read.parquet(kept_path)
+        .where(F.col("batch_id") == batch_id)
+        .drop("batch_id")
+    )
+    (
+        base_band_table(written)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(bands_path)
+    )
 
 
 def run_dedup_ingest(

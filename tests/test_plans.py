@@ -510,3 +510,49 @@ def test_media_dedup_single_agg_exchange_no_payload(spark, sf_small):
     p = plan_of(spark, sf_small, "media_dedup_exact")
     assert _n_exchanges(p) == 1
     assert "Join" not in p
+
+
+def test_incremental_dedup_stored_bands_shingles_only_candidates(
+    spark, sf_small, tmp_path
+):
+    """VERDICT r5 item 2 pin: with a stored band table, incremental
+    dedup's verify leg must NOT scan-and-shingle the full base corpus.
+    The executedPlan must show (a) the base text read exactly once,
+    (b) that scan feeding a broadcast LEFT-SEMI join on the candidate
+    id set with NO exchange of the base side below it, and (c) the one
+    and only shingle projection (zip_with) sitting ABOVE the semi join
+    — shingle-after-filter. The delta/cand legs are lineage-truncated
+    localCheckpoints, so any second zip_with line is a regression."""
+    from realtimedatapipeline_8_project_spark.operators.dedup import (
+        _inc_delta,
+        base_band_table,
+        incremental_dedup,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    bands_path = str(tmp_path / "bands")
+    base_band_table(base).write.parquet(bands_path)
+    out = incremental_dedup(
+        base, _inc_delta(base), base_bands=spark.read.parquet(bands_path)
+    )
+    lines = (
+        out._jdf.queryExecution().executedPlan().toString().splitlines()
+    )
+    semi = [i for i, l in enumerate(lines) if "LeftSemi" in l]
+    assert len(semi) == 1
+    shingle = [i for i, l in enumerate(lines) if "zip_with" in l]
+    assert len(shingle) == 1, "base shingles must be computed exactly once"
+    assert shingle[0] < semi[0], "shingle projection must sit above the semi join"
+    # the base text is scanned exactly once, and it is the semi join's
+    # probe side: no Exchange between the join and that scan
+    text_scans = [
+        i
+        for i, l in enumerate(lines)
+        if "FileScan parquet" in l and "text#" in l
+    ]
+    assert len(text_scans) == 1
+    assert text_scans[0] > semi[0]
+    assert not any(
+        "Exchange" in lines[i] for i in range(semi[0] + 1, text_scans[0])
+    ), "full-base exchange below the semi join"

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from realtimedatapipeline_8_project_spark.operators.dedup import (
     incremental_dedup,
+    intra_batch_dedup,
 )
 from realtimedatapipeline_8_project_spark.sources.tables import load_table
 from realtimedatapipeline_8_project_spark.streaming.ingest import (
@@ -55,9 +56,17 @@ def _write_jsonl(df, path, junk=False):
             fh.write(json.dumps({"doc_id": 999_998, "text": ""}) + "\n")
 
 
+def _intra_survivors(delta):
+    v = intra_batch_dedup(delta)
+    return delta.join(v.where(F.col("is_kept")).select("doc_id"), "doc_id")
+
+
 def _sequential_truth(spark, batches):
-    kept = batches[0]
+    """The ingest contract applied batch-at-a-time: within-batch collapse
+    first, then delta-vs-accumulated-base."""
+    kept = _intra_survivors(batches[0])
     for delta in batches[1:]:
+        delta = _intra_survivors(delta)
         verdict = incremental_dedup(kept, delta)
         kept = kept.unionByName(
             delta.join(
@@ -131,7 +140,9 @@ def test_ingest_resumes_from_checkpoint_across_runs(spark, sf_small, tmp_path):
     chk = str(tmp_path / "chk")
     run_dedup_ingest(stream, corpus, chk).awaitTermination()
     first = {r.doc_id for r in read_kept(spark, corpus).collect()}
-    assert first == {r.doc_id for r in b1.collect()}
+    # the fixture corpus contains natural near-dup pairs inside 0..99:
+    # the within-batch pass drops them even on the very first batch
+    assert first == {r.doc_id for r in _intra_survivors(b1).collect()}
 
     # new arrivals after the first run: fresh docs + verbatim copies of
     # already-kept docs (must be deduped against the ACCUMULATED corpus)
@@ -159,3 +170,86 @@ def test_ingest_resumes_from_checkpoint_across_runs(spark, sf_small, tmp_path):
         d for d in os.listdir(kept_dir) if d.startswith("batch_id=")
     )
     assert len(parts) == 2
+
+
+def test_same_batch_duplicates_are_collapsed(spark, sf_small, tmp_path):
+    """VERDICT r5 item 3: a bursty producer landing duplicates in ONE
+    micro-batch must not defeat the dedup. Plant two verbatim copies and
+    a truncated near-copy of the same doc inside a single batch: only
+    the lowest id of the cluster survives."""
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    b0 = docs.where(F.col("doc_id") < 100)
+    toks = F.split(F.col("text"), " ")
+    trunc = F.array_join(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 4, F.lit(1))), " "
+    )
+    seed = docs.where(F.col("doc_id") == 5)
+    burst = b0.unionByName(
+        seed.select((F.col("doc_id") + 800_000).alias("doc_id"), "text")
+    ).unionByName(
+        seed.select((F.col("doc_id") + 900_000).alias("doc_id"), "text")
+    ).unionByName(
+        seed.select(
+            (F.col("doc_id") + 850_000).alias("doc_id"), trunc.alias("text")
+        )
+    )
+    corpus = str(tmp_path / "corpus")
+    dedup_ingest_batch(burst, 0, corpus)
+    got = {r.doc_id for r in read_kept(spark, corpus).collect()}
+    # the verbatim copies always collapse onto doc 5 (exact dups co-band
+    # deterministically); the truncated copy verifies at the threshold too
+    assert 800_005 not in got and 900_005 not in got
+    assert 850_005 not in got
+    assert 5 in got
+    # and the verdict maps every cluster member to the component min
+    v = {
+        r.doc_id: r.dup_of
+        for r in intra_batch_dedup(burst).collect()
+        if not r.is_kept
+    }
+    assert v[800_005] == 5 and v[900_005] == 5 and v[850_005] == 5
+
+
+def test_ingest_inconsistent_corpus_state_raises(spark, sf_small, tmp_path):
+    """ADVICE r5: exactly one of kept/bands readable is corruption, not
+    'first batch' — the micro-batch must fail, never fall through to
+    admitting the whole delta."""
+    import shutil
+
+    import pytest as _pytest
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    corpus = str(tmp_path / "corpus")
+    dedup_ingest_batch(docs.where(F.col("doc_id") < 50), 0, corpus)
+    shutil.rmtree(os.path.join(corpus, "bands"))
+    with _pytest.raises(RuntimeError, match="inconsistent"):
+        dedup_ingest_batch(
+            docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 80)),
+            1,
+            corpus,
+        )
+
+
+def test_ingest_unreadable_corpus_fails_the_batch(spark, sf_small, tmp_path):
+    """ADVICE r5: a transient/corrupt read of the kept corpus must raise
+    (so the checkpoint replays the batch) — only PATH_NOT_FOUND means
+    'first batch'. A swallowed error here would silently admit every
+    delta row and permanently pollute the corpus."""
+    import pytest as _pytest
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    corpus = str(tmp_path / "corpus")
+    dedup_ingest_batch(docs.where(F.col("doc_id") < 50), 0, corpus)
+    # corrupt every kept data file: footers become unreadable
+    kept_dir = os.path.join(corpus, "kept")
+    for root, _, files in os.walk(kept_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "wb") as fh:
+                    fh.write(b"not a parquet file")
+    with _pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
+        dedup_ingest_batch(
+            docs.where((F.col("doc_id") >= 50) & (F.col("doc_id") < 80)),
+            1,
+            corpus,
+        )
