@@ -140,10 +140,26 @@ def main() -> None:
     if os.path.exists(baseline_path) and abs(sf - 0.1) < 1e-9:
         with open(baseline_path) as fh:
             budgets = json.load(fh)["budgets_sec"]
+        # Tail-robust gate: one contended slot in the sweep must not
+        # red-flag the run (a gate that cries wolf trains readers to
+        # ignore it — r5's sample_shard_plan false alarm). Any query over
+        # its budget is re-measured ONCE after the sweep; it is flagged
+        # only if BOTH measurements exceed, and both are reported.
+        suspects = {
+            n: t for n, t in timings.items() if n in budgets and t > budgets[n]
+        }
+        retries: dict[str, float] = {}
+        for n in suspects:
+            t0 = time.perf_counter()
+            _ = QUERIES[n](spark, sf_dir).count()
+            retries[n] = round(time.perf_counter() - t0, 4)
+            spark.catalog.clearCache()
+        if retries:
+            out["retries"] = retries
         out["over_budget"] = {
-            n: {"sec": t, "budget": budgets[n]}
-            for n, t in timings.items()
-            if n in budgets and t > budgets[n]
+            n: {"sec": t, "retry_sec": retries[n], "budget": budgets[n]}
+            for n, t in suspects.items()
+            if retries[n] > budgets[n]
         }
     print(json.dumps(out))
     spark.stop()

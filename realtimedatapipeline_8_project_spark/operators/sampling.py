@@ -421,11 +421,15 @@ QUERIES["sample_epoch_shuffle"] = (q_epoch_shuffle, ORACLE_EPOCH_SHUFFLE)
 # kept iff its Fibonacci hash falls under rate * 2^32 — a pure row-local
 # integer compare, ZERO shuffle for the decision (the only exchange is
 # the tiny per-source report aggregate). Kept-set membership is
-# deterministic and engine-portable: the rate threshold is an exact
-# integer (w * 2^32 div max_w) and the hash is the split_assign lattice.
-# Weights here derive from the source id (1 + num mod 3 in {1,2,3}) —
-# the stand-in for a configured mixing table, which at scale is a
-# broadcast map exactly like this constant expression.
+# deterministic and engine-portable BY CONSTRUCTION: the comparison is
+# the cross-multiplied form hash * max_w < w * 2^32 — pure bigint
+# arithmetic, no division of any kind, so parity cannot hinge on two
+# engines rounding a double the same way (the earlier floor(w*2^32/3)
+# spelling only matched because Spark and DuckDB happened to produce
+# the identical IEEE-754 double). Weights here derive from the source
+# id (1 + num mod 3 in {1,2,3}) — the stand-in for a configured mixing
+# table, which at scale is a broadcast map exactly like this constant
+# expression.
 
 MIX_MAX_W = 3
 
@@ -434,9 +438,8 @@ def q_source_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     num = F.substring("source", 4, 10).cast("int")
     w = (num % MIX_MAX_W) + 1
-    threshold = (w.cast("long") * F.lit(MOD_32)) / F.lit(MIX_MAX_W)
     hashed = (F.col("doc_id") * F.lit(KNUTH_32)) % F.lit(MOD_32)
-    kept = hashed < F.floor(threshold)
+    kept = hashed * F.lit(MIX_MAX_W) < w.cast("long") * F.lit(MOD_32)
     return (
         docs.select("source", w.alias("w"), kept.alias("kept"))
         .groupBy("source", "w")
@@ -453,10 +456,9 @@ ORACLE_SOURCE_REBALANCE = f"""
 WITH t AS (
   SELECT source,
          (CAST(substr(source, 4, 10) AS INT) % {MIX_MAX_W}) + 1 AS w,
-         (doc_id * {KNUTH_32}) % {MOD_32}
-           < CAST(floor(CAST((CAST(substr(source, 4, 10) AS INT)
-               % {MIX_MAX_W} + 1) AS BIGINT) * {MOD_32} / {MIX_MAX_W})
-             AS BIGINT) AS kept
+         ((doc_id * {KNUTH_32}) % {MOD_32}) * {MIX_MAX_W}
+           < CAST((CAST(substr(source, 4, 10) AS INT)
+               % {MIX_MAX_W} + 1) AS BIGINT) * {MOD_32} AS kept
   FROM documents
 )
 SELECT source, w,

@@ -586,6 +586,42 @@ IVFT_PROBE = 2
 IVFT_TOP = 10
 IVFT_PROBE_ID = 0
 
+
+def codebook_seeds(emb: DataFrame, k: int) -> tuple[int, ...]:
+    """Deterministic K-seed selection: rank vec_ids by their Fibonacci-
+    lattice hash (the split_assign/epoch_shuffle multiplicative scramble
+    — a low-discrepancy permutation of the id space, so seeds spread
+    uniformly over the corpus no matter how ids cluster) and take the
+    first ``k`` (ties by vec_id). K is the scale knob the fixture
+    constant ``IVFT_SEEDS`` pins for the stored oracles: on a real
+    corpus K grows ~N / target-cluster-size, and every codebook consumer
+    here (:func:`q_knn_ivf_trained`, :func:`semantic_blocks`,
+    :func:`semantic_pairs`) accepts the resulting seed tuple. The
+    collect is k ids — the codebook is driver-broadcast anyway."""
+    from .sampling import KNUTH_32, MOD_32
+
+    ranked = (
+        emb.select(
+            "vec_id",
+            ((F.col("vec_id") * F.lit(KNUTH_32)) % F.lit(MOD_32)).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(k)
+    )
+    return tuple(sorted(r.vec_id for r in ranked.collect()))
+
+
+def _seed_centroids(q: DataFrame, seeds: tuple[int, ...]) -> DataFrame:
+    """(vec_id, qv) -> the K initial centroids (k, c) from seed vec_ids."""
+    k_of = F.expr(
+        "CASE vec_id " + " ".join(
+            f"WHEN {v} THEN {i}" for i, v in enumerate(seeds)
+        ) + " END"
+    ).cast("int")
+    return q.where(F.col("vec_id").isin(*seeds)).select(
+        k_of.alias("k"), F.col("qv").alias("c")
+    )
+
 _IVFT_PDIST = (
     "aggregate(zip_with(qv, pqv, (a, b) -> (a - b) * (a - b)), "
     "CAST(0 AS BIGINT), (s, x) -> s + x)"
@@ -593,22 +629,21 @@ _IVFT_PDIST = (
 
 
 def q_knn_ivf_trained(
-    spark: SparkSession, sf_dir: str, n_probe: int = IVFT_PROBE
+    spark: SparkSession,
+    sf_dir: str,
+    n_probe: int = IVFT_PROBE,
+    seeds: tuple[int, ...] = IVFT_SEEDS,
 ) -> DataFrame:
     """Top-10 nearest vectors to the probe by exact quantized L2, scanning
     only ``n_probe`` (default IVFT_PROBE) clusters of a 1-iteration-
     trained codebook. ``n_probe`` is the recall/cost knob a user turns:
     more probed lists -> monotonically higher recall, linearly more rows
-    scanned (tests/test_similarity_quality.py pins the curve)."""
+    scanned (tests/test_similarity_quality.py pins the curve); ``seeds``
+    sizes the codebook (K = len(seeds); pick with
+    :func:`codebook_seeds` at scale — the fixture default keeps the
+    stored oracle byte-identical)."""
     q = _km_quantize(load_table(spark, sf_dir, "embeddings"))
-    k_of = F.expr(
-        "CASE vec_id " + " ".join(
-            f"WHEN {v} THEN {i}" for i, v in enumerate(IVFT_SEEDS)
-        ) + " END"
-    ).cast("int")
-    cents = q.where(F.col("vec_id").isin(*IVFT_SEEDS)).select(
-        k_of.alias("k"), F.col("qv").alias("c")
-    )
+    cents = _seed_centroids(q, seeds)
     cents = _km_update(_km_assign(q, cents))  # one Lloyd iteration
     assigned = _km_assign(q, cents)
     probe = q.where(F.col("vec_id") == IVFT_PROBE_ID).select(
@@ -733,6 +768,7 @@ def semantic_blocks(
     emb: DataFrame,
     max_block: int = SEM_MAX_BLOCK,
     band_bits: int = SEM_BAND_BITS,
+    seeds: tuple[int, ...] = IVFT_SEEDS,
 ) -> DataFrame:
     """(vec_id, embedding) -> (k, band, vec_id, qv): the blocked
     assignment the pair self-join runs over. ``band`` is -1 (whole
@@ -747,16 +783,13 @@ def semantic_blocks(
     identically, so exact duplicates are NEVER separated at any cap;
     near-duplicates straddling a centroid hyperplane can split across
     bands — the standard LSH recall trade, paid only inside clusters the
-    cap flags as quadratic risks."""
+    cap flags as quadratic risks.
+
+    ``seeds`` sizes the codebook (K = len(seeds)): at scale K grows
+    ~N / target-cluster-size — pick with :func:`codebook_seeds`; the
+    fixture default keeps the stored oracle byte-identical."""
     q = _km_quantize(emb)
-    k_of = F.expr(
-        "CASE vec_id " + " ".join(
-            f"WHEN {v} THEN {i}" for i, v in enumerate(IVFT_SEEDS)
-        ) + " END"
-    ).cast("int")
-    cents = q.where(F.col("vec_id").isin(*IVFT_SEEDS)).select(
-        k_of.alias("k"), F.col("qv").alias("c")
-    )
+    cents = _seed_centroids(q, seeds)
     # one Lloyd iteration; tiny (K rows) — truncated so the three
     # downstream uses (assign, band join) never re-run the training
     cents = _km_update(_km_assign(q, cents)).localCheckpoint(eager=True)
@@ -796,6 +829,7 @@ def semantic_pairs(
     threshold: int = SEM_T,
     max_block: int = SEM_MAX_BLOCK,
     band_bits: int = SEM_BAND_BITS,
+    seeds: tuple[int, ...] = IVFT_SEEDS,
 ) -> DataFrame:
     """(vec_id, embedding) -> within-block candidate pairs under the
     quantized-L2 ``threshold`` (blocks per :func:`semantic_blocks`).
@@ -803,7 +837,7 @@ def semantic_pairs(
     identical vectors assign and band identically, so they always share
     a block — pinned in tests/test_similarity_quality.py."""
     blocks = semantic_blocks(
-        emb, max_block=max_block, band_bits=band_bits
+        emb, max_block=max_block, band_bits=band_bits, seeds=seeds
     ).withColumn("nrm", F.expr(_SEM_NORM))
     a = blocks.select(
         F.col("k").alias("cluster"),

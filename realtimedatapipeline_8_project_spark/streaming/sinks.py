@@ -98,13 +98,32 @@ def read_latest_asof(
     return _latest_wins(read_history_asof(spark, output_dir, batch_id))
 
 
-def compact_latest(spark: SparkSession, output_dir: str) -> None:
-    """Materialize the latest view for serving (amortized; idempotent via
-    write-then-swap)."""
+def _swap_latest(df: DataFrame, spark: SparkSession, output_dir: str) -> None:
+    """Write ``df`` as the compacted latest snapshot via write-then-swap.
+    The swap is NOT atomic on a plain filesystem (the overwrite deletes
+    ``latest`` before rewriting it from tmp): a crash in between leaves
+    the cache missing while history — the source of truth for
+    non-expired rows — is intact, and recovery is re-running the caller
+    (compact_latest / purge_keys). The tmp directory is removed in a
+    finally block so neither success nor failure leaks it."""
+    import shutil
+
     latest_path = os.path.join(output_dir, "latest")
     tmp_path = os.path.join(output_dir, "_latest_tmp")
-    read_latest(spark, output_dir).write.mode("overwrite").parquet(tmp_path)
-    spark.read.parquet(tmp_path).write.mode("overwrite").parquet(latest_path)
+    try:
+        df.write.mode("overwrite").parquet(tmp_path)
+        spark.read.parquet(tmp_path).write.mode("overwrite").parquet(
+            latest_path
+        )
+    finally:
+        shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def compact_latest(spark: SparkSession, output_dir: str) -> None:
+    """Materialize the latest view for serving (amortized; idempotent via
+    write-then-swap — see :func:`_swap_latest` for the crash/recovery
+    contract)."""
+    _swap_latest(read_latest(spark, output_dir), spark, output_dir)
 
 
 def write_latest(batch_df: DataFrame, batch_id: int, output_dir: str) -> None:
@@ -112,18 +131,15 @@ def write_latest(batch_df: DataFrame, batch_id: int, output_dir: str) -> None:
     latest view. Use only for tiny key spaces — per-batch cost is
     O(total keys); the engine default is read_latest/compact_latest."""
     spark = batch_df.sparkSession
-    latest_path = os.path.join(output_dir, "latest")
-    tmp_path = os.path.join(output_dir, "_latest_tmp")
     try:
-        existing = spark.read.parquet(latest_path)
+        existing = spark.read.parquet(os.path.join(output_dir, "latest"))
         merged = existing.unionByName(
             batch_df.select(*existing.columns), allowMissingColumns=True
         )
     except Exception:
         merged = batch_df
     deduped = _latest_wins(merged.withColumn("batch_id", F.lit(batch_id)))
-    deduped.write.mode("overwrite").parquet(tmp_path)
-    spark.read.parquet(tmp_path).write.mode("overwrite").parquet(latest_path)
+    _swap_latest(deduped, spark, output_dir)
 
 
 # --- incremental hourly rollup (continuous-aggregate analog) ---------------
@@ -479,22 +495,18 @@ def purge_keys(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(hist_path)
         )
-    # the compacted serving view, if materialized, must also forget
+    # The compacted serving view, if materialized, must also forget.
+    # NOT a rebuild from history: the cache legitimately serves keys
+    # whose only history partitions were expired by retention (that is
+    # WHY read_latest unions it), so a history-only recompute would drop
+    # them. Purge must remove exactly the victims — anti-join the cache
+    # and swap it in with the shared tmp-cleanup/recovery discipline.
     latest_path = os.path.join(output_dir, "latest")
-    try:
-        compacted = spark.read.parquet(latest_path)
-    except Exception:
-        compacted = None
-    if compacted is not None:
-        tmp_path = os.path.join(output_dir, "_latest_tmp")
-        (
-            compacted.join(F.broadcast(keys), key_col, "left_anti")
-            .write.mode("overwrite")
-            .parquet(tmp_path)
+    if os.path.isdir(latest_path):
+        purged = spark.read.parquet(latest_path).join(
+            F.broadcast(keys), key_col, "left_anti"
         )
-        spark.read.parquet(tmp_path).write.mode("overwrite").parquet(
-            latest_path
-        )
+        _swap_latest(purged, spark, output_dir)
     return len(affected)
 
 

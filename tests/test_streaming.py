@@ -872,3 +872,41 @@ def test_purge_keys_rewrites_only_affected_partitions(spark, sf_small, workdir):
     left = spark.read.parquet(hist)
     assert left.select("batch_id").distinct().count() == 2
     assert left.count() == 18  # batch1 (8 after purge) + batch2 (10)
+
+
+def test_latest_swap_never_leaks_tmp_dir(spark, sf_small, workdir):
+    """ADVICE r5: the write-then-swap of the compacted latest snapshot
+    must remove its _latest_tmp staging dir on success AND on failure,
+    and a purge must leave no staging residue either."""
+    from realtimedatapipeline_8_project_spark.streaming.sinks import (
+        purge_keys,
+        write_history,
+    )
+
+    out = os.path.join(workdir, "out")
+    dim = load_dim(spark, sf_small)
+    ev = load_table(spark, sf_small, "events").limit(10)
+    write_history(derive(enrich_events(ev, dim)), 0, out)
+    compact_latest(spark, out)
+    assert not os.path.exists(os.path.join(out, "_latest_tmp"))
+
+    victims = [r.event_id for r in ev.select("event_id").limit(2).collect()]
+    keys = spark.createDataFrame([(k,) for k in victims], "event_id long")
+    purge_keys(spark, out, keys)
+    assert not os.path.exists(os.path.join(out, "_latest_tmp"))
+    got = spark.read.parquet(os.path.join(out, "latest"))
+    assert got.where(F.col("event_id").isin(victims)).isEmpty()
+
+    # failure path: a swap whose source write fails must still clean up
+    import pytest as _pytest
+
+    from realtimedatapipeline_8_project_spark.streaming.sinks import (
+        _swap_latest,
+    )
+
+    boom = spark.createDataFrame([(1,)], "event_id long").select(
+        F.expr("assert_true(event_id > 99)").alias("x"), "event_id"
+    )
+    with _pytest.raises(Exception):
+        _swap_latest(boom, spark, out)
+    assert not os.path.exists(os.path.join(out, "_latest_tmp"))
