@@ -91,6 +91,10 @@ HEADLINE = [
     "dedup_incremental",
     # round-6 additions
     "chunk_windows_native",
+    "dedup_intra_batch",
+    "agg_small_quantity_revenue",
+    "agg_top_supplier_revenue",
+    "agg_order_count_distribution",
 ]
 
 

@@ -639,3 +639,187 @@ QUERIES["agg_priority_shipments"] = (
     q_priority_shipments,
     ORACLE_PRIORITY_SHIPMENTS,
 )
+
+
+# --- TPC-H Q17 shape: small-quantity revenue, windowed-AVG rewrite ---------
+# "Revenue lost to small orders": lineitems whose quantity is under 20%
+# of their part's average quantity. The textbook spelling is a
+# correlated AVG subquery per part — Spark plans that as a SECOND full
+# lineitem scan + aggregate (same non-materialized-CTE behavior
+# sql_min_cost_supplier pins for Q2). The rewrite computes the per-part
+# average with AVG() OVER (PARTITION BY l_partkey) on the SAME scan:
+# one pass over the fact, one partkey exchange, then a broadcast part
+# join for the brand label. The "under 20% of average" predicate is the
+# cross-multiplied integer compare 5 * qty * n_part < sum_qty_part
+# (quantities are integral in TPC-H-shaped data, runtime-guarded) — no
+# double division, so the kept set is deterministic and engine-portable
+# (the sample_source_rebalance discipline).
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        "l_extendedprice",
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    qty = F.when(
+        F.col("l_quantity") == F.floor("l_quantity"),
+        F.col("l_quantity").cast("long"),
+    ).otherwise(F.raise_error(F.lit("q17: non-integral l_quantity")))
+    w = Window.partitionBy("l_partkey")
+    small = (
+        li.select("l_partkey", "l_extendedprice", qty.alias("qty"))
+        .withColumn("sum_qty", F.sum("qty").over(w))
+        .withColumn("n_part", F.count(F.lit(1)).over(w))
+        .where(F.col("qty") * 5 * F.col("n_part") < F.col("sum_qty"))
+    )
+    return (
+        small.join(F.broadcast(part), small.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum("l_extendedprice", "lost_revenue"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+ORACLE_SMALL_QUANTITY = f"""
+WITH q AS (
+  SELECT l_partkey, l_extendedprice,
+         CAST(l_quantity AS BIGINT) AS qty,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey) AS sum_qty,
+         COUNT(*) OVER (PARTITION BY l_partkey) AS n_part
+  FROM lineitem
+)
+SELECT p_brand,
+       {oracle_dsum('l_extendedprice', 'lost_revenue')},
+       COUNT(*) AS n_small
+FROM q JOIN part ON l_partkey = p_partkey
+WHERE qty * 5 * n_part < sum_qty
+GROUP BY p_brand
+"""
+
+QUERIES["agg_small_quantity_revenue"] = (
+    q_small_quantity_revenue,
+    ORACLE_SMALL_QUANTITY,
+)
+
+
+# --- TPC-H Q15 shape: top supplier(s) by period revenue --------------------
+# Global argmax WITH ties over an aggregate. The textbook view+scalar-max
+# spelling references the revenue aggregate twice — un-materialized,
+# that's two full lineitem scans. Here the (small) per-supplier aggregate
+# is computed once and lineage-truncated (localCheckpoint — the
+# post-aggregation table is |suppliers| rows, never the fact), then the
+# 1-row MAX broadcasts back over it: one lineitem scan, one suppkey
+# exchange, and NO single-partition global window (a rank() spelling
+# would funnel every supplier row through one task at 100 TB). Revenue
+# compares in exact integer centi-cents (price 2dp x discount 2dp), so
+# the tie set is deterministic — fround only renders the report column.
+
+Q15_START = "1996-01-01"
+Q15_END = "1996-04-01"
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import fround
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_c = F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long")
+    revs = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(Q15_START))
+            & (F.col("l_shipdate") < F.lit(Q15_END))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(price_c * disc_c).alias("revenue_cc"))
+        .localCheckpoint()
+    )
+    best = revs.agg(F.max("revenue_cc").alias("max_cc"))
+    return (
+        revs.join(F.broadcast(best), F.col("revenue_cc") == F.col("max_cc"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            fround(F.col("revenue_cc") / 10000.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_TOP_SUPPLIER = f"""
+WITH revs AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT)))
+           AS revenue_cc
+  FROM lineitem
+  WHERE l_shipdate >= '{Q15_START}' AND l_shipdate < '{Q15_END}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       floor(revenue_cc / 10000.0 * 100 + 0.5) / 100 AS total_revenue
+FROM revs JOIN supplier ON l_suppkey = s_suppkey
+WHERE revenue_cc = (SELECT MAX(revenue_cc) FROM revs)
+"""
+
+QUERIES["agg_top_supplier_revenue"] = (
+    q_top_supplier_revenue,
+    ORACLE_TOP_SUPPLIER,
+)
+
+
+# --- TPC-H Q13 shape: customer order-count distribution --------------------
+# The zero-group subtlety none of the other aggregates exercise: the
+# distribution must include customers with NO qualifying orders (the
+# c_count = 0 bucket), which an inner join silently drops. Orders
+# aggregate per customer FIRST (one custkey exchange with map-side
+# combine, priority filter pushed to the scan), then customer left-joins
+# the counts — customer and orders are both scale-growing, so the join
+# is hint-free (AQE broadcasts the small side locally, shuffles at
+# 100x). The final distribution is a few-row aggregate.
+
+Q13_PRIORITY = "1-URGENT"  # rare enough that zero-order customers exist
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        orders.where(F.col("o_orderpriority") == Q13_PRIORITY)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("c_count", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+ORACLE_ORDER_COUNT_DISTRIBUTION = f"""
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS c_count
+  FROM orders
+  WHERE o_orderpriority = '{Q13_PRIORITY}'
+  GROUP BY o_custkey
+)
+SELECT COALESCE(c_count, 0) AS c_count,
+       COUNT(*) AS n_customers
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+QUERIES["agg_order_count_distribution"] = (
+    q_order_count_distribution,
+    ORACLE_ORDER_COUNT_DISTRIBUTION,
+)

@@ -1152,3 +1152,85 @@ QUERIES["dedup_incremental"] = (
     q_dedup_incremental,
     _oracle_dedup_incremental(),
 )
+
+
+def q_dedup_intra_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One bursty micro-batch: the corpus PLUS its truncated/reversed
+    copies arriving together. intra_batch_dedup must collapse every
+    verified near-dup cluster to its lowest doc_id; the oracle recomputes
+    the banding, the Jaccard verification, and the connected components
+    (recursive CTE) in pure SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return intra_batch_dedup(docs.unionByName(_inc_delta(docs)))
+
+
+def _oracle_dedup_intra_batch() -> str:
+    rows_per_band = PMH_K // PMH_BANDS
+    bucket = " || ',' || ".join(
+        f"CAST(sig[b.band * {rows_per_band} + {r + 1}] AS VARCHAR)"
+        for r in range(rows_per_band)
+    )
+    sig_cte = f"""
+  SELECT doc_id, s,
+         list_transform(range(0, {PMH_K}),
+           i -> list_min(list_transform(range(1, len(h1s) + 1),
+                j -> h1s[j] + i * h2s[j]))) AS sig
+  FROM (
+    SELECT doc_id, s,
+           list_transform(hx, h -> {_o_hex7('h', 1)}) AS h1s,
+           list_transform(hx, h -> {_o_hex7('h', 8)}) AS h2s
+    FROM (SELECT doc_id, s, list_transform(s, g -> sha256(g)) AS hx FROM sh)
+  )"""
+    return f"""
+WITH RECURSIVE batch AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {PMH_ID_OFFSET} AS doc_id,
+         array_to_string(
+           (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - {PMH_TRIM}, 1)],
+           ' ') AS text
+  FROM documents WHERE doc_id % {PMH_COPY_EVERY} = 0
+  UNION ALL
+  SELECT doc_id + {INC_REV_OFFSET},
+         array_to_string(list_reverse(string_split(text, ' ')), ' ')
+  FROM documents WHERE doc_id % {INC_REV_EVERY} = 0
+), sh AS (
+  SELECT doc_id, {oracle_shingles('text')} AS s FROM batch
+), sg AS ({sig_cte}
+), bands AS (
+  SELECT doc_id, b.band, {bucket} AS bucket
+  FROM sg, (SELECT UNNEST(range(0, {PMH_BANDS})) AS band) b
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+), verified AS (
+  SELECT p.a, p.b
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.a
+  JOIN sh sb ON sb.doc_id = p.b
+  WHERE ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(sa.s, sb.s))), 6)
+        >= {PMH_THRESHOLD}
+), edges AS (
+  SELECT a, b FROM verified
+  UNION ALL
+  SELECT b, a FROM verified
+), reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+), comp AS (
+  SELECT id, MIN(r) AS comp FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+       (c.comp IS NULL OR c.comp = d.doc_id) AS is_kept,
+       CASE WHEN c.comp <> d.doc_id THEN c.comp END AS dup_of
+FROM batch d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
+QUERIES["dedup_intra_batch"] = (
+    q_dedup_intra_batch,
+    _oracle_dedup_intra_batch(),
+)

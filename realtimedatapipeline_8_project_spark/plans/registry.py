@@ -86,6 +86,10 @@ _PRIORITY = (
     "sample_source_rebalance",  # keep-threshold now true integer division
     # --- new in round 6 ---
     "chunk_windows_native",  # sequence()+explode twin of the UDTF chunker
+    "dedup_intra_batch",  # within-batch cluster collapse (recursive oracle)
+    "agg_small_quantity_revenue",  # TPC-H Q17 shape, windowed-AVG single scan
+    "agg_top_supplier_revenue",  # TPC-H Q15 shape, no-global-window argmax
+    "agg_order_count_distribution",  # TPC-H Q13 shape, zero-count bucket
     # --- newest row is round 3: at the staleness limit, refresh all 30 ---
     "curation_end_to_end",
     "enum_validation_filter",
@@ -128,11 +132,7 @@ _PRIORITY = (
     "dedup_cluster_components",
     "dedup_jaccard_vs_probe",
     "dedup_survivors",
-    "sim_knn_bruteforce",
-    "sim_knn_ivf",
-    "sim_knn_lsh",
     "sim_embedding_neardup",
-    "sim_embedding_quantize",
 )
 
 # Redundant registry entries retired to keep the checked prefix dense:

@@ -556,3 +556,42 @@ def test_incremental_dedup_stored_bands_shingles_only_candidates(
     assert not any(
         "Exchange" in lines[i] for i in range(semi[0] + 1, text_scans[0])
     ), "full-base exchange below the semi join"
+
+
+def test_small_quantity_revenue_scans_lineitem_once(spark, sf_small):
+    """Q17 shape must use the windowed-AVG rewrite: the textbook
+    correlated-AVG subquery plans a second full lineitem scan+aggregate
+    (non-materialized CTE, same trap sql_min_cost_supplier pins). Also
+    pin the integer small-quantity predicate: no double division in the
+    filter."""
+    p = plan_of(spark, sf_small, "agg_small_quantity_revenue")
+    assert sum("lineitem.parquet" in l for l in p.splitlines()) == 1
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+
+
+def test_top_supplier_no_global_window_one_fact_scan(spark, sf_small):
+    """Q15 shape: the global argmax-with-ties must NOT funnel the
+    per-supplier table through a single-partition rank window; the 1-row
+    MAX broadcasts back over the lineage-truncated aggregate, and the
+    fact is scanned exactly once (inside the checkpoint job — the final
+    plan reuses the checkpointed aggregate, so it contains NO lineitem
+    scan at all)."""
+    p = plan_of(spark, sf_small, "agg_top_supplier_revenue")
+    assert "Window" not in p
+    assert "lineitem.parquet" not in p  # aggregate reused, not recomputed
+    assert "BroadcastHashJoin" in p
+
+
+def test_order_count_distribution_keeps_zero_bucket(spark, sf_small):
+    """Q13 shape: customers with no qualifying orders must appear as the
+    c_count = 0 bucket (an inner join silently drops them — the fixture
+    plants 18 such customers at sf0.001), and the per-customer count
+    aggregates BEFORE the customer join (map-side combine on orders)."""
+    from pyspark.sql import functions as F
+
+    df = QUERIES["agg_order_count_distribution"](spark, sf_small)
+    zero = df.where(F.col("c_count") == 0).collect()
+    assert zero and zero[0].n_customers == 18
+    p = plan_of(spark, sf_small, "agg_order_count_distribution")
+    assert "CartesianProduct" not in p
