@@ -1154,14 +1154,29 @@ QUERIES["dedup_incremental"] = (
 )
 
 
+INTRA_BATCH_MOD = 3  # fixture batch = every 3rd doc (a micro-batch is a
+# SLICE of the corpus by contract; the whole corpus as one batch would
+# bench the fixture, not the operator)
+
+
 def q_dedup_intra_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One bursty micro-batch: the corpus PLUS its truncated/reversed
+    """One bursty micro-batch: a corpus slice PLUS its truncated/reversed
     copies arriving together. intra_batch_dedup must collapse every
     verified near-dup cluster to its lowest doc_id; the oracle recomputes
     the banding, the Jaccard verification, and the connected components
     (recursive CTE) in pure SQL."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return intra_batch_dedup(docs.unionByName(_inc_delta(docs)))
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % INTRA_BATCH_MOD == 0)
+    )
+    # the fixture batch arrives as ONE file partition: spread it before
+    # the signature hashing (sha256 per shingle — the compute-bound step)
+    # or the whole pass runs single-threaded. A real stream's micro-batch
+    # arrives pre-partitioned from the source, so the operator itself
+    # does not force an exchange.
+    batch = docs.unionByName(_inc_delta(docs)).repartition("doc_id")
+    return intra_batch_dedup(batch)
 
 
 def _oracle_dedup_intra_batch() -> str:
@@ -1182,18 +1197,20 @@ def _oracle_dedup_intra_batch() -> str:
     FROM (SELECT doc_id, s, list_transform(s, g -> sha256(g)) AS hx FROM sh)
   )"""
     return f"""
-WITH RECURSIVE batch AS (
-  SELECT doc_id, text FROM documents
+WITH RECURSIVE slice AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {INTRA_BATCH_MOD} = 0
+), batch AS (
+  SELECT doc_id, text FROM slice
   UNION ALL
   SELECT doc_id + {PMH_ID_OFFSET} AS doc_id,
          array_to_string(
            (string_split(text, ' '))[1:greatest(len(string_split(text, ' ')) - {PMH_TRIM}, 1)],
            ' ') AS text
-  FROM documents WHERE doc_id % {PMH_COPY_EVERY} = 0
+  FROM slice WHERE doc_id % {PMH_COPY_EVERY} = 0
   UNION ALL
   SELECT doc_id + {INC_REV_OFFSET},
          array_to_string(list_reverse(string_split(text, ' ')), ' ')
-  FROM documents WHERE doc_id % {INC_REV_EVERY} = 0
+  FROM slice WHERE doc_id % {INC_REV_EVERY} = 0
 ), sh AS (
   SELECT doc_id, {oracle_shingles('text')} AS s FROM batch
 ), sg AS ({sig_cte}
