@@ -95,6 +95,8 @@ HEADLINE = [
     "agg_small_quantity_revenue",
     "agg_top_supplier_revenue",
     "agg_order_count_distribution",
+    "text_inverted_index",
+    "text_boolean_search",
 ]
 
 

@@ -524,3 +524,93 @@ QUERIES = {
     "text_winnow_fingerprint": (q_winnow_fingerprint, ORACLE_WINNOW_FINGERPRINT),
     "text_term_salience": (q_term_salience, ORACLE_TERM_SALIENCE),
 }
+
+
+# --- inverted index + conjunctive boolean search ---------------------------
+# The retrieval primitives under every corpus search/dedup-audit tool:
+# term -> (document frequency, head of the id-sorted posting list), and
+# "documents containing ALL query terms". Scale shape: ONE explode pass
+# feeds both; the posting head is bounded BEFORE collection by a
+# per-term rank window (collect_set of a stop-word's postings would
+# materialize an unbounded array per term — the classic skew trap), and
+# the boolean search is a broadcast semi-join of the tiny query-term set
+# into the posting build, then a doc-level count==k filter: the fact
+# side never joins itself and nothing unbounded ever aggregates.
+# Everything is integers/strings — hash-exact in DuckDB.
+
+POSTINGS_HEAD = 16
+BOOL_QUERY_TERMS = ("dup", "window", "scan")  # rare + common + common
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(words(normalized_text("text"))).alias("term")
+    )
+    postings = terms.groupBy("term", "doc_id").agg(F.lit(1))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    return (
+        postings.withColumn("rn", F.row_number().over(w))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("rn") <= POSTINGS_HEAD, F.col("doc_id"))
+                    )
+                ),
+                ",",
+            ).alias("postings_head"),
+        )
+    )
+
+
+ORACLE_INVERTED_INDEX = f"""
+WITH terms AS (
+  SELECT DISTINCT doc_id, unnest({_O_WORDS}) AS term FROM documents
+), ranked AS (
+  SELECT term, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM terms
+)
+SELECT term,
+       COUNT(*) AS df,
+       array_to_string(
+         array_agg(CASE WHEN rn <= {POSTINGS_HEAD} THEN doc_id END
+                   ORDER BY doc_id) FILTER (rn <= {POSTINGS_HEAD}),
+         ',') AS postings_head
+FROM ranked
+GROUP BY term
+"""
+
+
+def q_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    k = len(BOOL_QUERY_TERMS)
+    terms = docs.select(
+        "doc_id", F.explode(words(normalized_text("text"))).alias("term")
+    ).where(F.col("term").isin(*BOOL_QUERY_TERMS))
+    return (
+        terms.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n_hit"))
+        .where(F.col("n_hit") == k)
+        .select("doc_id", F.lit(k).cast("long").alias("n_terms_matched"))
+    )
+
+
+_BOOL_IN = ", ".join(f"'{t}'" for t in BOOL_QUERY_TERMS)
+ORACLE_BOOLEAN_SEARCH = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_O_WORDS}) AS term FROM documents
+)
+SELECT doc_id,
+       CAST({len(BOOL_QUERY_TERMS)} AS BIGINT) AS n_terms_matched
+FROM terms
+WHERE term IN ({_BOOL_IN})
+GROUP BY doc_id
+HAVING COUNT(DISTINCT term) = {len(BOOL_QUERY_TERMS)}
+"""
+
+QUERIES["text_inverted_index"] = (q_inverted_index, ORACLE_INVERTED_INDEX)
+QUERIES["text_boolean_search"] = (q_boolean_search, ORACLE_BOOLEAN_SEARCH)

@@ -90,6 +90,8 @@ _PRIORITY = (
     "agg_small_quantity_revenue",  # TPC-H Q17 shape, windowed-AVG single scan
     "agg_top_supplier_revenue",  # TPC-H Q15 shape, no-global-window argmax
     "agg_order_count_distribution",  # TPC-H Q13 shape, zero-count bucket
+    "text_inverted_index",  # bounded posting-list build
+    "text_boolean_search",  # conjunctive retrieval, count==k
     # --- newest row is round 3: at the staleness limit, refresh all 30 ---
     "curation_end_to_end",
     "enum_validation_filter",
@@ -130,8 +132,6 @@ _PRIORITY = (
     "dedup_minhash_neardup",  # rows-only by design (twin-pinned)
     "dedup_simhash_neardup",  # rows-only by design (twin-pinned)
     "dedup_cluster_components",
-    "dedup_jaccard_vs_probe",
-    "dedup_survivors",
     "sim_embedding_neardup",
 )
 
