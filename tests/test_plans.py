@@ -407,16 +407,30 @@ def test_customer_dim_joins_are_hint_free_but_broadcast_locally(
     "realtimedatapipeline_8_project_spark.plans.registry",
     fromlist=["ORACLES"]).ORACLES))
 def test_no_query_plans_a_cartesian_or_unkeyed_nested_loop(spark, sf_small, name):
-    """Blanket plan lint: NO oracle query may compile to a CartesianProduct
-    or a non-Cross BroadcastNestedLoopJoin (an unkeyed join predicate —
-    the O(n*m) trap). Intentional 1-row scalar cross joins (bounds,
-    thresholds, probe vectors) plan as BNLJ Cross with a broadcast build
-    side and are allowed."""
+    """Blanket plan lint: NO oracle query may compile to (a) a
+    CartesianProduct, (b) a non-Cross BroadcastNestedLoopJoin (an unkeyed
+    join predicate — the O(n*m) trap), or (c) a PARTITION-LESS window (a
+    windowspecdefinition whose first argument is already the order spec
+    or the frame funnels every row through ONE task at 100 TB — global
+    argmax/rank must use the broadcast-scalar or TakeOrdered shape
+    instead, see agg_top_supplier_revenue). Intentional 1-row scalar
+    cross joins (bounds, thresholds, probe vectors) plan as BNLJ Cross
+    with a broadcast build side and are allowed."""
+    import re
+
     p = plan_of(spark, sf_small, name)
     assert "CartesianProduct" not in p, name
     for line in p.splitlines():
         if "BroadcastNestedLoopJoin" in line and "Build" in line:
             assert "Cross" in line, f"{name}: {line.strip()[:100]}"
+    for m in re.finditer(r"windowspecdefinition\(([^,)]*)[,)]", p):
+        first = m.group(1).strip()
+        assert first and not first.startswith("specifiedwindowframe"), (
+            f"{name}: window with no partition AND no order"
+        )
+        assert not re.search(r"\b(ASC|DESC) NULLS", first), (
+            f"{name}: order-only (partition-less) window: {first}"
+        )
 
 
 def test_m4_order_key_guard_raises_on_out_of_range_event_id(spark):
@@ -595,3 +609,25 @@ def test_order_count_distribution_keeps_zero_bucket(spark, sf_small):
     assert zero and zero[0].n_customers == 18
     p = plan_of(spark, sf_small, "agg_order_count_distribution")
     assert "CartesianProduct" not in p
+
+
+def test_global_window_lint_detects_a_planted_offender(spark):
+    """Self-check for the lint above: a deliberately partition-less
+    window must trip the same regex (guards against explain-format
+    drift silently disabling the lint)."""
+    import re
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    offenders = [
+        m.group(1).strip()
+        for m in re.finditer(r"windowspecdefinition\(([^,)]*)[,)]", p)
+        if re.search(r"\b(ASC|DESC) NULLS", m.group(1))
+        or m.group(1).strip().startswith("specifiedwindowframe")
+    ]
+    assert offenders, "lint regex no longer detects global windows"
