@@ -50,6 +50,19 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def jaccard_of(a: Column | str, b: Column | str) -> Column:
+    """Exact shingle-set Jaccard rounded to 6dp, NULL when BOTH sets are
+    empty. Documents shorter than the shingle width carry no n-gram
+    content; two of them co-band (empty sets hash to identical
+    signatures), and an unguarded intersect/union is then 0/0 — a
+    DIVIDE_BY_ZERO crash under ANSI mode (found by hypothesis on
+    sub-3-token batches). 'No evidence' must read as NULL — which fails
+    every >= threshold verify — never as a crash or a match."""
+    union = F.size(F.array_union(a, b))
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return F.when(union > 0, F.round(inter / union, 6))
+
+
 def oracle_shingles(col_sql: str, n: int = 3) -> str:
     toks = f"string_split({col_sql}, ' ')"
     parts = ", ".join(f"{toks}[i+{j}]" for j in range(n))
@@ -104,14 +117,9 @@ def q_jaccard_vs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select("doc_id", shingles("text").alias("sh"))
     probe = sh.where(F.col("doc_id") == 0).select(F.col("sh").alias("probe_sh"))
-    inter = F.size(F.array_intersect("sh", "probe_sh"))
-    union = F.size(F.array_union("sh", "probe_sh"))
     return (
         sh.crossJoin(F.broadcast(probe))
-        .select(
-            "doc_id",
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
-        )
+        .select("doc_id", jaccard_of("sh", "probe_sh").alias("jaccard"))
         .where(F.col("doc_id") != 0)
     )
 
@@ -243,11 +251,8 @@ def minhash_neardup(docs: DataFrame) -> DataFrame:
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
-    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
     return verified.select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+        "doc_a", "doc_b", jaccard_of("sh_a", "sh_b").alias("jaccard")
     ).where(F.col("jaccard") >= 0.5)
 
 
@@ -417,13 +422,10 @@ def portable_neardup_pairs(docs: DataFrame) -> DataFrame:
     )
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
-    jac = F.size(F.array_intersect("s_a", "s_b")).cast("double") / F.size(
-        F.array_union("s_a", "s_b")
-    )
     return (
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", jaccard_of("s_a", "s_b").alias("jaccard"))
         .where(F.col("jaccard") >= PMH_THRESHOLD)
     )
 
@@ -978,9 +980,6 @@ def incremental_dedup(
         base_cand_sh = base.join(
             F.broadcast(cand_ids), "doc_id", "left_semi"
         ).select("doc_id", shingles("text").alias("s"))
-    jac = F.size(F.array_intersect("ds", "bs")).cast("double") / F.size(
-        F.array_union("ds", "bs")
-    )
     verified = (
         cand.join(
             delta_sh.select(F.col("doc_id").alias("delta_id"), F.col("s").alias("ds")),
@@ -992,7 +991,7 @@ def incremental_dedup(
             ),
             "base_id",
         )
-        .select("delta_id", "base_id", F.round(jac, 6).alias("jaccard"))
+        .select("delta_id", "base_id", jaccard_of("ds", "bs").alias("jaccard"))
         .where(F.col("jaccard") >= PMH_THRESHOLD)
     )
     # best match per delta doc: jaccard desc, base_id asc, as ONE hash agg
@@ -1047,9 +1046,6 @@ def intra_batch_dedup(delta: DataFrame) -> DataFrame:
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
-    jac = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
-        F.array_union("sa", "sb")
-    )
     edges = (
         pairs.join(
             delta_sh.select(F.col("doc_id").alias("a"), F.col("s").alias("sa")),
@@ -1059,7 +1055,7 @@ def intra_batch_dedup(delta: DataFrame) -> DataFrame:
             delta_sh.select(F.col("doc_id").alias("b"), F.col("s").alias("sb")),
             "b",
         )
-        .where(F.round(jac, 6) >= PMH_THRESHOLD)
+        .where(jaccard_of("sa", "sb") >= PMH_THRESHOLD)
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
     comp = connected_components(edges).withColumnRenamed("id", "doc_id")

@@ -268,3 +268,114 @@ def test_approx_distinct_within_error_bound(spark, sf_small, sf_oracle):
                 got[status],
                 n,
             )
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_chunker_twins_agree_and_reconstruct(spark, data):
+    """chunk_windows_native == the UDTF form on arbitrary text, and the
+    stride-prefix concatenation rebuilds the original token sequence."""
+    from realtimedatapipeline_8_project_spark.operators.udtf_ops import (
+        CHUNK_S,
+        chunk_windows,
+        chunk_windows_native,
+    )
+
+    texts = data.draw(st.lists(TEXTS, min_size=1, max_size=30))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    a = sorted(
+        map(tuple, chunk_windows(spark, df).collect())
+    )
+    b = sorted(map(tuple, chunk_windows_native(df).collect()))
+    assert a == b
+    by_doc: dict[int, list] = {}
+    for doc_id, idx, _n, chunk in b:
+        by_doc.setdefault(doc_id, []).append((idx, chunk))
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        if t == "":
+            assert i not in by_doc
+            continue
+        rebuilt: list[str] = []
+        for _idx, chunk in sorted(by_doc[i]):
+            rebuilt.extend(chunk.split(" ")[:CHUNK_S])
+        assert rebuilt == toks[: len(rebuilt)]
+        assert len(rebuilt) >= len(toks) - CHUNK_S
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.data())
+def test_intra_batch_dedup_verdict_invariants(spark, data):
+    """On arbitrary batches (with planted exact copies): every doc gets
+    exactly one verdict row; dup_of < doc_id; every dup_of target is
+    itself kept; planted verbatim copies are never kept."""
+    from realtimedatapipeline_8_project_spark.operators.dedup import (
+        intra_batch_dedup,
+    )
+
+    texts = data.draw(
+        st.lists(
+            st.text(alphabet=st.sampled_from("xy uvw "), min_size=0, max_size=40),
+            min_size=2,
+            max_size=15,
+        )
+    )
+    rows = [(i, t) for i, t in enumerate(texts) if t.strip()]
+    if not rows:
+        return
+    # plant a verbatim copy of the first surviving text
+    rows.append((1_000_000, rows[0][1]))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    verdict = intra_batch_dedup(df).collect()
+    assert len(verdict) == len(rows)
+    kept = {r.doc_id for r in verdict if r.is_kept}
+    for r in verdict:
+        assert r.is_kept == (r.dup_of is None)
+        if r.dup_of is not None:
+            assert r.dup_of < r.doc_id
+            assert r.dup_of in kept
+    if len(rows[0][1].split(" ")) >= 3:
+        # the seed has n-gram content: its verbatim copy must collapse
+        assert 1_000_000 not in kept
+    else:
+        # contentless docs (< shingle width) carry no n-gram evidence:
+        # the NEAR-dup gate keeps them (exact-fingerprint dedup is the
+        # operator that collapses verbatim short docs)
+        assert 1_000_000 in kept
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_boolean_search_docs_contain_all_terms(spark, data):
+    """Ground-truth check on arbitrary corpora: the conjunctive search
+    returns exactly the docs whose token set covers the query terms."""
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        BOOL_QUERY_TERMS,
+        normalized_text,
+        words,
+    )
+
+    vocab = st.sampled_from(list(BOOL_QUERY_TERMS) + ["foo", "bar"])
+    docs = data.draw(
+        st.lists(st.lists(vocab, min_size=0, max_size=8), min_size=1, max_size=20)
+    )
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    k = len(BOOL_QUERY_TERMS)
+    got = {
+        r.doc_id
+        for r in df.select(
+            "doc_id", F.explode(words(normalized_text("text"))).alias("term")
+        )
+        .where(F.col("term").isin(*BOOL_QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n"))
+        .where(F.col("n") == k)
+        .collect()
+    }
+    want = {
+        i for i, toks in enumerate(docs) if set(BOOL_QUERY_TERMS) <= set(toks)
+    }
+    assert got == want
