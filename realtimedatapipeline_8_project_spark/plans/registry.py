@@ -132,7 +132,7 @@ _PRIORITY = (
     "dedup_minhash_neardup",  # rows-only by design (twin-pinned)
     "dedup_simhash_neardup",  # rows-only by design (twin-pinned)
     "dedup_cluster_components",
-    "sim_embedding_neardup",
+    "dedup_jaccard_vs_probe",  # r6 plan change: guarded jaccard_of
 )
 
 # Redundant registry entries retired to keep the checked prefix dense:
