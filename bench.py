@@ -97,6 +97,7 @@ HEADLINE = [
     "agg_order_count_distribution",
     "text_inverted_index",
     "text_boolean_search",
+    "agg_disjunctive_revenue",
 ]
 
 

@@ -823,3 +823,80 @@ QUERIES["agg_order_count_distribution"] = (
     q_order_count_distribution,
     ORACLE_ORDER_COUNT_DISTRIBUTION,
 )
+
+
+# --- TPC-H Q19 shape: disjunctive cross-table predicate --------------------
+# OR-of-conjunctions mixing part and lineitem columns. Catalyst cannot
+# push a cross-table OR below the join, so the textbook spelling scans
+# BOTH tables in full and evaluates the whole disjunction post-join. The
+# classic fix (what a 100 TB run needs) is deriving the IMPLIED
+# single-table predicates by hand — the union of each leg's bounds:
+# l_quantity in [1, 30] prunes the fact scan, brand IN (...) AND size
+# in [1, 15] shrinks the part side to a trivially-broadcast dim — while
+# the exact disjunction still filters post-join. Both pushdowns are
+# plan-pinned (PushedFilters on each scan). Exact decimal revenue.
+
+Q19_LEGS = (  # (brand, max_size, qty_lo, qty_hi)
+    ("Brand#12", 30, 1, 20),
+    ("Brand#23", 40, 10, 35),
+    ("Brand#34", 50, 20, 50),
+)
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    qty_lo = min(lo for _, _, lo, _ in Q19_LEGS)
+    qty_hi = max(hi for _, _, _, hi in Q19_LEGS)
+    size_hi = max(s for _, s, _, _ in Q19_LEGS)
+    brands = [b for b, _, _, _ in Q19_LEGS]
+    # implied single-table prunes (the union of the legs' bounds)
+    li = li.where(F.col("l_quantity").between(qty_lo, qty_hi))
+    part = part.where(
+        F.col("p_brand").isin(*brands)
+        & F.col("p_size").between(1, size_hi)
+    )
+    leg = None
+    for brand, size, lo, hi in Q19_LEGS:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size)
+            & F.col("l_quantity").between(lo, hi)
+        )
+        leg = c if leg is None else (leg | c)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .where(leg)
+        .agg(
+            dsum_product(
+                F.col("l_extendedprice"),
+                F.lit(1.0) - F.col("l_discount"),
+                "revenue",
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _oracle_disjunctive_revenue() -> str:
+    legs = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s} "
+        f"AND l_quantity BETWEEN {lo} AND {hi})"
+        for b, s, lo, hi in Q19_LEGS
+    )
+    return f"""
+SELECT {oracle_dsum_product('l_extendedprice', '1.0 - l_discount', 'revenue')},
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {legs}
+"""
+
+
+QUERIES["agg_disjunctive_revenue"] = (
+    q_disjunctive_revenue,
+    _oracle_disjunctive_revenue(),
+)

@@ -631,3 +631,23 @@ def test_global_window_lint_detects_a_planted_offender(spark):
         or m.group(1).strip().startswith("specifiedwindowframe")
     ]
     assert offenders, "lint regex no longer detects global windows"
+
+
+def test_disjunctive_revenue_pushes_implied_bounds_to_both_scans(
+    spark, sf_small
+):
+    """Q19 shape: Catalyst cannot push the cross-table OR below the join,
+    so the hand-derived implied single-table bounds must reach BOTH
+    parquet scans (quantity envelope on lineitem, brand IN + size
+    envelope on part) — without them the fact scan reads everything."""
+    p = plan_of(spark, sf_small, "agg_disjunctive_revenue")
+    li_scans = [
+        l for l in p.splitlines()
+        if "PushedFilters" in l and "l_quantity" in l
+    ]
+    assert li_scans and "LessThanOrEqual(l_quantity,50.0)" in li_scans[0]
+    part_scans = [
+        l for l in p.splitlines() if "PushedFilters" in l and "p_brand" in l
+    ]
+    assert part_scans and "In(p_brand" in part_scans[0]
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
