@@ -98,6 +98,7 @@ HEADLINE = [
     "text_inverted_index",
     "text_boolean_search",
     "agg_disjunctive_revenue",
+    "text_encode_ids",
 ]
 
 

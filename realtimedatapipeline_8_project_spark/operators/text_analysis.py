@@ -614,3 +614,105 @@ HAVING COUNT(DISTINCT term) = {len(BOOL_QUERY_TERMS)}
 
 QUERIES["text_inverted_index"] = (q_inverted_index, ORACLE_INVERTED_INDEX)
 QUERIES["text_boolean_search"] = (q_boolean_search, ORACLE_BOOLEAN_SEARCH)
+
+
+# --- vocab build + document id-encoding ------------------------------------
+# The tokenizer-adjacent preprocessing step: assign every term a DENSE id
+# ordered by (df DESC, term ASC) — id 0 = most frequent — and encode each
+# document as its id sequence. The naive id assignment is one global
+# row_number window: a single-task funnel over the whole vocabulary (the
+# exact trap the registry-wide plan lint forbids). Distributed dense
+# rank instead: tier = floor(log2(df)) is row-local AND order-consistent
+# with df DESC (log2 is monotone), so id = rank within tier (a
+# PARTITIONED window) + the tier's cumulative offset (a tiny
+# tier-count table, offset via an explicit ~60x60 cross join — Cross-
+# marked, the lint's allowed scalar shape). Produces ids IDENTICAL to
+# the global row_number, which is exactly what the DuckDB oracle runs.
+
+ENC_DOCS_MOD = 5  # encode every 5th doc (the vocab still builds on ALL)
+
+
+def vocab_ids(terms: DataFrame) -> DataFrame:
+    """(doc_id, term) -> (term, df, id): dense frequency-ordered term ids
+    with no global window."""
+    vocab = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    tier = F.floor(F.log2("df")).cast("long")
+    vocab = vocab.withColumn("tier", tier)
+    sizes = vocab.groupBy("tier").agg(F.count(F.lit(1)).alias("n"))
+    hi = sizes.select(
+        F.col("tier").alias("h_tier"), F.col("n").alias("h_n")
+    )
+    offsets = (
+        sizes.crossJoin(hi)
+        .where(F.col("h_tier") > F.col("tier"))
+        .groupBy("tier")
+        .agg(F.sum("h_n").alias("offset"))
+    )
+    w = Window.partitionBy("tier").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        vocab.join(F.broadcast(offsets), "tier", "left")
+        .withColumn(
+            "id",
+            (
+                F.coalesce("offset", F.lit(0))
+                + F.row_number().over(w)
+                - 1
+            ).cast("long"),
+        )
+        .select("term", "df", "id")
+    )
+
+
+def q_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.posexplode(words(normalized_text("text"))).alias("pos", "term"),
+    )
+    vocab = vocab_ids(terms.select("doc_id", "term"))
+    enc = (
+        terms.where(F.col("doc_id") % ENC_DOCS_MOD == 0)
+        .join(F.broadcast(vocab.select("term", "id")), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "id"))
+                    ),
+                    lambda x: x["id"].cast("string"),
+                ),
+                ",",
+            ).alias("ids"),
+        )
+    )
+    return enc
+
+
+ORACLE_ENCODE_IDS = f"""
+WITH tok AS (
+  SELECT doc_id, {_O_WORDS} AS toks FROM documents
+), terms AS (
+  SELECT doc_id,
+         unnest(toks) AS term,
+         unnest(range(0, len(toks))) AS pos
+  FROM tok
+), vocab AS (
+  SELECT term,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY COUNT(DISTINCT doc_id) DESC, term ASC) - 1 AS BIGINT)
+           AS id
+  FROM terms GROUP BY term
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       array_to_string(array_agg(v.id ORDER BY t.pos), ',') AS ids
+FROM terms t JOIN vocab v USING (term)
+WHERE t.doc_id % {ENC_DOCS_MOD} = 0
+GROUP BY t.doc_id
+"""
+
+QUERIES["text_encode_ids"] = (q_encode_ids, ORACLE_ENCODE_IDS)

@@ -93,6 +93,7 @@ _PRIORITY = (
     "text_inverted_index",  # bounded posting-list build
     "text_boolean_search",  # conjunctive retrieval, count==k
     "agg_disjunctive_revenue",  # TPC-H Q19 shape, implied-bound pushdown
+    "text_encode_ids",  # dense vocab ids without a global window
     # --- newest row is round 3: at the staleness limit, refresh all 30 ---
     "curation_end_to_end",
     "enum_validation_filter",
@@ -126,7 +127,6 @@ _PRIORITY = (
     "agg_approx_distinct",  # rows-only by design (approximate)
     # --- round-4-latest rotation, part 1 of 2: the dedup/similarity
     # families (shared helpers touched this round), rest rotate in r7 ---
-    "dedup_exact_fingerprint",
     "dedup_minhash_portable",
     "dedup_simhash_portable",
     "dedup_minhash_neardup",  # rows-only by design (twin-pinned)
