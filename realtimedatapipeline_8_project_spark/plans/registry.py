@@ -69,13 +69,17 @@ _MODULES = (
 # here register FIRST. Round-6 budget (freshness rotation, part 2 of 2 —
 # VERDICT r5 item 1): the flagship, every query whose plan changed THIS
 # round (the incremental-dedup verify-leg fix, the parameterized-codebook
-# family, the rebalance threshold arithmetic), the queries NEW this round
-# (native chunker twin), then ALL 30 queries whose newest row is round 3
-# (at the staleness limit), then 14 of the 44 round-4-latest queries —
-# the dedup/similarity families whose shared helpers this round touches.
-# The remaining 30 r04-latest entries plus the 50 r05 rows (which age to
-# the limit next round) rotate in round 7. Names not listed keep module
-# order.
+# family, the rebalance integer arithmetic, the guarded jaccard_of), the
+# 8 queries NEW this round (native chunker twin, intra-batch dedup, TPC-H
+# Q17/Q15/Q13/Q19 shapes, inverted index, boolean search, id-encoding),
+# then ALL 30 queries whose newest row is round 3 (at the staleness
+# limit), then the dedup/similarity r04 rows whose shared helpers this
+# round touches. ROUND-7 BUDGET (owed): the 37 then-r04-latest rows
+# (asof/contamination/curation/sampling/scale/sim_knn/text/ts families —
+# they hit the two-round limit), the flagship, any round-7 plan changes,
+# and as many of the 46 r05-latest as fit; with 133 queries on a
+# 50/round budget, roughly 36 r05 rows structurally spill to round 8 at
+# 3 rounds stale. Names not listed keep module order.
 _PRIORITY = (
     # flagship stays verified every round
     "enrich_broadcast_left_join",
