@@ -63,7 +63,11 @@ def _latest_wins(df: DataFrame) -> DataFrame:
 
 def read_latest(spark: SparkSession, output_dir: str) -> DataFrame:
     """Latest row per key, computed from history on demand (plus the
-    compacted snapshot if present — whichever rows are newer win)."""
+    compacted snapshot if present — whichever rows are newer win). Only
+    a MISSING snapshot falls back to history-only: the snapshot may hold
+    the sole copy of keys whose history batches were retention-expired,
+    so treating a corrupt/unreadable snapshot as absent would silently
+    drop those keys from serving (the ingest.py failure discipline)."""
     hist = spark.read.parquet(os.path.join(output_dir, "history"))
     compacted_path = os.path.join(output_dir, "latest")
     try:
@@ -71,8 +75,9 @@ def read_latest(spark: SparkSession, output_dir: str) -> DataFrame:
             "batch_id", F.lit(-1)
         )
         hist = hist.unionByName(compacted)
-    except Exception:
-        pass
+    except Exception as exc:
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
     return _latest_wins(hist)
 
 
@@ -136,7 +141,12 @@ def write_latest(batch_df: DataFrame, batch_id: int, output_dir: str) -> None:
         merged = existing.unionByName(
             batch_df.select(*existing.columns), allowMissingColumns=True
         )
-    except Exception:
+    except Exception as exc:
+        # only "not created yet" may seed from the batch alone — an
+        # unreadable existing snapshot would otherwise be OVERWRITTEN
+        # with just this batch's keys (silent loss of every other key)
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
         merged = batch_df
     deduped = _latest_wins(merged.withColumn("batch_id", F.lit(batch_id)))
     _swap_latest(deduped, spark, output_dir)

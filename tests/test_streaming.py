@@ -910,3 +910,39 @@ def test_latest_swap_never_leaks_tmp_dir(spark, sf_small, workdir):
     with _pytest.raises(Exception):
         _swap_latest(boom, spark, out)
     assert not os.path.exists(os.path.join(out, "_latest_tmp"))
+
+
+def test_corrupt_latest_snapshot_raises_not_silently_drops(
+    spark, sf_small, workdir
+):
+    """read_latest / write_latest: only PATH_NOT_FOUND means 'no snapshot
+    yet'. A corrupt snapshot may hold the sole copy of retention-expired
+    keys — reading past it (or overwriting it with one batch's keys)
+    would silently drop them from serving."""
+    import pytest as _pytest
+
+    from realtimedatapipeline_8_project_spark.streaming.sinks import (
+        write_history,
+        write_latest,
+    )
+
+    out = os.path.join(workdir, "out")
+    dim = load_dim(spark, sf_small)
+    ev = load_table(spark, sf_small, "events").limit(10)
+    enriched = derive(enrich_events(ev, dim))
+    write_history(enriched, 0, out)
+    compact_latest(spark, out)
+    # corrupt every snapshot data file
+    latest_dir = os.path.join(out, "latest")
+    for root, _, files in os.walk(latest_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "wb") as fh:
+                    fh.write(b"junk")
+    with _pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
+        read_latest(spark, out).collect()
+    with _pytest.raises(Exception, match="(?i)parquet|footer|corrupt"):
+        write_latest(enriched, 1, out)
+    # and the missing-snapshot path still works
+    shutil.rmtree(latest_dir)
+    assert read_latest(spark, out).count() == 10
