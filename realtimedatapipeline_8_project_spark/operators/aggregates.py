@@ -673,8 +673,11 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_part", F.count(F.lit(1)).over(w))
         .where(F.col("qty") * 5 * F.col("n_part") < F.col("sum_qty"))
     )
+    # hint-free part join: part is scale-growing (the r5 customer-dim
+    # discipline) — the optimizer broadcasts below threshold locally and
+    # shuffles at 100x
     return (
-        small.join(F.broadcast(part), small.l_partkey == part.p_partkey)
+        small.join(part, small.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             dsum("l_extendedprice", "lost_revenue"),
@@ -742,9 +745,12 @@ def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     best = revs.agg(F.max("revenue_cc").alias("max_cc"))
+    # the 1-row max broadcasts by construction; the supplier join is
+    # hint-free — supplier is scale-growing, and the probe side (the tie
+    # set) is the naturally tiny side for AQE to broadcast
     return (
         revs.join(F.broadcast(best), F.col("revenue_cc") == F.col("max_cc"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -830,11 +836,12 @@ QUERIES["agg_order_count_distribution"] = (
 # push a cross-table OR below the join, so the textbook spelling scans
 # BOTH tables in full and evaluates the whole disjunction post-join. The
 # classic fix (what a 100 TB run needs) is deriving the IMPLIED
-# single-table predicates by hand — the union of each leg's bounds:
-# l_quantity in [1, 30] prunes the fact scan, brand IN (...) AND size
-# in [1, 15] shrinks the part side to a trivially-broadcast dim — while
-# the exact disjunction still filters post-join. Both pushdowns are
-# plan-pinned (PushedFilters on each scan). Exact decimal revenue.
+# single-table predicates by hand — the union of each leg's bounds,
+# computed FROM Q19_LEGS (with the current legs: l_quantity in [1, 50]
+# prunes the fact scan; brand IN (3 of 25 brands) AND size in [1, 50]
+# shrinks the part side) — while the exact disjunction still filters
+# post-join. Both pushdowns are plan-pinned (PushedFilters on each
+# scan); the join is hint-free. Exact decimal revenue.
 
 Q19_LEGS = (  # (brand, max_size, qty_lo, qty_hi)
     ("Brand#12", 30, 1, 20),

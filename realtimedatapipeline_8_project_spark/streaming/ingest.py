@@ -17,12 +17,15 @@ Per batch N:
 4. kept docs are written under partition batch_id=N (dynamic partition
    overwrite), sorted by doc_id within files so the verify leg's
    candidate-id fetch prunes row groups via parquet min/max stats; the
-   batch's bands are then derived FROM the just-written partition (one
-   cheap pruned scan) — the dedup lineage executes once per batch, not
-   once per output table. On a real cluster the kept table is written
-   bucketed by doc_id (bucketBy + saveAsTable) so the candidate fetch
-   prunes whole files; path-based parquet here keeps the test surface
-   catalog-free, the sort gives the same pruning at row-group grain.
+   batch's stored bands are the SAME band table filtered to the ids the
+   write committed (one cheap pruned id scan of the new partition). The
+   whole batch pays the compute-bound shingle+sha256 signature pass
+   exactly once: steps 1-4 share two checkpointed frames (delta
+   shingles, delta bands) instead of each recomputing them. On a real
+   cluster the kept table is written bucketed by doc_id (bucketBy +
+   saveAsTable) so the candidate fetch prunes whole files; path-based
+   parquet here keeps the test surface catalog-free, the sort gives the
+   same pruning at row-group grain.
 
 Recovery/idempotency: a replayed batch N reads strictly batch_id < N, so
 it recomputes the identical verdict and overwrites its own partitions —
@@ -53,9 +56,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.dedup import (
-    base_band_table,
+    _pmh_bands_of,
+    _pmh_sig_of,
     incremental_dedup,
     intra_batch_dedup,
+    shingles,
 )
 
 KEPT = "kept"
@@ -102,18 +107,41 @@ def dedup_ingest_batch(
     bands_path = os.path.join(corpus_dir, BANDS)
     base = _read_prior(spark, kept_path, batch_id)
     bands = _read_prior(spark, bands_path, batch_id)
-    if (base is None) != (bands is None):
+    # Lockstep check on PRIOR-BATCH CONTENT, not path existence: a crash
+    # between this batch's own two writes leaves kept's batch_id=N
+    # partition on disk with no bands dir, and the replay of batch N
+    # must sail through (it reads strictly < N, sees no prior rows on
+    # either side, and overwrites its own partitions) — a path-existence
+    # check would wedge that replay forever.
+    base_has = base is not None and not base.isEmpty()
+    bands_has = bands is not None and not bands.isEmpty()
+    if base_has != bands_has:
         raise RuntimeError(
-            "inconsistent dedup corpus state: exactly one of "
-            f"{kept_path!r} / {bands_path!r} is readable — refusing to "
-            "ingest (kept and bands must grow in lockstep)"
+            "inconsistent dedup corpus state: prior batches exist in "
+            f"exactly one of {kept_path!r} / {bands_path!r} — refusing "
+            "to ingest (kept and bands must grow in lockstep)"
         )
+    # the compute-bound shingle + sha256 MinHash pass runs ONCE per
+    # micro-batch: the within-batch collapse, the base comparison, and
+    # the stored-band write all share these two checkpointed frames
+    # (recomputing per consumer tripled the per-batch signature cost)
+    delta_sh = delta.select(
+        "doc_id", shingles("text").alias("s")
+    ).localCheckpoint()
+    delta_bands = _pmh_bands_of(_pmh_sig_of(delta_sh)).localCheckpoint()
     # within-batch near-dup collapse first: survivors carry the batch's
     # lowest doc_id per cluster into the base comparison
-    intra = intra_batch_dedup(delta)
-    delta = delta.join(intra.where(F.col("is_kept")).select("doc_id"), "doc_id")
-    if base is not None and not base.isEmpty():
-        verdict = incremental_dedup(base, delta, base_bands=bands)
+    intra = intra_batch_dedup(delta, delta_sh=delta_sh, delta_bands=delta_bands)
+    surv_ids = intra.where(F.col("is_kept")).select("doc_id")
+    delta = delta.join(surv_ids, "doc_id")
+    if base_has:
+        verdict = incremental_dedup(
+            base,
+            delta,
+            base_bands=bands,
+            delta_sh=delta_sh.join(surv_ids, "doc_id"),
+            delta_bands=delta_bands.join(surv_ids, "doc_id"),
+        )
         kept = delta.join(
             verdict.where(F.col("is_kept")).select("doc_id"), "doc_id"
         )
@@ -129,16 +157,16 @@ def dedup_ingest_batch(
         .option("partitionOverwriteMode", "dynamic")
         .parquet(kept_path)
     )
-    # derive this batch's bands from the partition just written: the
-    # dedup lineage above ran exactly once (for the kept write); this is
-    # a pruned re-read of the new rows only
-    written = (
+    # this batch's stored bands = the already-computed band table
+    # filtered to the ids actually committed (pruned re-read of the new
+    # partition — the source of truth for what landed); no re-shingling
+    kept_ids = (
         spark.read.parquet(kept_path)
         .where(F.col("batch_id") == batch_id)
-        .drop("batch_id")
+        .select("doc_id")
     )
     (
-        base_band_table(written)
+        delta_bands.join(kept_ids, "doc_id")
         .withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
         .partitionBy("batch_id")

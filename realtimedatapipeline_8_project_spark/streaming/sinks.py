@@ -106,22 +106,43 @@ def read_latest_asof(
 def _swap_latest(df: DataFrame, spark: SparkSession, output_dir: str) -> None:
     """Write ``df`` as the compacted latest snapshot via write-then-swap.
     The swap is NOT atomic on a plain filesystem (the overwrite deletes
-    ``latest`` before rewriting it from tmp): a crash in between leaves
-    the cache missing while history — the source of truth for
-    non-expired rows — is intact, and recovery is re-running the caller
-    (compact_latest / purge_keys). The tmp directory is removed in a
-    finally block so neither success nor failure leaks it."""
+    ``latest`` before rewriting it from tmp). Cleanup is therefore
+    asymmetric: a failed STAGING write removes its incomplete tmp
+    (``latest`` was never touched); a failure during the swap itself
+    PRESERVES tmp — at that point it may be the only complete copy of
+    the snapshot (including retention-expired keys history no longer
+    holds — deleting it in a finally would make 're-run to recover'
+    silently lossy). :func:`recover_latest` finishes an interrupted
+    swap from the preserved staging dir; tmp is removed only after the
+    swap lands."""
     import shutil
 
     latest_path = os.path.join(output_dir, "latest")
     tmp_path = os.path.join(output_dir, "_latest_tmp")
     try:
         df.write.mode("overwrite").parquet(tmp_path)
-        spark.read.parquet(tmp_path).write.mode("overwrite").parquet(
-            latest_path
-        )
-    finally:
-        shutil.rmtree(tmp_path, ignore_errors=True)
+    except Exception:
+        shutil.rmtree(tmp_path, ignore_errors=True)  # incomplete staging
+        raise
+    spark.read.parquet(tmp_path).write.mode("overwrite").parquet(latest_path)
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def recover_latest(spark: SparkSession, output_dir: str) -> bool:
+    """Finish a swap that crashed between deleting ``latest`` and
+    rewriting it: if a COMPLETE staging dir (Spark's _SUCCESS marker)
+    survives, move it into place. Returns True if a recovery happened.
+    Call before serving from a sink dir that may have crashed mid-swap;
+    a no-op when no complete staging dir exists."""
+    import shutil
+
+    latest_path = os.path.join(output_dir, "latest")
+    tmp_path = os.path.join(output_dir, "_latest_tmp")
+    if not os.path.exists(os.path.join(tmp_path, "_SUCCESS")):
+        return False
+    shutil.rmtree(latest_path, ignore_errors=True)
+    shutil.move(tmp_path, latest_path)
+    return True
 
 
 def compact_latest(spark: SparkSession, output_dir: str) -> None:

@@ -582,6 +582,10 @@ def test_small_quantity_revenue_scans_lineitem_once(spark, sf_small):
     assert sum("lineitem.parquet" in l for l in p.splitlines()) == 1
     assert "Window" in p
     assert "CartesianProduct" not in p
+    # part is scale-growing: the join must be hint-free (AQE broadcasts
+    # locally, shuffles at 100x — the r5 customer-dim discipline)
+    df = QUERIES["agg_small_quantity_revenue"](spark, sf_small)
+    assert "ResolvedHint" not in df._jdf.queryExecution().optimizedPlan().toString()
 
 
 def test_top_supplier_no_global_window_one_fact_scan(spark, sf_small):
@@ -595,6 +599,10 @@ def test_top_supplier_no_global_window_one_fact_scan(spark, sf_small):
     assert "Window" not in p
     assert "lineitem.parquet" not in p  # aggregate reused, not recomputed
     assert "BroadcastHashJoin" in p
+    # only the 1-row MAX may carry a hint; supplier stays hint-free
+    df = QUERIES["agg_top_supplier_revenue"](spark, sf_small)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.count("ResolvedHint") <= 1
 
 
 def test_order_count_distribution_keeps_zero_bucket(spark, sf_small):

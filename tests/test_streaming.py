@@ -897,11 +897,12 @@ def test_latest_swap_never_leaks_tmp_dir(spark, sf_small, workdir):
     got = spark.read.parquet(os.path.join(out, "latest"))
     assert got.where(F.col("event_id").isin(victims)).isEmpty()
 
-    # failure path: a swap whose source write fails must still clean up
+    # failed STAGING write: latest untouched, incomplete tmp cleaned
     import pytest as _pytest
 
     from realtimedatapipeline_8_project_spark.streaming.sinks import (
         _swap_latest,
+        recover_latest,
     )
 
     boom = spark.createDataFrame([(1,)], "event_id long").select(
@@ -910,6 +911,17 @@ def test_latest_swap_never_leaks_tmp_dir(spark, sf_small, workdir):
     with _pytest.raises(Exception):
         _swap_latest(boom, spark, out)
     assert not os.path.exists(os.path.join(out, "_latest_tmp"))
+
+    # crash BETWEEN the delete and the rewrite: tmp is the only complete
+    # copy of the snapshot — recover_latest must finish the swap, byte
+    # content preserved (simulated by moving the snapshot into staging)
+    latest_dir = os.path.join(out, "latest")
+    before = sorted(map(str, spark.read.parquet(latest_dir).collect()))
+    shutil.move(latest_dir, os.path.join(out, "_latest_tmp"))
+    assert recover_latest(spark, out) is True
+    assert sorted(map(str, spark.read.parquet(latest_dir).collect())) == before
+    assert not os.path.exists(os.path.join(out, "_latest_tmp"))
+    assert recover_latest(spark, out) is False  # idempotent no-op
 
 
 def test_corrupt_latest_snapshot_raises_not_silently_drops(

@@ -253,3 +253,31 @@ def test_ingest_unreadable_corpus_fails_the_batch(spark, sf_small, tmp_path):
             1,
             corpus,
         )
+
+
+def test_first_batch_replay_after_crash_between_writes(spark, sf_small, tmp_path):
+    """Crash window: batch 0 wrote kept/ but died before bands/. The
+    checkpoint replays batch 0 — it must sail through (reads strictly
+    batch_id < 0, sees no prior rows) and rebuild a consistent corpus,
+    not wedge on a path-existence lockstep check."""
+    import shutil
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    b0 = docs.where(F.col("doc_id") < 60)
+    corpus = str(tmp_path / "corpus")
+    dedup_ingest_batch(b0, 0, corpus)
+    shutil.rmtree(os.path.join(corpus, "bands"))  # simulate the crash
+    dedup_ingest_batch(b0, 0, corpus)  # replay must succeed
+    kept = read_kept(spark, corpus)
+    assert kept.count() == kept.select("doc_id").distinct().count()
+    bands = spark.read.parquet(os.path.join(corpus, "bands"))
+    # bands cover exactly the kept docs
+    assert (
+        bands.select("doc_id").distinct().count()
+        == kept.select("doc_id").distinct().count()
+    )
+    # and a follow-up batch dedups against the recovered corpus
+    b1 = b0.select((F.col("doc_id") + 700_000).alias("doc_id"), "text")
+    dedup_ingest_batch(b1, 1, corpus)
+    got = {r.doc_id for r in read_kept(spark, corpus).collect()}
+    assert not any(d >= 700_000 for d in got)
