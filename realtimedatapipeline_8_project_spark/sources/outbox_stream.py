@@ -8,29 +8,62 @@ a mark-as-sent commit (``:47-59``) so replays resume after the last
 acknowledged id. This module re-expresses that contract as a first-class
 Structured Streaming source:
 
-* ordered drain   -> each micro-batch is the next contiguous id range;
+* ordered drain   -> each micro-batch is the next contiguous slice of
+                     the append log (filename-major, append-minor);
 * ``LIMIT n``     -> ``maxRowsPerTrigger`` option (the reference's
                      batch-size / Kafka maxOffsetsPerTrigger analog, T4);
-* mark-as-sent    -> the source offset {"last_id": N} committed by the
-                     Spark checkpoint — exactly-once on our side without
-                     an UPDATE back into the source (K6 subsumed);
-* at-least-once replay -> ``readBetweenOffsets`` re-serves any committed
-  id range deterministically.
+* mark-as-sent    -> the source offset — a per-file byte position map
+                     ``{"files": {name: bytes_consumed}}`` — committed by
+                     the Spark checkpoint: exactly-once on our side
+                     without an UPDATE back into the source (K6 subsumed);
+* at-least-once replay -> ``readBetweenOffsets`` re-reads the exact byte
+  ranges of a committed offset span; append-only files make committed
+  bytes immutable, so replay is deterministic.
+
+Offsets are LOG POSITIONS, not id predicates (the Kafka partition-offset
+model). Two properties fall out, both fixes owed from round 6:
+
+* **O(pending) polls.** A fully drained file (size == consumed bytes) is
+  skipped on a stat alone and never re-opened; each trigger reads only
+  the bytes appended since the last commit, so poll cost tracks the
+  pending backlog — like the reference's indexed ``LIMIT n`` poll — not
+  the outbox's lifetime history.
+* **No out-of-order-id skips.** A row that becomes visible with an id
+  BELOW already-delivered ids (the classic transactional-outbox
+  out-of-order commit) is still appended at some log position beyond the
+  consumed offset, so it is delivered like any other pending row —
+  matching the reference relay, whose ``WHERE status='pending'`` re-poll
+  serves such rows regardless of id. The only producer contract is the
+  outbox trigger discipline itself: files are append-only (committed
+  bytes are never rewritten or truncated; a shrink fails the poll
+  loudly). Delivery order is log order; it equals id order exactly when
+  the producer appends in id order (the common single-writer case).
 
 The outbox itself is a directory of JSON-lines files (the test stand-in
 for the Postgres table; rows carry ``id, topic, key, payload``). The
 SimpleDataSourceStreamReader variant reads on the DRIVER — faithful to
 the reference, whose relay is a single poller process, and appropriate
-for an outbox (a queue drained in id order is inherently sequential;
-the heavy lifting happens downstream, distributed). The class bodies
-live inside a factory so they pickle by value (cloudpickle) — executors
-and a vanilla driver session never need this package importable (the
-UDTF/pandas-UDF discipline from operators/udtf_ops.py).
+for an outbox (a queue drained in log order is inherently sequential;
+the heavy lifting happens downstream, distributed). A long-lived outbox
+should rotate drained files into an archive prefix so the per-trigger
+directory stat stays small; offsets for files that disappear are simply
+retained (re-polls skip unlisted names), so retention of drained files
+is safe. The class bodies live inside a factory so they pickle by value
+(cloudpickle) — executors and a vanilla driver session never need this
+package importable (the UDTF/pandas-UDF discipline from
+operators/udtf_ops.py).
 """
 
 from __future__ import annotations
 
 OUTBOX_SCHEMA = "id bigint, topic string, key string, payload string"
+
+_LEGACY_MSG = (
+    "outbox offset {'last_id': ...} is the retired round-6 format; "
+    "offsets are now per-file byte positions {'files': {...}} — start "
+    "from a fresh checkpoint (the old watermark cannot express which "
+    "log bytes were consumed)"
+)
 
 
 def make_outbox_source():
@@ -49,30 +82,60 @@ def make_outbox_source():
         SimpleDataSourceStreamReader,
     )
 
-    def _scan(path: str) -> list[tuple]:
-        """All outbox rows in id order. Files are append-only (outbox
-        INSERT trigger discipline), so re-scans only ever see a superset;
-        id-ordering makes the scan deterministic regardless of file
-        layout."""
-        rows = []
-        for name in sorted(os.listdir(path)):
-            if not name.endswith(".jsonl"):
-                continue
-            with open(os.path.join(path, name)) as fh:
-                for line in fh:
-                    if not line.strip():
-                        continue
-                    r = json.loads(line)
-                    rows.append(
-                        (
-                            int(r["id"]),
-                            r.get("topic"),
-                            r.get("key"),
-                            r.get("payload"),
-                        )
-                    )
-        rows.sort(key=lambda t: t[0])
-        return rows
+    def _list_files(path: str) -> list[str]:
+        return sorted(n for n in os.listdir(path) if n.endswith(".jsonl"))
+
+    def _parse(line: bytes) -> tuple:
+        r = json.loads(line)
+        return (int(r["id"]), r.get("topic"), r.get("key"), r.get("payload"))
+
+    def _drain_file(fpath: str, start_byte: int, max_rows: int):
+        """Parse up to ``max_rows`` complete lines from the append-only
+        file starting at ``start_byte``; returns (rows, end_byte). An
+        incomplete trailing line (no newline yet) is left for the next
+        poll; blank lines advance the offset without producing rows."""
+        size = os.path.getsize(fpath)
+        if size < start_byte:
+            raise ValueError(
+                f"outbox file {fpath} shrank below the committed offset "
+                f"({size} < {start_byte}): append-only contract violated"
+            )
+        if size == start_byte:
+            return [], start_byte
+        with open(fpath, "rb") as fh:
+            fh.seek(start_byte)
+            buf = fh.read(size - start_byte)
+        rows: list[tuple] = []
+        pos = 0
+        end = start_byte
+        while len(rows) < max_rows:
+            nl = buf.find(b"\n", pos)
+            if nl == -1:
+                break
+            line = buf[pos:nl]
+            if line.strip():
+                rows.append(_parse(line))
+            pos = nl + 1
+            end = start_byte + pos
+        return rows, end
+
+    def _read_slice(fpath: str, start_byte: int, end_byte: int) -> list[tuple]:
+        """Rows in the committed byte range [start, end) — immutable in an
+        append-only file, hence a deterministic replay. A missing file
+        here means retention deleted a range a replay still needs: fail
+        loudly rather than silently dropping data."""
+        with open(fpath, "rb") as fh:
+            fh.seek(start_byte)
+            buf = fh.read(end_byte - start_byte)
+        return [
+            _parse(line) for line in buf.split(b"\n") if line.strip()
+        ]
+
+    def _files_of(offset: dict) -> dict:
+        files = offset.get("files")
+        if files is None:
+            raise ValueError(_LEGACY_MSG)
+        return files
 
     class OutboxStreamReader(SimpleDataSourceStreamReader):
         def __init__(self, options):
@@ -80,29 +143,53 @@ def make_outbox_source():
             self._limit = int(options.get("maxRowsPerTrigger", "1000"))
 
         def initialOffset(self) -> dict:
-            return {"last_id": -1}
+            return {"files": {}}
 
         def read(self, start: dict):
-            pending = [
-                r for r in _scan(self._path) if r[0] > start["last_id"]
-            ][: self._limit]
-            if not pending:
+            prior = _files_of(start)
+            files = dict(prior)
+            budget = self._limit
+            out: list[tuple] = []
+            for name in _list_files(self._path):
+                if budget <= 0:
+                    break
+                consumed = int(files.get(name, 0))
+                fpath = os.path.join(self._path, name)
+                if os.path.getsize(fpath) == consumed:
+                    continue  # drained: stat only, never re-opened
+                rows, end = _drain_file(fpath, consumed, budget)
+                if end != consumed:
+                    files[name] = end
+                    out.extend(rows)
+                    budget -= len(rows)
+            if files == prior:
                 return iter([]), start
-            return iter(pending), {"last_id": pending[-1][0]}
+            return iter(out), {"files": files}
 
         def readBetweenOffsets(self, start: dict, end: dict):
-            return iter(
-                r
-                for r in _scan(self._path)
-                if start["last_id"] < r[0] <= end["last_id"]
-            )
+            sf = _files_of(start)
+            ef = _files_of(end)
+            rows: list[tuple] = []
+            for name in sorted(ef):
+                s = int(sf.get(name, 0))
+                e = int(ef[name])
+                if e > s:
+                    rows.extend(
+                        _read_slice(os.path.join(self._path, name), s, e)
+                    )
+            return iter(rows)
 
     class OutboxBatchReader(DataSourceReader):
         def __init__(self, options):
             self._path = options["path"]
 
         def read(self, partition):
-            return iter(_scan(self._path))
+            rows: list[tuple] = []
+            for name in _list_files(self._path):
+                fpath = os.path.join(self._path, name)
+                rows.extend(_read_slice(fpath, 0, os.path.getsize(fpath)))
+            rows.sort(key=lambda t: t[0])
+            return iter(rows)
 
     class OutboxDataSource(DataSource):
         @classmethod
