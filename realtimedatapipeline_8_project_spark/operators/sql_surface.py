@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.tables import load_table, register_views
 
@@ -282,3 +283,160 @@ QUERIES["sql_min_cost_supplier"] = (
     q_min_cost_supplier,
     ORACLE_MIN_COST_SUPPLIER,
 )
+
+
+# --- TPC-H Q21 shape: suppliers who kept the order waiting ----------------
+# The canonical planner torture test: TWO correlated subqueries (EXISTS +
+# NOT EXISTS) against the same fact, each correlated on the outer
+# orderkey AND — because the fixture has no l_commitdate/l_receiptdate,
+# lateness is l_shipdate > o_orderdate + WAITING_DAYS — on the outer
+# order's o_orderdate (a genuinely multi-column correlation). Catalyst
+# must decorrelate both into existence joins (LeftSemi + LeftAnti with
+# the non-equi lateness predicate as a join condition), never per-row
+# subquery execution; the fact appears a bounded number of times (the
+# base + one scan per subquery), plan-pinned in tests/test_plans.py.
+# Deterministic: s_name is unique, so ORDER BY numwait DESC, s_name
+# LIMIT 100 has no tie hazard. The identical string runs on DuckDB.
+
+WAITING_DAYS = 365
+
+_Q21_SQL = f"""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL {WAITING_DAYS} DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL {WAITING_DAYS} DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
+
+
+QUERIES["sql_waiting_suppliers"] = (q_waiting_suppliers, _Q21_SQL)
+
+
+def q_waiting_suppliers_1scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plan you'd actually run at 100 TB for the Q21 shape — same
+    result, same oracle as :func:`q_waiting_suppliers` (cross-validated
+    against the EXISTS/NOT EXISTS spelling).
+
+    The decorrelated textbook form scans the fact three times (base +
+    semi + anti). But both subqueries only ask order-local questions —
+    "does another supplier appear in this order?" / "is another supplier
+    late in this order?" — so ONE orderkey-partitioned window over the
+    single (lineitem JOIN 'F'-orders) scan answers both: collect the
+    order's supplier set and its late-supplier set, then a row is a
+    waiting-supplier candidate iff it is late, the order has >= 2
+    suppliers, and the late-supplier set is exactly {{itself}}. One fact
+    scan, one orderkey exchange (orders are at most a few lineitems, so
+    the per-order sets are tiny), then a supplier-grain aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {WAITING_DAYS} DAY"
+    )
+    fact = (
+        li.join(
+            orders.where(F.col("o_orderstatus") == "F"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .withColumn("is_late", late)
+        .select("l_orderkey", "l_suppkey", "is_late")
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = fact.select(
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
+        .alias("late_supps"),
+    )
+    cand = flagged.where(
+        F.col("is_late")
+        & (F.col("n_supp") >= 2)
+        & (F.size("late_supps") == 1)
+    )
+    return (
+        cand.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(sup, cand.l_suppkey == sup.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+QUERIES["agg_waiting_suppliers_1scan"] = (q_waiting_suppliers_1scan, _Q21_SQL)
+
+
+# --- TPC-H Q20 shape: suppliers with excess shipments ---------------------
+# Nested IN-subqueries with a correlated scalar threshold — Q20's
+# structure with the per-(supplier, part) shipped-quantity aggregate
+# standing in for partsupp (the fixture has no partsupp table): a
+# supplier qualifies if, for some qualifying part, its share of that
+# part's in-window shipments exceeds EXCESS_SHARE. Catalyst decorrelates
+# the scalar subquery into a per-part aggregate + join and both INs into
+# semi joins (plan-pinned: no per-row subquery execution). Quantity sums
+# are exact DECIMAL and the share comparison is cross-multiplied into
+# integer-free decimal arithmetic (10*qty > 3*total), so the threshold
+# decision cannot flip on float rounding between engines. The identical
+# string runs on DuckDB.
+
+Q20_PART_PREFIX = "small"
+Q20_YEAR = 1996
+
+_Q20_SQL = f"""
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT ps.suppkey FROM (
+    SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+           SUM(CAST(l_quantity AS DECIMAL(27,6))) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= DATE '{Q20_YEAR}-01-01'
+      AND l_shipdate < DATE '{Q20_YEAR + 1}-01-01'
+    GROUP BY 1, 2
+  ) ps
+  WHERE ps.partkey IN (
+      SELECT p_partkey FROM part WHERE p_name LIKE '{Q20_PART_PREFIX}%'
+    )
+    AND 10 * ps.qty > 3 * (
+      SELECT SUM(CAST(l2.l_quantity AS DECIMAL(27,6)))
+      FROM lineitem l2
+      WHERE l2.l_partkey = ps.partkey
+        AND l2.l_shipdate >= DATE '{Q20_YEAR}-01-01'
+        AND l2.l_shipdate < DATE '{Q20_YEAR + 1}-01-01'
+    )
+)
+ORDER BY s_name
+"""
+
+
+def q_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q20_SQL)
+
+
+QUERIES["sql_excess_shipments"] = (q_excess_shipments, _Q20_SQL)

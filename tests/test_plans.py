@@ -659,3 +659,44 @@ def test_disjunctive_revenue_pushes_implied_bounds_to_both_scans(
     ]
     assert part_scans and "In(p_brand" in part_scans[0]
     assert "BroadcastHashJoin" in p and "CartesianProduct" not in p
+
+
+def test_q21_exists_decorrelates_to_semi_anti_bounded_scans(spark, sf_small):
+    """sql_waiting_suppliers (TPC-H Q21 shape): both correlated
+    subqueries decorrelate into existence joins — never per-row subquery
+    execution — and the fact appears a bounded number of times (base +
+    one scan per subquery)."""
+    p = plan_of(spark, sf_small, "sql_waiting_suppliers")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert p.count("lineitem.parquet") == 3
+    assert "BroadcastNestedLoop" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q21_single_scan_rewrite_scans_fact_once(spark, sf_small):
+    """agg_waiting_suppliers_1scan: the production rewrite answers both
+    order-local existence questions from ONE fact scan via an
+    orderkey-partitioned window — one scan, one orderkey exchange."""
+    p = plan_of(spark, sf_small, "agg_waiting_suppliers_1scan")
+    assert p.count("lineitem.parquet") == 1
+    assert "Window" in p
+    assert p.count("hashpartitioning(l_orderkey") >= 1
+
+
+def test_q20_nested_in_decorrelates_to_semi_joins(spark, sf_small):
+    """sql_excess_shipments (TPC-H Q20 shape): nested INs become semi
+    joins, the correlated scalar threshold becomes a per-part aggregate
+    + join (one extra fact scan, bounded), no per-row execution."""
+    p = plan_of(spark, sf_small, "sql_excess_shipments")
+    assert "LeftSemi" in p
+    assert p.count("lineitem.parquet") == 2
+    assert "BroadcastNestedLoop" not in p
+    assert "CartesianProduct" not in p
+    # the ship-date window is pushed into both fact scans
+    pushed = [
+        l
+        for l in p.splitlines()
+        if "PushedFilters" in l and "l_shipdate" in l
+    ]
+    assert len(pushed) >= 2
