@@ -672,9 +672,14 @@ def q_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(words(normalized_text("text"))).alias("pos", "term"),
     )
     vocab = vocab_ids(terms.select("doc_id", "term"))
+    # hint-free vocab join (ADVICE r6): the vocabulary grows with the
+    # corpus — the whole point of the distributed id assignment — so a
+    # forced broadcast would hit the driver at scale; AQE broadcasts it
+    # locally while it is small and shuffle-hashes at 100x. Only the
+    # ~60-row tier-offset table inside vocab_ids stays hinted.
     enc = (
         terms.where(F.col("doc_id") % ENC_DOCS_MOD == 0)
-        .join(F.broadcast(vocab.select("term", "id")), "term")
+        .join(vocab.select("term", "id"), "term")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -716,3 +721,91 @@ GROUP BY t.doc_id
 """
 
 QUERIES["text_encode_ids"] = (q_encode_ids, ORACLE_ENCODE_IDS)
+
+
+# --- boolean retrieval served FROM the stored index ------------------------
+# q_boolean_search answers a conjunctive query by re-exploding the whole
+# corpus; q_inverted_index builds exactly the structure that answers it.
+# This operator closes the loop (VERDICT r6 item 4): the FULL posting
+# lists (not just display heads) are written once as a term-keyed
+# parquet artifact, and the query is answered by posting-list
+# intersection against that artifact — cost proportional to the query
+# terms' postings, with the corpus untouched (plan-pinned: no documents
+# scan in the search plan).
+#
+# Representation: postings are (term, doc_id) ROWS, repartitioned by
+# term and sorted (term, doc_id) within files — not one array per term.
+# Row form is the scale-safe choice: a stop-word's posting list shards
+# across row groups instead of materializing one unbounded array cell,
+# the IN(term) filter pushes into the parquet scan where sorted-by-term
+# row-group min/max stats prune everything else, and intersection is a
+# doc_id-grain count over the surviving rows (shuffling only the query
+# terms' postings). The artifact is fingerprinted by the absolute sf
+# path + documents.parquet (size, mtime) — a regenerated fixture can
+# never serve a stale index (the graph_pagerank_bucketed discipline).
+
+
+def posting_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import re
+    from urllib.parse import urlparse
+
+    base = os.path.abspath(sf_dir.rstrip("/"))
+    try:
+        st = os.stat(os.path.join(base, "documents.parquet"))
+        ident = f"{base}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        ident = f"{base}|absent"
+    fp = hashlib.sha256(ident.encode()).hexdigest()[:10]
+    tag = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(base))
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    return os.path.join(wh, f"text_postings_{tag}_{fp}")
+
+
+def build_posting_index(spark: SparkSession, sf_dir: str) -> str:
+    """One-time (per fixture identity) build of the full posting-list
+    artifact; returns its path. Idempotent — a readable existing
+    artifact is reused, any doubt triggers a rebuild."""
+    import os
+    import shutil
+
+    path = posting_index_path(spark, sf_dir)
+    if os.path.isdir(path):
+        try:
+            spark.read.parquet(path).limit(1).count()
+            return path
+        except Exception:
+            shutil.rmtree(path, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select(
+            "doc_id", F.explode(words(normalized_text("text"))).alias("term")
+        )
+        .dropDuplicates(["term", "doc_id"])
+    )
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    (
+        postings.repartition(n, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def q_search_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = build_posting_index(spark, sf_dir)
+    k = len(BOOL_QUERY_TERMS)
+    idx = spark.read.parquet(path)
+    return (
+        idx.where(F.col("term").isin(*BOOL_QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n_hit"))
+        .where(F.col("n_hit") == k)
+        .select("doc_id", F.lit(k).cast("long").alias("n_terms_matched"))
+    )
+
+
+# same semantics as the corpus-scan spelling — the oracle IS that form
+QUERIES["text_search_from_index"] = (q_search_from_index, ORACLE_BOOLEAN_SEARCH)

@@ -700,3 +700,27 @@ def test_q20_nested_in_decorrelates_to_semi_joins(spark, sf_small):
         if "PushedFilters" in l and "l_shipdate" in l
     ]
     assert len(pushed) >= 2
+
+
+def test_search_from_index_never_scans_corpus(spark, sf_small):
+    """text_search_from_index: the conjunctive query is answered from the
+    stored posting-list artifact — no documents scan anywhere in the
+    plan, the term IN-filter pushed into the postings scan — and the
+    artifact build is idempotent (second call reuses, no rewrite)."""
+    import os
+
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        build_posting_index,
+    )
+
+    path = build_posting_index(spark, sf_small)
+    stamp = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    p = plan_of(spark, sf_small, "text_search_from_index")
+    assert "documents.parquet" not in p
+    assert p.count("text_postings") >= 1
+    pushed = [
+        l for l in p.splitlines() if "PushedFilters" in l and "In(term" in l
+    ]
+    assert pushed, "term IN-filter must push into the postings scan"
+    # reused, not rebuilt
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == stamp
