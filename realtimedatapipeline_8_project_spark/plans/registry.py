@@ -66,77 +66,75 @@ _MODULES = (
 
 # The driver's per-round CORRECTNESS check covers a prefix of the registry
 # (50 entries). Order is therefore a verification budget: queries named
-# here register FIRST. Round-6 budget (freshness rotation, part 2 of 2 —
-# VERDICT r5 item 1): the flagship, every query whose plan changed THIS
-# round (the incremental-dedup verify-leg fix, the parameterized-codebook
-# family, the rebalance integer arithmetic, the guarded jaccard_of), the
-# 8 queries NEW this round (native chunker twin, intra-batch dedup, TPC-H
-# Q17/Q15/Q13/Q19 shapes, inverted index, boolean search, id-encoding),
-# then ALL 30 queries whose newest row is round 3 (at the staleness
-# limit), then the dedup/similarity r04 rows whose shared helpers this
-# round touches. ROUND-7 BUDGET (owed): the 37 then-r04-latest rows
-# (asof/contamination/curation/sampling/scale/sim_knn/text/ts families —
-# they hit the two-round limit), the flagship, any round-7 plan changes,
-# and as many of the 46 r05-latest as fit; with 133 queries on a
-# 50/round budget, roughly 36 r05 rows structurally spill to round 8 at
-# 3 rounds stale. Names not listed keep module order.
+# here register FIRST. Round-7 budget (freshness rotation, VERDICT r6
+# item 1): the flagship, the query whose plan changed THIS round
+# (text_encode_ids lost its forced vocab broadcast), the 5 queries NEW
+# this round (stored-index boolean retrieval, the TPC-H Q21 shape in
+# both its EXISTS and single-scan spellings, the Q20 shape), then ALL 37
+# queries whose newest driver row is round 4 (at the two-round staleness
+# limit), then 7 of the 46 round-5-latest rows (the bench watch item
+# graph_pagerank and a cross-family spread). ROUND-8 BUDGET (owed): the
+# remaining 39 r05-latest rows hit the staleness limit next round and
+# must lead the prefix, plus the flagship and any round-8 plan changes;
+# 39 + flagship fits the 50 budget with ~10 slots for new/changed
+# queries. Names not listed keep module order.
 _PRIORITY = (
     # flagship stays verified every round
     "enrich_broadcast_left_join",
-    # --- plan changed in round 6: old rows no longer describe the code ---
-    "dedup_incremental",  # verify leg now shingles only candidate base docs
-    "dedup_semantic_pairs",  # codebook size parameterized (default pinned)
-    "sim_knn_ivf_trained",  # same codebook parameterization
-    "sample_source_rebalance",  # keep-threshold now true integer division
-    # --- new in round 6 ---
-    "chunk_windows_native",  # sequence()+explode twin of the UDTF chunker
-    "dedup_intra_batch",  # within-batch cluster collapse (recursive oracle)
-    "agg_small_quantity_revenue",  # TPC-H Q17 shape, windowed-AVG single scan
-    "agg_top_supplier_revenue",  # TPC-H Q15 shape, no-global-window argmax
-    "agg_order_count_distribution",  # TPC-H Q13 shape, zero-count bucket
-    "text_inverted_index",  # bounded posting-list build
-    "text_boolean_search",  # conjunctive retrieval, count==k
-    "agg_disjunctive_revenue",  # TPC-H Q19 shape, implied-bound pushdown
-    "text_encode_ids",  # dense vocab ids without a global window
-    # --- newest row is round 3: at the staleness limit, refresh all 30 ---
-    "curation_end_to_end",
-    "enum_validation_filter",
-    "fuzzy_name_match",
-    "interval_overlap_sessions",
-    "join_full_outer",
-    "json_decode",
-    "kafka_producer_projection",
-    "kv_projection",
-    "layout_zorder",
-    "media_frame_sample",
-    "merge_apply_changes",
-    "ordered_drain",
-    "pit_state_join",
-    "point_lookup_string_hash",
-    "range_join_bucketed",
-    "reference_engagement_metrics",
-    "sample_weighted_reservoir",
-    "sim_kmeans_train",
-    "sketch_hll_portable",
-    "snapshot_diff_cdc",
-    "sparse_doc_cosine",
-    "sql_exists_correlated",
-    "topk_recent",
-    "uuid_repair",
-    "win_distribution_family",
-    "win_event_gaps",
-    "win_funnel_dropoff",
-    "win_latest_per_user",
-    "win_trailing_range_frame",
-    "agg_approx_distinct",  # rows-only by design (approximate)
-    # --- round-4-latest rotation, part 1 of 2: the dedup/similarity
-    # families (shared helpers touched this round), rest rotate in r7 ---
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "dedup_minhash_neardup",  # rows-only by design (twin-pinned)
-    "dedup_simhash_neardup",  # rows-only by design (twin-pinned)
-    "dedup_cluster_components",
-    "dedup_jaccard_vs_probe",  # r6 plan change: guarded jaccard_of
+    # --- plan changed in round 7: old rows no longer describe the code ---
+    "text_encode_ids",  # vocab join is now hint-free (AQE decides)
+    # --- new in round 7 ---
+    "text_search_from_index",  # boolean retrieval from the stored index
+    "sql_waiting_suppliers",  # TPC-H Q21 shape, EXISTS/NOT EXISTS form
+    "agg_waiting_suppliers_1scan",  # Q21 single-fact-scan rewrite
+    "sql_excess_shipments",  # TPC-H Q20 shape, nested IN + corr. scalar
+    # --- newest row is round 4: at the staleness limit, refresh all 37 ---
+    "asof_last_purchase",
+    "contamination_ngram_overlap",
+    "curation_pii_redact",
+    "curation_source_mix",
+    "dedup_events_exact",
+    "dedup_exact_fingerprint",
+    "dedup_survivors",
+    "dq_outliers",
+    "hypertable_rollup",
+    "pivot_event_types",
+    "sample_pack_sequences",
+    "sample_quality_gate",
+    "sample_shard_plan",
+    "sample_split_assign",
+    "sample_split_leakage_safe",
+    "sample_stratified",
+    "scale_bloom_semijoin",
+    "scale_salted_agg",
+    "scale_salted_join",
+    "scd2_user_state_history",
+    "sim_embedding_neardup",
+    "sim_embedding_quantize",
+    "sim_embedding_stats",
+    "sim_knn_bruteforce",
+    "sim_knn_ivf",
+    "sim_knn_lsh",
+    "sketch_count_min_estimate",
+    "sql_grouping_sets",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_term_salience",
+    "text_token_count",
+    "text_winnow_fingerprint",
+    "ts_gapfill_forward_fill",
+    "win_running_spend",
+    "win_tumbling_hour",
+    # --- round-5-latest rotation, part 1 of 2: the bench watch item and
+    # a cross-family spread; the other 39 lead round 8 ---
+    "graph_pagerank",
+    "pandas_user_trend",
+    "sql_min_cost_supplier",
+    "agg_pricing_summary",
+    "dedup_survivors_quality",
+    "win_sessionize",
+    "json_variant",
 )
 
 # Redundant registry entries retired to keep the checked prefix dense:
