@@ -99,6 +99,12 @@ HEADLINE = [
     "text_boolean_search",
     "agg_disjunctive_revenue",
     "text_encode_ids",
+    # round-7 additions
+    "text_search_from_index",
+    "sql_waiting_suppliers",
+    "agg_waiting_suppliers_1scan",
+    "sql_excess_shipments",
+    "sql_dormant_customers",
 ]
 
 

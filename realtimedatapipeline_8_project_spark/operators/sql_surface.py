@@ -440,3 +440,47 @@ def q_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["sql_excess_shipments"] = (q_excess_shipments, _Q20_SQL)
+
+
+# --- TPC-H Q22 shape: dormant high-balance customers ----------------------
+# The last of the three classic decorrelation stress cases (Q20/Q21/
+# Q22): an uncorrelated scalar AVG threshold + a correlated NOT EXISTS
+# anti join. Adapted to the fixture (no c_phone; every customer has
+# SOME order, so dormancy is "no order since Q22_DORMANT_SINCE"):
+# customers in selected nations whose balance exceeds the average
+# positive balance of that nation group AND who placed no recent order.
+# The average threshold is cross-multiplied (COUNT * balance > SUM) in
+# exact DECIMAL, so the boundary decision cannot flip on division
+# rounding between engines. Catalyst plans the scalars as one-row
+# subquery broadcasts and the NOT EXISTS as a LeftAnti with the date
+# predicate pushed into the orders scan (plan-pinned). The identical
+# string runs on DuckDB.
+
+Q22_NATIONS = (1, 3, 5, 7, 9, 11, 13)
+Q22_DORMANT_SINCE = "2000-06-01"
+
+_Q22_NATION_IN = ", ".join(str(n) for n in Q22_NATIONS)
+_Q22_SQL = f"""
+SELECT n_name, COUNT(*) AS numcust,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(27,6))), 2) AS DOUBLE)
+         AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_nationkey IN ({_Q22_NATION_IN})
+  AND (SELECT COUNT(*) FROM customer
+       WHERE c_acctbal > 0 AND c_nationkey IN ({_Q22_NATION_IN}))
+      * CAST(c_acctbal AS DECIMAL(27,6)) >
+      (SELECT SUM(CAST(c_acctbal AS DECIMAL(27,6))) FROM customer
+       WHERE c_acctbal > 0 AND c_nationkey IN ({_Q22_NATION_IN}))
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '{Q22_DORMANT_SINCE}')
+GROUP BY n_name
+"""
+
+
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q22_SQL)
+
+
+QUERIES["sql_dormant_customers"] = (q_dormant_customers, _Q22_SQL)

@@ -70,13 +70,13 @@ _MODULES = (
 # item 1): the flagship, the query whose plan changed THIS round
 # (text_encode_ids lost its forced vocab broadcast), the 5 queries NEW
 # this round (stored-index boolean retrieval, the TPC-H Q21 shape in
-# both its EXISTS and single-scan spellings, the Q20 shape), then ALL 37
+# both its EXISTS and single-scan spellings, the Q20 and Q22 shapes), then ALL 37
 # queries whose newest driver row is round 4 (at the two-round staleness
-# limit), then 7 of the 46 round-5-latest rows (the bench watch item
+# limit), then 6 of the 46 round-5-latest rows (the bench watch item
 # graph_pagerank and a cross-family spread). ROUND-8 BUDGET (owed): the
-# remaining 39 r05-latest rows hit the staleness limit next round and
+# remaining 40 r05-latest rows hit the staleness limit next round and
 # must lead the prefix, plus the flagship and any round-8 plan changes;
-# 39 + flagship fits the 50 budget with ~10 slots for new/changed
+# 40 + flagship fits the 50 budget with ~10 slots for new/changed
 # queries. Names not listed keep module order.
 _PRIORITY = (
     # flagship stays verified every round
@@ -88,6 +88,7 @@ _PRIORITY = (
     "sql_waiting_suppliers",  # TPC-H Q21 shape, EXISTS/NOT EXISTS form
     "agg_waiting_suppliers_1scan",  # Q21 single-fact-scan rewrite
     "sql_excess_shipments",  # TPC-H Q20 shape, nested IN + corr. scalar
+    "sql_dormant_customers",  # TPC-H Q22 shape, anti join + scalar avg
     # --- newest row is round 4: at the staleness limit, refresh all 37 ---
     "asof_last_purchase",
     "contamination_ngram_overlap",
@@ -134,7 +135,6 @@ _PRIORITY = (
     "agg_pricing_summary",
     "dedup_survivors_quality",
     "win_sessionize",
-    "json_variant",
 )
 
 # Redundant registry entries retired to keep the checked prefix dense:

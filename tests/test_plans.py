@@ -724,3 +724,19 @@ def test_search_from_index_never_scans_corpus(spark, sf_small):
     assert pushed, "term IN-filter must push into the postings scan"
     # reused, not rebuilt
     assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == stamp
+
+
+def test_q22_anti_join_with_pushed_date_filter(spark, sf_small):
+    """sql_dormant_customers (TPC-H Q22 shape): the NOT EXISTS becomes a
+    LeftAnti, the dormancy date predicate is pushed into the orders
+    scan, the scalar thresholds are one-row subquery broadcasts — no
+    per-row subquery execution, no nested-loop fallback on the fact."""
+    p = plan_of(spark, sf_small, "sql_dormant_customers")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    pushed = [
+        l
+        for l in p.splitlines()
+        if "PushedFilters" in l and "o_orderdate" in l
+    ]
+    assert pushed, "dormancy date filter must push into the orders scan"
