@@ -740,3 +740,15 @@ def test_q22_anti_join_with_pushed_date_filter(spark, sf_small):
         if "PushedFilters" in l and "o_orderdate" in l
     ]
     assert pushed, "dormancy date filter must push into the orders scan"
+
+
+def test_q21_spellings_agree(spark, sf_small):
+    """The EXISTS/NOT EXISTS spelling and the single-scan window rewrite
+    of the Q21 shape are the same function — pinned directly Spark vs
+    Spark (the driver additionally cross-validates both against one
+    DuckDB oracle)."""
+    a = QUERIES["sql_waiting_suppliers"](spark, sf_small)
+    b = QUERIES["agg_waiting_suppliers_1scan"](spark, sf_small)
+    rows_a = sorted(map(str, a.collect()))
+    rows_b = sorted(map(str, b.collect()))
+    assert rows_a == rows_b
