@@ -105,6 +105,7 @@ HEADLINE = [
     "agg_waiting_suppliers_1scan",
     "sql_excess_shipments",
     "sql_dormant_customers",
+    "text_bm25_topk",
 ]
 
 

@@ -809,3 +809,145 @@ def q_search_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # same semantics as the corpus-scan spelling — the oracle IS that form
 QUERIES["text_search_from_index"] = (q_search_from_index, ORACLE_BOOLEAN_SEARCH)
+
+
+# --- BM25-scored top-k retrieval ------------------------------------------
+# Completes the retrieval arc (index -> boolean -> SCORED ranking): the
+# standard Okapi BM25 ranking function (Robertson et al., public
+# formula) over the fixed query terms, top-K docs. The LLM-pipeline
+# use: scored retrieval for curation and hard-negative mining.
+#
+# Scale shape: ONE corpus scan, one explode, one doc_id-grain partial-
+# aggregated exchange. Because the query terms are a fixed small set,
+# per-term tf becomes conditional counts inside the same per-doc
+# aggregate that computes document length — no second pass, no
+# per-(term, doc) join. The corpus statistics (N, total token count,
+# per-term df) collapse to ONE row, broadcast back over the per-doc
+# frame; top-K is TakeOrderedAndProject. At 100 TB: scan + one
+# exchange of doc_id-grain rows, nothing quadratic, no Python.
+#
+# Cross-engine determinism: each per-term contribution
+#   idf(term) * tf*(k1+1) / (tf + k1*(1 - b + b*dl*N/total))
+# is computed from INTEGER inputs (tf, dl, df, N, total) with an
+# identical expression tree in both engines, then quantized to integer
+# micro-units (ROUND(x * 1e6) AS BIGINT) BEFORE summing — the per-doc
+# score is a sum of 3 integers, exact and order-independent (the dsum
+# discipline), so the ranking compare is integer-exact. The only
+# residual risk is a contribution landing within 1 ULP of a
+# 0.5-micro-unit boundary across libm implementations — measure-zero
+# on integer-derived inputs, validated by the driver's hash-match.
+
+BM25_K1_NUM, BM25_K1_DEN = 6, 5  # k1 = 1.2, exact rational
+BM25_B_NUM, BM25_B_DEN = 3, 4  # b = 0.75, exact rational
+BM25_TOPK = 10
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(words(normalized_text("text"))).alias("term")
+    )
+    terms = list(BOOL_QUERY_TERMS)
+    # doc-grain aggregate, consumed twice (corpus stats + scoring):
+    # lineage-truncated so the corpus is scanned/exploded exactly once
+    # (the agg_top_supplier_revenue discipline — the checkpointed frame
+    # is |docs| rows, never the token stream)
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.count(F.when(F.col("term") == t, F.lit(1))).alias(
+                    f"tf_{i}"
+                )
+                for i, t in enumerate(terms)
+            ],
+        )
+        .localCheckpoint()
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, F.lit(1))).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    k1 = F.lit(BM25_K1_NUM) / F.lit(BM25_K1_DEN)
+    b = F.lit(BM25_B_NUM) / F.lit(BM25_B_DEN)
+
+    def contrib(i: int):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf_part = (tf * (k1 + F.lit(1.0))) / (
+            tf
+            + k1
+            * (
+                F.lit(1.0)
+                - b
+                + b * F.col("dl") * F.col("n_docs") / F.col("total_dl")
+            )
+        )
+        return F.when(
+            tf > 0,
+            F.round(idf * tf_part * F.lit(1_000_000), 0).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+
+    score = contrib(0)
+    for i in range(1, len(terms)):
+        score = score + contrib(i)
+    hit = F.col("tf_0") > 0
+    for i in range(1, len(terms)):
+        hit = hit | (F.col(f"tf_{i}") > 0)
+    return (
+        per_doc.crossJoin(F.broadcast(stats))  # 1-row scalar frame
+        .where(hit)
+        .select("doc_id", score.alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+def _oracle_bm25() -> str:
+    terms = list(BOOL_QUERY_TERMS)
+    tf_cols = ",\n         ".join(
+        f"COUNT(*) FILTER (term = '{t}') AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"COUNT(*) FILTER (tf_{i} > 0) AS df_{i}" for i in range(len(terms))
+    )
+    k1 = f"{BM25_K1_NUM}/{BM25_K1_DEN}"
+    b = f"{BM25_B_NUM}/{BM25_B_DEN}"
+    contribs = " + ".join(
+        f"""CASE WHEN tf_{i} > 0 THEN CAST(ROUND(
+           ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)
+           * (tf_{i} * ({k1} + 1.0))
+           / (tf_{i} + {k1} * (1.0 - {b} + {b} * dl * n_docs / total_dl))
+           * 1000000, 0) AS BIGINT) ELSE 0 END"""
+        for i in range(len(terms))
+    )
+    hit = " OR ".join(f"tf_{i} > 0" for i in range(len(terms)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_O_WORDS}) AS term FROM documents
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS dl,
+         {tf_cols}
+  FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl, {df_cols} FROM per_doc
+)
+SELECT doc_id, {contribs} AS score_micro
+FROM per_doc CROSS JOIN stats
+WHERE {hit}
+ORDER BY score_micro DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""
+
+
+QUERIES["text_bm25_topk"] = (q_bm25_topk, _oracle_bm25())

@@ -752,3 +752,15 @@ def test_q21_spellings_agree(spark, sf_small):
     rows_a = sorted(map(str, a.collect()))
     rows_b = sorted(map(str, b.collect()))
     assert rows_a == rows_b
+
+
+def test_bm25_single_corpus_pass_and_take_ordered(spark, sf_small):
+    """text_bm25_topk: the doc-grain aggregate is lineage-truncated, so
+    the final plan reads the checkpointed frame — the corpus is scanned
+    and exploded exactly once (inside the checkpoint), the 1-row stats
+    frame broadcasts, and top-k is TakeOrderedAndProject, all JVM-side."""
+    p = plan_of(spark, sf_small, "text_bm25_topk")
+    assert "documents.parquet" not in p  # corpus pass happened once, inside the checkpoint
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "Python" not in p
