@@ -106,6 +106,7 @@ HEADLINE = [
     "sql_excess_shipments",
     "sql_dormant_customers",
     "text_bm25_topk",
+    "text_bm25_from_index",
 ]
 
 

@@ -951,3 +951,108 @@ LIMIT {BM25_TOPK}
 
 
 QUERIES["text_bm25_topk"] = (q_bm25_topk, _oracle_bm25())
+
+
+# --- BM25 served FROM a stored scored index --------------------------------
+# The production search-service shape: the corpus pass is paid ONCE at
+# index-build time, and a query touches only its own terms' postings.
+# The artifact denormalizes everything scoring needs into the posting
+# row — (term, doc_id, tf, dl) — plus a 1-row corpus-stats table
+# (n_docs, total_dl); per-term df needs no stored column at all because
+# the FULL posting lists are stored: df = the count of retrieved
+# postings per query term. Query cost: a pushed-IN postings scan
+# (term-sorted row groups prune), a tiny per-term df aggregate
+# broadcast back, per-row integer-microunit contributions, one doc_id
+# sum, TakeOrderedAndProject. Same quantized formula, same oracle as
+# q_bm25_topk (the corpus-scan spelling) — the driver proves the
+# artifact path equals the direct computation.
+
+def scored_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    return posting_index_path(spark, sf_dir) + "_scored"
+
+
+def build_scored_index(spark: SparkSession, sf_dir: str) -> str:
+    """One-time (per fixture identity) build of the BM25-ready postings
+    artifact: ``postings/`` = (term, doc_id, tf, dl) term-repartitioned
+    and term-sorted; ``stats/`` = 1 row (n_docs, total_dl)."""
+    import os
+    import shutil
+
+    root = scored_index_path(spark, sf_dir)
+    if os.path.isdir(root):
+        try:
+            spark.read.parquet(os.path.join(root, "postings")).limit(1).count()
+            spark.read.parquet(os.path.join(root, "stats")).limit(1).count()
+            return root
+        except Exception:
+            shutil.rmtree(root, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(words(normalized_text("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("doc_id")
+    postings = tf.withColumn("dl", F.sum("tf").over(w))
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    (
+        postings.repartition(n, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "postings"))
+    )
+    stats = (
+        spark.read.parquet(os.path.join(root, "postings"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("tf").alias("total_dl"),
+        )
+    )
+    stats.write.mode("overwrite").parquet(os.path.join(root, "stats"))
+    return root
+
+
+def q_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    root = build_scored_index(spark, sf_dir)
+    idx = spark.read.parquet(os.path.join(root, "postings")).where(
+        F.col("term").isin(*BOOL_QUERY_TERMS)
+    )
+    stats = spark.read.parquet(os.path.join(root, "stats"))
+    df_t = idx.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1 = F.lit(BM25_K1_NUM) / F.lit(BM25_K1_DEN)
+    b = F.lit(BM25_B_NUM) / F.lit(BM25_B_DEN)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_part = (F.col("tf") * (k1 + F.lit(1.0))) / (
+        F.col("tf")
+        + k1
+        * (
+            F.lit(1.0)
+            - b
+            + b * F.col("dl") * F.col("n_docs") / F.col("total_dl")
+        )
+    )
+    return (
+        idx.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))  # 1-row scalar frame
+        .select(
+            "doc_id",
+            F.round(idf * tf_part * F.lit(1_000_000), 0)
+            .cast("long")
+            .alias("c_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c_micro").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+# the artifact path must equal the direct corpus computation
+QUERIES["text_bm25_from_index"] = (q_bm25_from_index, _oracle_bm25())

@@ -764,3 +764,42 @@ def test_bm25_single_corpus_pass_and_take_ordered(spark, sf_small):
     assert "TakeOrderedAndProject" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "Python" not in p
+
+
+def test_bm25_from_index_never_scans_corpus(spark, sf_small):
+    """text_bm25_from_index: ranking served entirely from the stored
+    scored-postings artifact — no documents scan, the query terms pushed
+    as an IN filter into the postings scan (both consumers of the
+    pruned postings read ∝ the query terms' lists), integer-microunit
+    scoring, TakeOrderedAndProject top-k."""
+    import os
+
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        build_scored_index,
+    )
+
+    root = build_scored_index(spark, sf_small)
+    stamp = os.path.getmtime(
+        os.path.join(root, "postings", "_SUCCESS")
+    )
+    p = plan_of(spark, sf_small, "text_bm25_from_index")
+    assert "documents.parquet" not in p
+    pushed = [
+        l for l in p.splitlines() if "PushedFilters" in l and "In(term" in l
+    ]
+    assert pushed, "term IN-filter must push into the postings scan"
+    assert "TakeOrderedAndProject" in p
+    assert "Python" not in p
+    # reused, not rebuilt
+    assert (
+        os.path.getmtime(os.path.join(root, "postings", "_SUCCESS")) == stamp
+    )
+
+
+def test_bm25_spellings_agree(spark, sf_small):
+    """Direct corpus computation and the stored-index path are the same
+    ranking function — pinned Spark vs Spark (the driver additionally
+    cross-validates both against one DuckDB oracle)."""
+    a = QUERIES["text_bm25_topk"](spark, sf_small)
+    b = QUERIES["text_bm25_from_index"](spark, sf_small)
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
