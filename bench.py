@@ -124,13 +124,21 @@ def main() -> None:
     # executions before C2 compilation reaches steady state — measured
     # r7: 8.8 / 3.7 / 3.2 / 2.7 / 2.8 / 2.7 s for graph_pagerank in a
     # fresh session — so one warm-up leaves best-of-3 measuring the JIT,
-    # not the query. They warm up until steady (still reported in
-    # cold_total via the first TIMED run).
-    extra_warmup = {
-        "graph_pagerank": 3,
-        "graph_pagerank_bucketed": 3,
-        "dedup_cluster_components": 3,
-    }
+    # not the query. They warm up until steady. NOTE: from r7 on, their
+    # cold_total slot is therefore also steady-state (the first timed
+    # run follows 3 warm-ups) — do not compare these queries' cold
+    # numbers across the r6/r7 boundary. An explicit
+    # SPARK_GRAFT_BENCH_WARMUP=0 disables ALL warm-ups (genuinely cold
+    # measurement); the override only raises the default.
+    extra_warmup = (
+        {}
+        if warmup == 0
+        else {
+            "graph_pagerank": 3,
+            "graph_pagerank_bucketed": 3,
+            "dedup_cluster_components": 3,
+        }
+    )
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:

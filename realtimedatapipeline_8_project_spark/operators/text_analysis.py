@@ -745,6 +745,13 @@ QUERIES["text_encode_ids"] = (q_encode_ids, ORACLE_ENCODE_IDS)
 # never serve a stale index (the graph_pagerank_bucketed discipline).
 
 
+# Bump whenever words()/normalized_text() (or the artifact layout)
+# changes: the version salts the artifact fingerprint, so a stored
+# index built by older tokenization code can never be served against
+# newer query code — invalidation is automatic, not manual cleanup.
+INDEX_FORMAT_VERSION = 1
+
+
 def posting_index_path(spark: SparkSession, sf_dir: str) -> str:
     import hashlib
     import os
@@ -754,9 +761,9 @@ def posting_index_path(spark: SparkSession, sf_dir: str) -> str:
     base = os.path.abspath(sf_dir.rstrip("/"))
     try:
         st = os.stat(os.path.join(base, "documents.parquet"))
-        ident = f"{base}|{st.st_size}|{st.st_mtime_ns}"
+        ident = f"v{INDEX_FORMAT_VERSION}|{base}|{st.st_size}|{st.st_mtime_ns}"
     except OSError:
-        ident = f"{base}|absent"
+        ident = f"v{INDEX_FORMAT_VERSION}|{base}|absent"
     fp = hashlib.sha256(ident.encode()).hexdigest()[:10]
     tag = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(base))
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
@@ -842,6 +849,26 @@ BM25_B_NUM, BM25_B_DEN = 3, 4  # b = 0.75, exact rational
 BM25_TOPK = 10
 
 
+def bm25_contrib_micro(
+    tf: Column, dl: Column, df: Column, n_docs: Column, total_dl: Column
+) -> Column:
+    """One term's BM25 contribution in integer micro-units. The SINGLE
+    definition of the scoring expression tree — both the direct corpus
+    spelling and the stored-index path call this, so their pinned
+    integer-exact equivalence is structural, not copy-discipline (the
+    quantization boundary depends on the exact double association
+    order; two hand-maintained copies could silently diverge)."""
+    k1 = F.lit(BM25_K1_NUM) / F.lit(BM25_K1_DEN)
+    b = F.lit(BM25_B_NUM) / F.lit(BM25_B_DEN)
+    idf = F.log(
+        (n_docs - df + F.lit(0.5)) / (df + F.lit(0.5)) + F.lit(1.0)
+    )
+    tf_part = (tf * (k1 + F.lit(1.0))) / (
+        tf + k1 * (F.lit(1.0) - b + b * dl * n_docs / total_dl)
+    )
+    return F.round(idf * tf_part * F.lit(1_000_000), 0).cast("long")
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -873,28 +900,17 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(terms))
         ],
     )
-    k1 = F.lit(BM25_K1_NUM) / F.lit(BM25_K1_DEN)
-    b = F.lit(BM25_B_NUM) / F.lit(BM25_B_DEN)
-
     def contrib(i: int):
         tf = F.col(f"tf_{i}")
-        idf = F.log(
-            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
-            / (F.col(f"df_{i}") + F.lit(0.5))
-            + F.lit(1.0)
-        )
-        tf_part = (tf * (k1 + F.lit(1.0))) / (
-            tf
-            + k1
-            * (
-                F.lit(1.0)
-                - b
-                + b * F.col("dl") * F.col("n_docs") / F.col("total_dl")
-            )
-        )
         return F.when(
             tf > 0,
-            F.round(idf * tf_part * F.lit(1_000_000), 0).cast("long"),
+            bm25_contrib_micro(
+                tf,
+                F.col("dl"),
+                F.col(f"df_{i}"),
+                F.col("n_docs"),
+                F.col("total_dl"),
+            ),
         ).otherwise(F.lit(0).cast("long"))
 
     score = contrib(0)
@@ -968,8 +984,6 @@ QUERIES["text_bm25_topk"] = (q_bm25_topk, _oracle_bm25())
 # artifact path equals the direct computation.
 
 def scored_index_path(spark: SparkSession, sf_dir: str) -> str:
-    import os
-
     return posting_index_path(spark, sf_dir) + "_scored"
 
 
@@ -1022,30 +1036,18 @@ def q_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats = spark.read.parquet(os.path.join(root, "stats"))
     df_t = idx.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    k1 = F.lit(BM25_K1_NUM) / F.lit(BM25_K1_DEN)
-    b = F.lit(BM25_B_NUM) / F.lit(BM25_B_DEN)
-    idf = F.log(
-        (F.col("n_docs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    tf_part = (F.col("tf") * (k1 + F.lit(1.0))) / (
-        F.col("tf")
-        + k1
-        * (
-            F.lit(1.0)
-            - b
-            + b * F.col("dl") * F.col("n_docs") / F.col("total_dl")
-        )
-    )
     return (
         idx.join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(stats))  # 1-row scalar frame
         .select(
             "doc_id",
-            F.round(idf * tf_part * F.lit(1_000_000), 0)
-            .cast("long")
-            .alias("c_micro"),
+            bm25_contrib_micro(
+                F.col("tf"),
+                F.col("dl"),
+                F.col("df"),
+                F.col("n_docs"),
+                F.col("total_dl"),
+            ).alias("c_micro"),
         )
         .groupBy("doc_id")
         .agg(F.sum("c_micro").alias("score_micro"))

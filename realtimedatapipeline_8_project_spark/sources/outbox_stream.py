@@ -89,11 +89,17 @@ def make_outbox_source():
         r = json.loads(line)
         return (int(r["id"]), r.get("topic"), r.get("key"), r.get("payload"))
 
+    _CHUNK = 1 << 20  # 1 MiB
+
     def _drain_file(fpath: str, start_byte: int, max_rows: int):
         """Parse up to ``max_rows`` complete lines from the append-only
         file starting at ``start_byte``; returns (rows, end_byte). An
         incomplete trailing line (no newline yet) is left for the next
-        poll; blank lines advance the offset without producing rows."""
+        poll; blank lines advance the offset without producing rows.
+        Reads in bounded chunks and stops once ``max_rows`` lines are
+        consumed, so a poll's I/O and memory track the CONSUMED bytes —
+        a multi-GB pending backlog drained 1000 rows at a time never
+        re-reads (or buffers) the whole tail per trigger."""
         size = os.path.getsize(fpath)
         if size < start_byte:
             raise ValueError(
@@ -102,21 +108,28 @@ def make_outbox_source():
             )
         if size == start_byte:
             return [], start_byte
+        rows: list[tuple] = []
+        end = start_byte
         with open(fpath, "rb") as fh:
             fh.seek(start_byte)
-            buf = fh.read(size - start_byte)
-        rows: list[tuple] = []
-        pos = 0
-        end = start_byte
-        while len(rows) < max_rows:
-            nl = buf.find(b"\n", pos)
-            if nl == -1:
-                break
-            line = buf[pos:nl]
-            if line.strip():
-                rows.append(_parse(line))
-            pos = nl + 1
-            end = start_byte + pos
+            remaining = size - start_byte
+            buf = b""
+            pos = 0
+            while len(rows) < max_rows:
+                nl = buf.find(b"\n", pos)
+                if nl == -1:
+                    if remaining <= 0:
+                        break  # incomplete trailing line: next poll
+                    chunk = fh.read(min(_CHUNK, remaining))
+                    remaining -= len(chunk)
+                    buf = buf[pos:] + chunk
+                    pos = 0
+                    continue
+                line = buf[pos:nl]
+                if line.strip():
+                    rows.append(_parse(line))
+                end += nl + 1 - pos
+                pos = nl + 1
         return rows, end
 
     def _read_slice(fpath: str, start_byte: int, end_byte: int) -> list[tuple]:
@@ -155,9 +168,17 @@ def make_outbox_source():
                     break
                 consumed = int(files.get(name, 0))
                 fpath = os.path.join(self._path, name)
-                if os.path.getsize(fpath) == consumed:
-                    continue  # drained: stat only, never re-opened
-                rows, end = _drain_file(fpath, consumed, budget)
+                try:
+                    if os.path.getsize(fpath) == consumed:
+                        continue  # drained: stat only, never re-opened
+                    rows, end = _drain_file(fpath, consumed, budget)
+                except FileNotFoundError:
+                    # rotated to the archive prefix between listdir and
+                    # stat/open (the documented retention pattern for
+                    # DRAINED files): skip; its offset is retained. A
+                    # rotation that removed unconsumed bytes surfaces on
+                    # replay, loudly, not here.
+                    continue
                 if end != consumed:
                     files[name] = end
                     out.extend(rows)

@@ -329,3 +329,57 @@ def test_outbox_to_pipeline_end_to_end(outbox_spark, sf_small, tmp_path):
     # the keyed latest view is consistent with the batch key set
     latest = read_latest(spark, out)
     assert latest.count() == ev.select("event_id").distinct().count()
+
+
+def test_outbox_drain_is_chunked_across_large_backlog(tmp_path):
+    """The reader's per-poll I/O tracks CONSUMED bytes, not backlog: a
+    pending tail larger than the 1 MiB read chunk drains correctly in
+    rate-limited slices, offsets land on exact line boundaries, and a
+    replay of each committed span is byte-identical."""
+    src = str(tmp_path / "outbox")
+    os.makedirs(src)
+    pad = "x" * 500
+    with open(os.path.join(src, "big.jsonl"), "w") as fh:
+        for i in range(4000):  # ~2 MB > one read chunk
+            fh.write(
+                json.dumps(
+                    {"id": i, "topic": "t", "key": str(i), "payload": pad}
+                )
+                + "\n"
+            )
+    reader = _reader(src, maxRowsPerTrigger="700")
+    off = reader.initialOffset()
+    seen: list[int] = []
+    spans = []
+    for _ in range(10):
+        it, new_off = reader.read(off)
+        rows = list(it)
+        if not rows and new_off == off:
+            break
+        spans.append((off, new_off, [t[0] for t in rows]))
+        seen.extend(t[0] for t in rows)
+        off = new_off
+    assert seen == list(range(4000))
+    assert len(spans) == 6  # ceil(4000/700) rate-limited polls
+    for start, end, ids in spans:
+        assert [t[0] for t in reader.readBetweenOffsets(start, end)] == ids
+
+
+def test_outbox_poll_survives_midpoll_file_rotation(tmp_path, monkeypatch):
+    """A drained file rotated to the archive prefix between the
+    directory listing and the stat/open must not kill the stream: the
+    poll skips it (its offset is retained) and keeps serving the rest."""
+    src = str(tmp_path / "outbox")
+    _write_outbox(src, range(5), fname="a0.jsonl")
+    _write_outbox(src, range(5, 9), fname="a1.jsonl")
+    reader = _reader(src)
+    real_listdir = os.listdir
+
+    def racing_listdir(path):
+        # report a file that an archiver removed right after the listing
+        return [*real_listdir(path), "ghost.jsonl"]
+
+    monkeypatch.setattr(os, "listdir", racing_listdir)
+    it, off = reader.read(reader.initialOffset())
+    assert [t[0] for t in it] == list(range(9))
+    assert "ghost.jsonl" not in off["files"]
