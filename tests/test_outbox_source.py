@@ -383,3 +383,139 @@ def test_outbox_poll_survives_midpoll_file_rotation(tmp_path, monkeypatch):
     it, off = reader.read(reader.initialOffset())
     assert [t[0] for t in it] == list(range(9))
     assert "ghost.jsonl" not in off["files"]
+
+
+def test_outbox_random_interleavings_never_lose_or_duplicate(tmp_path):
+    """Property: under ANY interleaving of appends (across files, with
+    blank lines, partial trailing lines completed later, out-of-order
+    ids) and rate-limited polls, the reader delivers every completed
+    row exactly once, preserving each file's append order, and every
+    committed span replays byte-identically. (GLOBAL order across files
+    is poll-time file order — a file created later with an earlier
+    name legally interleaves — so the order guarantee is per-file.)"""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    ops = st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("append"),
+                st.integers(0, 2),  # file index
+                st.integers(0, 999),  # id (collisions/out-of-order fine)
+                st.booleans(),  # leave the line incomplete (no newline)?
+            ),
+            st.tuples(st.just("blank"), st.integers(0, 2)),
+            st.tuples(st.just("poll"), st.integers(1, 4)),  # limit
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(
+        max_examples=60,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=ops)
+    def run(ops):
+        import shutil
+        import uuid
+
+        src = str(tmp_path / f"ob-{uuid.uuid4().hex[:8]}")
+        os.makedirs(src)
+        try:
+            reader = None
+            off = None
+            pending_tail = {0: False, 1: False, 2: False}
+            delivered: list[tuple] = []
+            spans: list[tuple[dict, dict, list[tuple]]] = []
+            seq = 0  # unique payload per appended row
+
+            def fname(i):
+                return os.path.join(src, f"f{i}.jsonl")
+
+            def complete_partial(fh, i):
+                if pending_tail[i]:
+                    fh.write("\n")
+                    pending_tail[i] = False
+
+            for op in ops:
+                if op[0] == "append":
+                    _, i, rid, incomplete = op
+                    seq += 1
+                    line = json.dumps(
+                        {
+                            "id": rid,
+                            "topic": f"f{i}",
+                            "key": str(rid),
+                            "payload": f"p{seq}",
+                        }
+                    )
+                    with open(fname(i), "a") as fh:
+                        complete_partial(fh, i)
+                        fh.write(line + ("" if incomplete else "\n"))
+                    pending_tail[i] = incomplete
+                elif op[0] == "blank":
+                    _, i = op
+                    with open(fname(i), "a") as fh:
+                        complete_partial(fh, i)
+                        fh.write("\n")
+                else:
+                    _, limit = op
+                    if reader is None:
+                        reader = _reader(src, maxRowsPerTrigger=str(limit))
+                        off = reader.initialOffset()
+                    reader._limit = limit
+                    it, new_off = reader.read(off)
+                    rows = list(it)
+                    if rows:
+                        spans.append((off, new_off, rows))
+                    delivered.extend(rows)
+                    off = new_off
+
+            # drain fully with a final sequence of polls
+            if reader is None:
+                reader = _reader(src, maxRowsPerTrigger="3")
+                off = reader.initialOffset()
+            for _ in range(200):
+                it, new_off = reader.read(off)
+                rows = list(it)
+                if not rows and new_off == off:
+                    break
+                if rows:
+                    spans.append((off, new_off, rows))
+                delivered.extend(rows)
+                off = new_off
+
+            # ground truth: every COMPLETED line per file, in file order
+            visible: dict[str, list[str]] = {}
+            all_payloads: list[str] = []
+            for i in (0, 1, 2):
+                p = fname(i)
+                if not os.path.exists(p):
+                    continue
+                with open(p, "rb") as fh:
+                    data = fh.read()
+                upto = data.rfind(b"\n")
+                if upto == -1:
+                    continue
+                for line in data[: upto + 1].split(b"\n"):
+                    if line.strip():
+                        r = json.loads(line)
+                        visible.setdefault(r["topic"], []).append(r["payload"])
+                        all_payloads.append(r["payload"])
+
+            # exactly-once: the delivered multiset is exactly the
+            # completed rows (unique payloads make this unambiguous)
+            assert sorted(t[3] for t in delivered) == sorted(all_payloads)
+            # per-file append order preserved
+            for topic, plist in visible.items():
+                got = [t[3] for t in delivered if t[1] == topic]
+                assert got == plist
+            # deterministic replay of every committed span
+            for start, end, rows in spans:
+                assert list(reader.readBetweenOffsets(start, end)) == rows
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+
+    run()
