@@ -227,3 +227,34 @@ def make_outbox_source():
             return OutboxBatchReader(self.options)
 
     return OutboxDataSource
+
+
+def archive_drained(path: str, offset: dict, archive_subdir: str = "archive"):
+    """Retention: move files the committed ``offset`` has fully drained
+    (size == committed byte position) into ``path/archive_subdir``,
+    returning the moved names. The reader only lists ``*.jsonl`` at the
+    directory root, so archived files vanish from polls while their
+    offsets are retained — safe to run concurrently with the stream
+    (a mid-poll move is tolerated and skipped). Never touches a file
+    with unconsumed or in-flight bytes; replaying a span that needs an
+    archived file fails loudly rather than dropping data, so archive
+    only beyond your replay horizon (e.g. after checkpoint compaction)."""
+    import os
+    import shutil
+
+    files = offset.get("files")
+    if files is None:
+        raise ValueError(_LEGACY_MSG)
+    dest_dir = os.path.join(path, archive_subdir)
+    moved: list[str] = []
+    for name, consumed in sorted(files.items()):
+        fpath = os.path.join(path, name)
+        try:
+            if os.path.getsize(fpath) != int(consumed):
+                continue  # pending or in-flight bytes: not drained
+        except FileNotFoundError:
+            continue  # already rotated
+        os.makedirs(dest_dir, exist_ok=True)
+        shutil.move(fpath, os.path.join(dest_dir, name))
+        moved.append(name)
+    return moved

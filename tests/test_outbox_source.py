@@ -519,3 +519,33 @@ def test_outbox_random_interleavings_never_lose_or_duplicate(tmp_path):
             shutil.rmtree(src, ignore_errors=True)
 
     run()
+
+
+def test_outbox_archive_drained_keeps_stream_working(tmp_path):
+    """Retention utility: fully drained files move to the archive
+    subdir (undrained ones never do), polls keep working with the
+    archived files' offsets retained, and new arrivals still flow."""
+    from realtimedatapipeline_8_project_spark.sources.outbox_stream import (
+        archive_drained,
+    )
+
+    src = str(tmp_path / "outbox")
+    _write_outbox(src, range(6), fname="a0.jsonl")
+    _write_outbox(src, range(6, 10), fname="a1.jsonl")
+    reader = _reader(src, maxRowsPerTrigger="6")
+    it, off = reader.read(reader.initialOffset())
+    assert [t[0] for t in it] == list(range(6))  # a0 drained, a1 pending
+    moved = archive_drained(src, off)
+    assert moved == ["a0.jsonl"]
+    assert os.path.exists(os.path.join(src, "archive", "a0.jsonl"))
+    assert os.path.exists(os.path.join(src, "a1.jsonl"))  # untouched
+    it2, off2 = reader.read(off)
+    assert [t[0] for t in it2] == list(range(6, 10))
+    # a0's offset is retained (harmless) and the drain is complete
+    assert off2["files"]["a0.jsonl"] == off["files"]["a0.jsonl"]
+    _write_outbox(src, range(10, 12), fname="a2.jsonl")
+    it3, _ = reader.read(off2)
+    assert [t[0] for t in it3] == [10, 11]
+    # legacy offsets rejected here too
+    with pytest.raises(ValueError, match="last_id"):
+        archive_drained(src, {"last_id": 3})
