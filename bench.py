@@ -107,6 +107,7 @@ HEADLINE = [
     "sql_dormant_customers",
     "text_bm25_topk",
     "text_bm25_from_index",
+    "agg_excess_shipments_1scan",
 ]
 
 

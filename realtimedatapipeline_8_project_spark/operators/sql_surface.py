@@ -484,3 +484,56 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["sql_dormant_customers"] = (q_dormant_customers, _Q22_SQL)
+
+
+def q_excess_shipments_1scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plan you'd actually run at 100 TB for the Q20 shape — same
+    result, same oracle as :func:`q_excess_shipments` (cross-validated
+    against the nested-IN spelling).
+
+    Catalyst decorrelates the correlated scalar into a per-part
+    aggregate but cannot see that it is derivable from the
+    per-(supplier, part) aggregate already computed — so the SQL
+    spelling scans the fact twice. Here ``ps`` is computed once and
+    lineage-truncated (the agg_top_supplier_revenue discipline — the
+    checkpointed frame is supplier×part grain, never the fact), the
+    per-part totals are a reaggregation OF ``ps``, and the qualifying
+    parts prune via a join with the filtered part dim: ONE fact scan,
+    then joins among post-aggregation frames only. The share compare
+    stays exact-decimal cross-multiplied."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity", "l_shipdate"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    qty = F.col("l_quantity").cast("decimal(27,6)")
+    ps = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit(f"{Q20_YEAR}-01-01"))
+            & (F.col("l_shipdate") < F.lit(f"{Q20_YEAR + 1}-01-01"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(qty).alias("qty"))
+        .localCheckpoint()
+    )
+    totals = ps.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    excess = (
+        ps.join(totals, "l_partkey")
+        .join(
+            part.where(F.col("p_name").startswith(Q20_PART_PREFIX)),
+            ps.l_partkey == part.p_partkey,
+        )
+        .where(F.col("qty") * 10 > F.col("total_qty") * 3)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(excess, sup.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+QUERIES["agg_excess_shipments_1scan"] = (q_excess_shipments_1scan, _Q20_SQL)

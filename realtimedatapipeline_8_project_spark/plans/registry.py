@@ -68,15 +68,15 @@ _MODULES = (
 # (50 entries). Order is therefore a verification budget: queries named
 # here register FIRST. Round-7 budget (freshness rotation, VERDICT r6
 # item 1): the flagship, the query whose plan changed THIS round
-# (text_encode_ids lost its forced vocab broadcast), the 7 queries NEW
+# (text_encode_ids lost its forced vocab broadcast), the 8 queries NEW
 # this round (stored-index boolean retrieval, the TPC-H Q21 shape in
-# both its EXISTS and single-scan spellings, the Q20 and Q22 shapes, BM25 top-k direct + from-index), then ALL 37
+# both its EXISTS and single-scan spellings, the Q20 (both spellings) and Q22 shapes, BM25 top-k direct + from-index), then ALL 37
 # queries whose newest driver row is round 4 (at the two-round staleness
-# limit), then 4 of the 46 round-5-latest rows (the bench watch item
+# limit), then 3 of the 46 round-5-latest rows (the bench watch item
 # graph_pagerank and a cross-family spread). ROUND-8 BUDGET (owed): the
-# remaining 42 r05-latest rows hit the staleness limit next round and
+# remaining 43 r05-latest rows hit the staleness limit next round and
 # must lead the prefix, plus the flagship and any round-8 plan changes;
-# 42 + flagship fits the 50 budget with ~10 slots for new/changed
+# 43 + flagship fits the 50 budget with ~10 slots for new/changed
 # queries. Names not listed keep module order.
 _PRIORITY = (
     # flagship stays verified every round
@@ -88,6 +88,7 @@ _PRIORITY = (
     "sql_waiting_suppliers",  # TPC-H Q21 shape, EXISTS/NOT EXISTS form
     "agg_waiting_suppliers_1scan",  # Q21 single-fact-scan rewrite
     "sql_excess_shipments",  # TPC-H Q20 shape, nested IN + corr. scalar
+    "agg_excess_shipments_1scan",  # Q20 single-fact-scan rewrite
     "sql_dormant_customers",  # TPC-H Q22 shape, anti join + scalar avg
     "text_bm25_topk",  # Okapi BM25 scored top-k, single corpus scan
     "text_bm25_from_index",  # same ranking served from the stored index
@@ -130,11 +131,10 @@ _PRIORITY = (
     "win_running_spend",
     "win_tumbling_hour",
     # --- round-5-latest rotation, part 1 of 2: the bench watch item and
-    # a cross-family spread; the other 42 lead round 8 ---
+    # a cross-family spread; the other 43 lead round 8 ---
     "graph_pagerank",
     "pandas_user_trend",
     "sql_min_cost_supplier",
-    "agg_pricing_summary",
 )
 
 # Redundant registry entries retired to keep the checked prefix dense:

@@ -803,3 +803,22 @@ def test_bm25_spellings_agree(spark, sf_small):
     a = QUERIES["text_bm25_topk"](spark, sf_small)
     b = QUERIES["text_bm25_from_index"](spark, sf_small)
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+
+def test_q20_single_scan_rewrite_scans_fact_once(spark, sf_small):
+    """agg_excess_shipments_1scan: the per-part totals reaggregate the
+    lineage-truncated per-(supplier, part) frame instead of re-scanning
+    the fact — the final plan reads no lineitem at all (the one scan
+    happened inside the checkpoint), and the supplier gate is a semi
+    join."""
+    p = plan_of(spark, sf_small, "agg_excess_shipments_1scan")
+    assert "lineitem.parquet" not in p
+    assert "LeftSemi" in p
+
+
+def test_q20_spellings_agree(spark, sf_small):
+    """The nested-IN SQL spelling and the single-scan rewrite of the
+    Q20 shape are the same function — pinned Spark vs Spark."""
+    a = QUERIES["sql_excess_shipments"](spark, sf_small)
+    b = QUERIES["agg_excess_shipments_1scan"](spark, sf_small)
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
