@@ -73,11 +73,27 @@ _MODULES = (
 # both its EXISTS and single-scan spellings, the Q20 (both spellings) and Q22 shapes, BM25 top-k direct + from-index), then ALL 37
 # queries whose newest driver row is round 4 (at the two-round staleness
 # limit), then 3 of the 46 round-5-latest rows (the bench watch item
-# graph_pagerank and a cross-family spread). ROUND-8 BUDGET (owed): the
+# graph_pagerank, pandas_user_trend, sql_min_cost_supplier). ROUND-8 BUDGET (owed): the
 # remaining 43 r05-latest rows hit the staleness limit next round and
 # must lead the prefix, plus the flagship and any round-8 plan changes;
-# 43 + flagship fits the 50 budget with ~10 slots for new/changed
-# queries. Names not listed keep module order.
+# 43 + flagship fits the 50 budget with ~6 slots for new/changed
+# queries. The exact 43 owed (r05-latest after this round's prefix):
+#   agg_cube, agg_distinct_counts, agg_large_volume_customers
+#   agg_mode_median, agg_percentiles, agg_pricing_summary
+#   agg_priority_shipments, agg_returned_item_report, agg_revenue_by_nation
+#   agg_rollup, agg_shipping_priority, agg_top1_per_group_sortfree
+#   agg_top_customers, agg_volume_shipping, array_event_history
+#   dedup_survivors_quality, dq_audit, dq_profile
+#   dq_referential, explode_top_tokens, graph_pagerank_bucketed
+#   hist_price_profile, join_semi_anti, json_as_map
+#   json_variant, media_decode_stub, media_dedup_exact
+#   media_metadata, sample_epoch_shuffle, scale_agg_then_join
+#   set_ops, sql_in_subquery, sql_lateral_topk
+#   sql_scalar_subquery, text_bigram_fluency, text_repetition
+#   ts_m4_downsample, udtf_chunk_windows, unpivot_metrics
+#   win_rank_family, win_rank_orders, win_sessionize
+#   win_sliding_window
+# Names not listed keep module order.
 _PRIORITY = (
     # flagship stays verified every round
     "enrich_broadcast_left_join",
