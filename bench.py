@@ -108,6 +108,7 @@ HEADLINE = [
     "text_bm25_topk",
     "text_bm25_from_index",
     "agg_excess_shipments_1scan",
+    "dedup_simhash_portable",
 ]
 
 

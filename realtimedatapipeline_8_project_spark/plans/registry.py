@@ -67,17 +67,18 @@ _MODULES = (
 # The driver's per-round CORRECTNESS check covers a prefix of the registry
 # (50 entries). Order is therefore a verification budget: queries named
 # here register FIRST. Round-7 budget (freshness rotation, VERDICT r6
-# item 1): the flagship, the query whose plan changed THIS round
-# (text_encode_ids lost its forced vocab broadcast), the 8 queries NEW
+# item 1): the flagship, the two queries whose plans changed THIS round
+# (text_encode_ids lost its forced vocab broadcast;
+# dedup_simhash_portable spreads the corpus before its sketch pass), the 8 queries NEW
 # this round (stored-index boolean retrieval, the TPC-H Q21 shape in
 # both its EXISTS and single-scan spellings, the Q20 (both spellings) and Q22 shapes, BM25 top-k direct + from-index), then ALL 37
 # queries whose newest driver row is round 4 (at the two-round staleness
-# limit), then 3 of the 46 round-5-latest rows (the bench watch item
-# graph_pagerank, pandas_user_trend, sql_min_cost_supplier). ROUND-8 BUDGET (owed): the
-# remaining 43 r05-latest rows hit the staleness limit next round and
+# limit), then 2 of the 46 round-5-latest rows (the bench watch item
+# graph_pagerank, plus pandas_user_trend). ROUND-8 BUDGET (owed): the
+# remaining 44 r05-latest rows hit the staleness limit next round and
 # must lead the prefix, plus the flagship and any round-8 plan changes;
-# 43 + flagship fits the 50 budget with ~6 slots for new/changed
-# queries. The exact 43 owed (r05-latest after this round's prefix):
+# 44 + flagship fits the 50 budget with ~6 slots for new/changed
+# queries. The exact 44 owed (r05-latest after this round's prefix):
 #   agg_cube, agg_distinct_counts, agg_large_volume_customers
 #   agg_mode_median, agg_percentiles, agg_pricing_summary
 #   agg_priority_shipments, agg_returned_item_report, agg_revenue_by_nation
@@ -89,7 +90,8 @@ _MODULES = (
 #   json_variant, media_decode_stub, media_dedup_exact
 #   media_metadata, sample_epoch_shuffle, scale_agg_then_join
 #   set_ops, sql_in_subquery, sql_lateral_topk
-#   sql_scalar_subquery, text_bigram_fluency, text_repetition
+#   sql_min_cost_supplier, sql_scalar_subquery, text_bigram_fluency
+#   text_repetition
 #   ts_m4_downsample, udtf_chunk_windows, unpivot_metrics
 #   win_rank_family, win_rank_orders, win_sessionize
 #   win_sliding_window
@@ -99,6 +101,7 @@ _PRIORITY = (
     "enrich_broadcast_left_join",
     # --- plan changed in round 7: old rows no longer describe the code ---
     "text_encode_ids",  # vocab join is now hint-free (AQE decides)
+    "dedup_simhash_portable",  # corpus spread before the sketch pass
     # --- new in round 7 ---
     "text_search_from_index",  # boolean retrieval from the stored index
     "sql_waiting_suppliers",  # TPC-H Q21 shape, EXISTS/NOT EXISTS form
@@ -147,10 +150,9 @@ _PRIORITY = (
     "win_running_spend",
     "win_tumbling_hour",
     # --- round-5-latest rotation, part 1 of 2: the bench watch item and
-    # a cross-family spread; the other 43 lead round 8 ---
+    # a cross-family spread; the other 44 lead round 8 ---
     "graph_pagerank",
     "pandas_user_trend",
-    "sql_min_cost_supplier",
 )
 
 # Redundant registry entries retired to keep the checked prefix dense:
