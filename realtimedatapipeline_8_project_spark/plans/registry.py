@@ -74,7 +74,11 @@ _MODULES = (
 # both its EXISTS and single-scan spellings, the Q20 (both spellings) and Q22 shapes, BM25 top-k direct + from-index), then ALL 37
 # queries whose newest driver row is round 4 (at the two-round staleness
 # limit), then 2 of the 46 round-5-latest rows (the bench watch item
-# graph_pagerank, plus pandas_user_trend). ROUND-8 BUDGET (owed): the
+# graph_pagerank, plus pandas_user_trend). dedup_simhash_neardup also
+# gained the corpus-spread repartition this round but keeps its r06 row:
+# it is rows-only BY DESIGN (twin-pinned in tests/test_neardup_twins.py,
+# which re-ran green on the new plan) and the prefix budget goes to
+# oracle-backed rotation instead. ROUND-8 BUDGET (owed): the
 # remaining 44 r05-latest rows hit the staleness limit next round and
 # must lead the prefix, plus the flagship and any round-8 plan changes;
 # 44 + flagship fits the 50 budget with ~6 slots for new/changed
