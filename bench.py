@@ -109,7 +109,22 @@ HEADLINE = [
     "text_bm25_from_index",
     "agg_excess_shipments_1scan",
     "dedup_simhash_portable",
+    # round-8 additions
+    "text_search_any_from_index",
+    "text_search_exclude_from_index",
+    "text_bm25_incremental",
+    "sql_market_share",
+    "sql_notin_null_trap",
 ]
+
+
+def _drop_local_checkpoints(spark) -> None:
+    """clearCache() does not release localCheckpoint() RDD storage (the
+    lineage-truncated frames in bm25/Q20/Q21 shapes persist executor
+    blocks outside the catalog) — unpersist them explicitly so run N's
+    checkpointed blocks can't pressure run N+1's memory."""
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
 
 
 def main() -> None:
@@ -159,6 +174,7 @@ def main() -> None:
             # range-join intervals): leftover cache pressure from run N
             # would distort run N+1 and later queries
             spark.catalog.clearCache()
+            _drop_local_checkpoints(spark)
         timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     out = {
@@ -198,7 +214,16 @@ def main() -> None:
             for n, t in suspects.items()
             if retries[n] > budgets[n]
         }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # Lossless round record (VERDICT r7 "what's wrong" #1): the driver
+    # captures a tail window of stdout, which once truncated the front of
+    # this line — the file copy survives regardless of capture windows.
+    latest = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LATEST.json"
+    )
+    with open(latest, "w") as fh:
+        fh.write(line + "\n")
     spark.stop()
 
 

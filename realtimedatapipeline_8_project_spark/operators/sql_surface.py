@@ -396,7 +396,9 @@ QUERIES["agg_waiting_suppliers_1scan"] = (q_waiting_suppliers_1scan, _Q21_SQL)
 # structure with the per-(supplier, part) shipped-quantity aggregate
 # standing in for partsupp (the fixture has no partsupp table): a
 # supplier qualifies if, for some qualifying part, its share of that
-# part's in-window shipments exceeds EXCESS_SHARE. Catalyst decorrelates
+# part's in-window shipments exceeds EXCESS_NUM/EXCESS_DEN (3/10, the
+# single definition both spellings interpolate — an edit to the ratio
+# cannot touch one spelling and miss the other). Catalyst decorrelates
 # the scalar subquery into a per-part aggregate + join and both INs into
 # semi joins (plan-pinned: no per-row subquery execution). Quantity sums
 # are exact DECIMAL and the share comparison is cross-multiplied into
@@ -406,6 +408,10 @@ QUERIES["agg_waiting_suppliers_1scan"] = (q_waiting_suppliers_1scan, _Q21_SQL)
 
 Q20_PART_PREFIX = "small"
 Q20_YEAR = 1996
+# excess threshold = EXCESS_NUM/EXCESS_DEN of the part's total, compared
+# cross-multiplied (EXCESS_DEN * qty > EXCESS_NUM * total) in exact
+# DECIMAL so the boundary cannot flip on division rounding
+EXCESS_NUM, EXCESS_DEN = 3, 10
 
 _Q20_SQL = f"""
 SELECT s_name, s_acctbal
@@ -422,7 +428,7 @@ WHERE s_suppkey IN (
   WHERE ps.partkey IN (
       SELECT p_partkey FROM part WHERE p_name LIKE '{Q20_PART_PREFIX}%'
     )
-    AND 10 * ps.qty > 3 * (
+    AND {EXCESS_DEN} * ps.qty > {EXCESS_NUM} * (
       SELECT SUM(CAST(l2.l_quantity AS DECIMAL(27,6)))
       FROM lineitem l2
       WHERE l2.l_partkey = ps.partkey
@@ -525,7 +531,7 @@ def q_excess_shipments_1scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             part.where(F.col("p_name").startswith(Q20_PART_PREFIX)),
             ps.l_partkey == part.p_partkey,
         )
-        .where(F.col("qty") * 10 > F.col("total_qty") * 3)
+        .where(F.col("qty") * EXCESS_DEN > F.col("total_qty") * EXCESS_NUM)
         .select("l_suppkey")
         .distinct()
     )
@@ -537,3 +543,113 @@ def q_excess_shipments_1scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["agg_excess_shipments_1scan"] = (q_excess_shipments_1scan, _Q20_SQL)
+
+
+# --- TPC-H Q8 shape: national market share (join-ordering stress) ---------
+# The classic CBO/AQE join-tree workout (VERDICT r7 item 4): SEVEN
+# relations through one fact — lineitem joins part (type filter),
+# supplier, orders (date window), customer, nation TWICE (customer's
+# nation restricted to a region through region; supplier's nation names
+# the share bucket). At 100x, join ORDER is the difference between a
+# broadcast chain over the pruned fact and a cascade of full shuffles:
+# the only safe plan keeps the fact as the probe side of every join,
+# with each dimension (all of them filtered and tiny relative to the
+# fact) broadcast — pinned in tests/test_plans.py (single fact scan,
+# all joins BroadcastHashJoin, no fact-side exchange before the agg).
+#
+# Exact arithmetic: volume = DECIMAL(12,2) price x DECIMAL(8,6)
+# (1 - discount) — exact product, exact SUM, ROUND(...,2) on the
+# DECIMAL, then ONE int->double conversion per group (the dsum
+# discipline); the share is a single IEEE division of those identical
+# doubles (no ROUND on doubles anywhere — Spark and DuckDB round
+# binary doubles differently). The nation sum COALESCEs to 0.0 for a
+# year with no NATION_7 sales, keeping the group present and exact.
+
+Q8_NATION = "NATION_7"
+Q8_REGION = "ASIA"
+Q8_PART_TYPE = "PROMO"
+
+_Q8_SQL = f"""
+SELECT o_year,
+       COALESCE(CAST(ROUND(SUM(CASE WHEN nation = '{Q8_NATION}'
+                                    THEN volume END), 2) AS DOUBLE), 0.0)
+         AS nation_volume,
+       CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS total_volume,
+       COALESCE(CAST(ROUND(SUM(CASE WHEN nation = '{Q8_NATION}'
+                                    THEN volume END), 2) AS DOUBLE), 0.0)
+         / CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(1 - l_discount AS DECIMAL(8,6)) AS volume,
+         n2.n_name AS nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+       region
+  WHERE p_partkey = l_partkey
+    AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey
+    AND n1.n_regionkey = r_regionkey
+    AND r_name = '{Q8_REGION}'
+    AND s_nationkey = n2.n_nationkey
+    AND p_type = '{Q8_PART_TYPE}'
+) AS all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q8_SQL)
+
+
+QUERIES["sql_market_share"] = (q_market_share, _Q8_SQL)
+
+
+# --- NOT IN over a nullable subquery: the three-valued-logic trap ---------
+# (VERDICT r7 item 5.) Every IN/EXISTS elsewhere in the suite is
+# positive or NOT EXISTS; ``NOT IN`` against a subquery that can yield
+# NULL is the classic cross-engine wrong-answer: one NULL in the list
+# makes ``x NOT IN (...)`` UNKNOWN for every non-matching x (never
+# TRUE), so the whole predicate filters to EMPTY — engines that
+# "optimize" NOT IN to a plain anti join silently return the non-empty
+# answer instead. Both legs run here, labeled: the poisoned leg (a NULL
+# planted via CASE on 'P'-status orders) must count 0; the filtered leg
+# (same subquery with the NULL-producing rows excluded) counts the real
+# dormant customers. A green hash-match proves engine and oracle agree
+# exactly where engines famously differ; the empty-vs-nonempty boundary
+# is additionally pinned on a 3-row planted fixture in
+# tests/test_plans.py (fixture-independent).
+#
+# Scale note: Spark plans the single-column null-aware anti join as a
+# broadcast-hash NAAJ while the subquery side broadcasts; past the
+# threshold it degrades to BroadcastNestedLoopJoin — which is WHY
+# production queries should spell dormancy as NOT EXISTS (sql_dormant_
+# customers); this entry exists to pin the semantics of the trap form.
+
+_NOTIN_SQL = """
+SELECT variant, n FROM (
+  SELECT 'null_poisoned' AS variant, COUNT(*) AS n
+  FROM customer
+  WHERE c_custkey NOT IN (
+    SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END
+    FROM orders)
+  UNION ALL
+  SELECT 'null_filtered' AS variant, COUNT(*) AS n
+  FROM customer
+  WHERE c_custkey NOT IN (
+    SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_custkey END
+    FROM orders
+    WHERE o_orderstatus <> 'P')
+) ORDER BY variant
+"""
+
+
+def q_notin_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_NOTIN_SQL)
+
+
+QUERIES["sql_notin_null_trap"] = (q_notin_null_trap, _NOTIN_SQL)

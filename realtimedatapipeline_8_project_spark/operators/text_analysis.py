@@ -818,6 +818,86 @@ def q_search_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["text_search_from_index"] = (q_search_from_index, ORACLE_BOOLEAN_SEARCH)
 
 
+# --- disjunctive (OR) and negated (AND NOT) retrieval from the index -------
+# Completes the boolean algebra over the stored posting-list artifact
+# (VERDICT r7 item 3): AND is posting intersection (above), OR is the
+# postings union with a per-doc matched-term count (the same pushed
+# IN(term) scan — a doc qualifies with n_hit >= 1), and NOT is an
+# ANTI-JOIN on the excluded term's postings — never a corpus scan, and
+# never "all docs minus matches" (the complement is corpus-sized; the
+# anti join touches only the positive candidates and the excluded
+# term's posting list). Query cost stays ∝ the query terms' postings
+# for all three connectives; oracles are corpus-scan spellings, so the
+# driver proves the artifact algebra equals direct evaluation.
+
+ANY_QUERY_TERMS = BOOL_QUERY_TERMS  # ("dup", "window", "scan")
+EXCL_INCLUDE_TERMS = ("window", "scan")
+EXCL_EXCLUDE_TERM = "dup"
+
+
+def q_search_any_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = build_posting_index(spark, sf_dir)
+    idx = spark.read.parquet(path)
+    return (
+        idx.where(F.col("term").isin(*ANY_QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").cast("long").alias("n_terms_matched"))
+    )
+
+
+ORACLE_ANY_SEARCH = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_O_WORDS}) AS term FROM documents
+)
+SELECT doc_id, COUNT(DISTINCT term) AS n_terms_matched
+FROM terms
+WHERE term IN ({_BOOL_IN})
+GROUP BY doc_id
+"""
+
+
+def q_search_exclude_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = build_posting_index(spark, sf_dir)
+    idx = spark.read.parquet(path)
+    k = len(EXCL_INCLUDE_TERMS)
+    pos = (
+        idx.where(F.col("term").isin(*EXCL_INCLUDE_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("n_hit"))
+        .where(F.col("n_hit") == k)
+    )
+    neg = idx.where(F.col("term") == EXCL_EXCLUDE_TERM).select("doc_id")
+    return pos.join(neg, "doc_id", "left_anti").select(
+        "doc_id", F.lit(k).cast("long").alias("n_terms_matched")
+    )
+
+
+_EXCL_IN = ", ".join(f"'{t}'" for t in EXCL_INCLUDE_TERMS)
+ORACLE_EXCLUDE_SEARCH = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_O_WORDS}) AS term FROM documents
+), hits AS (
+  SELECT doc_id FROM terms
+  WHERE term IN ({_EXCL_IN})
+  GROUP BY doc_id
+  HAVING COUNT(DISTINCT term) = {len(EXCL_INCLUDE_TERMS)}
+)
+SELECT doc_id,
+       CAST({len(EXCL_INCLUDE_TERMS)} AS BIGINT) AS n_terms_matched
+FROM hits h
+WHERE NOT EXISTS (
+  SELECT 1 FROM terms t
+  WHERE t.doc_id = h.doc_id AND t.term = '{EXCL_EXCLUDE_TERM}'
+)
+"""
+
+QUERIES["text_search_any_from_index"] = (q_search_any_from_index, ORACLE_ANY_SEARCH)
+QUERIES["text_search_exclude_from_index"] = (
+    q_search_exclude_from_index,
+    ORACLE_EXCLUDE_SEARCH,
+)
+
+
 # --- BM25-scored top-k retrieval ------------------------------------------
 # Completes the retrieval arc (index -> boolean -> SCORED ranking): the
 # standard Okapi BM25 ranking function (Robertson et al., public
@@ -987,6 +1067,19 @@ def scored_index_path(spark: SparkSession, sf_dir: str) -> str:
     return posting_index_path(spark, sf_dir) + "_scored"
 
 
+def batch_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> the BM25-ready posting rows (term, doc_id, tf,
+    dl) for exactly those documents — the SINGLE definition of the
+    posting derivation, shared by the one-pass build, the per-batch
+    incremental maintenance, and the ingest loop (two hand-maintained
+    copies could silently diverge on tokenization)."""
+    toks = docs.select(
+        "doc_id", F.explode(words(normalized_text("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+
+
 def build_scored_index(spark: SparkSession, sf_dir: str) -> str:
     """One-time (per fixture identity) build of the BM25-ready postings
     artifact: ``postings/`` = (term, doc_id, tf, dl) term-repartitioned
@@ -1003,12 +1096,7 @@ def build_scored_index(spark: SparkSession, sf_dir: str) -> str:
         except Exception:
             shutil.rmtree(root, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(words(normalized_text("text"))).alias("term")
-    )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    w = Window.partitionBy("doc_id")
-    postings = tf.withColumn("dl", F.sum("tf").over(w))
+    postings = batch_postings(docs)
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     (
         postings.repartition(n, "term")
@@ -1027,14 +1115,13 @@ def build_scored_index(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-def q_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    root = build_scored_index(spark, sf_dir)
-    idx = spark.read.parquet(os.path.join(root, "postings")).where(
-        F.col("term").isin(*BOOL_QUERY_TERMS)
-    )
-    stats = spark.read.parquet(os.path.join(root, "stats"))
+def bm25_topk_over_postings(postings: DataFrame, stats: DataFrame) -> DataFrame:
+    """BM25 top-k of the fixed query over (term, doc_id, tf, dl) posting
+    rows + a 1-row (n_docs, total_dl) stats frame — the SINGLE serving
+    path shared by the one-pass artifact and the incrementally
+    maintained one. Requires (term, doc_id) unique across the postings
+    (df = the count of retrieved postings per term)."""
+    idx = postings.where(F.col("term").isin(*BOOL_QUERY_TERMS))
     df_t = idx.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
         idx.join(F.broadcast(df_t), "term")
@@ -1056,5 +1143,146 @@ def q_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    root = build_scored_index(spark, sf_dir)
+    postings = spark.read.parquet(os.path.join(root, "postings"))
+    stats = spark.read.parquet(os.path.join(root, "stats"))
+    return bm25_topk_over_postings(postings, stats)
+
+
 # the artifact path must equal the direct corpus computation
 QUERIES["text_bm25_from_index"] = (q_bm25_from_index, _oracle_bm25())
+
+
+# --- incrementally maintained search index ---------------------------------
+# VERDICT r7 item 2: the stored index above rebuilds from a FULL corpus
+# pass whenever the fixture changes, but the engine ingests documents
+# incrementally (streaming/ingest.py grows the kept corpus per
+# micro-batch) — at 100 TB you cannot re-scan the corpus to refresh the
+# search index. The maintenance discipline here is merge-on-read (the
+# write_rollup/read_rollup pattern from streaming/sinks.py): each batch
+# appends its PARTIAL postings under ``postings/batch_id=N`` (its own
+# docs' (term, doc_id, tf, dl) rows — derivable from the batch alone,
+# since tf and dl are doc-local) plus a 1-row ``stats/batch_id=N``
+# partition (n_docs, total_dl — additive across batches). Reading merges
+# all partitions; corpus stats = the SUM of the per-batch stats rows (a
+# num-batches-sized table, not a postings scan). Invariant: a doc_id
+# lands in exactly one batch — guaranteed by the dedup ingest (a doc is
+# admitted at most once) and by any partitioned backfill; df then equals
+# the count of merged postings per term, exactly as in the one-pass
+# artifact. Dynamic partition overwrite makes a replayed batch overwrite
+# only its own partition — idempotent, effective exactly-once (the
+# write_history discipline). Each batch's files stay term-repartitioned
+# + term-sorted, so the query's pushed IN(term) prunes row groups within
+# every batch partition; a long-lived index compacts old batch
+# partitions periodically (same merge, amortized), which is a pure
+# background rewrite — readers see identical rows.
+
+INDEX_POSTINGS = "postings"
+INDEX_STATS = "stats"
+POSTINGS_SCHEMA = "term string, doc_id bigint, tf bigint, dl bigint"
+
+
+def write_index_batch(
+    postings: DataFrame, batch_id: int, index_dir: str
+) -> None:
+    """Append batch ``batch_id``'s partial postings + stats partitions
+    (idempotent: a replay overwrites only its own partitions)."""
+    import os
+
+    spark = postings.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    (
+        postings.repartition(n, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(index_dir, INDEX_POSTINGS))
+    )
+    stats = postings.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("tf").alias("total_dl"),
+    )
+    (
+        stats.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(index_dir, INDEX_STATS))
+    )
+
+
+def read_index(spark: SparkSession, index_dir: str):
+    """Merge-on-read view of the incrementally maintained index:
+    (postings, stats) — postings is the union of all batch partitions,
+    stats the summed 1-row corpus statistics."""
+    import os
+
+    # A batch whose docs were all dropped (or an empty corpus) writes a
+    # ZERO-ROW partitioned postings frame — no parquet files, so schema
+    # inference fails on read even though the index state is legitimate.
+    # The explicit schema serves the empty index; every other read error
+    # still raises (the ingest failure-policy discipline).
+    postings = (
+        spark.read.schema(POSTINGS_SCHEMA + ", batch_id int")
+        .parquet(os.path.join(index_dir, INDEX_POSTINGS))
+        .drop("batch_id")
+    )
+    stats = (
+        spark.read.parquet(os.path.join(index_dir, INDEX_STATS))
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_dl").alias("total_dl"),
+        )
+    )
+    return postings, stats
+
+
+INCR_BATCHES = 4
+
+
+def incremental_index_path(spark: SparkSession, sf_dir: str) -> str:
+    return posting_index_path(spark, sf_dir) + "_incr"
+
+
+def build_incremental_index(spark: SparkSession, sf_dir: str) -> str:
+    """Simulated incremental build for the registry query: the corpus
+    arrives as INCR_BATCHES deterministic batches (doc_id mod — each doc
+    in exactly one batch), each appended via :func:`write_index_batch`
+    exactly as the streaming ingest loop does per micro-batch. Idempotent
+    per fixture identity (the build_posting_index discipline)."""
+    import os
+    import shutil
+
+    root = incremental_index_path(spark, sf_dir)
+    if os.path.isdir(root):
+        try:
+            # schema given explicitly: a legitimately empty index (all
+            # batches zero-row) has no files to infer from
+            spark.read.schema(POSTINGS_SCHEMA + ", batch_id int").parquet(
+                os.path.join(root, INDEX_POSTINGS)
+            ).limit(1).count()
+            spark.read.parquet(os.path.join(root, INDEX_STATS)).limit(1).count()
+            return root
+        except Exception:
+            shutil.rmtree(root, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    for b in range(INCR_BATCHES):
+        batch = docs.where(F.col("doc_id") % INCR_BATCHES == b)
+        write_index_batch(batch_postings(batch), b, root)
+    return root
+
+
+def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = build_incremental_index(spark, sf_dir)
+    postings, stats = read_index(spark, root)
+    return bm25_topk_over_postings(postings, stats)
+
+
+# the incrementally built artifact must serve the SAME ranking as the
+# direct corpus computation — one oracle for all three spellings
+QUERIES["text_bm25_incremental"] = (q_bm25_incremental, _oracle_bm25())

@@ -39,6 +39,13 @@ model). Two properties fall out, both fixes owed from round 6:
   loudly). Delivery order is log order; it equals id order exactly when
   the producer appends in id order (the common single-writer case).
 
+**Visibility contract: a row exists once its newline is written.** Both
+readers share the torn-write rule — an unterminated trailing line is a
+write in progress and is invisible (the stream reader leaves it for the
+next poll; the batch reader stops at the last newline) — so batch and
+stream never disagree about the same file, and neither can crash on a
+line caught mid-append.
+
 The outbox itself is a directory of JSON-lines files (the test stand-in
 for the Postgres table; rows carry ``id, topic, key, payload``). The
 SimpleDataSourceStreamReader variant reads on the DRIVER — faithful to
@@ -104,7 +111,10 @@ def make_outbox_source():
         if size < start_byte:
             raise ValueError(
                 f"outbox file {fpath} shrank below the committed offset "
-                f"({size} < {start_byte}): append-only contract violated"
+                f"({size} < {start_byte}): append-only contract violated "
+                "(classic cause: the file was archived while its producer "
+                "was live and then recreated by path — archive only "
+                "closed/rotated files; see archive_drained)"
             )
         if size == start_byte:
             return [], start_byte
@@ -131,6 +141,22 @@ def make_outbox_source():
                 end += nl + 1 - pos
                 pos = nl + 1
         return rows, end
+
+    def _complete_size(fpath: str) -> int:
+        """Byte count of the newline-terminated prefix — the only bytes
+        the visibility contract admits. Scans backwards in bounded
+        chunks, so the cost is the torn tail, not the file."""
+        size = os.path.getsize(fpath)
+        with open(fpath, "rb") as fh:
+            pos = size
+            while pos > 0:
+                step = min(_CHUNK, pos)
+                fh.seek(pos - step)
+                nl = fh.read(step).rfind(b"\n")
+                if nl != -1:
+                    return pos - step + nl + 1
+                pos -= step
+        return 0
 
     def _read_slice(fpath: str, start_byte: int, end_byte: int) -> list[tuple]:
         """Rows in the committed byte range [start, end) — immutable in an
@@ -208,7 +234,11 @@ def make_outbox_source():
             rows: list[tuple] = []
             for name in _list_files(self._path):
                 fpath = os.path.join(self._path, name)
-                rows.extend(_read_slice(fpath, 0, os.path.getsize(fpath)))
+                # same torn-write rule as the stream reader: parse only
+                # the newline-terminated prefix, so a line caught
+                # mid-append is invisible rather than a JSONDecodeError
+                # (and batch == stream on identical files)
+                rows.extend(_read_slice(fpath, 0, _complete_size(fpath)))
             rows.sort(key=lambda t: t[0])
             return iter(rows)
 
@@ -229,18 +259,37 @@ def make_outbox_source():
     return OutboxDataSource
 
 
-def archive_drained(path: str, offset: dict, archive_subdir: str = "archive"):
+def archive_drained(
+    path: str,
+    offset: dict,
+    archive_subdir: str = "archive",
+    min_quiet_secs: float = 0.0,
+):
     """Retention: move files the committed ``offset`` has fully drained
     (size == committed byte position) into ``path/archive_subdir``,
     returning the moved names. The reader only lists ``*.jsonl`` at the
     directory root, so archived files vanish from polls while their
     offsets are retained — safe to run concurrently with the stream
-    (a mid-poll move is tolerated and skipped). Never touches a file
-    with unconsumed or in-flight bytes; replaying a span that needs an
-    archived file fails loudly rather than dropping data, so archive
-    only beyond your replay horizon (e.g. after checkpoint compaction)."""
+    READER (a mid-poll move is tolerated and skipped). Never touches a
+    file with unconsumed or in-flight bytes; replaying a span that needs
+    an archived file fails loudly rather than dropping data, so archive
+    only beyond your replay horizon (e.g. after checkpoint compaction).
+
+    **Producer contract (late-append hazard): a file may be archived
+    only once its producer has closed/rotated it.** The size check and
+    the move are not atomic against a LIVE writer: a producer holding an
+    open fd keeps appending into the archived inode (those rows are
+    never polled — silently lost), and a producer that reopens by path
+    recreates the file SMALLER than the retained offset, failing every
+    subsequent poll with the shrank-below-offset error. Belt-and-braces,
+    ``min_quiet_secs`` skips any file modified within that window — set
+    it to comfortably exceed the producer's append cadence (it
+    approximates "closed/rotated" for producers that can't signal it);
+    the default 0.0 preserves the archive-everything-drained behavior
+    for quiesced outboxes (tests, post-shutdown compaction)."""
     import os
     import shutil
+    import time
 
     files = offset.get("files")
     if files is None:
@@ -250,8 +299,11 @@ def archive_drained(path: str, offset: dict, archive_subdir: str = "archive"):
     for name, consumed in sorted(files.items()):
         fpath = os.path.join(path, name)
         try:
-            if os.path.getsize(fpath) != int(consumed):
+            st = os.stat(fpath)
+            if st.st_size != int(consumed):
                 continue  # pending or in-flight bytes: not drained
+            if min_quiet_secs > 0 and time.time() - st.st_mtime < min_quiet_secs:
+                continue  # recently written: producer may still be live
         except FileNotFoundError:
             continue  # already rotated
         os.makedirs(dest_dir, exist_ok=True)

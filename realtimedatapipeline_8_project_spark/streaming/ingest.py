@@ -27,6 +27,11 @@ Per batch N:
    parquet here keeps the test surface catalog-free, the sort gives the
    same pruning at row-group grain.
 
+5. (opt-in) the committed partition's partial postings + stats append
+   under ``index/.../batch_id=N`` (operators/text_analysis.py:
+   write_index_batch) — the search index stays serveable as the corpus
+   grows, merge-on-read, never a full-corpus rebuild.
+
 Recovery/idempotency: a replayed batch N reads strictly batch_id < N, so
 it recomputes the identical verdict and overwrites its own partitions —
 effective exactly-once on the kept corpus (pinned by test alongside the
@@ -62,9 +67,11 @@ from ..operators.dedup import (
     intra_batch_dedup,
     shingles,
 )
+from ..operators.text_analysis import batch_postings, write_index_batch
 
 KEPT = "kept"
 BANDS = "bands"
+INDEX = "index"
 
 
 def _read_prior(
@@ -84,7 +91,10 @@ def _read_prior(
 
 
 def dedup_ingest_batch(
-    batch_df: DataFrame, batch_id: int, corpus_dir: str
+    batch_df: DataFrame,
+    batch_id: int,
+    corpus_dir: str,
+    maintain_index: bool = False,
 ) -> None:
     """foreachBatch body: dedup ``batch_df`` (doc_id, text) within itself
     and against the accumulated kept corpus, then append the survivors +
@@ -173,20 +183,47 @@ def dedup_ingest_batch(
         .option("partitionOverwriteMode", "dynamic")
         .parquet(bands_path)
     )
+    if maintain_index:
+        # search-index maintenance rides the same batch grain as the
+        # band table: the committed partition (the source of truth for
+        # what landed — a pruned re-read, like kept_ids above) yields
+        # this batch's partial postings + stats; merge-on-read keeps the
+        # stored index serveable as the corpus grows with NO full-corpus
+        # rebuild (operators/text_analysis.py: write_index_batch).
+        # Dedup guarantees each doc_id is admitted at most once, the
+        # invariant the merged-postings df derivation relies on.
+        kept_committed = (
+            spark.read.parquet(kept_path)
+            .where(F.col("batch_id") == batch_id)
+            .select("doc_id", "text")
+        )
+        write_index_batch(
+            batch_postings(kept_committed),
+            batch_id,
+            os.path.join(corpus_dir, INDEX),
+        )
 
 
 def run_dedup_ingest(
-    docs_stream: DataFrame, corpus_dir: str, checkpoint_dir: str
+    docs_stream: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    maintain_index: bool = False,
 ) -> StreamingQuery:
     """Drain ``docs_stream`` (doc_id, text) through dedup ingestion with
     availableNow semantics (each call processes what has arrived, then
     stops — the batch-backfill trigger; a production run swaps in a
-    processing-time trigger, nothing else changes)."""
+    processing-time trigger, nothing else changes). With
+    ``maintain_index`` the search index under ``corpus_dir/index`` grows
+    per batch alongside the band table (merge-on-read partial postings —
+    never a full-corpus rebuild)."""
     return (
         docs_stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
-            lambda df, bid: dedup_ingest_batch(df, bid, corpus_dir)
+            lambda df, bid: dedup_ingest_batch(
+                df, bid, corpus_dir, maintain_index=maintain_index
+            )
         )
         .trigger(availableNow=True)
         .start()

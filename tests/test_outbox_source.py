@@ -549,3 +549,61 @@ def test_outbox_archive_drained_keeps_stream_working(tmp_path):
     # legacy offsets rejected here too
     with pytest.raises(ValueError, match="last_id"):
         archive_drained(src, {"last_id": 3})
+
+
+def test_outbox_torn_write_invisible_to_batch_and_stream(
+    outbox_spark, tmp_path
+):
+    """Visibility contract (ADVICE r7): an unterminated trailing line is
+    a torn write in progress — invisible to BOTH readers (the batch
+    reader must not parse it, let alone crash on half a JSON object),
+    and visible to both the instant its newline lands."""
+    spark = outbox_spark
+    src = str(tmp_path / "outbox")
+    _write_outbox(src, range(4))
+    fpath = os.path.join(src, "b0.jsonl")
+    torn = json.dumps({"id": 4, "topic": "t", "key": "4", "payload": "{"})
+    with open(fpath, "a") as fh:
+        fh.write(torn[: len(torn) // 2])  # mid-append: invalid JSON, no \n
+    batch_ids = [
+        r.id
+        for r in spark.read.format("outbox").option("path", src).load().collect()
+    ]
+    assert batch_ids == [0, 1, 2, 3]
+    reader = _reader(src)
+    it, off = reader.read(reader.initialOffset())
+    assert [t[0] for t in it] == [0, 1, 2, 3]
+    # stream offset stops at the last complete line — batch == stream
+    with open(fpath, "a") as fh:
+        fh.write(torn[len(torn) // 2 :] + "\n")  # newline lands: row exists
+    it2, _ = reader.read(off)
+    assert [t[0] for t in it2] == [4]
+    batch_ids = [
+        r.id
+        for r in spark.read.format("outbox").option("path", src).load().collect()
+    ]
+    assert batch_ids == [0, 1, 2, 3, 4]
+
+
+def test_outbox_archive_quiesce_window_skips_recent_files(tmp_path):
+    """archive_drained(min_quiet_secs=...) must not move a file the
+    producer touched within the window (the live-writer hazard from
+    ADVICE r7); a file older than the window archives normally."""
+    from realtimedatapipeline_8_project_spark.sources.outbox_stream import (
+        archive_drained,
+    )
+
+    src = str(tmp_path / "outbox")
+    _write_outbox(src, range(3), fname="a0.jsonl")
+    _write_outbox(src, range(3, 5), fname="a1.jsonl")
+    reader = _reader(src)
+    _, off = reader.read(reader.initialOffset())
+    # a0 quiesced long ago; a1 modified just now
+    old = os.path.join(src, "a0.jsonl")
+    os.utime(old, (os.path.getmtime(old) - 3600, os.path.getmtime(old) - 3600))
+    moved = archive_drained(src, off, min_quiet_secs=600)
+    assert moved == ["a0.jsonl"]
+    assert os.path.exists(os.path.join(src, "a1.jsonl"))
+    # once quiet, the remaining drained file archives too
+    moved2 = archive_drained(src, off, min_quiet_secs=0)
+    assert moved2 == ["a1.jsonl"]

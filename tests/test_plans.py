@@ -742,6 +742,26 @@ def test_q22_anti_join_with_pushed_date_filter(spark, sf_small):
     assert pushed, "dormancy date filter must push into the orders scan"
 
 
+def test_supplier_name_unique_per_suppkey():
+    """agg_waiting_suppliers_1scan aggregates by l_suppkey and joins
+    s_name, while the SQL spelling groups by s_name — equivalent only
+    while s_name is unique (ADVICE r7). Pin that fixture invariant at
+    every scale the driver runs, so the assumption can't rot silently
+    if the fixtures are ever regenerated."""
+    import os
+
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/supplier.parquet"
+        if not os.path.exists(path):
+            continue
+        n, d = duckdb.sql(
+            f"SELECT COUNT(*), COUNT(DISTINCT s_name) FROM '{path}'"
+        ).fetchone()
+        assert n == d, f"duplicate s_name in {sf}: Q21 spellings diverge"
+
+
 def test_q21_spellings_agree(spark, sf_small):
     """The EXISTS/NOT EXISTS spelling and the single-scan window rewrite
     of the Q21 shape are the same function — pinned directly Spark vs
@@ -822,3 +842,111 @@ def test_q20_spellings_agree(spark, sf_small):
     a = QUERIES["sql_excess_shipments"](spark, sf_small)
     b = QUERIES["agg_excess_shipments_1scan"](spark, sf_small)
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+
+def test_search_any_and_exclude_from_index_corpus_free(spark, sf_small):
+    """OR and AND-NOT retrieval (the r8 boolean-algebra completion) are
+    answered entirely from the stored posting artifact: no documents
+    scan in either plan, the positive terms pushed as IN(term) into the
+    postings scan, and NOT served as an anti join on the excluded
+    term's postings — never 'all docs minus matches'."""
+    p_any = plan_of(spark, sf_small, "text_search_any_from_index")
+    assert "documents.parquet" not in p_any
+    assert any(
+        "PushedFilters" in l and "In(term" in l for l in p_any.splitlines()
+    )
+    p_ex = plan_of(spark, sf_small, "text_search_exclude_from_index")
+    assert "documents.parquet" not in p_ex
+    assert "LeftAnti" in p_ex
+    assert any(
+        "PushedFilters" in l and "In(term" in l for l in p_ex.splitlines()
+    )
+    # the excluded term's postings scan pushes its equality filter too
+    assert any(
+        "PushedFilters" in l and "EqualTo(term," in l
+        for l in p_ex.splitlines()
+    )
+
+
+def test_q8_market_share_broadcast_chain_single_fact_scan(spark, sf_small):
+    """sql_market_share (TPC-H Q8 shape): the 7-relation join tree must
+    keep the fact as the probe side of a broadcast chain — every join a
+    BroadcastHashJoin at local scale, lineitem scanned exactly once,
+    and no fact-side hash exchange before the aggregate (join order is
+    the 100x make-or-break for this shape)."""
+    p = plan_of(spark, sf_small, "sql_market_share")
+    assert p.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    # the type filter reaches the part scan; the region name the region scan
+    assert any(
+        "PushedFilters" in l and "EqualTo(p_type," in l
+        for l in p.splitlines()
+    )
+    assert any(
+        "PushedFilters" in l and "EqualTo(r_name," in l
+        for l in p.splitlines()
+    )
+
+
+def test_notin_null_trap_boundary(spark):
+    """The empty-vs-nonempty NOT IN boundary on a planted 3-row fixture
+    (fixture-independent): one NULL in the subquery flips the whole
+    predicate from {1,3} to EMPTY — three-valued logic, not anti-join
+    semantics. Pins Spark's behavior directly; the registry oracle
+    proves DuckDB agrees on the fixture corpus."""
+    spark.createDataFrame(
+        [(1,), (2,), (3,)], "k bigint"
+    ).createOrReplaceTempView("t_outer")
+    spark.createDataFrame(
+        [(2, False), (None, True)], "v bigint, poison boolean"
+    ).createOrReplaceTempView("t_sub")
+    nonempty = spark.sql(
+        "SELECT k FROM t_outer WHERE k NOT IN "
+        "(SELECT v FROM t_sub WHERE NOT poison)"
+    ).collect()
+    assert sorted(r.k for r in nonempty) == [1, 3]
+    poisoned = spark.sql(
+        "SELECT k FROM t_outer WHERE k NOT IN (SELECT v FROM t_sub)"
+    ).collect()
+    assert poisoned == []
+
+
+def test_bm25_incremental_equals_one_pass_artifact(spark, sf_small):
+    """Replay-equals-batch for the search index (VERDICT r7 item 2): the
+    merged incremental postings partitions equal the one-pass scored
+    artifact row-for-row, the summed per-batch stats equal the one-pass
+    corpus stats, and the served ranking is identical (the driver
+    additionally proves both against the corpus-scan DuckDB oracle)."""
+    import os
+
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        INDEX_POSTINGS,
+        build_incremental_index,
+        build_scored_index,
+        read_index,
+    )
+
+    incr_root = build_incremental_index(spark, sf_small)
+    one_root = build_scored_index(spark, sf_small)
+    postings, stats = read_index(spark, incr_root)
+    one_postings = spark.read.parquet(os.path.join(one_root, "postings"))
+    one_stats = spark.read.parquet(os.path.join(one_root, "stats"))
+    cols = ["term", "doc_id", "tf", "dl"]
+    assert sorted(map(str, postings.select(*cols).collect())) == sorted(
+        map(str, one_postings.select(*cols).collect())
+    )
+    assert stats.collect() == one_stats.collect()
+    a = QUERIES["text_bm25_incremental"](spark, sf_small)
+    b = QUERIES["text_bm25_from_index"](spark, sf_small)
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+    # the serving plan touches the batch partitions, never the corpus,
+    # and the query terms push into the partitioned postings scan
+    p = plan_of(spark, sf_small, "text_bm25_incremental")
+    assert "documents.parquet" not in p
+    assert INDEX_POSTINGS in p
+    assert any(
+        "PushedFilters" in l and "In(term" in l for l in p.splitlines()
+    )
+    assert "TakeOrderedAndProject" in p

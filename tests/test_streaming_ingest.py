@@ -281,3 +281,64 @@ def test_first_batch_replay_after_crash_between_writes(spark, sf_small, tmp_path
     dedup_ingest_batch(b1, 1, corpus)
     got = {r.doc_id for r in read_kept(spark, corpus).collect()}
     assert not any(d >= 700_000 for d in got)
+
+
+def test_ingest_maintains_search_index_equal_to_one_pass(
+    spark, sf_small, tmp_path
+):
+    """Search-index maintenance rides the ingest loop (VERDICT r7 item
+    2): with maintain_index, each micro-batch appends its partial
+    postings + stats beside the band table, and the merged incremental
+    index equals a ONE-PASS posting build over the final kept corpus —
+    replay-equals-batch for the index. BM25 served from the merged
+    partitions equals BM25 served from the one-pass build, and a
+    replayed batch overwrites only its own partitions (idempotent)."""
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        batch_postings,
+        bm25_topk_over_postings,
+        read_index,
+    )
+
+    batches = _doc_batches(spark, sf_small)
+    src = str(tmp_path / "src")
+    for i, b in enumerate(batches):
+        _write_jsonl(b, os.path.join(src, f"b{i}.jsonl"))
+        time.sleep(1.1)
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    docs = raw.select(
+        F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+        F.get_json_object("value", "$.text").alias("text"),
+    )
+    corpus = str(tmp_path / "corpus")
+    q = run_dedup_ingest(
+        docs, corpus, str(tmp_path / "chk"), maintain_index=True
+    )
+    q.awaitTermination()
+
+    postings, stats = read_index(spark, os.path.join(corpus, "index"))
+    kept = read_kept(spark, corpus).select("doc_id", "text")
+    one_pass = batch_postings(kept)
+    cols = ["term", "doc_id", "tf", "dl"]
+    got = sorted(map(str, postings.select(*cols).collect()))
+    want = sorted(map(str, one_pass.select(*cols).collect()))
+    assert got == want
+    s = stats.collect()[0]
+    assert s.n_docs == kept.count()
+    one_stats = one_pass.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("tf").alias("total_dl"),
+    )
+    assert s.total_dl == one_stats.collect()[0].total_dl
+    served_incr = bm25_topk_over_postings(postings, stats).collect()
+    served_once = bm25_topk_over_postings(one_pass, one_stats).collect()
+    assert sorted(map(str, served_incr)) == sorted(map(str, served_once))
+
+    # replaying a committed batch must not change the merged index
+    dedup_ingest_batch(batches[2], 2, corpus, maintain_index=True)
+    postings2, stats2 = read_index(spark, os.path.join(corpus, "index"))
+    assert sorted(map(str, postings2.select(*cols).collect())) == got
+    assert stats2.collect() == [s]
