@@ -1242,6 +1242,78 @@ def read_index(spark: SparkSession, index_dir: str):
     return postings, stats
 
 
+COMPACTED_BATCH_ID = -1
+
+
+def compact_index(spark: SparkSession, index_dir: str) -> int:
+    """Fold every postings batch partition (including a previous
+    compacted one) into the single ``batch_id=COMPACTED_BATCH_ID``
+    partition; returns the number of source partitions absorbed (0 =
+    nothing to do). Readers see identical rows before and after (pinned
+    by test) — this is a pure background rewrite, the amortized cost of
+    merge-on-read: term-sorted row groups WITHIN each batch partition
+    mean a query's pushed IN(term) probes every partition's row groups,
+    so probe cost grows with batch count; after compaction one
+    term-sorted file set serves the whole corpus. Per-batch STATS rows
+    are deliberately left alone — summing a num-batches-sized table on
+    read is free, and leaving them keeps stats crash-independent of the
+    postings swap (a compaction that lands postings but dies before
+    touching stats changes nothing a reader computes).
+
+    Crash contract mirrors streaming/sinks.py:_swap_latest: a failed
+    staging write removes its incomplete tmp (live tree untouched); a
+    crash DURING the swap preserves the complete staging dir — call
+    :func:`recover_index_compaction` before serving to finish it.
+
+    Compact only beyond the streaming checkpoint's replay horizon (the
+    archive_drained discipline): a replayed ingest batch K re-appends
+    its own ``batch_id=K`` partition, which after K's absorption into
+    the compacted partition would double-count K's postings."""
+    import os
+    import shutil
+
+    ppath = os.path.join(index_dir, INDEX_POSTINGS)
+    tmp = os.path.join(index_dir, "_postings_compact_tmp")
+    sources = [
+        d for d in os.listdir(ppath) if d.startswith("batch_id=")
+    ] if os.path.isdir(ppath) else []
+    if not sources or sources == [f"batch_id={COMPACTED_BATCH_ID}"]:
+        return 0  # nothing to absorb / already fully compacted
+    raw = spark.read.schema(POSTINGS_SCHEMA + ", batch_id int").parquet(ppath)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    merged = (
+        raw.drop("batch_id")
+        .repartition(n, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
+    )
+    try:
+        merged.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)  # incomplete staging
+        raise
+    shutil.rmtree(ppath)
+    shutil.move(tmp, ppath)
+    return len(sources)
+
+
+def recover_index_compaction(spark: SparkSession, index_dir: str) -> bool:
+    """Finish a :func:`compact_index` swap that crashed between deleting
+    the live postings tree and moving the staging dir into place: if a
+    COMPLETE staging dir (``_SUCCESS``) survives, install it. Returns
+    True if a recovery happened; no-op otherwise."""
+    import os
+    import shutil
+
+    ppath = os.path.join(index_dir, INDEX_POSTINGS)
+    tmp = os.path.join(index_dir, "_postings_compact_tmp")
+    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        return False
+    shutil.rmtree(ppath, ignore_errors=True)
+    shutil.move(tmp, ppath)
+    return True
+
+
 INCR_BATCHES = 4
 
 

@@ -342,3 +342,72 @@ def test_ingest_maintains_search_index_equal_to_one_pass(
     postings2, stats2 = read_index(spark, os.path.join(corpus, "index"))
     assert sorted(map(str, postings2.select(*cols).collect())) == got
     assert stats2.collect() == [s]
+
+
+def test_index_compaction_preserves_rows_and_recovers(
+    spark, sf_small, tmp_path
+):
+    """compact_index folds every batch partition into one compacted
+    partition with row-identical reads (a pure background rewrite), is
+    idempotent, keeps accepting new batches afterwards, and an
+    interrupted swap is finished by recover_index_compaction from the
+    preserved staging dir."""
+    import shutil
+
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        COMPACTED_BATCH_ID,
+        INDEX_POSTINGS,
+        batch_postings,
+        compact_index,
+        read_index,
+        recover_index_compaction,
+        write_index_batch,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    root = str(tmp_path / "index")
+    for b in range(3):
+        write_index_batch(
+            batch_postings(docs.where(F.col("doc_id") % 3 == b)), b, root
+        )
+    cols = ["term", "doc_id", "tf", "dl"]
+
+    def snap():
+        postings, stats = read_index(spark, root)
+        return (
+            sorted(map(str, postings.select(*cols).collect())),
+            stats.collect(),
+        )
+
+    before = snap()
+    assert compact_index(spark, root) == 3
+    assert snap() == before
+    ppath = os.path.join(root, INDEX_POSTINGS)
+    assert [d for d in os.listdir(ppath) if d.startswith("batch_id=")] == [
+        f"batch_id={COMPACTED_BATCH_ID}"
+    ]
+    # already compacted: no-op
+    assert compact_index(spark, root) == 0
+    # new batches keep landing beside the compacted partition
+    write_index_batch(
+        batch_postings(
+            docs.where(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        ),
+        7,
+        root,
+    )
+    assert compact_index(spark, root) == 2  # compacted + batch 7
+    grown = snap()
+    assert len(grown[0]) > len(before[0])
+
+    # crash during the swap: staging complete, live tree gone — recovery
+    # installs the staged copy and reads are unchanged
+    tmp_stage = os.path.join(root, "_postings_compact_tmp")
+    shutil.copytree(ppath, tmp_stage)
+    shutil.rmtree(ppath)
+    assert recover_index_compaction(spark, root) is True
+    assert snap() == grown
+    assert recover_index_compaction(spark, root) is False
