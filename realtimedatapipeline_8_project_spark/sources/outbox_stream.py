@@ -39,6 +39,24 @@ model). Two properties fall out, both fixes owed from round 6:
   loudly). Delivery order is log order; it equals id order exactly when
   the producer appends in id order (the common single-writer case).
 
+Byte offsets identify positions in a FILE IDENTITY, not a path — a file
+deleted (e.g. archived) and recreated under the same name would silently
+serve garbage slices whenever the new file is at least as large as the
+committed offset (a shrink is caught by the size check, a same-or-larger
+recreation is not). Offsets therefore also carry a head fingerprint per
+file (``{"sigs": {name: [plen, crc32]}}`` over the first committed
+bytes, recorded at first consumption — committed bytes are immutable
+under the append-only contract, so the fingerprint is stable for the
+file's lifetime; an inode would be cheaper but inode numbers are
+recycled on the spot by common filesystems). Every open-to-read — poll
+drain, committed-range replay, batch read — verifies the fingerprint
+first and fails loudly on mismatch, so garbage bytes are never
+DELIVERED. Idle polls stay stat-only (the O(pending) property): an
+equal-size recreation of a fully drained file is therefore detected at
+the next append or replay, before anything is served from it. Offsets
+from the previous format (no ``sigs``) are accepted; fingerprints are
+adopted on the next consumption.
+
 **Visibility contract: a row exists once its newline is written.** Both
 readers share the torn-write rule — an unterminated trailing line is a
 write in progress and is invisible (the stream reader leaves it for the
@@ -97,16 +115,51 @@ def make_outbox_source():
         return (int(r["id"]), r.get("topic"), r.get("key"), r.get("payload"))
 
     _CHUNK = 1 << 20  # 1 MiB
+    _SIG_LEN = 4096  # head-fingerprint cap (committed bytes only)
 
-    def _drain_file(fpath: str, start_byte: int, max_rows: int):
+    def _verify_sig(fh, name: str, sig) -> None:
+        """Fail loudly if the open file's head no longer matches the
+        committed fingerprint: the name was recreated (deleted/archived
+        and rewritten), so its committed byte positions describe ANOTHER
+        file's log and reading would deliver garbage slices. ``sig`` is
+        ``[plen, crc32]`` or None (pre-sigs offset / first contact —
+        identity adopted at first consumption). Leaves ``fh`` at an
+        unspecified position."""
+        import zlib
+
+        if sig is None:
+            return
+        plen, crc = int(sig[0]), int(sig[1])
+        fh.seek(0)
+        if (zlib.crc32(fh.read(plen)) & 0xFFFFFFFF) != crc:
+            raise ValueError(
+                f"outbox file {name} was recreated under a committed "
+                "name (head fingerprint mismatch): its committed byte "
+                "offsets belong to the previous file — archive only "
+                "closed/rotated files and never reuse their names "
+                "(see archive_drained)"
+            )
+
+    def _make_sig(fh, end_byte: int):
+        """Fingerprint of the first min(_SIG_LEN, end_byte) bytes —
+        committed (hence immutable) once the offset carrying it is."""
+        import zlib
+
+        plen = min(_SIG_LEN, end_byte)
+        fh.seek(0)
+        return [plen, zlib.crc32(fh.read(plen)) & 0xFFFFFFFF]
+
+    def _drain_file(fpath: str, start_byte: int, max_rows: int, sig=None):
         """Parse up to ``max_rows`` complete lines from the append-only
-        file starting at ``start_byte``; returns (rows, end_byte). An
-        incomplete trailing line (no newline yet) is left for the next
-        poll; blank lines advance the offset without producing rows.
-        Reads in bounded chunks and stops once ``max_rows`` lines are
-        consumed, so a poll's I/O and memory track the CONSUMED bytes —
-        a multi-GB pending backlog drained 1000 rows at a time never
-        re-reads (or buffers) the whole tail per trigger."""
+        file starting at ``start_byte``; returns (rows, end_byte,
+        sig_out). An incomplete trailing line (no newline yet) is left
+        for the next poll; blank lines advance the offset without
+        producing rows. Reads in bounded chunks and stops once
+        ``max_rows`` lines are consumed, so a poll's I/O and memory
+        track the CONSUMED bytes — a multi-GB pending backlog drained
+        1000 rows at a time never re-reads (or buffers) the whole tail
+        per trigger. The head fingerprint is verified (or, when absent,
+        adopted) on the same open handle."""
         size = os.path.getsize(fpath)
         if size < start_byte:
             raise ValueError(
@@ -117,10 +170,11 @@ def make_outbox_source():
                 "closed/rotated files; see archive_drained)"
             )
         if size == start_byte:
-            return [], start_byte
+            return [], start_byte, sig
         rows: list[tuple] = []
         end = start_byte
         with open(fpath, "rb") as fh:
+            _verify_sig(fh, os.path.basename(fpath), sig)
             fh.seek(start_byte)
             remaining = size - start_byte
             buf = b""
@@ -140,7 +194,9 @@ def make_outbox_source():
                     rows.append(_parse(line))
                 end += nl + 1 - pos
                 pos = nl + 1
-        return rows, end
+            if sig is None and end > start_byte:
+                sig = _make_sig(fh, end)
+        return rows, end, sig
 
     def _complete_size(fpath: str) -> int:
         """Byte count of the newline-terminated prefix — the only bytes
@@ -158,12 +214,17 @@ def make_outbox_source():
                 pos -= step
         return 0
 
-    def _read_slice(fpath: str, start_byte: int, end_byte: int) -> list[tuple]:
+    def _read_slice(
+        fpath: str, start_byte: int, end_byte: int, sig=None
+    ) -> list[tuple]:
         """Rows in the committed byte range [start, end) — immutable in an
         append-only file, hence a deterministic replay. A missing file
         here means retention deleted a range a replay still needs: fail
-        loudly rather than silently dropping data."""
+        loudly rather than silently dropping data; likewise a head
+        fingerprint mismatch (name recreated) fails before a byte is
+        served."""
         with open(fpath, "rb") as fh:
+            _verify_sig(fh, os.path.basename(fpath), sig)
             fh.seek(start_byte)
             buf = fh.read(end_byte - start_byte)
         return [
@@ -187,6 +248,7 @@ def make_outbox_source():
         def read(self, start: dict):
             prior = _files_of(start)
             files = dict(prior)
+            sigs = dict(start.get("sigs", {}))
             budget = self._limit
             out: list[tuple] = []
             for name in _list_files(self._path):
@@ -197,7 +259,9 @@ def make_outbox_source():
                 try:
                     if os.path.getsize(fpath) == consumed:
                         continue  # drained: stat only, never re-opened
-                    rows, end = _drain_file(fpath, consumed, budget)
+                    rows, end, sig = _drain_file(
+                        fpath, consumed, budget, sigs.get(name)
+                    )
                 except FileNotFoundError:
                     # rotated to the archive prefix between listdir and
                     # stat/open (the documented retention pattern for
@@ -207,22 +271,30 @@ def make_outbox_source():
                     continue
                 if end != consumed:
                     files[name] = end
+                    if sig is not None:
+                        sigs[name] = sig
                     out.extend(rows)
                     budget -= len(rows)
             if files == prior:
                 return iter([]), start
-            return iter(out), {"files": files}
+            return iter(out), {"files": files, "sigs": sigs}
 
         def readBetweenOffsets(self, start: dict, end: dict):
             sf = _files_of(start)
             ef = _files_of(end)
+            sigs = end.get("sigs", {})
             rows: list[tuple] = []
             for name in sorted(ef):
                 s = int(sf.get(name, 0))
                 e = int(ef[name])
                 if e > s:
                     rows.extend(
-                        _read_slice(os.path.join(self._path, name), s, e)
+                        _read_slice(
+                            os.path.join(self._path, name),
+                            s,
+                            e,
+                            sigs.get(name),
+                        )
                     )
             return iter(rows)
 

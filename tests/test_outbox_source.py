@@ -148,8 +148,21 @@ def test_outbox_replay_between_offsets_is_deterministic(tmp_path):
     first = list(it)
     assert [t[0] for t in first] == list(range(30))
     # the committed offset is the file's byte length (whole log consumed)
+    # plus the head fingerprint guarding against name recreation
+    import zlib
+
+    fpath = os.path.join(src, "b0.jsonl")
+    with open(fpath, "rb") as fh:
+        head = fh.read(4096)
     assert off == {
-        "files": {"b0.jsonl": os.path.getsize(os.path.join(src, "b0.jsonl"))}
+        "files": {"b0.jsonl": os.path.getsize(fpath)},
+        "sigs": {
+            "b0.jsonl": [
+                min(4096, os.path.getsize(fpath)),
+                zlib.crc32(head[: min(4096, os.path.getsize(fpath))])
+                & 0xFFFFFFFF,
+            ]
+        },
     }
     replay = list(reader.readBetweenOffsets(start, off))
     assert replay == first
@@ -607,3 +620,37 @@ def test_outbox_archive_quiesce_window_skips_recent_files(tmp_path):
     # once quiet, the remaining drained file archives too
     moved2 = archive_drained(src, off, min_quiet_secs=0)
     assert moved2 == ["a1.jsonl"]
+
+
+def test_outbox_recreated_file_fails_loudly_not_garbage(tmp_path):
+    """A drained file deleted and recreated under the same name with
+    SAME-OR-LARGER size would silently serve another file's bytes under
+    the committed offset (the shrink check can't see it) — the head
+    fingerprint turns both poll and replay into loud failures before a
+    byte is delivered (an inode would be cheaper, but filesystems
+    recycle inode numbers on the spot). Offsets from the pre-sigs
+    format are still accepted (identity adopted on next consumption)."""
+    src = str(tmp_path / "outbox")
+    _write_outbox(src, range(5))
+    reader = _reader(src)
+    it, off = reader.read(reader.initialOffset())
+    assert len(list(it)) == 5
+    # recreate with same name, same-or-larger size, different identity
+    fpath = os.path.join(src, "b0.jsonl")
+    os.remove(fpath)
+    _write_outbox(src, range(100, 107))
+    assert os.path.getsize(fpath) >= off["files"]["b0.jsonl"]
+    with pytest.raises(ValueError, match="recreated"):
+        reader.read(off)
+    with pytest.raises(ValueError, match="recreated"):
+        list(reader.readBetweenOffsets(reader.initialOffset(), off))
+    # a pre-sigs offset (r7 checkpoint) is accepted: no identity to
+    # check, the new file's tail beyond the committed offset is served
+    # and the new offset adopts the current file's fingerprint
+    legacy = {"files": dict(off["files"])}
+    it2, off2 = reader.read(legacy)
+    assert "b0.jsonl" in off2["sigs"]
+    assert [t[0] for t in it2]  # tail rows beyond the retained offset
+    # the adopted fingerprint now protects the RECREATED file's bytes
+    it3, off3 = reader.read(off2)
+    assert list(it3) == [] and off3 == off2
