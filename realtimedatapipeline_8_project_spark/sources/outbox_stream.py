@@ -55,7 +55,12 @@ DELIVERED. Idle polls stay stat-only (the O(pending) property): an
 equal-size recreation of a fully drained file is therefore detected at
 the next append or replay, before anything is served from it. Offsets
 from the previous format (no ``sigs``) are accepted; fingerprints are
-adopted on the next consumption.
+adopted on the next consumption. A pre-sigs offset carries no identity
+to check, so a recreation is only detectable indirectly: committed
+offsets always sit on line boundaries of the file they were taken
+from, so a parse failure while resuming at one is the identity
+violation itself and raises the same loud "recreated" ValueError —
+never a raw JSONDecodeError, and never silently-served garbage.
 
 **Visibility contract: a row exists once its newline is written.** Both
 readers share the torn-write rule — an unterminated trailing line is a
@@ -117,6 +122,26 @@ def make_outbox_source():
     _CHUNK = 1 << 20  # 1 MiB
     _SIG_LEN = 4096  # head-fingerprint cap (committed bytes only)
 
+    def _recreated_on_legacy(name: str, start_byte: int, exc) -> ValueError:
+        """A pre-sigs (round-7 format) offset carries no identity to
+        verify, so a recreated file is only detectable when the drain
+        lands mid-line in the new file and parsing fails. Under the
+        append-only contract a committed byte position always sits on a
+        line boundary of the ORIGINAL file, so a parse failure at that
+        position means the bytes belong to another file — the identity
+        violation itself, surfaced loudly per the "garbage bytes are
+        never DELIVERED" contract rather than escaping as a raw
+        JSONDecodeError."""
+        return ValueError(
+            f"outbox file {name} appears recreated under a committed "
+            f"name: a pre-sigs offset resumed at byte {start_byte} but "
+            "the bytes there do not parse as an outbox line — committed "
+            "offsets always sit on line boundaries of the file they were "
+            "taken from, so these bytes belong to a different file. "
+            "Start from a fresh checkpoint, or restore the original file "
+            f"(cause: {exc})"
+        )
+
     def _verify_sig(fh, name: str, sig) -> None:
         """Fail loudly if the open file's head no longer matches the
         committed fingerprint: the name was recreated (deleted/archived
@@ -173,6 +198,7 @@ def make_outbox_source():
             return [], start_byte, sig
         rows: list[tuple] = []
         end = start_byte
+        legacy_resume = sig is None and start_byte > 0
         with open(fpath, "rb") as fh:
             _verify_sig(fh, os.path.basename(fpath), sig)
             fh.seek(start_byte)
@@ -191,7 +217,14 @@ def make_outbox_source():
                     continue
                 line = buf[pos:nl]
                 if line.strip():
-                    rows.append(_parse(line))
+                    try:
+                        rows.append(_parse(line))
+                    except (ValueError, KeyError, TypeError) as exc:
+                        if legacy_resume:
+                            raise _recreated_on_legacy(
+                                os.path.basename(fpath), start_byte, exc
+                            ) from exc
+                        raise
                 end += nl + 1 - pos
                 pos = nl + 1
             if sig is None and end > start_byte:
@@ -227,9 +260,23 @@ def make_outbox_source():
             _verify_sig(fh, os.path.basename(fpath), sig)
             fh.seek(start_byte)
             buf = fh.read(end_byte - start_byte)
-        return [
-            _parse(line) for line in buf.split(b"\n") if line.strip()
-        ]
+        out: list[tuple] = []
+        for line in buf.split(b"\n"):
+            if not line.strip():
+                continue
+            try:
+                out.append(_parse(line))
+            except (ValueError, KeyError, TypeError) as exc:
+                if sig is None:
+                    # a committed range is a span of whole lines of the
+                    # file it was taken from — a parse failure inside it
+                    # with no identity to verify means the name was
+                    # recreated, not that the log ever held garbage
+                    raise _recreated_on_legacy(
+                        os.path.basename(fpath), start_byte, exc
+                    ) from exc
+                raise
+        return out
 
     def _files_of(offset: dict) -> dict:
         files = offset.get("files")

@@ -628,8 +628,13 @@ def test_outbox_recreated_file_fails_loudly_not_garbage(tmp_path):
     the committed offset (the shrink check can't see it) — the head
     fingerprint turns both poll and replay into loud failures before a
     byte is delivered (an inode would be cheaper, but filesystems
-    recycle inode numbers on the spot). Offsets from the pre-sigs
-    format are still accepted (identity adopted on next consumption)."""
+    recycle inode numbers on the spot). A pre-sigs (r7-format) offset
+    carries no identity either, but a committed offset always sits on a
+    line boundary of the file it was taken from — so a parse failure
+    while resuming at one IS the identity violation, and must raise the
+    same loud "recreated" ValueError, never a raw JSONDecodeError and
+    never silently-served garbage (the module's "garbage bytes are
+    never DELIVERED" contract)."""
     src = str(tmp_path / "outbox")
     _write_outbox(src, range(5))
     reader = _reader(src)
@@ -644,13 +649,38 @@ def test_outbox_recreated_file_fails_loudly_not_garbage(tmp_path):
         reader.read(off)
     with pytest.raises(ValueError, match="recreated"):
         list(reader.readBetweenOffsets(reader.initialOffset(), off))
-    # a pre-sigs offset (r7 checkpoint) is accepted: no identity to
-    # check, the new file's tail beyond the committed offset is served
-    # and the new offset adopts the current file's fingerprint
+    # a pre-sigs offset resuming mid-line in the recreated file fails
+    # loudly too — the committed position is not a line boundary here
+    legacy = {"files": dict(off["files"])}
+    with pytest.raises(ValueError, match="recreated"):
+        reader.read(legacy)
+    with pytest.raises(ValueError, match="recreated"):
+        list(reader.readBetweenOffsets(reader.initialOffset(), legacy))
+
+
+def test_outbox_legacy_offset_adopts_fingerprint_on_clean_file(tmp_path):
+    """The happy migration path: a pre-sigs (r7-format) checkpoint
+    against the ORIGINAL, untouched file keeps working — the pending
+    tail is served, the new offset adopts the current file's head
+    fingerprint, and from then on the identity check protects it."""
+    src = str(tmp_path / "outbox")
+    _write_outbox(src, range(5))
+    reader = _reader(src)
+    it, off = reader.read(reader.initialOffset())
+    assert len(list(it)) == 5
+    # producer appends more rows; simulate an r7 checkpoint (no sigs)
+    with open(os.path.join(src, "b0.jsonl"), "a") as fh:
+        for i in range(5, 9):
+            fh.write(json.dumps({"id": i, "topic": "t", "key": str(i), "payload": "{}"}) + "\n")
     legacy = {"files": dict(off["files"])}
     it2, off2 = reader.read(legacy)
-    assert "b0.jsonl" in off2["sigs"]
-    assert [t[0] for t in it2]  # tail rows beyond the retained offset
-    # the adopted fingerprint now protects the RECREATED file's bytes
-    it3, off3 = reader.read(off2)
-    assert list(it3) == [] and off3 == off2
+    assert [t[0] for t in it2] == [5, 6, 7, 8]
+    assert "b0.jsonl" in off2.get("sigs", {})
+    # the adopted fingerprint now guards the file: a recreation under
+    # the same name fails loudly on the next consumption
+    fpath = os.path.join(src, "b0.jsonl")
+    os.remove(fpath)
+    _write_outbox(src, range(100, 112))
+    assert os.path.getsize(fpath) >= off2["files"]["b0.jsonl"]
+    with pytest.raises(ValueError, match="recreated"):
+        reader.read(off2)
