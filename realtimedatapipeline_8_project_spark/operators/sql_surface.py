@@ -653,3 +653,138 @@ def q_notin_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["sql_notin_null_trap"] = (q_notin_null_trap, _NOTIN_SQL)
+
+
+# --- TPC-H Q9 shape: product-type profit by nation x year ------------------
+# (VERDICT r8 item 3.) The canonical "Q8 plus an aggregated second
+# fact-side input" planner stressor: a LIKE-filtered part joined through
+# a per-(supplier, part) COST side into a profit expression grouped by
+# nation x year. The fixture has no partsupp table, so the cost side is
+# DERIVED from the fact itself — supplycost(s, p) = the cheapest
+# discounted extended price that (supplier, part) ever shipped at — the
+# per-(supplier, part) frame the Q20 shapes already build
+# (reference capability family: cassandra-setup.cql:22, README.md:10).
+#
+# Two spellings, one oracle:
+# * ``sql_profit_by_nation`` — the declarative CTE form. Catalyst plans
+#   the cost CTE as its own aggregate over a SECOND lineitem scan (no
+#   common-subexpression reuse across a CTE boundary), which is the
+#   point of the stressor: the optimizer must still keep the fact as
+#   the probe side of every dimension join.
+# * ``agg_profit_by_nation_1scan`` — the plan you'd run at 100 TB: ONE
+#   fact scan aggregated to (supplier, part, nation, year) grain
+#   carrying SUM(volume), COUNT(*) and MIN(volume) together; the global
+#   per-(s, p) cost is a reaggregation (min of mins) OF that frame, and
+#   profit = SUM(sv) - SUM(cnt x supplycost) — exactly equal to the
+#   per-line subtraction because every operand is exact decimal. The
+#   grain frame is lineage-truncated at (s, p, year) size (the Q20
+#   1-scan discipline — never the fact).
+#
+# Exact arithmetic: volume = DECIMAL(12,2) x DECIMAL(8,6) (exact
+# product); supplycost = MIN of those (exact); amount = exact decimal
+# subtraction; ROUND(SUM(amount), 2) on the DECIMAL then ONE
+# int->double conversion per group (the dsum discipline). cnt is cast
+# to DECIMAL(10,0) before the product so the result precision stays
+# under Spark's 38-digit cap (bigint would infer DECIMAL(20,0) and
+# push the product past it, silently losing exactness).
+
+Q9_PART_LIKE = "gear"
+
+_Q9_SQL = f"""
+WITH cost AS (
+  SELECT l_suppkey AS c_suppkey, l_partkey AS c_partkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1 - l_discount AS DECIMAL(8,6))) AS supplycost
+  FROM lineitem
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(1 - l_discount AS DECIMAL(8,6)) - supplycost AS amount
+  FROM part, supplier, lineitem, orders, nation, cost
+  WHERE s_suppkey = l_suppkey
+    AND c_suppkey = l_suppkey AND c_partkey = l_partkey
+    AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey
+    AND s_nationkey = n_nationkey
+    AND p_name LIKE '%{Q9_PART_LIKE}%'
+) AS profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_Q9_SQL)
+
+
+QUERIES["sql_profit_by_nation"] = (q_profit_by_nation, _Q9_SQL)
+
+
+def q_profit_by_nation_1scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-fact-scan spelling of the Q9 shape (same result, same
+    oracle — the driver cross-validates it against the CTE form)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    volume = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,6)")
+    # ONE fact scan, aggregated to (supplier, part, nation, year) grain.
+    # The unfiltered MIN rides along: the cost side of the SQL spelling
+    # aggregates ALL lineitem rows, so the part filter must not apply
+    # before the min — it prunes GROUPS (partkey is in the grain), later.
+    grain = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            "l_suppkey",
+            "l_partkey",
+            "n_name",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(volume).alias("sv"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(volume).alias("mv"),
+        )
+        .localCheckpoint()  # (s, p, year) grain — never the fact
+    )
+    supplycost = grain.groupBy("l_suppkey", "l_partkey").agg(
+        F.min("mv").alias("supplycost")
+    )
+    liked = part.where(F.col("p_name").like(f"%{Q9_PART_LIKE}%")).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    return (
+        grain.join(F.broadcast(liked), "l_partkey", "left_semi")
+        .join(supplycost, ["l_suppkey", "l_partkey"])
+        .groupBy("n_name", "o_year")
+        .agg(
+            (
+                F.sum("sv")
+                - F.sum(F.col("cnt").cast("decimal(10,0)") * F.col("supplycost"))
+            ).alias("profit_dec")
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "o_year",
+            F.round("profit_dec", 2).cast("double").alias("sum_profit"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+QUERIES["agg_profit_by_nation_1scan"] = (q_profit_by_nation_1scan, _Q9_SQL)

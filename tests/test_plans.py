@@ -950,3 +950,31 @@ def test_bm25_incremental_equals_one_pass_artifact(spark, sf_small):
         "PushedFilters" in l and "In(term" in l for l in p.splitlines()
     )
     assert "TakeOrderedAndProject" in p
+
+
+def test_q9_profit_spellings_and_plans(spark, sf_small):
+    """TPC-H Q9 shape. The CTE spelling pays TWO fact scans (Catalyst
+    cannot reuse a subexpression across the cost CTE boundary — that
+    contrast is the point of the stressor) with the LIKE pushed into
+    the part scan; the 1-scan rewrite reads the lineage-truncated
+    (supplier, part, nation, year) grain frame instead (the fact scan
+    happened exactly once, inside the checkpoint — the bm25/Q20
+    discipline), broadcasts the LIKE-filtered part semi-join, and never
+    degenerates into a cartesian product. Both spellings are the same
+    function, pinned Spark vs Spark (the driver additionally
+    cross-validates both against one DuckDB oracle)."""
+    p_sql = plan_of(spark, sf_small, "sql_profit_by_nation")
+    assert p_sql.count("lineitem.parquet") == 2
+    assert "CartesianProduct" not in p_sql
+    assert any(
+        "PushedFilters" in l and "StringContains(p_name" in l
+        for l in p_sql.splitlines()
+    )
+    p1 = plan_of(spark, sf_small, "agg_profit_by_nation_1scan")
+    assert "lineitem.parquet" not in p1  # scanned once, inside the checkpoint
+    assert "CartesianProduct" not in p1
+    assert "BroadcastHashJoin" in p1
+    assert "LeftSemi" in p1
+    a = QUERIES["sql_profit_by_nation"](spark, sf_small)
+    b = QUERIES["agg_profit_by_nation_1scan"](spark, sf_small)
+    assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
