@@ -115,6 +115,12 @@ HEADLINE = [
     "text_bm25_incremental",
     "sql_market_share",
     "sql_notin_null_trap",
+    # round-9 additions
+    "sql_profit_by_nation",
+    "agg_profit_by_nation_1scan",
+    "text_phrase_from_index",
+    "text_phrase_incremental",
+    "sim_knn_ivf_grown",
 ]
 
 

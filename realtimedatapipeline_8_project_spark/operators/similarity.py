@@ -913,8 +913,215 @@ WHERE {pair} <= {SEM_T}
 """
 
 
+# --- incrementally grown IVF index (ANN maintenance parity) ----------------
+# VERDICT r8 item 7: the text index grows per micro-batch, but the IVF
+# embedding index re-assigned the full corpus on every build — at 100 TB
+# the vector corpus can't be re-scanned either. Under a FROZEN codebook
+# (trained once — the 1-Lloyd-iteration centroids q_knn_ivf_trained
+# uses), assignment is a row-local fold over the broadcast codebook, so
+# the inverted lists grow append-only: each batch writes its own
+# vectors' (k, vec_id, qv, d) rows under ``lists/batch_id=N`` (dynamic
+# partition overwrite — replay-idempotent, the write_index_batch
+# discipline) plus a 1-row drift-stats partition (n, sum_d). Merging the
+# batch partitions equals a full rebuild under the same codebook
+# (pinned by test), and the query path is byte-identical to
+# q_knn_ivf_trained's — same oracle.
+#
+# The frozen codebook ages as the distribution shifts; retraining is
+# signalled, not guessed: each batch's mean assigned distance is
+# compared to the build-time baseline (the stats partitions make this a
+# num-batches-sized read) — a batch whose vectors land far from every
+# centroid pushes the ratio up, and past IVF_DRIFT_RATIO the index asks
+# for a retrain (which is a rebuild: new codebook => new assignment for
+# everything; incremental growth only makes sense under a frozen one).
+
+IVF_FORMAT_VERSION = 1
+IVF_LISTS = "lists"
+IVF_CODEBOOK = "codebook"
+IVF_STATS = "stats"
+IVF_LISTS_SCHEMA = "k int, vec_id bigint, qv array<bigint>, d bigint"
+IVF_GROW_BATCHES = 4
+IVF_DRIFT_RATIO = 1.5
+
+
+def ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Artifact fingerprinting keyed on embeddings.parquet identity +
+    format version (the posting_index_path discipline: a regenerated
+    fixture or changed layout can never serve a stale index)."""
+    import hashlib
+    import os
+    import re
+    from urllib.parse import urlparse
+
+    base = os.path.abspath(sf_dir.rstrip("/"))
+    try:
+        st = os.stat(os.path.join(base, "embeddings.parquet"))
+        ident = f"v{IVF_FORMAT_VERSION}|{base}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        ident = f"v{IVF_FORMAT_VERSION}|{base}|absent"
+    fp = hashlib.sha256(ident.encode()).hexdigest()[:10]
+    tag = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(base))
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    return os.path.join(wh, f"ivf_lists_{tag}_{fp}")
+
+
+def write_ivf_batch(
+    assigned: DataFrame, batch_id: int, index_dir: str
+) -> None:
+    """Append batch ``batch_id``'s assigned vectors to the inverted
+    lists (idempotent: a replay overwrites only its own partitions) and
+    its 1-row drift stats. ``assigned`` is _km_assign output
+    (vec_id, qv, k, d) for exactly this batch's vectors."""
+    import os
+
+    (
+        # no explicit partition count: AQE coalesces a tiny batch to
+        # O(1) files; k-sorted rows let the probe's IN(k) prune row
+        # groups within every batch partition
+        assigned.select("k", "vec_id", "qv", "d")
+        .repartition("k")
+        .sortWithinPartitions("k", "vec_id")
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(index_dir, IVF_LISTS))
+    )
+    (
+        assigned.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("d").alias("sum_d")
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(index_dir, IVF_STATS))
+    )
+
+
+def read_ivf_lists(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Merge-on-read view of the grown inverted lists (explicit schema:
+    a legitimately empty index has no files to infer from)."""
+    import os
+
+    return (
+        spark.read.schema(IVF_LISTS_SCHEMA + ", batch_id int")
+        .parquet(os.path.join(index_dir, IVF_LISTS))
+        .drop("batch_id")
+    )
+
+
+def ivf_drift(
+    spark: SparkSession, index_dir: str, baseline_batches: int = 1
+) -> DataFrame:
+    """Per-batch drift: mean assigned distance vs the mean over the
+    first ``baseline_batches`` build-time batches. A num-batches-sized
+    stats read — never the lists. ``needs_retrain`` is the signal the
+    maintenance loop acts on (retrain = rebuild under a fresh codebook;
+    appends stay cheap until then)."""
+    import os
+
+    stats = spark.read.parquet(os.path.join(index_dir, IVF_STATS))
+    base = (
+        stats.where(F.col("batch_id") < baseline_batches)
+        .agg((F.sum("sum_d") / F.sum("n")).alias("base_mean"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(base))
+        .select(
+            "batch_id",
+            (F.col("sum_d") / F.col("n")).alias("mean_d"),
+            ((F.col("sum_d") / F.col("n")) / F.col("base_mean")).alias(
+                "drift_ratio"
+            ),
+            (
+                (F.col("sum_d") / F.col("n")) / F.col("base_mean")
+                > F.lit(IVF_DRIFT_RATIO)
+            ).alias("needs_retrain"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+def frozen_ivf_codebook(
+    q: DataFrame, seeds: tuple[int, ...] = IVFT_SEEDS
+) -> DataFrame:
+    """The SAME centroids q_knn_ivf_trained uses (one Lloyd iteration
+    from the seed vectors) — training pays its corpus pass once; every
+    later batch is assignment-only."""
+    return _km_update(_km_assign(q, _seed_centroids(q, seeds)))
+
+
+def build_ivf_grown(spark: SparkSession, sf_dir: str) -> str:
+    """Simulated incremental growth for the registry query: train the
+    codebook once, store it, then the corpus arrives as
+    IVF_GROW_BATCHES deterministic batches (vec_id mod — each vector in
+    exactly one batch), each assigned against the STORED codebook and
+    appended via :func:`write_ivf_batch`. Idempotent per fixture
+    identity."""
+    import os
+    import shutil
+
+    root = ivf_index_path(spark, sf_dir)
+    if os.path.isdir(root):
+        try:
+            read_ivf_lists(spark, root).limit(1).count()
+            spark.read.parquet(os.path.join(root, IVF_CODEBOOK)).limit(
+                1
+            ).count()
+            return root
+        except Exception:
+            shutil.rmtree(root, ignore_errors=True)
+    q = _km_quantize(load_table(spark, sf_dir, "embeddings"))
+    frozen_ivf_codebook(q).write.mode("overwrite").parquet(
+        os.path.join(root, IVF_CODEBOOK)
+    )
+    cents = spark.read.parquet(os.path.join(root, IVF_CODEBOOK))
+    for b in range(IVF_GROW_BATCHES):
+        batch = q.where(F.col("vec_id") % IVF_GROW_BATCHES == b)
+        write_ivf_batch(_km_assign(batch, cents), b, root)
+    return root
+
+
+def q_knn_ivf_grown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 probe query served from the incrementally grown lists +
+    stored codebook — must equal q_knn_ivf_trained exactly (same
+    oracle): the frozen codebook IS the trained one, and row-local
+    assignment is batch-independent."""
+    import os
+
+    root = build_ivf_grown(spark, sf_dir)
+    lists = read_ivf_lists(spark, root)
+    cents = spark.read.parquet(os.path.join(root, IVF_CODEBOOK))
+    probe = lists.where(F.col("vec_id") == IVFT_PROBE_ID).select(
+        F.col("qv").alias("pqv")
+    )
+    plists = (
+        cents.crossJoin(F.broadcast(probe))
+        .select(
+            "k",
+            F.expr(
+                "aggregate(zip_with(c, pqv, (a, b) -> (a - b) * (a - b)), "
+                "CAST(0 AS BIGINT), (s, x) -> s + x)"
+            ).alias("pd"),
+        )
+        .orderBy(F.asc("pd"), F.asc("k"))
+        .limit(IVFT_PROBE)
+        .select("k")
+    )
+    return (
+        lists.join(F.broadcast(plists), "k")
+        .crossJoin(F.broadcast(probe))
+        .where(F.col("vec_id") != IVFT_PROBE_ID)
+        .select("vec_id", F.expr(_IVFT_PDIST).alias("dist"))
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(IVFT_TOP)
+    )
+
+
 QUERIES = {
     "sim_kmeans_train": (q_kmeans_train, _oracle_kmeans_train()),
+    "sim_knn_ivf_grown": (q_knn_ivf_grown, _oracle_knn_ivf_trained()),
     "dedup_semantic_pairs": (
         q_semantic_dedup_pairs,
         _oracle_semantic_dedup_pairs(),

@@ -749,7 +749,10 @@ QUERIES["text_encode_ids"] = (q_encode_ids, ORACLE_ENCODE_IDS)
 # changes: the version salts the artifact fingerprint, so a stored
 # index built by older tokenization code can never be served against
 # newer query code — invalidation is automatic, not manual cleanup.
-INDEX_FORMAT_VERSION = 1
+# v2: scored/incremental postings gained a positions array (phrase
+# queries) — a v1 artifact read under the v2 schema would serve NULL
+# positions silently.
+INDEX_FORMAT_VERSION = 2
 
 
 def posting_index_path(spark: SparkSession, sf_dir: str) -> str:
@@ -1069,14 +1072,23 @@ def scored_index_path(spark: SparkSession, sf_dir: str) -> str:
 
 def batch_postings(docs: DataFrame) -> DataFrame:
     """(doc_id, text) -> the BM25-ready posting rows (term, doc_id, tf,
-    dl) for exactly those documents — the SINGLE definition of the
-    posting derivation, shared by the one-pass build, the per-batch
-    incremental maintenance, and the ingest loop (two hand-maintained
-    copies could silently diverge on tokenization)."""
+    dl, positions) for exactly those documents — the SINGLE definition
+    of the posting derivation, shared by the one-pass build, the
+    per-batch incremental maintenance, and the ingest loop (two
+    hand-maintained copies could silently diverge on tokenization).
+    ``positions`` is the sorted 0-based token offsets of the term in
+    the doc (tf = its size) — doc-local like tf and dl, so the
+    incremental per-batch invariant is untouched; it is the standard
+    postings payload that serves PHRASE queries (adjacency checks)
+    from the same artifact that serves boolean and BM25."""
     toks = docs.select(
-        "doc_id", F.explode(words(normalized_text("text"))).alias("term")
+        "doc_id",
+        F.posexplode(words(normalized_text("text"))).alias("pos", "term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
     return tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
 
 
@@ -1182,26 +1194,78 @@ QUERIES["text_bm25_from_index"] = (q_bm25_from_index, _oracle_bm25())
 
 INDEX_POSTINGS = "postings"
 INDEX_STATS = "stats"
-POSTINGS_SCHEMA = "term string, doc_id bigint, tf bigint, dl bigint"
+POSTINGS_SCHEMA = (
+    "term string, doc_id bigint, tf bigint, dl bigint, positions array<int>"
+)
+INDEX_HORIZON_FILE = "_compaction_horizon.json"
+_STAGING_DIR = "_postings_compact_tmp"
+_STAGED_MARKER = "_STAGED"
+_MANIFEST = "_MANIFEST.json"
+
+
+def _read_horizon(ppath: str):
+    """The compaction horizon: the largest batch_id ever absorbed into
+    the compacted partition (None before any compaction). Lives INSIDE
+    the postings dir (underscore-prefixed, so parquet readers ignore
+    it) and is installed by the same swap that lands the compacted
+    rows — horizon and rows can never disagree."""
+    import json
+    import os
+
+    f = os.path.join(ppath, INDEX_HORIZON_FILE)
+    if not os.path.exists(f):
+        return None
+    with open(f) as fh:
+        return int(json.load(fh)["horizon"])
+
+
+def _write_horizon(ppath: str, horizon: int) -> None:
+    import json
+    import os
+
+    with open(os.path.join(ppath, INDEX_HORIZON_FILE), "w") as fh:
+        json.dump({"horizon": horizon}, fh)
 
 
 def write_index_batch(
     postings: DataFrame, batch_id: int, index_dir: str
 ) -> None:
     """Append batch ``batch_id``'s partial postings + stats partitions
-    (idempotent: a replay overwrites only its own partitions)."""
+    (idempotent: a replay overwrites only its own partitions).
+
+    Refuses a batch_id at or below the compaction horizon: that batch's
+    rows were already absorbed into the compacted partition, so
+    re-appending them would double-count its postings — the replay
+    hazard is mechanical, not a docstring caveat. Compact with a
+    ``keep_last`` margin covering the replayable tail (the streaming
+    checkpoint replays only the last uncommitted batch, so keep_last=1
+    suffices for the ingest loop)."""
     import os
 
-    spark = postings.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ppath = os.path.join(index_dir, INDEX_POSTINGS)
+    horizon = _read_horizon(ppath)
+    if horizon is not None and batch_id <= horizon:
+        raise ValueError(
+            f"index batch {batch_id} is at or below the compaction "
+            f"horizon ({horizon}): its postings were already absorbed "
+            "into the compacted partition, and re-appending would "
+            "double-count them — a replayed batch must stay behind the "
+            "horizon (compact_index(keep_last=...) covers the "
+            "replayable tail)"
+        )
     (
-        postings.repartition(n, "term")
+        # no explicit partition count: AQE coalesces the term-hashed
+        # shuffle to size-targeted partitions, so a tiny micro-batch
+        # writes O(1) files instead of one near-empty file per shuffle
+        # partition (per-batch file count is what compaction amortizes —
+        # don't manufacture it at write time)
+        postings.repartition("term")
         .sortWithinPartitions("term", "doc_id")
         .withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
         .partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")
-        .parquet(os.path.join(index_dir, INDEX_POSTINGS))
+        .parquet(ppath)
     )
     stats = postings.agg(
         F.countDistinct("doc_id").alias("n_docs"),
@@ -1245,72 +1309,124 @@ def read_index(spark: SparkSession, index_dir: str):
 COMPACTED_BATCH_ID = -1
 
 
-def compact_index(spark: SparkSession, index_dir: str) -> int:
-    """Fold every postings batch partition (including a previous
-    compacted one) into the single ``batch_id=COMPACTED_BATCH_ID``
-    partition; returns the number of source partitions absorbed (0 =
-    nothing to do). Readers see identical rows before and after (pinned
-    by test) — this is a pure background rewrite, the amortized cost of
-    merge-on-read: term-sorted row groups WITHIN each batch partition
-    mean a query's pushed IN(term) probes every partition's row groups,
-    so probe cost grows with batch count; after compaction one
-    term-sorted file set serves the whole corpus. Per-batch STATS rows
-    are deliberately left alone — summing a num-batches-sized table on
-    read is free, and leaving them keeps stats crash-independent of the
-    postings swap (a compaction that lands postings but dies before
-    touching stats changes nothing a reader computes).
+def _install_compaction(ppath: str, tmp: str) -> None:
+    """Install a COMPLETE staging dir (``_STAGED`` present): move the
+    staged compacted partition into place, remove the absorbed batch
+    partitions listed in the manifest, record the horizon, drop the
+    staging dir. Every step is idempotent, so a crash anywhere inside
+    is finished by re-running (recover_index_compaction does)."""
+    import json
+    import os
+    import shutil
 
-    Crash contract mirrors streaming/sinks.py:_swap_latest: a failed
-    staging write removes its incomplete tmp (live tree untouched); a
-    crash DURING the swap preserves the complete staging dir — call
-    :func:`recover_index_compaction` before serving to finish it.
+    with open(os.path.join(tmp, _MANIFEST)) as fh:
+        m = json.load(fh)
+    staged = os.path.join(tmp, f"batch_id={COMPACTED_BATCH_ID}")
+    live = os.path.join(ppath, f"batch_id={COMPACTED_BATCH_ID}")
+    if os.path.isdir(staged):
+        shutil.rmtree(live, ignore_errors=True)
+        os.makedirs(ppath, exist_ok=True)
+        shutil.move(staged, live)
+    for d in m["absorbed"]:
+        shutil.rmtree(os.path.join(ppath, d), ignore_errors=True)
+    _write_horizon(ppath, int(m["horizon"]))
+    shutil.rmtree(tmp)
 
-    Compact only beyond the streaming checkpoint's replay horizon (the
-    archive_drained discipline): a replayed ingest batch K re-appends
-    its own ``batch_id=K`` partition, which after K's absorption into
-    the compacted partition would double-count K's postings."""
+
+def compact_index(
+    spark: SparkSession, index_dir: str, keep_last: int = 0
+) -> int:
+    """Fold postings batch partitions (plus a previous compacted one)
+    into the single ``batch_id=COMPACTED_BATCH_ID`` partition; returns
+    the number of source partitions absorbed (0 = nothing to do).
+    Readers see identical rows before and after (pinned by test) — a
+    pure background rewrite, the amortized cost of merge-on-read:
+    term-sorted row groups WITHIN each batch partition mean a query's
+    pushed IN(term) probes every partition's row groups, so probe cost
+    grows with batch count; after compaction one term-sorted file set
+    serves the whole corpus. Per-batch STATS rows are deliberately left
+    alone — summing a num-batches-sized table on read is free, and
+    leaving them keeps stats crash-independent of the postings swap.
+
+    ``keep_last`` leaves the N highest batch_ids un-absorbed — the
+    streaming replay margin: the ingest checkpoint can replay the last
+    uncommitted batch, whose dynamic-partition re-overwrite is only
+    idempotent while its partition still exists. The max batch_id
+    actually absorbed is recorded as the compaction HORIZON (installed
+    by the same swap that lands the rows), and write_index_batch
+    refuses anything at or below it — the double-count hazard is
+    enforced, not documented.
+
+    Crash contract: a failed or interrupted staging write leaves no
+    ``_STAGED`` marker and is discarded (live tree untouched); once
+    ``_STAGED`` exists the install (move compacted partition in, drop
+    absorbed partitions, record horizon) is idempotent — call
+    :func:`recover_index_compaction` before serving to finish an
+    interrupted one."""
+    import json
     import os
     import shutil
 
     ppath = os.path.join(index_dir, INDEX_POSTINGS)
-    tmp = os.path.join(index_dir, "_postings_compact_tmp")
-    sources = [
-        d for d in os.listdir(ppath) if d.startswith("batch_id=")
-    ] if os.path.isdir(ppath) else []
-    if not sources or sources == [f"batch_id={COMPACTED_BATCH_ID}"]:
+    tmp = os.path.join(index_dir, _STAGING_DIR)
+    dirs = (
+        [d for d in os.listdir(ppath) if d.startswith("batch_id=")]
+        if os.path.isdir(ppath)
+        else []
+    )
+    ids = sorted(int(d.split("=", 1)[1]) for d in dirs)
+    real = [i for i in ids if i != COMPACTED_BATCH_ID]
+    absorb = real[: len(real) - keep_last] if keep_last > 0 else real
+    if not absorb:
         return 0  # nothing to absorb / already fully compacted
+    has_compacted = COMPACTED_BATCH_ID in ids
+    src_ids = absorb + ([COMPACTED_BATCH_ID] if has_compacted else [])
+    prev = _read_horizon(ppath)
+    horizon = max(absorb) if prev is None else max(prev, max(absorb))
     raw = spark.read.schema(POSTINGS_SCHEMA + ", batch_id int").parquet(ppath)
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     merged = (
-        raw.drop("batch_id")
+        raw.where(F.col("batch_id").isin([int(i) for i in src_ids]))
+        .drop("batch_id")
         .repartition(n, "term")
         .sortWithinPartitions("term", "doc_id")
         .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
     )
     try:
         merged.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+        with open(os.path.join(tmp, _MANIFEST), "w") as fh:
+            json.dump(
+                {
+                    "absorbed": [f"batch_id={i}" for i in absorb],
+                    "horizon": horizon,
+                },
+                fh,
+            )
+        with open(os.path.join(tmp, _STAGED_MARKER), "w") as fh:
+            fh.write("")
     except Exception:
         shutil.rmtree(tmp, ignore_errors=True)  # incomplete staging
         raise
-    shutil.rmtree(ppath)
-    shutil.move(tmp, ppath)
-    return len(sources)
+    _install_compaction(ppath, tmp)
+    return len(src_ids)
 
 
 def recover_index_compaction(spark: SparkSession, index_dir: str) -> bool:
-    """Finish a :func:`compact_index` swap that crashed between deleting
-    the live postings tree and moving the staging dir into place: if a
-    COMPLETE staging dir (``_SUCCESS``) survives, install it. Returns
-    True if a recovery happened; no-op otherwise."""
+    """Finish a :func:`compact_index` install that crashed after staging
+    completed (``_STAGED`` marker present): re-run the idempotent
+    install. An INCOMPLETE staging dir (no marker) is discarded — the
+    live tree was never touched. Returns True if a recovery happened."""
     import os
     import shutil
 
     ppath = os.path.join(index_dir, INDEX_POSTINGS)
-    tmp = os.path.join(index_dir, "_postings_compact_tmp")
-    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+    tmp = os.path.join(index_dir, _STAGING_DIR)
+    if not os.path.isdir(tmp):
         return False
-    shutil.rmtree(ppath, ignore_errors=True)
-    shutil.move(tmp, ppath)
+    if not os.path.exists(os.path.join(tmp, _STAGED_MARKER)):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return False
+    _install_compaction(ppath, tmp)
     return True
 
 
@@ -1358,3 +1474,75 @@ def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the incrementally built artifact must serve the SAME ranking as the
 # direct corpus computation — one oracle for all three spellings
 QUERIES["text_bm25_incremental"] = (q_bm25_incremental, _oracle_bm25())
+
+
+# --- phrase retrieval from the stored positional postings ------------------
+# The boolean algebra (AND/OR/AND-NOT) and BM25 are term-set queries; a
+# PHRASE query ("t1 t2", adjacent tokens) needs token positions — the
+# standard next postings payload after (tf, dl). batch_postings now
+# carries each term's sorted 0-based position array (doc-local, so the
+# incremental per-batch invariant is untouched), and the phrase is
+# served by posting intersection + position adjacency: postings of t1
+# shifted by +1 intersected with postings of t2, entirely JVM-side
+# array ops over the two terms' posting rows. Cost ∝ the two terms'
+# postings (plan-pinned corpus-free, pushed EqualTo(term) scans); the
+# oracle is the corpus-scan spelling, and the incrementally maintained
+# index serves the same query through the same helper (same oracle).
+
+PHRASE_T1 = "window"
+PHRASE_T2 = "scan"
+
+
+def phrase_hits_over_postings(postings: DataFrame) -> DataFrame:
+    """Docs where PHRASE_T1 is immediately followed by PHRASE_T2, with
+    the adjacency-site count — the SINGLE serving path shared by the
+    one-pass artifact and the incrementally maintained one."""
+    a = postings.where(F.col("term") == PHRASE_T1).select(
+        "doc_id", F.col("positions").alias("pos1")
+    )
+    b = postings.where(F.col("term") == PHRASE_T2).select(
+        "doc_id", F.col("positions").alias("pos2")
+    )
+    adj = F.array_intersect(
+        F.transform(F.col("pos1"), lambda p: p + F.lit(1)), F.col("pos2")
+    )
+    return (
+        a.join(b, "doc_id")
+        .select("doc_id", F.size(adj).cast("long").alias("n_adjacent"))
+        .where(F.col("n_adjacent") > 0)
+    )
+
+
+def q_phrase_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    root = build_scored_index(spark, sf_dir)
+    postings = spark.read.parquet(os.path.join(root, INDEX_POSTINGS))
+    return phrase_hits_over_postings(postings)
+
+
+def q_phrase_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = build_incremental_index(spark, sf_dir)
+    postings, _stats = read_index(spark, root)
+    return phrase_hits_over_postings(postings)
+
+
+# corpus-scan spelling: 1-based list indexing in DuckDB, so x ranges
+# over 1..len-1 and t[x]/t[x+1] is the adjacent pair — equivalent to
+# the 0-based shifted-intersection (each adjacency site pairs one t1
+# position with exactly one t2 position, so the counts agree)
+ORACLE_PHRASE = f"""
+WITH toks AS (
+  SELECT doc_id, {_O_WORDS} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(range(1, len(t)),
+            x -> t[x] = '{PHRASE_T1}' AND t[x+1] = '{PHRASE_T2}'))
+         AS BIGINT) AS n_adjacent
+FROM toks
+WHERE len(list_filter(range(1, len(t)),
+      x -> t[x] = '{PHRASE_T1}' AND t[x+1] = '{PHRASE_T2}')) > 0
+"""
+
+QUERIES["text_phrase_from_index"] = (q_phrase_from_index, ORACLE_PHRASE)
+QUERIES["text_phrase_incremental"] = (q_phrase_incremental, ORACLE_PHRASE)

@@ -67,7 +67,11 @@ from ..operators.dedup import (
     intra_batch_dedup,
     shingles,
 )
-from ..operators.text_analysis import batch_postings, write_index_batch
+from ..operators.text_analysis import (
+    batch_postings,
+    compact_index,
+    write_index_batch,
+)
 
 KEPT = "kept"
 BANDS = "bands"
@@ -95,6 +99,7 @@ def dedup_ingest_batch(
     batch_id: int,
     corpus_dir: str,
     maintain_index: bool = False,
+    compact_index_every: int | None = None,
 ) -> None:
     """foreachBatch body: dedup ``batch_df`` (doc_id, text) within itself
     and against the accumulated kept corpus, then append the survivors +
@@ -202,6 +207,17 @@ def dedup_ingest_batch(
             batch_id,
             os.path.join(corpus_dir, INDEX),
         )
+        if compact_index_every and (batch_id + 1) % compact_index_every == 0:
+            # Auto-compaction rides the ingest loop with keep_last=1:
+            # the streaming checkpoint can replay THIS batch after a
+            # crash, and its dynamic-partition re-overwrite is only
+            # idempotent while its partition still exists — so the
+            # newest batch is never absorbed, and the recorded horizon
+            # (enforced by write_index_batch) stays strictly behind the
+            # replayable tail. Older batches are committed (their
+            # checkpoint offsets are durable), so absorbing them is
+            # replay-safe.
+            compact_index(spark, os.path.join(corpus_dir, INDEX), keep_last=1)
 
 
 def run_dedup_ingest(
@@ -209,6 +225,7 @@ def run_dedup_ingest(
     corpus_dir: str,
     checkpoint_dir: str,
     maintain_index: bool = False,
+    compact_index_every: int | None = None,
 ) -> StreamingQuery:
     """Drain ``docs_stream`` (doc_id, text) through dedup ingestion with
     availableNow semantics (each call processes what has arrived, then
@@ -216,13 +233,21 @@ def run_dedup_ingest(
     processing-time trigger, nothing else changes). With
     ``maintain_index`` the search index under ``corpus_dir/index`` grows
     per batch alongside the band table (merge-on-read partial postings —
-    never a full-corpus rebuild)."""
+    never a full-corpus rebuild); ``compact_index_every=N`` additionally
+    folds old batch partitions into the compacted partition every N
+    batches (keep_last=1 — the replayable newest batch is never
+    absorbed, and the recorded horizon makes a double-count replay a
+    loud refusal, not silent corruption)."""
     return (
         docs_stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
             lambda df, bid: dedup_ingest_batch(
-                df, bid, corpus_dir, maintain_index=maintain_index
+                df,
+                bid,
+                corpus_dir,
+                maintain_index=maintain_index,
+                compact_index_every=compact_index_every,
             )
         )
         .trigger(availableNow=True)

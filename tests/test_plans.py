@@ -978,3 +978,28 @@ def test_q9_profit_spellings_and_plans(spark, sf_small):
     a = QUERIES["sql_profit_by_nation"](spark, sf_small)
     b = QUERIES["agg_profit_by_nation_1scan"](spark, sf_small)
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
+
+
+def test_phrase_from_index_corpus_free_and_incremental_agrees(
+    spark, sf_small
+):
+    """text_phrase_from_index: the two-term phrase query is answered
+    from the stored positional postings — no documents scan, each
+    term's equality filter pushed into the postings scan, adjacency as
+    JVM-side array ops (no Python). The incrementally maintained index
+    serves the identical rows through the same helper (the driver
+    additionally proves both against the corpus-scan DuckDB oracle)."""
+    p = plan_of(spark, sf_small, "text_phrase_from_index")
+    assert "documents.parquet" not in p
+    assert "Python" not in p
+    pushed = [
+        l
+        for l in p.splitlines()
+        if "PushedFilters" in l and "EqualTo(term," in l
+    ]
+    assert len(pushed) >= 2
+    a = QUERIES["text_phrase_from_index"](spark, sf_small)
+    b = QUERIES["text_phrase_incremental"](spark, sf_small)
+    rows = sorted(map(str, a.collect()))
+    assert rows == sorted(map(str, b.collect()))
+    assert rows  # the fixture phrase actually occurs

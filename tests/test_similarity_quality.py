@@ -298,3 +298,93 @@ def test_codebook_size_is_parameterized(spark, sf_small):
     got = semantic_pairs(corpus, seeds=codebook_seeds(corpus, 16)).collect()
     zero_pairs = {(r.vec_id_a, r.vec_id_b) for r in got if r.dist == 0}
     assert {(i, i + 1_000_000) for i in ids} <= zero_pairs
+
+
+def test_ivf_grown_equals_full_rebuild_under_frozen_codebook(
+    spark, sf_small, tmp_path
+):
+    """Replay-equals-batch for the ANN index (VERDICT r8 item 7): under
+    a frozen codebook, inverted lists grown batch-by-batch equal a full
+    one-pass assignment row-for-row; a replayed batch overwrites only
+    its own partition (idempotent); the served probe query equals
+    q_knn_ivf_trained exactly (they share one oracle); and the serving
+    plan reads only the stored artifact — never the embeddings table."""
+    import contextlib
+    import io
+    import os
+
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        IVF_CODEBOOK,
+        _km_assign,
+        _km_quantize,
+        build_ivf_grown,
+        read_ivf_lists,
+        write_ivf_batch,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    root = build_ivf_grown(spark, sf_small)
+    lists = read_ivf_lists(spark, root)
+    q = _km_quantize(load_table(spark, sf_small, "embeddings"))
+    cents = spark.read.parquet(os.path.join(root, IVF_CODEBOOK))
+    full = _km_assign(q, cents).select("k", "vec_id", "qv", "d")
+    cols = ["k", "vec_id", "qv", "d"]
+    got = sorted(map(str, lists.select(*cols).collect()))
+    assert got == sorted(map(str, full.select(*cols).collect()))
+    # replaying a committed batch must not change the merged lists
+    write_ivf_batch(
+        _km_assign(q.where(F.col("vec_id") % 4 == 1), cents), 1, root
+    )
+    lists2 = read_ivf_lists(spark, root)
+    assert sorted(map(str, lists2.select(*cols).collect())) == got
+    # served from the grown lists == the full-rebuild trained query
+    a = QUERIES["sim_knn_ivf_grown"](spark, sf_small)
+    b = QUERIES["sim_knn_ivf_trained"](spark, sf_small)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+    # the serving plan touches only the artifact
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES["sim_knn_ivf_grown"](spark, sf_small).explain("formatted")
+    assert "embeddings.parquet" not in buf.getvalue()
+
+
+def test_ivf_drift_signals_retrain_on_shifted_batch(
+    spark, sf_small, tmp_path
+):
+    """The frozen-codebook aging signal: batches drawn from the build
+    distribution stay under the drift threshold; a batch whose vectors
+    shifted far from every centroid pushes its mean assigned distance
+    past IVF_DRIFT_RATIO x baseline and flags needs_retrain. The check
+    reads the num-batches-sized stats partitions, never the lists."""
+    import os
+
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        IVF_CODEBOOK,
+        _km_assign,
+        _km_quantize,
+        frozen_ivf_codebook,
+        ivf_drift,
+        write_ivf_batch,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    q = _km_quantize(load_table(spark, sf_small, "embeddings"))
+    root = str(tmp_path / "ivf")
+    cents = frozen_ivf_codebook(q)
+    cents.write.mode("overwrite").parquet(os.path.join(root, IVF_CODEBOOK))
+    cents = spark.read.parquet(os.path.join(root, IVF_CODEBOOK))
+    for b in range(2):
+        write_ivf_batch(
+            _km_assign(q.where(F.col("vec_id") % 2 == b), cents), b, root
+        )
+    # a drifted arrival: same vectors translated far from the codebook
+    shifted = q.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.expr("transform(qv, x -> x + CAST(5000000 AS BIGINT))").alias("qv"),
+    )
+    write_ivf_batch(_km_assign(shifted, cents), 2, root)
+    drift = {r.batch_id: r for r in ivf_drift(spark, root).collect()}
+    assert not drift[0].needs_retrain
+    assert not drift[1].needs_retrain
+    assert drift[2].needs_retrain
+    assert drift[2].drift_ratio > drift[1].drift_ratio

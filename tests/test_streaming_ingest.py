@@ -8,6 +8,7 @@ import json
 import os
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from realtimedatapipeline_8_project_spark.operators.dedup import (
@@ -403,11 +404,194 @@ def test_index_compaction_preserves_rows_and_recovers(
     grown = snap()
     assert len(grown[0]) > len(before[0])
 
-    # crash during the swap: staging complete, live tree gone — recovery
-    # installs the staged copy and reads are unchanged
+    # crash AFTER staging completes (_STAGED written) but before the
+    # install ran: the live tree is untouched (reads unchanged, the
+    # staging dir is invisible to readers), and recovery finishes the
+    # idempotent install
+    import realtimedatapipeline_8_project_spark.operators.text_analysis as TA
+
+    write_index_batch(
+        batch_postings(
+            docs.where(F.col("doc_id") % 3 == 1).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+            )
+        ),
+        9,
+        root,
+    )
+    grown2 = snap()
+    orig_install = TA._install_compaction
+    try:
+        TA._install_compaction = lambda p, t: None  # simulated crash
+        assert compact_index(spark, root) == 2  # compacted + batch 9
+    finally:
+        TA._install_compaction = orig_install
     tmp_stage = os.path.join(root, "_postings_compact_tmp")
-    shutil.copytree(ppath, tmp_stage)
-    shutil.rmtree(ppath)
+    assert os.path.exists(os.path.join(tmp_stage, "_STAGED"))
+    assert snap() == grown2  # staged-but-not-installed: readers unaffected
     assert recover_index_compaction(spark, root) is True
-    assert snap() == grown
+    assert snap() == grown2
+    assert [d for d in os.listdir(ppath) if d.startswith("batch_id=")] == [
+        f"batch_id={COMPACTED_BATCH_ID}"
+    ]
     assert recover_index_compaction(spark, root) is False
+    # an INCOMPLETE staging dir (no _STAGED — crash mid-write) is
+    # discarded without touching the live tree
+    os.makedirs(tmp_stage)
+    with open(os.path.join(tmp_stage, "part-junk.parquet"), "w") as fh:
+        fh.write("torn")
+    assert recover_index_compaction(spark, root) is False
+    assert not os.path.exists(tmp_stage)
+    assert snap() == grown2
+
+
+def test_compaction_horizon_refuses_replayed_absorbed_batch(
+    spark, sf_small, tmp_path
+):
+    """VERDICT r8 item 5: the compaction replay horizon is enforced by
+    code, not a docstring. keep_last leaves the replayable tail
+    un-absorbed (its dynamic-partition re-overwrite stays idempotent);
+    a replay of an ABSORBED batch raises instead of double-counting.
+    Also pins the small-batch file count (item 6): a tiny batch's
+    postings partition is O(1) files, not one per shuffle partition."""
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        INDEX_POSTINGS,
+        batch_postings,
+        compact_index,
+        read_index,
+        write_index_batch,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    root = str(tmp_path / "index")
+    for b in range(3):
+        write_index_batch(
+            batch_postings(docs.where(F.col("doc_id") % 3 == b)), b, root
+        )
+    ppath = os.path.join(root, INDEX_POSTINGS)
+    # a tiny batch writes O(1) data files (AQE-coalesced), not one per
+    # shuffle partition
+    bdir = os.path.join(ppath, "batch_id=2")
+    files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+    assert 1 <= len(files) <= 2
+
+    cols = ["term", "doc_id", "tf", "dl"]
+
+    def snap():
+        postings, stats = read_index(spark, root)
+        return (
+            sorted(map(str, postings.select(*cols).collect())),
+            stats.collect(),
+        )
+
+    before = snap()
+    # keep_last=1: batches 0 and 1 absorbed (horizon=1), batch 2 kept
+    assert compact_index(spark, root, keep_last=1) == 2
+    assert snap() == before
+    dirs = sorted(d for d in os.listdir(ppath) if d.startswith("batch_id="))
+    assert dirs == ["batch_id=-1", "batch_id=2"]
+    # replay of the KEPT tail batch: idempotent overwrite, rows unchanged
+    write_index_batch(
+        batch_postings(docs.where(F.col("doc_id") % 3 == 2)), 2, root
+    )
+    assert snap() == before
+    # replay of an ABSORBED batch: loud refusal, rows unchanged
+    with pytest.raises(ValueError, match="horizon"):
+        write_index_batch(
+            batch_postings(docs.where(F.col("doc_id") % 3 == 0)), 0, root
+        )
+    assert snap() == before
+    # a later full compaction carries the horizon forward
+    assert compact_index(spark, root) == 2  # compacted + batch 2
+    with pytest.raises(ValueError, match="horizon"):
+        write_index_batch(
+            batch_postings(docs.where(F.col("doc_id") % 3 == 2)), 2, root
+        )
+    # new batches beyond the horizon are welcome
+    write_index_batch(
+        batch_postings(
+            docs.where(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+            )
+        ),
+        3,
+        root,
+    )
+    assert len(snap()[0]) > len(before[0])
+
+
+def test_ingest_auto_compaction_replay_equals_batch(
+    spark, sf_small, tmp_path
+):
+    """The ingest loop's compact_index_every knob: with auto-compaction
+    on, the merged index still equals the one-pass build over the final
+    kept corpus (replay-equals-batch survives compaction), the newest
+    batch stays replayable, and a replay behind the horizon is a loud
+    refusal."""
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        COMPACTED_BATCH_ID,
+        INDEX_POSTINGS,
+        batch_postings,
+        bm25_topk_over_postings,
+        read_index,
+    )
+
+    batches = _doc_batches(spark, sf_small)
+    src = str(tmp_path / "src")
+    for i, b in enumerate(batches):
+        _write_jsonl(b, os.path.join(src, f"b{i}.jsonl"))
+        time.sleep(1.1)
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    docs = raw.select(
+        F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+        F.get_json_object("value", "$.text").alias("text"),
+    )
+    corpus = str(tmp_path / "corpus")
+    q = run_dedup_ingest(
+        docs,
+        corpus,
+        str(tmp_path / "chk"),
+        maintain_index=True,
+        compact_index_every=2,
+    )
+    q.awaitTermination()
+
+    idx_dir = os.path.join(corpus, "index")
+    ppath = os.path.join(idx_dir, INDEX_POSTINGS)
+    dirs = sorted(d for d in os.listdir(ppath) if d.startswith("batch_id="))
+    # batch 1 triggered compaction with keep_last=1: batch 0 absorbed,
+    # batch 1 kept (then batch 2 appended; 3 % 2 != 0, no compaction)
+    assert f"batch_id={COMPACTED_BATCH_ID}" in dirs
+    assert "batch_id=0" not in dirs
+
+    postings, stats = read_index(spark, idx_dir)
+    kept = read_kept(spark, corpus).select("doc_id", "text")
+    one_pass = batch_postings(kept)
+    cols = ["term", "doc_id", "tf", "dl"]
+    got = sorted(map(str, postings.select(*cols).collect()))
+    assert got == sorted(map(str, one_pass.select(*cols).collect()))
+    one_stats = one_pass.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("tf").alias("total_dl"),
+    )
+    assert sorted(
+        map(str, bm25_topk_over_postings(postings, stats).collect())
+    ) == sorted(
+        map(str, bm25_topk_over_postings(one_pass, one_stats).collect())
+    )
+    # the newest batch is still replayable (idempotent)
+    dedup_ingest_batch(
+        batches[2], 2, corpus, maintain_index=True, compact_index_every=2
+    )
+    postings2, _ = read_index(spark, idx_dir)
+    assert sorted(map(str, postings2.select(*cols).collect())) == got
+    # a replay of the ABSORBED batch 0 refuses loudly
+    with pytest.raises(ValueError, match="horizon"):
+        dedup_ingest_batch(
+            batches[0], 0, corpus, maintain_index=True, compact_index_every=2
+        )
