@@ -671,14 +671,15 @@ QUERIES["sql_notin_null_trap"] = (q_notin_null_trap, _NOTIN_SQL)
 #   common-subexpression reuse across a CTE boundary), which is the
 #   point of the stressor: the optimizer must still keep the fact as
 #   the probe side of every dimension join.
-# * ``agg_profit_by_nation_1scan`` — the plan you'd run at 100 TB: ONE
-#   fact scan aggregated to (supplier, part, nation, year) grain
-#   carrying SUM(volume), COUNT(*) and MIN(volume) together; the global
-#   per-(s, p) cost is a reaggregation (min of mins) OF that frame, and
+# * ``agg_profit_by_nation_1scan`` — the plan you'd run at 100 TB: the
+#   broadcast part semi-join pushed to the FACT SCAN (the part filter
+#   prunes whole (s, p) groups, and an unconsumed group's cost is
+#   unobservable — so pre-filtering is exact), ONE fact scan aggregated
+#   to (supplier, part, nation, year) grain carrying SUM(volume),
+#   COUNT(*) and MIN(volume) together; the per-(s, p) cost is a window
+#   MIN over that frame's own rows (one exchange, no join-back), and
 #   profit = SUM(sv) - SUM(cnt x supplycost) — exactly equal to the
-#   per-line subtraction because every operand is exact decimal. The
-#   grain frame is lineage-truncated at (s, p, year) size (the Q20
-#   1-scan discipline — never the fact).
+#   per-line subtraction because every operand is exact decimal.
 #
 # Exact arithmetic: volume = DECIMAL(12,2) x DECIMAL(8,6) (exact
 # product); supplycost = MIN of those (exact); amount = exact decimal
@@ -726,7 +727,20 @@ QUERIES["sql_profit_by_nation"] = (q_profit_by_nation, _Q9_SQL)
 
 def q_profit_by_nation_1scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-fact-scan spelling of the Q9 shape (same result, same
-    oracle — the driver cross-validates it against the CTE form)."""
+    oracle — the driver cross-validates it against the CTE form).
+
+    Two algebraic facts make this a pure one-pass pipeline:
+    * The part filter prunes whole (supplier, part) GROUPS, never rows
+      within one (partkey is a grouping key), and an unconsumed group's
+      cost is unobservable — so the broadcast part semi-join pushes all
+      the way to the FACT SCAN, shrinking every later join and
+      aggregate to the LIKE-matching slice (~a few % of the fact).
+    * The per-(s, p) cost is a MIN over the grain frame's own rows, so
+      it is a window over the grain's (s, p) partitions — one exchange
+      — not a reaggregation joined back (which cost a second (s, p)
+      exchange, a sort-merge join, and a lineage checkpoint in the
+      first cut of this query; measured 2.4-3.0 s -> this shape at
+      sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -741,12 +755,12 @@ def q_profit_by_nation_1scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1) - F.col("l_discount")
     ).cast("decimal(8,6)")
-    # ONE fact scan, aggregated to (supplier, part, nation, year) grain.
-    # The unfiltered MIN rides along: the cost side of the SQL spelling
-    # aggregates ALL lineitem rows, so the part filter must not apply
-    # before the min — it prunes GROUPS (partkey is in the grain), later.
+    liked = part.where(F.col("p_name").like(f"%{Q9_PART_LIKE}%")).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
     grain = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(F.broadcast(liked), "l_partkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy(
@@ -760,17 +774,10 @@ def q_profit_by_nation_1scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
             F.min(volume).alias("mv"),
         )
-        .localCheckpoint()  # (s, p, year) grain — never the fact
     )
-    supplycost = grain.groupBy("l_suppkey", "l_partkey").agg(
-        F.min("mv").alias("supplycost")
-    )
-    liked = part.where(F.col("p_name").like(f"%{Q9_PART_LIKE}%")).select(
-        F.col("p_partkey").alias("l_partkey")
-    )
+    w = Window.partitionBy("l_suppkey", "l_partkey")
     return (
-        grain.join(F.broadcast(liked), "l_partkey", "left_semi")
-        .join(supplycost, ["l_suppkey", "l_partkey"])
+        grain.withColumn("supplycost", F.min("mv").over(w))
         .groupBy("n_name", "o_year")
         .agg(
             (

@@ -933,7 +933,7 @@ def test_bm25_incremental_equals_one_pass_artifact(spark, sf_small):
     postings, stats = read_index(spark, incr_root)
     one_postings = spark.read.parquet(os.path.join(one_root, "postings"))
     one_stats = spark.read.parquet(os.path.join(one_root, "stats"))
-    cols = ["term", "doc_id", "tf", "dl"]
+    cols = ["term", "doc_id", "tf", "dl", "positions"]
     assert sorted(map(str, postings.select(*cols).collect())) == sorted(
         map(str, one_postings.select(*cols).collect())
     )
@@ -956,12 +956,12 @@ def test_q9_profit_spellings_and_plans(spark, sf_small):
     """TPC-H Q9 shape. The CTE spelling pays TWO fact scans (Catalyst
     cannot reuse a subexpression across the cost CTE boundary — that
     contrast is the point of the stressor) with the LIKE pushed into
-    the part scan; the 1-scan rewrite reads the lineage-truncated
-    (supplier, part, nation, year) grain frame instead (the fact scan
-    happened exactly once, inside the checkpoint — the bm25/Q20
-    discipline), broadcasts the LIKE-filtered part semi-join, and never
-    degenerates into a cartesian product. Both spellings are the same
-    function, pinned Spark vs Spark (the driver additionally
+    the part scan; the 1-scan rewrite is a pure one-pass pipeline: ONE
+    fact scan pre-filtered by the broadcast part semi-join (group
+    pruning is exact — partkey is a grouping key), the per-(s, p) cost
+    a window MIN over the grain frame (no reaggregate-and-join-back, no
+    checkpoint), and never a cartesian product. Both spellings are the
+    same function, pinned Spark vs Spark (the driver additionally
     cross-validates both against one DuckDB oracle)."""
     p_sql = plan_of(spark, sf_small, "sql_profit_by_nation")
     assert p_sql.count("lineitem.parquet") == 2
@@ -971,10 +971,21 @@ def test_q9_profit_spellings_and_plans(spark, sf_small):
         for l in p_sql.splitlines()
     )
     p1 = plan_of(spark, sf_small, "agg_profit_by_nation_1scan")
-    assert "lineitem.parquet" not in p1  # scanned once, inside the checkpoint
+    assert p1.count("lineitem.parquet") == 1
     assert "CartesianProduct" not in p1
-    assert "BroadcastHashJoin" in p1
     assert "LeftSemi" in p1
+    assert "Window" in p1
+    # the LIKE filter reaches the part scan feeding the semi-join build
+    assert any(
+        "PushedFilters" in l and "StringContains(p_name" in l
+        for l in p1.splitlines()
+    )
+    # exactly two grain-sized exchanges — the aggregate's full-key
+    # shuffle (map-side combined) and the window's (s, p) shuffle — and
+    # no join-back: the cost comes from a window, never a reaggregate
+    # joined to its own source
+    assert p1.count("hashpartitioning(l_suppkey") == 2
+    assert "SortMergeJoin" not in p1
     a = QUERIES["sql_profit_by_nation"](spark, sf_small)
     b = QUERIES["agg_profit_by_nation_1scan"](spark, sf_small)
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))

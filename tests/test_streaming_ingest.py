@@ -323,7 +323,7 @@ def test_ingest_maintains_search_index_equal_to_one_pass(
     postings, stats = read_index(spark, os.path.join(corpus, "index"))
     kept = read_kept(spark, corpus).select("doc_id", "text")
     one_pass = batch_postings(kept)
-    cols = ["term", "doc_id", "tf", "dl"]
+    cols = ["term", "doc_id", "tf", "dl", "positions"]
     got = sorted(map(str, postings.select(*cols).collect()))
     want = sorted(map(str, one_pass.select(*cols).collect()))
     assert got == want
@@ -372,7 +372,7 @@ def test_index_compaction_preserves_rows_and_recovers(
         write_index_batch(
             batch_postings(docs.where(F.col("doc_id") % 3 == b)), b, root
         )
-    cols = ["term", "doc_id", "tf", "dl"]
+    cols = ["term", "doc_id", "tf", "dl", "positions"]
 
     def snap():
         postings, stats = read_index(spark, root)
@@ -476,7 +476,7 @@ def test_compaction_horizon_refuses_replayed_absorbed_batch(
     files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
     assert 1 <= len(files) <= 2
 
-    cols = ["term", "doc_id", "tf", "dl"]
+    cols = ["term", "doc_id", "tf", "dl", "positions"]
 
     def snap():
         postings, stats = read_index(spark, root)
@@ -572,7 +572,7 @@ def test_ingest_auto_compaction_replay_equals_batch(
     postings, stats = read_index(spark, idx_dir)
     kept = read_kept(spark, corpus).select("doc_id", "text")
     one_pass = batch_postings(kept)
-    cols = ["term", "doc_id", "tf", "dl"]
+    cols = ["term", "doc_id", "tf", "dl", "positions"]
     got = sorted(map(str, postings.select(*cols).collect()))
     assert got == sorted(map(str, one_pass.select(*cols).collect()))
     one_stats = one_pass.agg(
