@@ -1493,19 +1493,31 @@ PHRASE_T1 = "window"
 PHRASE_T2 = "scan"
 
 
-def phrase_hits_over_postings(postings: DataFrame) -> DataFrame:
-    """Docs where PHRASE_T1 is immediately followed by PHRASE_T2, with
-    the adjacency-site count — the SINGLE serving path shared by the
-    one-pass artifact and the incrementally maintained one."""
+def phrase_hits_over_postings(postings: DataFrame, slop: int = 1) -> DataFrame:
+    """Docs where PHRASE_T2 follows PHRASE_T1 within ``slop`` positions
+    (slop=1 = the adjacent-phrase query; slop=k = proximity search),
+    with the match-site count (distinct qualifying PHRASE_T2
+    positions) — the SINGLE serving path shared by the one-pass
+    artifact and the incrementally maintained one. Still posting-
+    bounded: the position arrays of the two terms are the only inputs,
+    and the window check is a JVM-side array intersection of the
+    slop-shifted t1 positions with t2's."""
     a = postings.where(F.col("term") == PHRASE_T1).select(
         "doc_id", F.col("positions").alias("pos1")
     )
     b = postings.where(F.col("term") == PHRASE_T2).select(
         "doc_id", F.col("positions").alias("pos2")
     )
-    adj = F.array_intersect(
-        F.transform(F.col("pos1"), lambda p: p + F.lit(1)), F.col("pos2")
+    shifted = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(slop)),
+            lambda d: F.transform(F.col("pos1"), lambda p: p + d),
+        )
     )
+    # array_intersect dedups, so a t2 position reachable from several
+    # t1 positions counts once — for slop=1 this is exactly the
+    # adjacency-site count
+    adj = F.array_intersect(shifted, F.col("pos2"))
     return (
         a.join(b, "doc_id")
         .select("doc_id", F.size(adj).cast("long").alias("n_adjacent"))

@@ -1014,3 +1014,45 @@ def test_phrase_from_index_corpus_free_and_incremental_agrees(
     rows = sorted(map(str, a.collect()))
     assert rows == sorted(map(str, b.collect()))
     assert rows  # the fixture phrase actually occurs
+
+
+def test_proximity_slop_generalizes_phrase(spark):
+    """phrase_hits_over_postings(slop=k): slop=1 is the adjacent phrase;
+    slop=2 additionally admits one intervening token; a t2 position
+    reachable from several t1 positions counts once. Pinned on a
+    planted positional postings frame (fixture-independent)."""
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        PHRASE_T1,
+        PHRASE_T2,
+        phrase_hits_over_postings,
+    )
+
+    rows = [
+        # doc 1: "window scan"            -> adjacent
+        (PHRASE_T1, 1, 1, 10, [3]),
+        (PHRASE_T2, 1, 1, 10, [4]),
+        # doc 2: "window x scan"          -> gap of 1, slop=2 only
+        (PHRASE_T1, 2, 1, 10, [3]),
+        (PHRASE_T2, 2, 1, 10, [5]),
+        # doc 3: "scan window"            -> wrong order, never
+        (PHRASE_T1, 3, 1, 10, [4]),
+        (PHRASE_T2, 3, 1, 10, [3]),
+        # doc 4: "window window scan"     -> one site despite two t1s
+        (PHRASE_T1, 4, 2, 10, [2, 3]),
+        (PHRASE_T2, 4, 1, 10, [4]),
+    ]
+    postings = spark.createDataFrame(
+        rows,
+        "term string, doc_id bigint, tf bigint, dl bigint, "
+        "positions array<int>",
+    )
+    exact = {
+        r.doc_id: r.n_adjacent
+        for r in phrase_hits_over_postings(postings, slop=1).collect()
+    }
+    assert exact == {1: 1, 4: 1}
+    near = {
+        r.doc_id: r.n_adjacent
+        for r in phrase_hits_over_postings(postings, slop=2).collect()
+    }
+    assert near == {1: 1, 2: 1, 4: 1}

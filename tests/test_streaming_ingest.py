@@ -595,3 +595,101 @@ def test_ingest_auto_compaction_replay_equals_batch(
         dedup_ingest_batch(
             batches[0], 0, corpus, maintain_index=True, compact_index_every=2
         )
+
+
+def test_compaction_install_survives_crash_at_every_step(
+    spark, sf_small, tmp_path
+):
+    """The compaction install is a sequence of filesystem mutations
+    (drop old compacted partition, move staged one in, drop each
+    absorbed batch partition, record horizon, drop staging dir).
+    Exhaustively crash at EVERY mutation boundary: after recovery the
+    reads are row-identical, exactly one compacted partition remains,
+    the horizon is recorded, and the staging dir is gone — the
+    idempotent-install claim, machine-checked rather than asserted."""
+    import realtimedatapipeline_8_project_spark.operators.text_analysis as TA
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        COMPACTED_BATCH_ID,
+        INDEX_POSTINGS,
+        batch_postings,
+        compact_index,
+        read_index,
+        recover_index_compaction,
+        write_index_batch,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    docs = docs.where(F.col("doc_id") < 120)  # keep the loop fast
+    cols = ["term", "doc_id", "tf", "dl", "positions"]
+
+    import shutil as _shutil
+
+    real_move, real_rmtree = _shutil.move, _shutil.rmtree
+    real_horizon = TA._write_horizon
+
+    crash_point = 0
+    while True:
+        root = str(tmp_path / f"idx{crash_point}")
+        for b in range(3):
+            write_index_batch(
+                batch_postings(docs.where(F.col("doc_id") % 3 == b)), b, root
+            )
+        postings, stats = read_index(spark, root)
+        before = (
+            sorted(map(str, postings.select(*cols).collect())),
+            stats.collect(),
+        )
+
+        calls = {"n": 0}
+
+        def _trip():
+            calls["n"] += 1
+            if calls["n"] > crash_point:
+                raise RuntimeError(f"simulated crash at step {crash_point}")
+
+        def move(*a, **k):
+            _trip()
+            return real_move(*a, **k)
+
+        def rmtree(*a, **k):
+            _trip()
+            return real_rmtree(*a, **k)
+
+        def horizon(*a, **k):
+            _trip()
+            return real_horizon(*a, **k)
+
+        crashed = False
+        try:
+            _shutil.move, _shutil.rmtree = move, rmtree
+            TA._write_horizon = horizon
+            compact_index(spark, root)
+        except RuntimeError:
+            crashed = True
+        finally:
+            _shutil.move, _shutil.rmtree = real_move, real_rmtree
+            TA._write_horizon = real_horizon
+
+        if crashed:
+            assert recover_index_compaction(spark, root) is True
+        postings, stats = read_index(spark, root)
+        assert (
+            sorted(map(str, postings.select(*cols).collect())),
+            stats.collect(),
+        ) == before
+        ppath = os.path.join(root, INDEX_POSTINGS)
+        assert [
+            d for d in os.listdir(ppath) if d.startswith("batch_id=")
+        ] == [f"batch_id={COMPACTED_BATCH_ID}"]
+        assert TA._read_horizon(ppath) == 2
+        assert not os.path.isdir(os.path.join(root, "_postings_compact_tmp"))
+        # the horizon holds after recovery too: absorbed replays refuse
+        with pytest.raises(ValueError, match="horizon"):
+            write_index_batch(
+                batch_postings(docs.where(F.col("doc_id") % 3 == 0)), 0, root
+            )
+        if not crashed:
+            break  # every mutation ran without tripping: all points covered
+        crash_point += 1
+    assert crash_point >= 4  # the install really is a multi-step sequence
