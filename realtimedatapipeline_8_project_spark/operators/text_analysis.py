@@ -804,17 +804,24 @@ def build_posting_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def q_search_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = build_posting_index(spark, sf_dir)
+def all_hits_over_postings(postings: DataFrame) -> DataFrame:
+    """Conjunctive (AND) retrieval over (term, doc_id[, ...]) posting
+    rows — the SINGLE definition of the connective, shared by the
+    one-pass artifact and the incrementally maintained one (requires
+    (term, doc_id) unique, which both guarantee)."""
     k = len(BOOL_QUERY_TERMS)
-    idx = spark.read.parquet(path)
     return (
-        idx.where(F.col("term").isin(*BOOL_QUERY_TERMS))
+        postings.where(F.col("term").isin(*BOOL_QUERY_TERMS))
         .groupBy("doc_id")
         .agg(F.countDistinct("term").alias("n_hit"))
         .where(F.col("n_hit") == k)
         .select("doc_id", F.lit(k).cast("long").alias("n_terms_matched"))
     )
+
+
+def q_search_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = build_posting_index(spark, sf_dir)
+    return all_hits_over_postings(spark.read.parquet(path))
 
 
 # same semantics as the corpus-scan spelling — the oracle IS that form
@@ -838,14 +845,18 @@ EXCL_INCLUDE_TERMS = ("window", "scan")
 EXCL_EXCLUDE_TERM = "dup"
 
 
-def q_search_any_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = build_posting_index(spark, sf_dir)
-    idx = spark.read.parquet(path)
+def any_hits_over_postings(postings: DataFrame) -> DataFrame:
+    """Disjunctive (OR) retrieval — same single-definition discipline."""
     return (
-        idx.where(F.col("term").isin(*ANY_QUERY_TERMS))
+        postings.where(F.col("term").isin(*ANY_QUERY_TERMS))
         .groupBy("doc_id")
         .agg(F.countDistinct("term").cast("long").alias("n_terms_matched"))
     )
+
+
+def q_search_any_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = build_posting_index(spark, sf_dir)
+    return any_hits_over_postings(spark.read.parquet(path))
 
 
 ORACLE_ANY_SEARCH = f"""
@@ -859,20 +870,26 @@ GROUP BY doc_id
 """
 
 
-def q_search_exclude_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    path = build_posting_index(spark, sf_dir)
-    idx = spark.read.parquet(path)
+def exclude_hits_over_postings(postings: DataFrame) -> DataFrame:
+    """AND-NOT retrieval: conjunction of the include terms, anti-joined
+    on the excluded term's postings — same single-definition
+    discipline."""
     k = len(EXCL_INCLUDE_TERMS)
     pos = (
-        idx.where(F.col("term").isin(*EXCL_INCLUDE_TERMS))
+        postings.where(F.col("term").isin(*EXCL_INCLUDE_TERMS))
         .groupBy("doc_id")
         .agg(F.countDistinct("term").alias("n_hit"))
         .where(F.col("n_hit") == k)
     )
-    neg = idx.where(F.col("term") == EXCL_EXCLUDE_TERM).select("doc_id")
+    neg = postings.where(F.col("term") == EXCL_EXCLUDE_TERM).select("doc_id")
     return pos.join(neg, "doc_id", "left_anti").select(
         "doc_id", F.lit(k).cast("long").alias("n_terms_matched")
     )
+
+
+def q_search_exclude_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = build_posting_index(spark, sf_dir)
+    return exclude_hits_over_postings(spark.read.parquet(path))
 
 
 _EXCL_IN = ", ".join(f"'{t}'" for t in EXCL_INCLUDE_TERMS)

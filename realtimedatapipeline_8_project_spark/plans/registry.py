@@ -137,59 +137,8 @@ _PRIORITY = (
     "win_trailing_range_frame",
 )
 
-# Round-8 prefix, kept for the audit trail (these 49 rows are r08-fresh):
-_R8_PRIORITY = (
-    "text_search_any_from_index",  # OR retrieval from the stored index
-    "text_search_exclude_from_index",  # AND-NOT via posting anti join
-    "text_bm25_incremental",  # BM25 from the incrementally built index
-    "sql_market_share",  # TPC-H Q8 shape, 7-relation join-order stress
-    "sql_notin_null_trap",  # NOT IN three-valued-logic trap, both legs
-    # --- r8-refreshed (newest row was round 5) ---
-    "agg_cube",
-    "agg_distinct_counts",
-    "agg_large_volume_customers",
-    "agg_mode_median",
-    "agg_percentiles",
-    "agg_pricing_summary",
-    "agg_priority_shipments",
-    "agg_returned_item_report",
-    "agg_revenue_by_nation",
-    "agg_rollup",
-    "agg_shipping_priority",
-    "agg_top1_per_group_sortfree",
-    "agg_top_customers",
-    "agg_volume_shipping",
-    "array_event_history",
-    "dedup_survivors_quality",
-    "dq_audit",
-    "dq_profile",
-    "dq_referential",
-    "explode_top_tokens",
-    "graph_pagerank_bucketed",
-    "hist_price_profile",
-    "join_semi_anti",
-    "json_as_map",
-    "json_variant",
-    "media_decode_stub",
-    "media_dedup_exact",
-    "media_metadata",
-    "sample_epoch_shuffle",
-    "scale_agg_then_join",
-    "set_ops",
-    "sql_in_subquery",
-    "sql_lateral_topk",
-    "sql_min_cost_supplier",
-    "sql_scalar_subquery",
-    "text_bigram_fluency",
-    "text_repetition",
-    "ts_m4_downsample",
-    "udtf_chunk_windows",
-    "unpivot_metrics",
-    "win_rank_family",
-    "win_rank_orders",
-    "win_sessionize",
-    "win_sliding_window",
-)
+# (The round-8 prefix lives in git history: commit 1ac4330 and the
+# registry file as of round 8.)
 
 # Redundant registry entries retired to keep the checked prefix dense:
 # dedup_simhash is subsumed by dedup_simhash_neardup (same sketch, plus the

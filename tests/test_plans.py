@@ -1056,3 +1056,29 @@ def test_proximity_slop_generalizes_phrase(spark):
         for r in phrase_hits_over_postings(postings, slop=2).collect()
     }
     assert near == {1: 1, 2: 1, 4: 1}
+
+
+def test_incremental_index_serves_full_boolean_algebra(spark, sf_small):
+    """Every retrieval connective — AND, OR, AND-NOT, phrase, BM25 —
+    is servable from the incrementally maintained index through the
+    same single-definition helpers as the one-pass artifacts, with
+    identical results (the BM25 and phrase legs are separately
+    oracle-checked; this pins the three boolean connectives)."""
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        all_hits_over_postings,
+        any_hits_over_postings,
+        build_incremental_index,
+        exclude_hits_over_postings,
+        read_index,
+    )
+
+    root = build_incremental_index(spark, sf_small)
+    postings, _stats = read_index(spark, root)
+    for helper, name in [
+        (all_hits_over_postings, "text_search_from_index"),
+        (any_hits_over_postings, "text_search_any_from_index"),
+        (exclude_hits_over_postings, "text_search_exclude_from_index"),
+    ]:
+        a = sorted(map(str, helper(postings).collect()))
+        b = sorted(map(str, QUERIES[name](spark, sf_small).collect()))
+        assert a == b, name
