@@ -1346,7 +1346,8 @@ def _install_compaction(ppath: str, tmp: str) -> None:
         shutil.move(staged, live)
     for d in m["absorbed"]:
         shutil.rmtree(os.path.join(ppath, d), ignore_errors=True)
-    _write_horizon(ppath, int(m["horizon"]))
+    if "horizon" in m:  # the stats fold carries no horizon of its own
+        _write_horizon(ppath, int(m["horizon"]))
     shutil.rmtree(tmp)
 
 
@@ -1395,7 +1396,10 @@ def compact_index(
     real = [i for i in ids if i != COMPACTED_BATCH_ID]
     absorb = real[: len(real) - keep_last] if keep_last > 0 else real
     if not absorb:
-        return 0  # nothing to absorb / already fully compacted
+        # nothing new on the postings side; still resume a stats fold a
+        # previous compaction's crash may have left undone
+        compact_index_stats(spark, index_dir)
+        return 0
     has_compacted = COMPACTED_BATCH_ID in ids
     src_ids = absorb + ([COMPACTED_BATCH_ID] if has_compacted else [])
     prev = _read_horizon(ppath)
@@ -1425,26 +1429,89 @@ def compact_index(
         shutil.rmtree(tmp, ignore_errors=True)  # incomplete staging
         raise
     _install_compaction(ppath, tmp)
+    compact_index_stats(spark, index_dir)
+    return len(src_ids)
+
+
+_STATS_STAGING_DIR = "_stats_compact_tmp"
+
+
+def compact_index_stats(spark: SparkSession, index_dir: str) -> int:
+    """Fold the 1-row stats partitions of batches AT OR BELOW the
+    compaction horizon into the single compacted stats row; returns the
+    number of partitions folded. Summing a num-batches-sized table on
+    read stays free, but each batch partition is a directory + file —
+    at millions of micro-batches the FILE count is the problem, and
+    this is its amortization. Readers compute identical sums before,
+    during, and after (read_index sums all rows), and the postings
+    crash-independence property is preserved: the fold runs AFTER the
+    postings install (compact_index calls it last), so a crash anywhere
+    in it changes nothing a reader computes — the fold simply resumes
+    at the next compaction. Only horizon-covered batches fold: the
+    horizon guarantees those batch_ids can never be re-appended, while
+    a kept (replayable) batch keeps its own partition so its
+    dynamic-overwrite replay stays idempotent."""
+    import json
+    import os
+    import shutil
+
+    spath = os.path.join(index_dir, INDEX_STATS)
+    horizon = _read_horizon(os.path.join(index_dir, INDEX_POSTINGS))
+    if horizon is None or not os.path.isdir(spath):
+        return 0
+    dirs = [d for d in os.listdir(spath) if d.startswith("batch_id=")]
+    ids = sorted(int(d.split("=", 1)[1]) for d in dirs)
+    fold = [i for i in ids if i != COMPACTED_BATCH_ID and i <= horizon]
+    if not fold:
+        return 0
+    has_compacted = COMPACTED_BATCH_ID in ids
+    src_ids = fold + ([COMPACTED_BATCH_ID] if has_compacted else [])
+    tmp = os.path.join(index_dir, _STATS_STAGING_DIR)
+    summed = (
+        spark.read.parquet(spath)
+        .where(F.col("batch_id").isin([int(i) for i in src_ids]))
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_dl").alias("total_dl"),
+        )
+        .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
+    )
+    try:
+        summed.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+        with open(os.path.join(tmp, _MANIFEST), "w") as fh:
+            json.dump({"absorbed": [f"batch_id={i}" for i in fold]}, fh)
+        with open(os.path.join(tmp, _STAGED_MARKER), "w") as fh:
+            fh.write("")
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)  # incomplete staging
+        raise
+    _install_compaction(spath, tmp)
     return len(src_ids)
 
 
 def recover_index_compaction(spark: SparkSession, index_dir: str) -> bool:
-    """Finish a :func:`compact_index` install that crashed after staging
-    completed (``_STAGED`` marker present): re-run the idempotent
-    install. An INCOMPLETE staging dir (no marker) is discarded — the
-    live tree was never touched. Returns True if a recovery happened."""
+    """Finish a :func:`compact_index` (or stats-fold) install that
+    crashed after its staging completed (``_STAGED`` marker present):
+    re-run the idempotent install. An INCOMPLETE staging dir (no
+    marker) is discarded — the live tree was never touched. Returns
+    True if at least one pending install was completed."""
     import os
     import shutil
 
-    ppath = os.path.join(index_dir, INDEX_POSTINGS)
-    tmp = os.path.join(index_dir, _STAGING_DIR)
-    if not os.path.isdir(tmp):
-        return False
-    if not os.path.exists(os.path.join(tmp, _STAGED_MARKER)):
-        shutil.rmtree(tmp, ignore_errors=True)
-        return False
-    _install_compaction(ppath, tmp)
-    return True
+    recovered = False
+    for live_sub, tmp_sub in (
+        (INDEX_POSTINGS, _STAGING_DIR),
+        (INDEX_STATS, _STATS_STAGING_DIR),
+    ):
+        tmp = os.path.join(index_dir, tmp_sub)
+        if not os.path.isdir(tmp):
+            continue
+        if not os.path.exists(os.path.join(tmp, _STAGED_MARKER)):
+            shutil.rmtree(tmp, ignore_errors=True)
+            continue
+        _install_compaction(os.path.join(index_dir, live_sub), tmp)
+        recovered = True
+    return recovered
 
 
 INCR_BATCHES = 4

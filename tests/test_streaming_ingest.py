@@ -672,7 +672,10 @@ def test_compaction_install_survives_crash_at_every_step(
             TA._write_horizon = real_horizon
 
         if crashed:
-            assert recover_index_compaction(spark, root) is True
+            recover_index_compaction(spark, root)
+            # a crash BEFORE the stats fold even staged leaves nothing
+            # to recover there; the next compaction call resumes it
+            compact_index(spark, root)
         postings, stats = read_index(spark, root)
         assert (
             sorted(map(str, postings.select(*cols).collect())),
@@ -682,8 +685,14 @@ def test_compaction_install_survives_crash_at_every_step(
         assert [
             d for d in os.listdir(ppath) if d.startswith("batch_id=")
         ] == [f"batch_id={COMPACTED_BATCH_ID}"]
+        # the stats partitions folded too (file-count amortization)
+        spath = os.path.join(root, "stats")
+        assert [
+            d for d in os.listdir(spath) if d.startswith("batch_id=")
+        ] == [f"batch_id={COMPACTED_BATCH_ID}"]
         assert TA._read_horizon(ppath) == 2
         assert not os.path.isdir(os.path.join(root, "_postings_compact_tmp"))
+        assert not os.path.isdir(os.path.join(root, "_stats_compact_tmp"))
         # the horizon holds after recovery too: absorbed replays refuse
         with pytest.raises(ValueError, match="horizon"):
             write_index_batch(
@@ -692,4 +701,4 @@ def test_compaction_install_survives_crash_at_every_step(
         if not crashed:
             break  # every mutation ran without tripping: all points covered
         crash_point += 1
-    assert crash_point >= 4  # the install really is a multi-step sequence
+    assert crash_point >= 8  # postings install + stats fold, every step
