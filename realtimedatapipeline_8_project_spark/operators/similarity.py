@@ -971,9 +971,26 @@ def write_ivf_batch(
     """Append batch ``batch_id``'s assigned vectors to the inverted
     lists (idempotent: a replay overwrites only its own partitions) and
     its 1-row drift stats. ``assigned`` is _km_assign output
-    (vec_id, qv, k, d) for exactly this batch's vectors."""
+    (vec_id, qv, k, d) for exactly this batch's vectors.
+
+    Refuses a batch_id at or below the lists' compaction horizon (the
+    write_index_batch discipline): absorbed vectors re-appended would
+    double-serve from the probe scan."""
     import os
 
+    from .text_analysis import _read_horizon
+
+    lpath = os.path.join(index_dir, IVF_LISTS)
+    horizon = _read_horizon(lpath)
+    if horizon is not None and batch_id <= horizon:
+        raise ValueError(
+            f"IVF batch {batch_id} is at or below the compaction "
+            f"horizon ({horizon}): its vectors were already absorbed "
+            "into the compacted partition, and re-appending would "
+            "double-serve them — a replayed batch must stay behind the "
+            "horizon (compact_ivf_lists(keep_last=...) covers the "
+            "replayable tail)"
+        )
     (
         # no explicit partition count: AQE coalesces a tiny batch to
         # O(1) files; k-sorted rows let the probe's IN(k) prune row
@@ -1009,6 +1026,92 @@ def read_ivf_lists(spark: SparkSession, index_dir: str) -> DataFrame:
         .parquet(os.path.join(index_dir, IVF_LISTS))
         .drop("batch_id")
     )
+
+
+def compact_ivf_lists(
+    spark: SparkSession, index_dir: str, keep_last: int = 0
+) -> int:
+    """Fold IVF list batch partitions (plus a previous compacted one)
+    into the single ``batch_id=COMPACTED_BATCH_ID`` partition — the
+    same probe-overhead amortization, replay-margin (``keep_last``),
+    horizon recording, and manifest/_STAGED crash contract as the text
+    index's compact_index (the install machinery is shared; a crashed
+    install is finished by text_analysis.recover_index_compaction
+    pointed at this index dir via :func:`recover_ivf_compaction`).
+    DRIFT STATS ARE NEVER FOLDED: unlike the text index's additive
+    corpus stats, the per-batch (n, sum_d) rows are the retrain
+    signal's history — ivf_drift reads them per batch."""
+    import json
+    import os
+    import shutil
+
+    from .text_analysis import (
+        _MANIFEST,
+        _STAGED_MARKER,
+        _install_compaction,
+        _read_horizon,
+    )
+    from .text_analysis import COMPACTED_BATCH_ID as _CB
+
+    lpath = os.path.join(index_dir, IVF_LISTS)
+    tmp = os.path.join(index_dir, "_lists_compact_tmp")
+    dirs = (
+        [d for d in os.listdir(lpath) if d.startswith("batch_id=")]
+        if os.path.isdir(lpath)
+        else []
+    )
+    ids = sorted(int(d.split("=", 1)[1]) for d in dirs)
+    real = [i for i in ids if i != _CB]
+    absorb = real[: len(real) - keep_last] if keep_last > 0 else real
+    if not absorb:
+        return 0
+    src_ids = absorb + ([_CB] if _CB in ids else [])
+    prev = _read_horizon(lpath)
+    horizon = max(absorb) if prev is None else max(prev, max(absorb))
+    raw = spark.read.schema(IVF_LISTS_SCHEMA + ", batch_id int").parquet(lpath)
+    merged = (
+        raw.where(F.col("batch_id").isin([int(i) for i in src_ids]))
+        .drop("batch_id")
+        .repartition("k")
+        .sortWithinPartitions("k", "vec_id")
+        .withColumn("batch_id", F.lit(_CB))
+    )
+    try:
+        merged.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+        with open(os.path.join(tmp, _MANIFEST), "w") as fh:
+            json.dump(
+                {
+                    "absorbed": [f"batch_id={i}" for i in absorb],
+                    "horizon": horizon,
+                },
+                fh,
+            )
+        with open(os.path.join(tmp, _STAGED_MARKER), "w") as fh:
+            fh.write("")
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    _install_compaction(lpath, tmp)
+    return len(src_ids)
+
+
+def recover_ivf_compaction(spark: SparkSession, index_dir: str) -> bool:
+    """Finish a :func:`compact_ivf_lists` install that crashed after
+    staging completed; discard an incomplete staging. Returns True if a
+    pending install was completed."""
+    import os
+    import shutil
+
+    from .text_analysis import _STAGED_MARKER, _install_compaction
+
+    tmp = os.path.join(index_dir, "_lists_compact_tmp")
+    if not os.path.isdir(tmp):
+        return False
+    if not os.path.exists(os.path.join(tmp, _STAGED_MARKER)):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return False
+    _install_compaction(os.path.join(index_dir, IVF_LISTS), tmp)
+    return True
 
 
 def ivf_drift(

@@ -388,3 +388,86 @@ def test_ivf_drift_signals_retrain_on_shifted_batch(
     assert not drift[1].needs_retrain
     assert drift[2].needs_retrain
     assert drift[2].drift_ratio > drift[1].drift_ratio
+
+
+def test_ivf_lists_compaction_horizon_and_drift_history(
+    spark, sf_small, tmp_path
+):
+    """compact_ivf_lists: batch partitions fold with row-identical
+    reads, keep_last leaves the replayable tail, the recorded horizon
+    makes an absorbed replay a loud refusal, and the per-batch DRIFT
+    stats are never folded (they are the retrain signal's history).
+    The install machinery is shared with the exhaustively crash-tested
+    text-index compaction."""
+    import os
+
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        IVF_CODEBOOK,
+        IVF_LISTS,
+        IVF_STATS,
+        _km_assign,
+        _km_quantize,
+        compact_ivf_lists,
+        frozen_ivf_codebook,
+        ivf_drift,
+        read_ivf_lists,
+        recover_ivf_compaction,
+        write_ivf_batch,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    q = _km_quantize(load_table(spark, sf_small, "embeddings"))
+    root = str(tmp_path / "ivf")
+    frozen_ivf_codebook(q).write.mode("overwrite").parquet(
+        os.path.join(root, IVF_CODEBOOK)
+    )
+    cents = spark.read.parquet(os.path.join(root, IVF_CODEBOOK))
+    for b in range(3):
+        write_ivf_batch(
+            _km_assign(q.where(F.col("vec_id") % 3 == b), cents), b, root
+        )
+    cols = ["k", "vec_id", "qv", "d"]
+
+    def rows():
+        return sorted(
+            map(str, read_ivf_lists(spark, root).select(*cols).collect())
+        )
+
+    before = rows()
+    assert compact_ivf_lists(spark, root, keep_last=1) == 2
+    assert rows() == before
+    lpath = os.path.join(root, IVF_LISTS)
+    assert sorted(
+        d for d in os.listdir(lpath) if d.startswith("batch_id=")
+    ) == ["batch_id=-1", "batch_id=2"]
+    # drift history intact: one stats partition per batch, drift still
+    # computable per batch
+    spath = os.path.join(root, IVF_STATS)
+    assert sorted(
+        d for d in os.listdir(spath) if d.startswith("batch_id=")
+    ) == ["batch_id=0", "batch_id=1", "batch_id=2"]
+    assert ivf_drift(spark, root).count() == 3
+    # the kept tail batch replays idempotently
+    write_ivf_batch(
+        _km_assign(q.where(F.col("vec_id") % 3 == 2), cents), 2, root
+    )
+    assert rows() == before
+    # an absorbed batch refuses loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="horizon"):
+        write_ivf_batch(
+            _km_assign(q.where(F.col("vec_id") % 3 == 0), cents), 0, root
+        )
+    assert rows() == before
+    # full compaction folds the tail too and carries the horizon forward
+    assert compact_ivf_lists(spark, root) == 2
+    assert sorted(
+        d for d in os.listdir(lpath) if d.startswith("batch_id=")
+    ) == ["batch_id=-1"]
+    with _pytest.raises(ValueError, match="horizon"):
+        write_ivf_batch(
+            _km_assign(q.where(F.col("vec_id") % 3 == 2), cents), 2, root
+        )
+    assert recover_ivf_compaction(spark, root) is False  # nothing pending
+    assert rows() == before
