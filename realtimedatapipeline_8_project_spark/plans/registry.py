@@ -143,8 +143,29 @@ _PRIORITY = (
 # Redundant registry entries retired to keep the checked prefix dense:
 # dedup_simhash is subsumed by dedup_simhash_neardup (same sketch, plus the
 # banding + verify stages); sketch_count_min by sketch_count_min_estimate
-# (same sketch build, plus the probe read-out).
-_RETIRED = frozenset({"dedup_simhash", "sketch_count_min"})
+# (same sketch build, plus the probe read-out). Round 9 retired three
+# more to restore a sustainable rotation (the registry had outgrown the
+# 50-slot budget: a 3-round refresh cycle supports 1 flagship + 49x3 =
+# 148 queries, and 151 meant a permanent 2-row spill): win_rank_orders
+# (row_number top-k on the SAME window spec win_rank_family exercises;
+# top-k-per-group semantics also driver-checked via sql_lateral_topk
+# and agg_top1_per_group_sortfree), dedup_events_exact (dropDuplicates
+# over an already-unique key — exact dedup is properly stressed by
+# dedup_exact_fingerprint's planted duplicates and media_dedup_exact),
+# and dedup_survivors (the plain lowest-id survivor policy, embedded
+# verbatim inside curation_end_to_end's oracle and superseded by the
+# quality-aware dedup_survivors_quality). POLICY: a future round that
+# adds K registry entries retires K (or accepts a longer refresh
+# cycle) — the verification budget is fixed at 50 rows per round.
+_RETIRED = frozenset(
+    {
+        "dedup_simhash",
+        "sketch_count_min",
+        "win_rank_orders",
+        "dedup_events_exact",
+        "dedup_survivors",
+    }
+)
 
 _ALL: dict[str, tuple] = {}
 for _m in _MODULES:
