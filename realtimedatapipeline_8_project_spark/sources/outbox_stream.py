@@ -220,7 +220,12 @@ def make_outbox_source():
                     try:
                         rows.append(_parse(line))
                     except (ValueError, KeyError, TypeError) as exc:
-                        if legacy_resume:
+                        # only the FIRST line — the one starting AT the
+                        # committed offset — carries the line-boundary
+                        # identity argument; a later line is a
+                        # post-checkpoint append, and its parse failure
+                        # is producer garbage, not a recreation
+                        if legacy_resume and end == start_byte:
                             raise _recreated_on_legacy(
                                 os.path.basename(fpath), start_byte, exc
                             ) from exc

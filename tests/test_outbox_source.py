@@ -684,3 +684,25 @@ def test_outbox_legacy_offset_adopts_fingerprint_on_clean_file(tmp_path):
     assert os.path.getsize(fpath) >= off2["files"]["b0.jsonl"]
     with pytest.raises(ValueError, match="recreated"):
         reader.read(off2)
+
+
+def test_outbox_legacy_offset_post_checkpoint_garbage_is_not_recreation(
+    tmp_path,
+):
+    """A pre-sigs offset on the ORIGINAL file whose producer later
+    appended a malformed-but-complete line: only the FIRST line (the
+    one starting AT the committed offset) carries the line-boundary
+    identity argument — the post-checkpoint garbage must surface as the
+    raw parse error, not a bogus 'recreated' diagnosis that sends the
+    operator chasing a recreation that never happened."""
+    src = str(tmp_path / "outbox")
+    _write_outbox(src, range(5))
+    reader = _reader(src)
+    it, off = reader.read(reader.initialOffset())
+    assert len(list(it)) == 5
+    with open(os.path.join(src, "b0.jsonl"), "a") as fh:
+        fh.write(json.dumps({"id": 5, "topic": "t", "key": "5", "payload": "{}"}) + "\n")
+        fh.write("{not valid json\n")
+    legacy = {"files": dict(off["files"])}
+    with pytest.raises(json.JSONDecodeError):
+        reader.read(legacy)
