@@ -755,7 +755,19 @@ QUERIES["text_encode_ids"] = (q_encode_ids, ORACLE_ENCODE_IDS)
 INDEX_FORMAT_VERSION = 2
 
 
-def posting_index_path(spark: SparkSession, sf_dir: str) -> str:
+def artifact_path(
+    spark: SparkSession,
+    sf_dir: str,
+    fixture_file: str,
+    prefix: str,
+    version: int,
+) -> str:
+    """Warehouse path for a fixture-derived artifact, fingerprinted by
+    the fixture file's identity (size + mtime) AND the format version —
+    a regenerated fixture or a layout change can never serve a stale
+    artifact (the graph_pagerank_bucketed discipline). The SINGLE
+    definition, shared by the text posting/scored/incremental indexes
+    and the IVF lists."""
     import hashlib
     import os
     import re
@@ -763,14 +775,21 @@ def posting_index_path(spark: SparkSession, sf_dir: str) -> str:
 
     base = os.path.abspath(sf_dir.rstrip("/"))
     try:
-        st = os.stat(os.path.join(base, "documents.parquet"))
-        ident = f"v{INDEX_FORMAT_VERSION}|{base}|{st.st_size}|{st.st_mtime_ns}"
+        st = os.stat(os.path.join(base, fixture_file))
+        ident = f"v{version}|{base}|{st.st_size}|{st.st_mtime_ns}"
     except OSError:
-        ident = f"v{INDEX_FORMAT_VERSION}|{base}|absent"
+        ident = f"v{version}|{base}|absent"
     fp = hashlib.sha256(ident.encode()).hexdigest()[:10]
     tag = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(base))
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    return os.path.join(wh, f"text_postings_{tag}_{fp}")
+    return os.path.join(wh, f"{prefix}_{tag}_{fp}")
+
+
+def posting_index_path(spark: SparkSession, sf_dir: str) -> str:
+    return artifact_path(
+        spark, sf_dir, "documents.parquet", "text_postings",
+        INDEX_FORMAT_VERSION,
+    )
 
 
 def build_posting_index(spark: SparkSession, sf_dir: str) -> str:
@@ -1215,9 +1234,54 @@ POSTINGS_SCHEMA = (
     "term string, doc_id bigint, tf bigint, dl bigint, positions array<int>"
 )
 INDEX_HORIZON_FILE = "_compaction_horizon.json"
+INDEX_VERSION_FILE = "_format_version.json"
 _STAGING_DIR = "_postings_compact_tmp"
 _STAGED_MARKER = "_STAGED"
 _MANIFEST = "_MANIFEST.json"
+
+
+def _check_version_marker(
+    index_dir: str, data_sub: str, version: int, create: bool
+) -> None:
+    """Mutable (streaming-maintained) index dirs are NOT path-salted
+    like the warehouse artifacts (their location is the user's, fixed
+    across upgrades), so the format version must live IN the dir: a
+    marker stamped at first write and verified on every write and read.
+    Without it, a dir written by older code would be read under the
+    newer schema — e.g. v1 postings served with NULL ``positions``,
+    silently excluding every pre-upgrade doc from phrase results. A
+    version mismatch (or versionless data from pre-marker code) is a
+    loud rebuild/backfill demand, never a silent partial answer."""
+    import json
+    import os
+
+    f = os.path.join(index_dir, INDEX_VERSION_FILE)
+    if os.path.exists(f):
+        with open(f) as fh:
+            found = int(json.load(fh)["version"])
+        if found != version:
+            raise ValueError(
+                f"index at {index_dir} was written by format v{found} "
+                f"but this code serves v{version}: rebuild the index "
+                "from the corpus (or run a backfill) — reading the old "
+                "layout under the new schema would return wrong answers "
+                "silently (e.g. NULL positions excluding pre-upgrade "
+                "docs from phrase queries)"
+            )
+        return
+    dpath = os.path.join(index_dir, data_sub)
+    if os.path.isdir(dpath) and any(
+        d.startswith("batch_id=") for d in os.listdir(dpath)
+    ):
+        raise ValueError(
+            f"index at {index_dir} holds data but no format-version "
+            f"marker (written by pre-v{version} code): rebuild it — its "
+            "layout cannot be verified against the current schema"
+        )
+    if create:
+        os.makedirs(index_dir, exist_ok=True)
+        with open(f, "w") as fh:
+            json.dump({"version": version}, fh)
 
 
 def _read_horizon(ppath: str):
@@ -1259,6 +1323,9 @@ def write_index_batch(
     suffices for the ingest loop)."""
     import os
 
+    _check_version_marker(
+        index_dir, INDEX_POSTINGS, INDEX_FORMAT_VERSION, create=True
+    )
     ppath = os.path.join(index_dir, INDEX_POSTINGS)
     horizon = _read_horizon(ppath)
     if horizon is not None and batch_id <= horizon:
@@ -1303,6 +1370,9 @@ def read_index(spark: SparkSession, index_dir: str):
     stats the summed 1-row corpus statistics."""
     import os
 
+    _check_version_marker(
+        index_dir, INDEX_POSTINGS, INDEX_FORMAT_VERSION, create=False
+    )
     # A batch whose docs were all dropped (or an empty corpus) writes a
     # ZERO-ROW partitioned postings frame — no parquet files, so schema
     # inference fails on read even though the index state is legitimate.
@@ -1351,6 +1421,63 @@ def _install_compaction(ppath: str, tmp: str) -> None:
     shutil.rmtree(tmp)
 
 
+def _plan_fold(live_path: str, keep_last: int) -> tuple[list, list]:
+    """The fold plan for a batch-partitioned dir: (absorb, src_ids) —
+    the real batch_ids to absorb (the ``keep_last`` HIGHEST ids are
+    exempt; keep_last >= the live batch count absorbs NOTHING — the
+    margin is a promise, never a wrap-around) and the full source-id
+    list including a previous compacted partition. absorb == [] means
+    nothing to do."""
+    import os
+
+    dirs = (
+        [d for d in os.listdir(live_path) if d.startswith("batch_id=")]
+        if os.path.isdir(live_path)
+        else []
+    )
+    ids = sorted(int(d.split("=", 1)[1]) for d in dirs)
+    real = [i for i in ids if i != COMPACTED_BATCH_ID]
+    absorb = real[: max(0, len(real) - keep_last)] if keep_last > 0 else real
+    if not absorb:
+        return [], []
+    src_ids = absorb + (
+        [COMPACTED_BATCH_ID] if COMPACTED_BATCH_ID in ids else []
+    )
+    return absorb, src_ids
+
+
+def _stage_and_install(
+    merged: DataFrame,
+    live_path: str,
+    tmp: str,
+    absorbed: list,
+    horizon: int | None,
+) -> None:
+    """Stage ``merged`` (already tagged batch_id=COMPACTED_BATCH_ID)
+    into ``tmp`` with its manifest + ``_STAGED`` marker, then run the
+    idempotent install — the SINGLE definition of the fold commit
+    protocol, shared by the postings fold, the stats fold, and the IVF
+    list fold (three hand-maintained copies diverged once: the
+    keep_last wrap-around bug lived in two of them)."""
+    import json
+    import os
+    import shutil
+
+    try:
+        merged.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
+        manifest = {"absorbed": [f"batch_id={i}" for i in absorbed]}
+        if horizon is not None:
+            manifest["horizon"] = horizon
+        with open(os.path.join(tmp, _MANIFEST), "w") as fh:
+            json.dump(manifest, fh)
+        with open(os.path.join(tmp, _STAGED_MARKER), "w") as fh:
+            fh.write("")
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)  # incomplete staging
+        raise
+    _install_compaction(live_path, tmp)
+
+
 def compact_index(
     spark: SparkSession, index_dir: str, keep_last: int = 0
 ) -> int:
@@ -1378,30 +1505,23 @@ def compact_index(
     Crash contract: a failed or interrupted staging write leaves no
     ``_STAGED`` marker and is discarded (live tree untouched); once
     ``_STAGED`` exists the install (move compacted partition in, drop
-    absorbed partitions, record horizon) is idempotent — call
-    :func:`recover_index_compaction` before serving to finish an
-    interrupted one."""
-    import json
+    absorbed partitions, record horizon) is idempotent. The function
+    RECOVERS any pending install at entry (so maintenance loops never
+    fold a tree whose previous install is half-landed — listing a tree
+    mid-install would double-count the absorbed partitions against the
+    already-moved-in compacted one); external readers that serve
+    between compactions still call :func:`recover_index_compaction`
+    first."""
     import os
-    import shutil
 
+    recover_index_compaction(spark, index_dir)
     ppath = os.path.join(index_dir, INDEX_POSTINGS)
-    tmp = os.path.join(index_dir, _STAGING_DIR)
-    dirs = (
-        [d for d in os.listdir(ppath) if d.startswith("batch_id=")]
-        if os.path.isdir(ppath)
-        else []
-    )
-    ids = sorted(int(d.split("=", 1)[1]) for d in dirs)
-    real = [i for i in ids if i != COMPACTED_BATCH_ID]
-    absorb = real[: len(real) - keep_last] if keep_last > 0 else real
+    absorb, src_ids = _plan_fold(ppath, keep_last)
     if not absorb:
         # nothing new on the postings side; still resume a stats fold a
         # previous compaction's crash may have left undone
         compact_index_stats(spark, index_dir)
         return 0
-    has_compacted = COMPACTED_BATCH_ID in ids
-    src_ids = absorb + ([COMPACTED_BATCH_ID] if has_compacted else [])
     prev = _read_horizon(ppath)
     horizon = max(absorb) if prev is None else max(prev, max(absorb))
     raw = spark.read.schema(POSTINGS_SCHEMA + ", batch_id int").parquet(ppath)
@@ -1413,22 +1533,9 @@ def compact_index(
         .sortWithinPartitions("term", "doc_id")
         .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
     )
-    try:
-        merged.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
-        with open(os.path.join(tmp, _MANIFEST), "w") as fh:
-            json.dump(
-                {
-                    "absorbed": [f"batch_id={i}" for i in absorb],
-                    "horizon": horizon,
-                },
-                fh,
-            )
-        with open(os.path.join(tmp, _STAGED_MARKER), "w") as fh:
-            fh.write("")
-    except Exception:
-        shutil.rmtree(tmp, ignore_errors=True)  # incomplete staging
-        raise
-    _install_compaction(ppath, tmp)
+    _stage_and_install(
+        merged, ppath, os.path.join(index_dir, _STAGING_DIR), absorb, horizon
+    )
     compact_index_stats(spark, index_dir)
     return len(src_ids)
 
@@ -1451,9 +1558,7 @@ def compact_index_stats(spark: SparkSession, index_dir: str) -> int:
     horizon guarantees those batch_ids can never be re-appended, while
     a kept (replayable) batch keeps its own partition so its
     dynamic-overwrite replay stays idempotent."""
-    import json
     import os
-    import shutil
 
     spath = os.path.join(index_dir, INDEX_STATS)
     horizon = _read_horizon(os.path.join(index_dir, INDEX_POSTINGS))
@@ -1466,7 +1571,6 @@ def compact_index_stats(spark: SparkSession, index_dir: str) -> int:
         return 0
     has_compacted = COMPACTED_BATCH_ID in ids
     src_ids = fold + ([COMPACTED_BATCH_ID] if has_compacted else [])
-    tmp = os.path.join(index_dir, _STATS_STAGING_DIR)
     summed = (
         spark.read.parquet(spath)
         .where(F.col("batch_id").isin([int(i) for i in src_ids]))
@@ -1476,16 +1580,9 @@ def compact_index_stats(spark: SparkSession, index_dir: str) -> int:
         )
         .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
     )
-    try:
-        summed.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
-        with open(os.path.join(tmp, _MANIFEST), "w") as fh:
-            json.dump({"absorbed": [f"batch_id={i}" for i in fold]}, fh)
-        with open(os.path.join(tmp, _STAGED_MARKER), "w") as fh:
-            fh.write("")
-    except Exception:
-        shutil.rmtree(tmp, ignore_errors=True)  # incomplete staging
-        raise
-    _install_compaction(spath, tmp)
+    _stage_and_install(
+        summed, spath, os.path.join(index_dir, _STATS_STAGING_DIR), fold, None
+    )
     return len(src_ids)
 
 
@@ -1531,8 +1628,13 @@ def build_incremental_index(spark: SparkSession, sf_dir: str) -> str:
     import shutil
 
     root = incremental_index_path(spark, sf_dir)
+    done = os.path.join(root, "_COMPLETE")
     if os.path.isdir(root):
         try:
+            # completeness marker first: readability alone would accept
+            # a build interrupted between batches (served results would
+            # silently cover a fraction of the corpus)
+            assert os.path.exists(done)
             # schema given explicitly: a legitimately empty index (all
             # batches zero-row) has no files to infer from
             spark.read.schema(POSTINGS_SCHEMA + ", batch_id int").parquet(
@@ -1546,6 +1648,8 @@ def build_incremental_index(spark: SparkSession, sf_dir: str) -> str:
     for b in range(INCR_BATCHES):
         batch = docs.where(F.col("doc_id") % INCR_BATCHES == b)
         write_index_batch(batch_postings(batch), b, root)
+    with open(done, "w") as fh:  # written LAST: marks the build whole
+        fh.write("")
     return root
 
 
@@ -1577,36 +1681,70 @@ PHRASE_T1 = "window"
 PHRASE_T2 = "scan"
 
 
-def phrase_hits_over_postings(postings: DataFrame, slop: int = 1) -> DataFrame:
-    """Docs where PHRASE_T2 follows PHRASE_T1 within ``slop`` positions
-    (slop=1 = the adjacent-phrase query; slop=k = proximity search),
-    with the match-site count (distinct qualifying PHRASE_T2
-    positions) — the SINGLE serving path shared by the one-pass
-    artifact and the incrementally maintained one. Still posting-
-    bounded: the position arrays of the two terms are the only inputs,
-    and the window check is a JVM-side array intersection of the
-    slop-shifted t1 positions with t2's."""
-    a = postings.where(F.col("term") == PHRASE_T1).select(
-        "doc_id", F.col("positions").alias("pos1")
-    )
-    b = postings.where(F.col("term") == PHRASE_T2).select(
-        "doc_id", F.col("positions").alias("pos2")
-    )
-    shifted = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.lit(slop)),
-            lambda d: F.transform(F.col("pos1"), lambda p: p + d),
+def phrase_hits_over_postings(
+    postings: DataFrame,
+    slop: int = 1,
+    terms: tuple = (PHRASE_T1, PHRASE_T2),
+) -> DataFrame:
+    """Docs containing the n-term phrase ``terms`` (each term within
+    ``slop`` positions AFTER its predecessor; slop=1 = the exact
+    adjacent phrase, slop=k = chained proximity), with the match-site
+    count (distinct qualifying FINAL-term positions) — the SINGLE
+    serving path shared by the one-pass artifact and the incrementally
+    maintained one. A left-to-right fold: ``ends`` starts as the first
+    term's positions; each step intersects the slop-shifted ends with
+    the next term's positions (so ``ends`` is always "positions where
+    a qualifying prefix chain ends"). Still posting-bounded: one
+    pushed EqualTo(term) postings scan per phrase term, position
+    arrays the only join payload, all checks JVM-side array ops — the
+    corpus is never touched, and cost ∝ the query terms' postings.
+    array_intersect dedups, so an end position reachable from several
+    predecessor positions counts once — for slop=1 and two terms this
+    is exactly the adjacency-site count."""
+    _phrase_guard(slop, terms)
+
+    def _pos(t: str, name: str) -> DataFrame:
+        return postings.where(F.col("term") == t).select(
+            "doc_id", F.col("positions").alias(name)
         )
+
+    cur = _pos(terms[0], "ends")
+    for t in terms[1:]:
+        shifted = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(slop)),
+                lambda d: F.transform(F.col("ends"), lambda p: p + d),
+            )
+        )
+        cur = (
+            cur.join(_pos(t, "pos_next"), "doc_id")
+            .select(
+                "doc_id",
+                F.array_intersect(shifted, F.col("pos_next")).alias("ends"),
+            )
+            .where(F.size("ends") > 0)
+        )
+    return cur.select(
+        "doc_id", F.size("ends").cast("long").alias("n_adjacent")
     )
-    # array_intersect dedups, so a t2 position reachable from several
-    # t1 positions counts once — for slop=1 this is exactly the
-    # adjacency-site count
-    adj = F.array_intersect(shifted, F.col("pos2"))
-    return (
-        a.join(b, "doc_id")
-        .select("doc_id", F.size(adj).cast("long").alias("n_adjacent"))
-        .where(F.col("n_adjacent") > 0)
-    )
+
+
+def _phrase_guard(slop: int, terms: tuple) -> None:
+    """slop < 1 would not mean "stricter": F.sequence(1, 0) yields a
+    DESCENDING [1, 0] (Spark auto-descends), silently admitting shift 0
+    (t1 and t2 at the same position) and, for negatives, t2 BEFORE t1 —
+    wrong results, not an error. Refuse loudly instead. A phrase needs
+    at least two terms (one term is a plain posting lookup)."""
+    if slop < 1:
+        raise ValueError(
+            f"slop must be >= 1 (got {slop}): slop=1 is the adjacent "
+            "phrase; larger admits intervening tokens"
+        )
+    if len(terms) < 2:
+        raise ValueError(
+            f"a phrase needs >= 2 terms (got {len(terms)}): a one-term "
+            "'phrase' is a plain posting lookup, not an adjacency query"
+        )
 
 
 def q_phrase_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -70,6 +70,7 @@ from ..operators.dedup import (
 from ..operators.text_analysis import (
     batch_postings,
     compact_index,
+    recover_index_compaction,
     write_index_batch,
 )
 
@@ -197,6 +198,12 @@ def dedup_ingest_batch(
         # rebuild (operators/text_analysis.py: write_index_batch).
         # Dedup guarantees each doc_id is admitted at most once, the
         # invariant the merged-postings df derivation relies on.
+        # finish any compaction install a crash left half-landed BEFORE
+        # touching the index: a half-installed fold lists both the
+        # moved-in compacted partition and the not-yet-removed absorbed
+        # partitions, so writing (or re-compacting) over it would
+        # double-count the absorbed postings
+        recover_index_compaction(spark, os.path.join(corpus_dir, INDEX))
         kept_committed = (
             spark.read.parquet(kept_path)
             .where(F.col("batch_id") == batch_id)

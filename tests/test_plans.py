@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 
 import pytest
 
@@ -1082,3 +1083,134 @@ def test_incremental_index_serves_full_boolean_algebra(spark, sf_small):
         a = sorted(map(str, helper(postings).collect()))
         b = sorted(map(str, QUERIES[name](spark, sf_small).collect()))
         assert a == b, name
+
+
+def test_phrase_generalizes_to_n_terms(spark):
+    """phrase_hits_over_postings(terms=(a,b,c)): the left-to-right fold
+    chains adjacency — every consecutive pair within slop, count =
+    distinct qualifying final-term positions. Pinned on a planted
+    positional postings frame (fixture-independent), including a
+    repeated-term phrase (the same posting row feeds two fold steps)."""
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        phrase_hits_over_postings,
+    )
+
+    rows = [
+        # doc 1: "big order scan"      -> the trigram, once
+        ("big", 1, 1, 10, [2]),
+        ("order", 1, 1, 10, [3]),
+        ("scan", 1, 1, 10, [4]),
+        # doc 2: "big order ... scan"  -> pair ok, chain broken
+        ("big", 2, 1, 10, [2]),
+        ("order", 2, 1, 10, [3]),
+        ("scan", 2, 1, 10, [7]),
+        # doc 3: "order big scan"      -> first pair wrong order
+        ("big", 3, 1, 10, [3]),
+        ("order", 3, 1, 10, [2]),
+        ("scan", 3, 1, 10, [4]),
+        # doc 4: "big order scan big order scan" -> two sites
+        ("big", 4, 2, 10, [0, 3]),
+        ("order", 4, 2, 10, [1, 4]),
+        ("scan", 4, 2, 10, [2, 5]),
+        # doc 5: "go go go"            -> repeated-term phrase "go go"
+        ("go", 5, 3, 10, [0, 1, 2]),
+    ]
+    postings = spark.createDataFrame(
+        rows,
+        "term string, doc_id bigint, tf bigint, dl bigint, "
+        "positions array<int>",
+    )
+    tri = {
+        r.doc_id: r.n_adjacent
+        for r in phrase_hits_over_postings(
+            postings, terms=("big", "order", "scan")
+        ).collect()
+    }
+    assert tri == {1: 1, 4: 2}
+    # slop=2 repairs doc 2? gap order->scan is 4 positions: still out
+    tri2 = {
+        r.doc_id: r.n_adjacent
+        for r in phrase_hits_over_postings(
+            postings, slop=2, terms=("big", "order", "scan")
+        ).collect()
+    }
+    assert tri2 == {1: 1, 4: 2}
+    # repeated term: "go go" ends at positions 1 and 2 -> 2 sites
+    rep = {
+        r.doc_id: r.n_adjacent
+        for r in phrase_hits_over_postings(
+            postings, terms=("go", "go")
+        ).collect()
+    }
+    assert rep == {5: 2}
+
+
+def test_trigram_phrase_matches_corpus_scan_oracle(spark, sf_small):
+    """The n-term fold against ground truth: a trigram served from the
+    stored positional postings equals the DuckDB corpus-scan spelling
+    on the real fixture (nonempty by construction — 'big order scan'
+    occurs in the sf0.001 documents)."""
+    import duckdb
+
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        INDEX_POSTINGS,
+        build_scored_index,
+        phrase_hits_over_postings,
+    )
+
+    root = build_scored_index(spark, sf_small)
+    postings = spark.read.parquet(os.path.join(root, INDEX_POSTINGS))
+    got = sorted(
+        (r.doc_id, r.n_adjacent)
+        for r in phrase_hits_over_postings(
+            postings, terms=("big", "order", "scan")
+        ).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\s+',
+                     ' ', 'g')), ' ') AS t
+          FROM read_parquet(?)
+        )
+        SELECT doc_id,
+               len(list_filter(range(1, len(t) - 1),
+                   x -> t[x] = 'big' AND t[x+1] = 'order'
+                        AND t[x+2] = 'scan')) AS n
+        FROM toks
+        WHERE len(list_filter(range(1, len(t) - 1),
+              x -> t[x] = 'big' AND t[x+1] = 'order'
+                   AND t[x+2] = 'scan')) > 0
+        """,
+                [os.path.join(sf_small, "documents.parquet")],
+            ).fetchall(),
+        )
+    )
+    assert got == want
+    assert got  # the fixture trigram actually occurs
+
+
+def test_phrase_slop_guard_refuses_nonpositive(spark):
+    """slop=0 would admit shift 0 (same-position 'phrase') and slop=-1
+    t2 BEFORE t1 — F.sequence auto-descends, so these were silent wrong
+    results, not errors. The guard refuses them loudly."""
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        phrase_hits_over_postings,
+    )
+
+    postings = spark.createDataFrame(
+        [],
+        "term string, doc_id bigint, tf bigint, dl bigint, "
+        "positions array<int>",
+    )
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="slop"):
+            phrase_hits_over_postings(postings, slop=bad)
+    # and a 1-term "phrase" is a category error, not an empty chain
+    with pytest.raises(ValueError, match="2 terms"):
+        phrase_hits_over_postings(postings, terms=("solo",))

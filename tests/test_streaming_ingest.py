@@ -702,3 +702,149 @@ def test_compaction_install_survives_crash_at_every_step(
             break  # every mutation ran without tripping: all points covered
         crash_point += 1
     assert crash_point >= 8  # postings install + stats fold, every step
+
+
+def test_keep_last_larger_than_live_batches_absorbs_nothing(
+    spark, sf_small, tmp_path
+):
+    """keep_last >= the live batch count is a promise to keep them ALL
+    — it must absorb nothing, never wrap around and absorb from the
+    front (the negative-slice bug: real[:len-keep] with keep > len
+    silently absorbed the oldest batch and then wedged its replay on
+    the horizon check)."""
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        batch_postings,
+        compact_index,
+        read_index,
+        write_index_batch,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    docs = docs.where(F.col("doc_id") < 90)
+    root = str(tmp_path / "index")
+    for b in range(2):
+        write_index_batch(
+            batch_postings(docs.where(F.col("doc_id") % 2 == b)), b, root
+        )
+    assert compact_index(spark, root, keep_last=3) == 0
+    assert compact_index(spark, root, keep_last=2) == 0
+    ppath = os.path.join(root, "postings")
+    assert sorted(
+        d for d in os.listdir(ppath) if d.startswith("batch_id=")
+    ) == ["batch_id=0", "batch_id=1"]
+    # every batch still replayable (no horizon was recorded)
+    write_index_batch(
+        batch_postings(docs.where(F.col("doc_id") % 2 == 0)), 0, root
+    )
+    postings, _ = read_index(spark, root)
+    assert postings.count() > 0
+
+
+def test_index_format_version_marker_guards_mutable_dirs(
+    spark, sf_small, tmp_path
+):
+    """The streaming index dir is not path-salted like the warehouse
+    artifacts, so its format version lives IN the dir: data written by
+    an older format (or versionless pre-marker data) must be a loud
+    rebuild demand on both write and read — never NULL positions
+    silently served to phrase queries."""
+    import json
+
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        INDEX_VERSION_FILE,
+        batch_postings,
+        read_index,
+        write_index_batch,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    docs = docs.where(F.col("doc_id") < 60)
+    root = str(tmp_path / "index")
+    write_index_batch(batch_postings(docs), 0, root)
+    marker = os.path.join(root, INDEX_VERSION_FILE)
+    assert os.path.exists(marker)
+    read_index(spark, root)  # current version: fine
+
+    # an older-format dir (marker says v1): refuse on write AND read
+    with open(marker, "w") as fh:
+        json.dump({"version": 1}, fh)
+    with pytest.raises(ValueError, match="format v1"):
+        write_index_batch(batch_postings(docs), 1, root)
+    with pytest.raises(ValueError, match="format v1"):
+        read_index(spark, root)
+
+    # versionless data (pre-marker code): refuse too
+    os.remove(marker)
+    with pytest.raises(ValueError, match="no format-version"):
+        read_index(spark, root)
+    with pytest.raises(ValueError, match="no format-version"):
+        write_index_batch(batch_postings(docs), 1, root)
+
+
+def test_ingest_recovers_pending_compaction_before_writing(
+    spark, sf_small, tmp_path
+):
+    """Crash mid-install during auto-compaction, then restart: the
+    ingest loop must finish the pending install BEFORE touching the
+    index — re-listing a half-landed tree would double-count the
+    absorbed batches against the already-moved-in compacted partition."""
+    import realtimedatapipeline_8_project_spark.operators.text_analysis as TA
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        batch_postings,
+        compact_index,
+        read_index,
+        write_index_batch,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    docs = docs.where(F.col("doc_id") < 90)
+    root = str(tmp_path / "corpus")
+    idx = os.path.join(root, "index")
+    batches = [docs.where(F.col("doc_id") % 2 == b) for b in range(2)]
+    for b in range(2):
+        dedup_ingest_batch(batches[b], b, root, maintain_index=True)
+    postings, stats = read_index(spark, idx)
+    cols = ["term", "doc_id", "tf", "dl", "positions"]
+    before = (
+        sorted(map(str, postings.select(*cols).collect())),
+        stats.collect(),
+    )
+    # compaction crashes after staging (install never runs)
+    orig = TA._install_compaction
+    try:
+        TA._install_compaction = lambda p, t: None
+        compact_index(spark, idx, keep_last=1)
+    finally:
+        TA._install_compaction = orig
+    assert os.path.exists(
+        os.path.join(idx, "_postings_compact_tmp", "_STAGED")
+    )
+    # restart: the next ingest batch recovers the install first, then
+    # appends; rows = before + the new batch, nothing double-counted.
+    # The extra docs must be NEW CONTENT (ids 90-179, never ingested):
+    # re-sending batch 0's text under fresh ids would be dropped by the
+    # dedup gate itself and prove nothing about the index.
+    fresh = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    extra = fresh.where(
+        (F.col("doc_id") >= 90) & (F.col("doc_id") < 180)
+    ).select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
+    dedup_ingest_batch(extra, 2, root, maintain_index=True)
+    assert not os.path.isdir(os.path.join(idx, "_postings_compact_tmp"))
+    postings2, _ = read_index(spark, idx)
+    # every pre-existing posting row appears exactly once (no
+    # double-count), plus the new batch's rows on top
+    from collections import Counter
+
+    old_rows = Counter(
+        map(
+            str,
+            postings2.where(F.col("doc_id") < 5_000_000)
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert old_rows == Counter(before[0])
+    assert postings2.where(F.col("doc_id") >= 5_000_000).count() > 0
