@@ -946,23 +946,13 @@ IVF_DRIFT_RATIO = 1.5
 
 def ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
     """Artifact fingerprinting keyed on embeddings.parquet identity +
-    format version (the posting_index_path discipline: a regenerated
+    format version (shared artifact_path discipline: a regenerated
     fixture or changed layout can never serve a stale index)."""
-    import hashlib
-    import os
-    import re
-    from urllib.parse import urlparse
+    from .text_analysis import artifact_path
 
-    base = os.path.abspath(sf_dir.rstrip("/"))
-    try:
-        st = os.stat(os.path.join(base, "embeddings.parquet"))
-        ident = f"v{IVF_FORMAT_VERSION}|{base}|{st.st_size}|{st.st_mtime_ns}"
-    except OSError:
-        ident = f"v{IVF_FORMAT_VERSION}|{base}|absent"
-    fp = hashlib.sha256(ident.encode()).hexdigest()[:10]
-    tag = re.sub(r"[^0-9A-Za-z]", "_", os.path.basename(base))
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    return os.path.join(wh, f"ivf_lists_{tag}_{fp}")
+    return artifact_path(
+        spark, sf_dir, "embeddings.parquet", "ivf_lists", IVF_FORMAT_VERSION
+    )
 
 
 def write_ivf_batch(
@@ -978,8 +968,9 @@ def write_ivf_batch(
     double-serve from the probe scan."""
     import os
 
-    from .text_analysis import _read_horizon
+    from .text_analysis import _check_version_marker, _read_horizon
 
+    _check_version_marker(index_dir, IVF_LISTS, IVF_FORMAT_VERSION, create=True)
     lpath = os.path.join(index_dir, IVF_LISTS)
     horizon = _read_horizon(lpath)
     if horizon is not None and batch_id <= horizon:
@@ -1021,6 +1012,11 @@ def read_ivf_lists(spark: SparkSession, index_dir: str) -> DataFrame:
     a legitimately empty index has no files to infer from)."""
     import os
 
+    from .text_analysis import _check_version_marker
+
+    _check_version_marker(
+        index_dir, IVF_LISTS, IVF_FORMAT_VERSION, create=False
+    )
     return (
         spark.read.schema(IVF_LISTS_SCHEMA + ", batch_id int")
         .parquet(os.path.join(index_dir, IVF_LISTS))
@@ -1041,31 +1037,20 @@ def compact_ivf_lists(
     DRIFT STATS ARE NEVER FOLDED: unlike the text index's additive
     corpus stats, the per-batch (n, sum_d) rows are the retrain
     signal's history — ivf_drift reads them per batch."""
-    import json
     import os
-    import shutil
 
     from .text_analysis import (
-        _MANIFEST,
-        _STAGED_MARKER,
-        _install_compaction,
+        _plan_fold,
         _read_horizon,
+        _stage_and_install,
     )
     from .text_analysis import COMPACTED_BATCH_ID as _CB
 
+    recover_ivf_compaction(spark, index_dir)
     lpath = os.path.join(index_dir, IVF_LISTS)
-    tmp = os.path.join(index_dir, "_lists_compact_tmp")
-    dirs = (
-        [d for d in os.listdir(lpath) if d.startswith("batch_id=")]
-        if os.path.isdir(lpath)
-        else []
-    )
-    ids = sorted(int(d.split("=", 1)[1]) for d in dirs)
-    real = [i for i in ids if i != _CB]
-    absorb = real[: len(real) - keep_last] if keep_last > 0 else real
+    absorb, src_ids = _plan_fold(lpath, keep_last)
     if not absorb:
         return 0
-    src_ids = absorb + ([_CB] if _CB in ids else [])
     prev = _read_horizon(lpath)
     horizon = max(absorb) if prev is None else max(prev, max(absorb))
     raw = spark.read.schema(IVF_LISTS_SCHEMA + ", batch_id int").parquet(lpath)
@@ -1076,22 +1061,10 @@ def compact_ivf_lists(
         .sortWithinPartitions("k", "vec_id")
         .withColumn("batch_id", F.lit(_CB))
     )
-    try:
-        merged.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
-        with open(os.path.join(tmp, _MANIFEST), "w") as fh:
-            json.dump(
-                {
-                    "absorbed": [f"batch_id={i}" for i in absorb],
-                    "horizon": horizon,
-                },
-                fh,
-            )
-        with open(os.path.join(tmp, _STAGED_MARKER), "w") as fh:
-            fh.write("")
-    except Exception:
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise
-    _install_compaction(lpath, tmp)
+    _stage_and_install(
+        merged, lpath, os.path.join(index_dir, "_lists_compact_tmp"),
+        absorb, horizon,
+    )
     return len(src_ids)
 
 
@@ -1114,19 +1087,172 @@ def recover_ivf_compaction(spark: SparkSession, index_dir: str) -> bool:
     return True
 
 
+_RETRAIN_TMP = "_retrain_tmp"
+
+
+def _install_retrain(index_dir: str) -> None:
+    """Install a COMPLETE retrain staging (``_STAGED`` present): swap
+    each of codebook/lists/stats for its staged replacement, record the
+    pre-retrain horizon in the new lists dir, drop the staging. Every
+    step is idempotent (a moved-out subdir is skipped on re-run), so a
+    crash anywhere inside is finished by :func:`recover_ivf_retrain`."""
+    import json
+    import os
+    import shutil
+
+    from .text_analysis import _MANIFEST, _write_horizon
+
+    tmp = os.path.join(index_dir, _RETRAIN_TMP)
+    with open(os.path.join(tmp, _MANIFEST)) as fh:
+        m = json.load(fh)
+    for name in (IVF_CODEBOOK, IVF_LISTS, IVF_STATS):
+        src = os.path.join(tmp, name)
+        if os.path.isdir(src):
+            shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
+            shutil.move(src, os.path.join(index_dir, name))
+    _write_horizon(os.path.join(index_dir, IVF_LISTS), int(m["horizon"]))
+    shutil.rmtree(tmp)
+
+
+def recover_ivf_retrain(spark: SparkSession, index_dir: str) -> bool:
+    """Finish a :func:`retrain_ivf` install that crashed after staging
+    completed; discard an incomplete staging (live tree untouched —
+    the old codebook keeps serving until a staged retrain is whole).
+    Returns True if a pending install was completed."""
+    import os
+    import shutil
+
+    from .text_analysis import _STAGED_MARKER
+
+    tmp = os.path.join(index_dir, _RETRAIN_TMP)
+    if not os.path.isdir(tmp):
+        return False
+    if not os.path.exists(os.path.join(tmp, _STAGED_MARKER)):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return False
+    _install_retrain(index_dir)
+    return True
+
+
+def retrain_ivf(
+    spark: SparkSession, index_dir: str, force: bool = False
+) -> bool:
+    """ACT on the drift signal (closing the loop :func:`ivf_drift`
+    opens): when the NEWEST stats batch flags ``needs_retrain`` (or
+    ``force``), rebuild the index under a FRESH codebook trained on
+    the CURRENT vector population and install it atomically. Returns
+    True iff a retrain ran.
+
+    Scale shape: the lists store the full quantized vectors, so
+    retrain never re-reads the corpus — one pass over the lists to
+    train (seed pick + one Lloyd iteration, the frozen_ivf_codebook
+    discipline, seeds re-picked over the current ids so drifted
+    arrivals get representation) and one to re-assign. Re-assigning
+    everything is the POINT here — new centroids move every list
+    boundary — which is exactly why it runs only when the drift signal
+    fires; appends stay assignment-only otherwise.
+
+    The new generation: ``codebook/`` fresh centroids; ``lists/`` one
+    compacted partition (every vector re-assigned); ``stats/`` the
+    re-assignment's own 1-row baseline (pre-retrain drift history dies
+    with the codebook it measured — it already served its purpose by
+    triggering this retrain); horizon = max pre-retrain batch_id, so a
+    replayed pre-retrain ingest batch refuses loudly instead of
+    double-adding vectors the baseline already holds. Crash contract:
+    staged under ``_retrain_tmp`` with manifest + ``_STAGED`` marker;
+    an incomplete staging is discarded, a staged-but-uninstalled one
+    is finished by :func:`recover_ivf_retrain` (also run at entry
+    here, with any pending list compaction)."""
+    import json
+    import os
+    import shutil
+
+    from .text_analysis import (
+        _MANIFEST,
+        _STAGED_MARKER,
+        _read_horizon,
+    )
+    from .text_analysis import COMPACTED_BATCH_ID as _CB
+
+    recover_ivf_retrain(spark, index_dir)
+    recover_ivf_compaction(spark, index_dir)
+    if not force:
+        newest = (
+            ivf_drift(spark, index_dir)
+            .orderBy(F.desc("batch_id"))
+            .limit(1)
+            .collect()
+        )
+        if not newest or not newest[0].needs_retrain:
+            return False
+    lpath = os.path.join(index_dir, IVF_LISTS)
+    ids = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(lpath)
+        if d.startswith("batch_id=")
+    ]
+    prev = _read_horizon(lpath)
+    horizon = max(
+        [i for i in ids if i != _CB] + ([prev] if prev is not None else [])
+    )
+    pop = read_ivf_lists(spark, index_dir).select("vec_id", "qv")
+    k = spark.read.parquet(os.path.join(index_dir, IVF_CODEBOOK)).count()
+    cents = _km_update(_km_assign(pop, _seed_centroids(pop, codebook_seeds(pop, k))))
+    tmp = os.path.join(index_dir, _RETRAIN_TMP)
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        cents.write.mode("overwrite").parquet(os.path.join(tmp, IVF_CODEBOOK))
+        stored = spark.read.parquet(os.path.join(tmp, IVF_CODEBOOK))
+        (
+            _km_assign(pop, stored)
+            .select("k", "vec_id", "qv", "d")
+            .repartition("k")
+            .sortWithinPartitions("k", "vec_id")
+            .withColumn("batch_id", F.lit(_CB))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(tmp, IVF_LISTS))
+        )
+        (
+            # baseline stats from the STAGED lists (no re-assignment pass)
+            spark.read.schema(IVF_LISTS_SCHEMA + ", batch_id int")
+            .parquet(os.path.join(tmp, IVF_LISTS))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("d").alias("sum_d"))
+            .withColumn("batch_id", F.lit(_CB))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(tmp, IVF_STATS))
+        )
+        with open(os.path.join(tmp, _MANIFEST), "w") as fh:
+            json.dump({"horizon": horizon}, fh)
+        with open(os.path.join(tmp, _STAGED_MARKER), "w") as fh:
+            fh.write("")
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)  # incomplete staging
+        raise
+    _install_retrain(index_dir)
+    return True
+
+
 def ivf_drift(
     spark: SparkSession, index_dir: str, baseline_batches: int = 1
 ) -> DataFrame:
     """Per-batch drift: mean assigned distance vs the mean over the
-    first ``baseline_batches`` build-time batches. A num-batches-sized
-    stats read — never the lists. ``needs_retrain`` is the signal the
-    maintenance loop acts on (retrain = rebuild under a fresh codebook;
-    appends stay cheap until then)."""
+    ``baseline_batches`` OLDEST stats batches (lowest batch_ids — the
+    build-time batches on a fresh index, the re-assignment baseline row
+    after a :func:`retrain_ivf`). A num-batches-sized stats read —
+    never the lists. ``needs_retrain`` is the signal the maintenance
+    loop (:func:`retrain_ivf`) acts on; appends stay cheap until
+    then."""
     import os
 
+    from pyspark.sql import Window
+
     stats = spark.read.parquet(os.path.join(index_dir, IVF_STATS))
+    rk = F.row_number().over(Window.orderBy("batch_id"))
     base = (
-        stats.where(F.col("batch_id") < baseline_batches)
+        stats.withColumn("_rk", rk)
+        .where(F.col("_rk") <= baseline_batches)
         .agg((F.sum("sum_d") / F.sum("n")).alias("base_mean"))
     )
     return (
@@ -1166,8 +1292,13 @@ def build_ivf_grown(spark: SparkSession, sf_dir: str) -> str:
     import shutil
 
     root = ivf_index_path(spark, sf_dir)
+    done = os.path.join(root, "_COMPLETE")
     if os.path.isdir(root):
         try:
+            # completeness marker first: readability alone would accept
+            # a build interrupted mid-batch (the probe query would then
+            # silently search a fraction of the corpus)
+            assert os.path.exists(done)
             read_ivf_lists(spark, root).limit(1).count()
             spark.read.parquet(os.path.join(root, IVF_CODEBOOK)).limit(
                 1
@@ -1183,6 +1314,8 @@ def build_ivf_grown(spark: SparkSession, sf_dir: str) -> str:
     for b in range(IVF_GROW_BATCHES):
         batch = q.where(F.col("vec_id") % IVF_GROW_BATCHES == b)
         write_ivf_batch(_km_assign(batch, cents), b, root)
+    with open(done, "w") as fh:  # written LAST: marks the build whole
+        fh.write("")
     return root
 
 

@@ -471,3 +471,141 @@ def test_ivf_lists_compaction_horizon_and_drift_history(
         )
     assert recover_ivf_compaction(spark, root) is False  # nothing pending
     assert rows() == before
+
+
+def test_ivf_retrain_closes_the_drift_loop(spark, sf_small, tmp_path):
+    """retrain_ivf ACTS on the signal ivf_drift raises: after a drifted
+    batch flags needs_retrain, the index is rebuilt under a fresh
+    codebook trained on the CURRENT population (lists-only read — the
+    corpus is never touched), the new baseline reads drift 1.0, a
+    replayed pre-retrain batch refuses on the recorded horizon, and the
+    re-assignment equals a from-scratch assignment under the same
+    centroids. A second retrain_ivf call is a no-op (no drift)."""
+    import os
+
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        IVF_CODEBOOK,
+        _km_assign,
+        _km_quantize,
+        frozen_ivf_codebook,
+        ivf_drift,
+        read_ivf_lists,
+        retrain_ivf,
+        write_ivf_batch,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    q = _km_quantize(load_table(spark, sf_small, "embeddings"))
+    root = str(tmp_path / "ivf")
+    frozen_ivf_codebook(q).write.mode("overwrite").parquet(
+        os.path.join(root, IVF_CODEBOOK)
+    )
+    cents = spark.read.parquet(os.path.join(root, IVF_CODEBOOK))
+    old_cents = sorted(map(str, cents.collect()))
+    for b in range(2):
+        write_ivf_batch(
+            _km_assign(q.where(F.col("vec_id") % 2 == b), cents), b, root
+        )
+    # in-distribution batches: no retrain happens
+    assert retrain_ivf(spark, root) is False
+    shifted = q.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.expr("transform(qv, x -> x + CAST(5000000 AS BIGINT))").alias("qv"),
+    )
+    write_ivf_batch(_km_assign(shifted, cents), 2, root)
+    assert retrain_ivf(spark, root) is True
+    # fresh codebook, trained over the grown population
+    new_cents = spark.read.parquet(os.path.join(root, IVF_CODEBOOK))
+    assert sorted(map(str, new_cents.collect())) != old_cents
+    # history reset: one baseline row at drift 1.0, no retrain pending
+    drift = ivf_drift(spark, root).collect()
+    assert len(drift) == 1
+    assert abs(drift[0].drift_ratio - 1.0) < 1e-9
+    assert not drift[0].needs_retrain
+    assert retrain_ivf(spark, root) is False
+    # the installed lists == from-scratch assignment under the new
+    # codebook over the full (original + drifted) population
+    pop = q.unionByName(shifted)
+    want = sorted(
+        map(str, _km_assign(pop, new_cents).select(
+            "k", "vec_id", "qv", "d").collect())
+    )
+    got = sorted(
+        map(str, read_ivf_lists(spark, root).select(
+            "k", "vec_id", "qv", "d").collect())
+    )
+    assert got == want
+    # replayed pre-retrain batch: loud horizon refusal, not double-add
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="horizon"):
+        write_ivf_batch(_km_assign(shifted, new_cents), 2, root)
+    # post-retrain appends (fresh id past the horizon) work and measure
+    # drift against the NEW baseline
+    extra = q.select(
+        (F.col("vec_id") + 20_000_000).alias("vec_id"), "qv"
+    )
+    write_ivf_batch(_km_assign(extra, new_cents), 3, root)
+    drift2 = {r.batch_id: r for r in ivf_drift(spark, root).collect()}
+    assert set(drift2) == {-1, 3}
+
+
+def test_ivf_retrain_crash_contract(spark, sf_small, tmp_path):
+    """A retrain that crashes between staging and install leaves the
+    OLD index serving (staging is invisible); recover_ivf_retrain
+    finishes the install idempotently — and retrain_ivf itself recovers
+    a pending install at entry."""
+    import os
+
+    import realtimedatapipeline_8_project_spark.operators.similarity as S
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        IVF_CODEBOOK,
+        _km_assign,
+        _km_quantize,
+        frozen_ivf_codebook,
+        read_ivf_lists,
+        recover_ivf_retrain,
+        retrain_ivf,
+        write_ivf_batch,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    q = _km_quantize(load_table(spark, sf_small, "embeddings"))
+    root = str(tmp_path / "ivf")
+    frozen_ivf_codebook(q).write.mode("overwrite").parquet(
+        os.path.join(root, IVF_CODEBOOK)
+    )
+    cents = spark.read.parquet(os.path.join(root, IVF_CODEBOOK))
+    write_ivf_batch(_km_assign(q, cents), 0, root)
+    before = sorted(
+        map(str, read_ivf_lists(spark, root).select(
+            "k", "vec_id", "qv", "d").collect())
+    )
+    old_cents = sorted(map(str, cents.collect()))
+    orig = S._install_retrain
+    try:
+        S._install_retrain = lambda d: None
+        assert retrain_ivf(spark, root, force=True) is True
+    finally:
+        S._install_retrain = orig
+    # staged but not installed: old generation still serving
+    assert os.path.exists(os.path.join(root, S._RETRAIN_TMP, "_STAGED"))
+    assert sorted(
+        map(str, spark.read.parquet(
+            os.path.join(root, IVF_CODEBOOK)).collect())
+    ) == old_cents
+    assert recover_ivf_retrain(spark, root) is True
+    assert not os.path.isdir(os.path.join(root, S._RETRAIN_TMP))
+    new_cents = spark.read.parquet(os.path.join(root, IVF_CODEBOOK))
+    after = sorted(
+        map(str, read_ivf_lists(spark, root).select(
+            "k", "vec_id", "qv", "d").collect())
+    )
+    want = sorted(
+        map(str, _km_assign(q, new_cents).select(
+            "k", "vec_id", "qv", "d").collect())
+    )
+    assert after == want
+    assert {r.vec_id for r in read_ivf_lists(spark, root).select(
+        "vec_id").collect()} == {r[0] for r in q.select("vec_id").collect()}
+    assert before  # population unchanged by the swap
