@@ -935,7 +935,7 @@ WHERE {pair} <= {SEM_T}
 # for a retrain (which is a rebuild: new codebook => new assignment for
 # everything; incremental growth only makes sense under a frozen one).
 
-IVF_FORMAT_VERSION = 1
+IVF_FORMAT_VERSION = 2  # v2: drift stats sum_d is DOUBLE (long overflowed)
 IVF_LISTS = "lists"
 IVF_CODEBOOK = "codebook"
 IVF_STATS = "stats"
@@ -996,8 +996,13 @@ def write_ivf_batch(
         .parquet(os.path.join(index_dir, IVF_LISTS))
     )
     (
+        # sum_d as DOUBLE: a long sum of squared quantized distances
+        # overflows at real batch sizes (n x dim x (shift x QSCALE)^2
+        # clears 2^63 with ~100k far-from-codebook vectors); the drift
+        # RATIO needs a mean, not exact integer arithmetic
         assigned.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("d").alias("sum_d")
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("d").cast("double")).alias("sum_d"),
         )
         .withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
@@ -1177,6 +1182,8 @@ def retrain_ivf(
     recover_ivf_retrain(spark, index_dir)
     recover_ivf_compaction(spark, index_dir)
     if not force:
+        if not os.path.isdir(os.path.join(index_dir, IVF_STATS)):
+            return False  # cold index: nothing has signalled yet
         newest = (
             ivf_drift(spark, index_dir)
             .orderBy(F.desc("batch_id"))
@@ -1217,7 +1224,10 @@ def retrain_ivf(
             # baseline stats from the STAGED lists (no re-assignment pass)
             spark.read.schema(IVF_LISTS_SCHEMA + ", batch_id int")
             .parquet(os.path.join(tmp, IVF_LISTS))
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("d").alias("sum_d"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("d").cast("double")).alias("sum_d"),
+            )
             .withColumn("batch_id", F.lit(_CB))
             .write.mode("overwrite")
             .partitionBy("batch_id")
