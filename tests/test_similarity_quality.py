@@ -4,6 +4,7 @@ latest-wins/minhash operators must honor their invariants."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from realtimedatapipeline_8_project_spark.plans.registry import QUERIES
@@ -609,3 +610,120 @@ def test_ivf_retrain_crash_contract(spark, sf_small, tmp_path):
     assert {r.vec_id for r in read_ivf_lists(spark, root).select(
         "vec_id").collect()} == {r[0] for r in q.select("vec_id").collect()}
     assert before  # population unchanged by the swap
+
+
+def test_ivf_retrain_install_survives_crash_at_every_step(
+    spark, sf_small, tmp_path
+):
+    """The retrain install is a sequence of filesystem mutations (for
+    each of codebook/lists/stats: drop live, move staged in; record
+    horizon; drop staging). Exhaustively crash at EVERY mutation
+    boundary (including the staging-phase cleanup): after
+    recover_ivf_retrain (plus a re-run when the crash preceded any
+    install), the index is exactly the retrained generation — lists ==
+    from-scratch assignment under the new codebook, one baseline drift
+    row, horizon barrier live, staging gone."""
+    import os
+    import shutil as _shutil
+
+    import realtimedatapipeline_8_project_spark.operators.similarity as S
+    import realtimedatapipeline_8_project_spark.operators.text_analysis as TA
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        IVF_CODEBOOK,
+        _km_assign,
+        _km_quantize,
+        frozen_ivf_codebook,
+        ivf_drift,
+        read_ivf_lists,
+        recover_ivf_retrain,
+        retrain_ivf,
+        write_ivf_batch,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    q = _km_quantize(load_table(spark, sf_small, "embeddings")).where(
+        F.col("vec_id") < 200  # keep the loop fast
+    )
+    cols = ["k", "vec_id", "qv", "d"]
+    real_move, real_rmtree = _shutil.move, _shutil.rmtree
+    real_horizon = TA._write_horizon
+
+    crash_point = 0
+    while True:
+        root = str(tmp_path / f"ivf{crash_point}")
+        frozen_ivf_codebook(q).write.mode("overwrite").parquet(
+            os.path.join(root, IVF_CODEBOOK)
+        )
+        cents = spark.read.parquet(os.path.join(root, IVF_CODEBOOK))
+        old_cents = sorted(map(str, cents.collect()))
+        for b in range(2):
+            write_ivf_batch(
+                _km_assign(q.where(F.col("vec_id") % 2 == b), cents), b, root
+            )
+
+        calls = {"n": 0}
+
+        def _trip():
+            calls["n"] += 1
+            if calls["n"] > crash_point:
+                raise RuntimeError(f"simulated crash at step {crash_point}")
+
+        def move(*a, **k):
+            _trip()
+            return real_move(*a, **k)
+
+        def rmtree(*a, **k):
+            _trip()
+            return real_rmtree(*a, **k)
+
+        def horizon(*a, **k):
+            _trip()
+            return real_horizon(*a, **k)
+
+        crashed = False
+        try:
+            _shutil.move, _shutil.rmtree = move, rmtree
+            TA._write_horizon = horizon
+            retrain_ivf(spark, root, force=True)
+        except RuntimeError:
+            crashed = True
+        finally:
+            _shutil.move, _shutil.rmtree = real_move, real_rmtree
+            TA._write_horizon = real_horizon
+
+        if crashed:
+            recover_ivf_retrain(spark, root)
+            now = sorted(
+                map(
+                    str,
+                    spark.read.parquet(
+                        os.path.join(root, IVF_CODEBOOK)
+                    ).collect(),
+                )
+            )
+            if now == old_cents:  # crash preceded any install: re-run
+                retrain_ivf(spark, root, force=True)
+
+        new_cents = spark.read.parquet(os.path.join(root, IVF_CODEBOOK))
+        assert sorted(map(str, new_cents.collect())) != old_cents
+        got = sorted(
+            map(str, read_ivf_lists(spark, root).select(*cols).collect())
+        )
+        want = sorted(
+            map(str, _km_assign(q, new_cents).select(*cols).collect())
+        )
+        assert got == want
+        drift = ivf_drift(spark, root).collect()
+        assert len(drift) == 1 and not drift[0].needs_retrain
+        assert TA._read_horizon(os.path.join(root, "lists")) == 1
+        assert not os.path.isdir(os.path.join(root, S._RETRAIN_TMP))
+        with pytest.raises(ValueError, match="horizon"):
+            write_ivf_batch(
+                _km_assign(q.where(F.col("vec_id") % 2 == 0), new_cents),
+                0,
+                root,
+            )
+        if not crashed:
+            break  # every mutation ran without tripping: all points covered
+        crash_point += 1
+    assert crash_point >= 8  # staging cleanup + 3x(drop,move) + horizon + drop
