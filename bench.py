@@ -96,7 +96,7 @@ HEADLINE = [
     "agg_top_supplier_revenue",
     "agg_order_count_distribution",
     "text_inverted_index",
-    "text_boolean_search",
+    "text_search_prefix_from_index",
     "agg_disjunctive_revenue",
     "text_encode_ids",
     # round-7 additions

@@ -613,6 +613,9 @@ HAVING COUNT(DISTINCT term) = {len(BOOL_QUERY_TERMS)}
 """
 
 QUERIES["text_inverted_index"] = (q_inverted_index, ORACLE_INVERTED_INDEX)
+# retired from the registry in r9 (see plans/registry.py:_RETIRED): the
+# corpus-scan AND spelling is the ORACLE of `text_search_from_index`,
+# so its semantics stay driver-verified every time that entry rotates
 QUERIES["text_boolean_search"] = (q_boolean_search, ORACLE_BOOLEAN_SEARCH)
 
 
@@ -934,6 +937,62 @@ QUERIES["text_search_any_from_index"] = (q_search_any_from_index, ORACLE_ANY_SEA
 QUERIES["text_search_exclude_from_index"] = (
     q_search_exclude_from_index,
     ORACLE_EXCLUDE_SEARCH,
+)
+
+
+# --- prefix (trailing-wildcard) retrieval from the index -------------------
+# ``s*``: every vocabulary term sharing the prefix, per doc the distinct
+# matching terms and their total occurrences. The prefix predicate is a
+# StringStartsWith pushed into the postings scan — and because the
+# stored postings are term-sorted within files, parquet min/max stats
+# prune row groups outside the prefix range, so cost ∝ the prefix's
+# slice of the vocabulary, never the corpus. (Leading wildcards would
+# need a reversed-term index — the standard dual artifact; out of
+# scope.) Subsumes the retired corpus-scan `text_boolean_search` slot:
+# conjunctive retrieval stays covered by `text_search_from_index`
+# against the SAME oracle.
+
+PREFIX_QUERY = "s"
+
+
+def prefix_hits_over_postings(postings: DataFrame) -> DataFrame:
+    """Prefix retrieval — same single-definition discipline as the
+    other connectives (requires (term, doc_id) unique with per-doc tf,
+    which the scored and incremental postings both guarantee)."""
+    return (
+        postings.where(F.col("term").startswith(PREFIX_QUERY))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").cast("long").alias("n_terms_matched"),
+            F.sum("tf").alias("total_tf"),
+        )
+    )
+
+
+def q_search_prefix_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    root = build_scored_index(spark, sf_dir)
+    return prefix_hits_over_postings(
+        spark.read.parquet(os.path.join(root, INDEX_POSTINGS))
+    )
+
+
+ORACLE_PREFIX_SEARCH = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_O_WORDS}) AS term FROM documents
+)
+SELECT doc_id,
+       COUNT(DISTINCT term) AS n_terms_matched,
+       COUNT(*) AS total_tf
+FROM terms
+WHERE term LIKE '{PREFIX_QUERY}%'
+GROUP BY doc_id
+"""
+
+QUERIES["text_search_prefix_from_index"] = (
+    q_search_prefix_from_index,
+    ORACLE_PREFIX_SEARCH,
 )
 
 

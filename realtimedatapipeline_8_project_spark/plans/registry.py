@@ -66,12 +66,13 @@ _MODULES = (
 
 # The driver's per-round CORRECTNESS check covers a prefix of the registry
 # (50 entries). Order is therefore a verification budget: queries named
-# here register FIRST. Round-9 budget: the flagship, the 5 queries NEW
+# here register FIRST. Round-9 budget: the flagship, the 6 queries NEW
 # this round (TPC-H Q9 profit in both spellings, phrase retrieval from
 # the stored positional index in both spellings, the incrementally
-# grown IVF index), then 44 of the 47 queries whose newest driver row
-# is round 6 (at the staleness limit) — 1 + 5 + 44 = 50, the full
-# budget. The 3 r06-latest rows NOT fronted are exactly the rows-only
+# grown IVF index, and prefix retrieval — holding the slot of the
+# retired corpus-scan text_boolean_search), then 43 of the 47 queries
+# whose newest driver row is round 6 (at the staleness limit) —
+# 1 + 6 + 43 = 50, the full budget. The 3 r06-latest rows NOT fronted are exactly the rows-only
 # no-oracle trio (agg_approx_distinct, dedup_minhash_neardup,
 # dedup_simhash_neardup): their driver row is a weak rows-only check by
 # design, while their real correctness pin — the machine-checked twin
@@ -126,7 +127,9 @@ _PRIORITY = (
     "snapshot_diff_cdc",
     "sparse_doc_cosine",
     "sql_exists_correlated",
-    "text_boolean_search",
+    "text_search_prefix_from_index",  # new r9 (slot from the retired
+    # corpus-scan text_boolean_search, whose semantics remain verified
+    # as text_search_from_index's oracle)
     "text_inverted_index",
     "topk_recent",
     "uuid_repair",
@@ -157,6 +160,10 @@ _PRIORITY = (
 # quality-aware dedup_survivors_quality). POLICY: a future round that
 # adds K registry entries retires K (or accepts a longer refresh
 # cycle) — the verification budget is fixed at 50 rows per round.
+# Applying the policy, text_search_prefix_from_index (r9) took the slot
+# of text_boolean_search: the corpus-scan AND spelling is the ORACLE of
+# text_search_from_index, so its semantics stay driver-verified every
+# time that entry rotates.
 _RETIRED = frozenset(
     {
         "dedup_simhash",
@@ -164,6 +171,7 @@ _RETIRED = frozenset(
         "win_rank_orders",
         "dedup_events_exact",
         "dedup_survivors",
+        "text_boolean_search",
     }
 )
 

@@ -869,6 +869,20 @@ def test_search_any_and_exclude_from_index_corpus_free(spark, sf_small):
     )
 
 
+def test_search_prefix_from_index_corpus_free(spark, sf_small):
+    """Prefix retrieval (s*) is answered from the stored postings with
+    the prefix predicate pushed as StringStartsWith into the scan (the
+    term-sorted files make it a row-group range prune) — no documents
+    scan, cost ∝ the prefix's vocabulary slice."""
+    p = plan_of(spark, sf_small, "text_search_prefix_from_index")
+    assert "documents.parquet" not in p
+    assert "Python" not in p
+    assert any(
+        "PushedFilters" in l and "StringStartsWith(term" in l
+        for l in p.splitlines()
+    )
+
+
 def test_q8_market_share_broadcast_chain_single_fact_scan(spark, sf_small):
     """sql_market_share (TPC-H Q8 shape): the 7-relation join tree must
     keep the fact as the probe side of a broadcast chain — every join a
@@ -1060,16 +1074,17 @@ def test_proximity_slop_generalizes_phrase(spark):
 
 
 def test_incremental_index_serves_full_boolean_algebra(spark, sf_small):
-    """Every retrieval connective — AND, OR, AND-NOT, phrase, BM25 —
-    is servable from the incrementally maintained index through the
-    same single-definition helpers as the one-pass artifacts, with
+    """Every retrieval connective — AND, OR, AND-NOT, prefix, phrase,
+    BM25 — is servable from the incrementally maintained index through
+    the same single-definition helpers as the one-pass artifacts, with
     identical results (the BM25 and phrase legs are separately
-    oracle-checked; this pins the three boolean connectives)."""
+    oracle-checked; this pins the boolean connectives and prefix)."""
     from realtimedatapipeline_8_project_spark.operators.text_analysis import (
         all_hits_over_postings,
         any_hits_over_postings,
         build_incremental_index,
         exclude_hits_over_postings,
+        prefix_hits_over_postings,
         read_index,
     )
 
@@ -1079,6 +1094,7 @@ def test_incremental_index_serves_full_boolean_algebra(spark, sf_small):
         (all_hits_over_postings, "text_search_from_index"),
         (any_hits_over_postings, "text_search_any_from_index"),
         (exclude_hits_over_postings, "text_search_exclude_from_index"),
+        (prefix_hits_over_postings, "text_search_prefix_from_index"),
     ]:
         a = sorted(map(str, helper(postings).collect()))
         b = sorted(map(str, QUERIES[name](spark, sf_small).collect()))
