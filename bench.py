@@ -90,7 +90,7 @@ HEADLINE = [
     "agg_priority_shipments",
     "dedup_incremental",
     # round-6 additions
-    "chunk_windows_native",
+    "agg_important_parts_1scan",
     "dedup_intra_batch",
     "agg_small_quantity_revenue",
     "agg_top_supplier_revenue",
@@ -105,7 +105,7 @@ HEADLINE = [
     "agg_waiting_suppliers_1scan",
     "sql_excess_shipments",
     "sql_dormant_customers",
-    "text_bm25_topk",
+    "text_bm25_after_delete",
     "text_bm25_from_index",
     "agg_excess_shipments_1scan",
     "dedup_simhash_portable",

@@ -795,3 +795,102 @@ def q_profit_by_nation_1scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["agg_profit_by_nation_1scan"] = (q_profit_by_nation_1scan, _Q9_SQL)
+
+
+# --- TPC-H Q11 shape: parts that dominate one nation's trade volume --------
+# The classic "group HAVING a share of the GLOBAL aggregate" planner
+# stressor (TPC-H Q11 "important stock"; the fixture has no partsupp,
+# so the same shape runs on lineitem revenue): per-part revenue from
+# one nation's suppliers, keeping parts above Q11_SHARE_MULT x the
+# AVERAGE part's share — a scale-invariant threshold (a fixed fraction
+# goes degenerate as the part count grows with SF). The single
+# interesting plan is registered (the SQL string IS the oracle): the
+# grouped frame is consumed TWICE — once as the output rows, once
+# re-aggregated to the 1-row (n_parts, nation_value) scalar frame — and
+# Catalyst must REUSE the grouped exchange rather than scan the fact
+# twice (plan-pinned: one lineitem scan, ReusedExchange under the
+# scalar side). The share comparison runs in DOUBLE on both engines:
+# both sum exact decimals first and round once at the cast, so the
+# comparison is bit-identical — never at the mercy of the two engines'
+# different decimal-overflow promotion rules.
+#
+# Reference parity: the same implied-analytics family as the other
+# TPC-H shapes (reference README.md:10, cassandra-setup.cql:22 — the
+# reference's Cassandra tables are built for exactly this kind of
+# per-key share-of-total reporting).
+
+Q11_NATION = "NATION_12"
+Q11_SHARE_MULT = 2
+
+_Q11_SQL = f"""
+WITH pv AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(1 - l_discount AS DECIMAL(8,6))) AS v
+  FROM lineitem, supplier, nation
+  WHERE l_suppkey = s_suppkey
+    AND s_nationkey = n_nationkey
+    AND n_name = '{Q11_NATION}'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(ROUND(v, 2) AS DOUBLE) AS part_value
+FROM pv
+WHERE CAST(v AS DOUBLE) * (SELECT COUNT(*) FROM pv)
+      > {Q11_SHARE_MULT}.0 * (SELECT CAST(SUM(v) AS DOUBLE) FROM pv)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q_important_parts_1scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-fact-scan spelling of the Q11 shape.
+
+    The nation filter reaches the fact as a broadcast LeftSemi on the
+    nation's supplier keys (the dimension chain collapses to a key
+    set BEFORE touching lineitem). The grouped per-part frame then
+    feeds both consumers — the output rows and the 1-row scalar
+    re-aggregate — through ONE shuffle: the scalar side is a tiny
+    re-agg of the grouped rows (broadcast back as a cross join), and
+    Catalyst reuses the grouping exchange, so the fact is scanned and
+    shuffled exactly once. The alternative global-window spelling
+    (SUM OVER ()) would force every grouped row through a single
+    partition — fine at test scale, a straggler at 26 B parts."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .where(F.col("n_name") == Q11_NATION)
+        .select("n_nationkey")
+    )
+    keys = sup.join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    volume = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(8,6)")
+    per_part = (
+        li.join(F.broadcast(keys), "l_suppkey", "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(volume).alias("v"))
+    )
+    scalars = per_part.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("v").cast("double").alias("nation_value"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(scalars))
+        .where(
+            F.col("v").cast("double") * F.col("n_parts")
+            > Q11_SHARE_MULT * F.col("nation_value")
+        )
+        .select(
+            "l_partkey", F.round("v", 2).cast("double").alias("part_value")
+        )
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+QUERIES["agg_important_parts_1scan"] = (q_important_parts_1scan, _Q11_SQL)

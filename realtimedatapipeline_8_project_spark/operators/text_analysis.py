@@ -755,7 +755,11 @@ QUERIES["text_encode_ids"] = (q_encode_ids, ORACLE_ENCODE_IDS)
 # v2: scored/incremental postings gained a positions array (phrase
 # queries) — a v1 artifact read under the v2 schema would serve NULL
 # positions silently.
-INDEX_FORMAT_VERSION = 2
+# v3: incremental index dirs gained a per-doc ``docs/`` artifact
+# (doc_id, dl — what delete_index_docs looks deleted lengths up in)
+# and an optional ``tombstones/`` dir; a v2 dir lacks ``docs/``, so a
+# delete against it would silently find nothing to delete.
+INDEX_FORMAT_VERSION = 3
 
 
 def artifact_path(
@@ -1106,7 +1110,11 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_bm25() -> str:
+def _oracle_bm25(where: str = "") -> str:
+    """The corpus-scan BM25 spelling (DuckDB). ``where`` restricts the
+    corpus (e.g. the delete query's surviving-docs predicate) — stats,
+    df and the ranking all derive from the restricted corpus, exactly
+    what a delete-aware index must serve."""
     terms = list(BOOL_QUERY_TERMS)
     tf_cols = ",\n         ".join(
         f"COUNT(*) FILTER (term = '{t}') AS tf_{i}"
@@ -1128,7 +1136,7 @@ def _oracle_bm25() -> str:
     hit = " OR ".join(f"tf_{i} > 0" for i in range(len(terms)))
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest({_O_WORDS}) AS term FROM documents
+  SELECT doc_id, unnest({_O_WORDS}) AS term FROM documents{where}
 ), per_doc AS (
   SELECT doc_id, COUNT(*) AS dl,
          {tf_cols}
@@ -1289,14 +1297,29 @@ QUERIES["text_bm25_from_index"] = (q_bm25_from_index, _oracle_bm25())
 
 INDEX_POSTINGS = "postings"
 INDEX_STATS = "stats"
+INDEX_DOCS = "docs"
+INDEX_TOMBSTONES = "tombstones"
 POSTINGS_SCHEMA = (
     "term string, doc_id bigint, tf bigint, dl bigint, positions array<int>"
 )
+DOCS_SCHEMA = "doc_id bigint, dl bigint"
+TOMBSTONES_SCHEMA = "doc_id bigint"
 INDEX_HORIZON_FILE = "_compaction_horizon.json"
 INDEX_VERSION_FILE = "_format_version.json"
 _STAGING_DIR = "_postings_compact_tmp"
 _STAGED_MARKER = "_STAGED"
 _MANIFEST = "_MANIFEST.json"
+
+
+def _delete_stats_id(delete_batch_id: int) -> int:
+    """The stats partition key a delete batch's NEGATIVE corpus-stats
+    row lands under. Deletes share the ``stats/`` dir with ordinary
+    ingest batches (corpus stats stay ONE plain sum — no read-time
+    correction step whose crash-consistency would need reasoning), so
+    the key space must be disjoint from both real batch_ids (>= 0) and
+    COMPACTED_BATCH_ID (-1): delete batch M writes stats under
+    ``-(M + 2)`` (<= -2 always)."""
+    return -(int(delete_batch_id) + 2)
 
 
 def _check_version_marker(
@@ -1410,6 +1433,18 @@ def write_index_batch(
         .option("partitionOverwriteMode", "dynamic")
         .parquet(ppath)
     )
+    # per-doc (doc_id, dl) — the artifact delete_index_docs looks the
+    # deleted doc's length up in (one row per doc: ~100-1000x smaller
+    # than the postings; the alternative is a full postings scan per
+    # delete batch). dl is doc-local, so the per-batch invariant holds.
+    docs = postings.groupBy("doc_id").agg(F.max("dl").alias("dl"))
+    (
+        docs.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(index_dir, INDEX_DOCS))
+    )
     stats = postings.agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("tf").alias("total_dl"),
@@ -1423,10 +1458,107 @@ def write_index_batch(
     )
 
 
+def delete_index_docs(
+    spark: SparkSession, index_dir: str, doc_ids: DataFrame, batch_id: int
+) -> None:
+    """Delete documents from the incrementally maintained index — the
+    GDPR/right-to-be-forgotten path (the index twin of the history
+    sink's purge): the corpus is NEVER rewritten per delete. A delete
+    batch lands two artifacts, both idempotent under replay:
+
+    - ``tombstones/batch_id=M`` — the deleted doc_ids. Readers
+      anti-join postings against the tombstone set (deletes are tiny
+      next to the corpus — AQE broadcasts them), so every serving
+      helper (boolean, phrase, prefix, BM25) is delete-aware through
+      the one read path. df needs no correction: it is the count of
+      retrieved postings per term, and those are already filtered.
+    - a NEGATIVE 1-row corpus-stats partition at
+      ``stats/batch_id=-(M+2)`` (see :func:`_delete_stats_id`) —
+      corpus stats stay one plain SUM over the stats dir, so no
+      read-time correction exists whose crash-consistency would need
+      its own protocol, and every compaction fold below stays
+      independently sum-preserving.
+
+    Only doc_ids present in the ``docs/`` artifact AND not already
+    tombstoned produce rows (deleting an unknown doc is a no-op; a
+    SECOND delete of the same doc subtracts nothing twice). The
+    already-tombstoned check excludes batch M's own partition, so a
+    REPLAY of M recomputes the identical rows and overwrites only its
+    own partitions (dynamic overwrite — effective exactly-once, the
+    write_index_batch discipline; a crash between the two writes is
+    healed by the caller's replay, same contract as postings/stats).
+    A batch_id at or below the tombstone compaction horizon refuses
+    loudly (its stats effect was already folded — re-appending would
+    double-subtract). Re-ADDING a deleted doc_id later is unsupported:
+    the ingest invariant (each doc_id admitted at most once, ever) is
+    what df and the stats sums ride on."""
+    import os
+
+    _check_version_marker(
+        index_dir, INDEX_POSTINGS, INDEX_FORMAT_VERSION, create=False
+    )
+    dpath = os.path.join(index_dir, INDEX_DOCS)
+    if not os.path.isdir(dpath):
+        raise ValueError(
+            f"index at {index_dir} has no '{INDEX_DOCS}' artifact to "
+            "resolve deletes against — not an incremental index, or "
+            "written by pre-v3 code (rebuild it)"
+        )
+    tpath = os.path.join(index_dir, INDEX_TOMBSTONES)
+    horizon = _read_horizon(tpath)
+    if horizon is not None and batch_id <= horizon:
+        raise ValueError(
+            f"delete batch {batch_id} is at or below the tombstone "
+            f"compaction horizon ({horizon}): its corpus-stats effect "
+            "was already folded into the compacted stats row, and "
+            "re-appending would double-subtract — a replayed delete "
+            "batch must stay behind the horizon (compact with "
+            "keep_last covering the replayable tail)"
+        )
+    docs = spark.read.schema(DOCS_SCHEMA + ", batch_id int").parquet(dpath)
+    hits = (
+        doc_ids.select("doc_id").distinct()
+        .join(docs.select("doc_id", "dl"), "doc_id")
+    )
+    if os.path.isdir(tpath):
+        existing = (
+            spark.read.schema(TOMBSTONES_SCHEMA + ", batch_id int")
+            .parquet(tpath)
+            # exclude batch M's OWN partition: a replay must recompute
+            # the identical rows, not see its first run's output and
+            # write an empty partition (which would ERASE the delete)
+            .where(F.col("batch_id") != batch_id)
+            .select("doc_id")
+        )
+        hits = hits.join(existing, "doc_id", "left_anti")
+    (
+        hits.select("doc_id")
+        .repartition("doc_id")  # AQE coalesces a tiny delete to O(1) files
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(tpath)
+    )
+    neg = hits.agg(
+        (-F.count(F.lit(1))).cast("long").alias("n_docs"),
+        (-F.coalesce(F.sum("dl"), F.lit(0))).cast("long").alias("total_dl"),
+    )
+    (
+        neg.withColumn("batch_id", F.lit(_delete_stats_id(batch_id)))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(index_dir, INDEX_STATS))
+    )
+
+
 def read_index(spark: SparkSession, index_dir: str):
     """Merge-on-read view of the incrementally maintained index:
-    (postings, stats) — postings is the union of all batch partitions,
-    stats the summed 1-row corpus statistics."""
+    (postings, stats) — postings is the union of all batch partitions
+    minus the tombstoned docs, stats the summed 1-row corpus
+    statistics (delete batches contribute negative rows, so the plain
+    sum IS the corrected value)."""
     import os
 
     _check_version_marker(
@@ -1442,6 +1574,17 @@ def read_index(spark: SparkSession, index_dir: str):
         .parquet(os.path.join(index_dir, INDEX_POSTINGS))
         .drop("batch_id")
     )
+    tpath = os.path.join(index_dir, INDEX_TOMBSTONES)
+    if os.path.isdir(tpath):
+        tombs = (
+            spark.read.schema(TOMBSTONES_SCHEMA + ", batch_id int")
+            .parquet(tpath)
+            .select("doc_id")
+        )
+        # deletes are tiny next to the corpus — AQE broadcasts the anti
+        # side; a delete-free index (no tombstones dir) skips the node
+        # entirely, so pre-existing plans are untouched
+        postings = postings.join(tombs, "doc_id", "left_anti")
     stats = (
         spark.read.parquet(os.path.join(index_dir, INDEX_STATS))
         .agg(
@@ -1473,6 +1616,14 @@ def _install_compaction(ppath: str, tmp: str) -> None:
         shutil.rmtree(live, ignore_errors=True)
         os.makedirs(ppath, exist_ok=True)
         shutil.move(staged, live)
+    elif m.get("staged_empty"):
+        # the fold's result is ZERO rows (e.g. every absorbed tombstone
+        # purged): the new compacted partition is "nothing", so a prior
+        # compacted partition must be REMOVED, not left to resurrect
+        # its rows. The manifest flag (recorded at staging time)
+        # distinguishes this from "staged dir already moved in" — a
+        # recovery re-run must not delete a just-installed partition.
+        shutil.rmtree(live, ignore_errors=True)
     for d in m["absorbed"]:
         shutil.rmtree(os.path.join(ppath, d), ignore_errors=True)
     if "horizon" in m:  # the stats fold carries no horizon of its own
@@ -1525,6 +1676,15 @@ def _stage_and_install(
     try:
         merged.write.mode("overwrite").partitionBy("batch_id").parquet(tmp)
         manifest = {"absorbed": [f"batch_id={i}" for i in absorbed]}
+        # a zero-row merge writes NO staged partition dir: record that
+        # it means "the new compacted partition is empty" so the
+        # install removes a prior compacted partition instead of
+        # leaving its rows to resurrect (and so a recovery re-run can
+        # tell "empty" apart from "already moved in")
+        if not os.path.isdir(
+            os.path.join(tmp, f"batch_id={COMPACTED_BATCH_ID}")
+        ):
+            manifest["staged_empty"] = True
         if horizon is not None:
             manifest["horizon"] = horizon
         with open(os.path.join(tmp, _MANIFEST), "w") as fh:
@@ -1577,8 +1737,11 @@ def compact_index(
     ppath = os.path.join(index_dir, INDEX_POSTINGS)
     absorb, src_ids = _plan_fold(ppath, keep_last)
     if not absorb:
-        # nothing new on the postings side; still resume a stats fold a
-        # previous compaction's crash may have left undone
+        # nothing new on the postings side; still fold tombstones/docs
+        # (deletes may have accumulated without new ingest batches) and
+        # resume a stats fold a previous crash may have left undone
+        compact_index_tombstones(spark, index_dir, keep_last)
+        compact_index_docs(spark, index_dir)
         compact_index_stats(spark, index_dir)
         return 0
     prev = _read_horizon(ppath)
@@ -1588,18 +1751,159 @@ def compact_index(
     merged = (
         raw.where(F.col("batch_id").isin([int(i) for i in src_ids]))
         .drop("batch_id")
-        .repartition(n, "term")
+    )
+    tpath = os.path.join(index_dir, INDEX_TOMBSTONES)
+    if os.path.isdir(tpath):
+        # the PHYSICAL purge of deleted docs — readers already excluded
+        # them (read_index anti-joins), so dropping their rows here
+        # changes nothing a reader computes, whichever side of the
+        # install a crash lands on
+        tombs = (
+            spark.read.schema(TOMBSTONES_SCHEMA + ", batch_id int")
+            .parquet(tpath)
+            .select("doc_id")
+        )
+        merged = merged.join(tombs, "doc_id", "left_anti")
+    merged = (
+        merged.repartition(n, "term")
         .sortWithinPartitions("term", "doc_id")
         .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
     )
     _stage_and_install(
         merged, ppath, os.path.join(index_dir, _STAGING_DIR), absorb, horizon
     )
+    compact_index_tombstones(spark, index_dir, keep_last)
+    compact_index_docs(spark, index_dir)
     compact_index_stats(spark, index_dir)
     return len(src_ids)
 
 
 _STATS_STAGING_DIR = "_stats_compact_tmp"
+_TOMBSTONES_STAGING_DIR = "_tombstones_compact_tmp"
+_DOCS_STAGING_DIR = "_docs_compact_tmp"
+
+
+def _live_doc_ids(spark: SparkSession, index_dir: str, *subs: str):
+    """Distinct doc_ids present in the given index sub-dirs as stored
+    (no tombstone exclusion) — the survival criterion for the
+    tombstone and docs folds. One doc_id-column scan; parquet column
+    pruning keeps it cheap, and it only runs inside a compaction
+    (already a full-rewrite pass)."""
+    import os
+
+    schemas = {
+        INDEX_POSTINGS: POSTINGS_SCHEMA,
+        INDEX_TOMBSTONES: TOMBSTONES_SCHEMA,
+    }
+    frames = []
+    for sub in subs:
+        path = os.path.join(index_dir, sub)
+        if os.path.isdir(path):
+            frames.append(
+                spark.read.schema(schemas[sub] + ", batch_id int")
+                .parquet(path)
+                .select("doc_id")
+            )
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.distinct()
+
+
+def compact_index_tombstones(
+    spark: SparkSession, index_dir: str, keep_last: int = 0
+) -> int:
+    """Fold tombstone batch partitions, PURGING every tombstone whose
+    doc has no stored postings left (the postings fold already dropped
+    them) — a purged tombstone was a no-op in the read-time anti-join,
+    so removing it is crash-independent of every other fold; one that
+    still suppresses stored rows (its doc's home batch was kept by the
+    postings fold's replay margin) survives into the compacted
+    tombstone partition and purges on a later pass. ``keep_last``
+    exempts the highest delete batch_ids (their replay must stay able
+    to overwrite its own partition); the max absorbed id is recorded
+    as the TOMBSTONE horizon, and :func:`delete_index_docs` refuses
+    anything at or below it — once absorbed, a delete batch's negative
+    stats row becomes foldable (see :func:`compact_index_stats`), so a
+    replay re-appending it would double-subtract."""
+    import os
+
+    tpath = os.path.join(index_dir, INDEX_TOMBSTONES)
+    absorb, src_ids = _plan_fold(tpath, keep_last)
+    if not absorb:
+        return 0
+    prev = _read_horizon(tpath)
+    horizon = max(absorb) if prev is None else max(prev, max(absorb))
+    raw = (
+        spark.read.schema(TOMBSTONES_SCHEMA + ", batch_id int")
+        .parquet(tpath)
+        .where(F.col("batch_id").isin([int(i) for i in src_ids]))
+        .drop("batch_id")
+    )
+    stored = _live_doc_ids(spark, index_dir, INDEX_POSTINGS)
+    survivors = raw.join(stored, "doc_id", "semi") if stored is not None else raw.limit(0)
+    merged = (
+        survivors.repartition("doc_id")
+        .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
+    )
+    _stage_and_install(
+        merged,
+        tpath,
+        os.path.join(index_dir, _TOMBSTONES_STAGING_DIR),
+        absorb,
+        horizon,
+    )
+    return len(src_ids)
+
+
+def compact_index_docs(spark: SparkSession, index_dir: str) -> int:
+    """Fold ``docs/`` batch partitions at or below the POSTINGS horizon
+    (they ride the same replay rule: a docs partition is rewritten only
+    by its write_index_batch replay, which the postings horizon already
+    refuses), purging rows whose doc is fully dead — no stored postings
+    AND no tombstone. A doc with stored postings still needs its row
+    (it is what a future delete looks dl up in); a tombstoned doc needs
+    it too (the tombstone's replay recomputes its rows from here).
+    Purge is therefore re-derivable from the live tree alone — lingering
+    rows from any crash window are swept by the next pass."""
+    import os
+
+    dpath = os.path.join(index_dir, INDEX_DOCS)
+    horizon = _read_horizon(os.path.join(index_dir, INDEX_POSTINGS))
+    if horizon is None or not os.path.isdir(dpath):
+        return 0
+    dirs = [d for d in os.listdir(dpath) if d.startswith("batch_id=")]
+    ids = sorted(int(d.split("=", 1)[1]) for d in dirs)
+    fold = [i for i in ids if i != COMPACTED_BATCH_ID and i <= horizon]
+    if not fold:
+        return 0
+    src_ids = fold + (
+        [COMPACTED_BATCH_ID] if COMPACTED_BATCH_ID in ids else []
+    )
+    raw = (
+        spark.read.schema(DOCS_SCHEMA + ", batch_id int")
+        .parquet(dpath)
+        .where(F.col("batch_id").isin([int(i) for i in src_ids]))
+        .drop("batch_id")
+    )
+    alive = _live_doc_ids(
+        spark, index_dir, INDEX_POSTINGS, INDEX_TOMBSTONES
+    )
+    survivors = raw.join(alive, "doc_id", "semi") if alive is not None else raw.limit(0)
+    merged = (
+        survivors.repartition("doc_id")
+        .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
+    )
+    _stage_and_install(
+        merged,
+        dpath,
+        os.path.join(index_dir, _DOCS_STAGING_DIR),
+        fold,
+        None,
+    )
+    return len(src_ids)
 
 
 def compact_index_stats(spark: SparkSession, index_dir: str) -> int:
@@ -1616,16 +1920,27 @@ def compact_index_stats(spark: SparkSession, index_dir: str) -> int:
     at the next compaction. Only horizon-covered batches fold: the
     horizon guarantees those batch_ids can never be re-appended, while
     a kept (replayable) batch keeps its own partition so its
-    dynamic-overwrite replay stays idempotent."""
+    dynamic-overwrite replay stays idempotent. A delete batch's
+    NEGATIVE stats row (key ``-(M+2)``, see :func:`_delete_stats_id`)
+    folds under the same rule against the TOMBSTONE horizon — absorbed
+    delete batches can never be re-appended (delete_index_docs refuses
+    them), kept ones keep their own partition. The fold sums both
+    signs, so it stays value-preserving at every crash point."""
     import os
 
     spath = os.path.join(index_dir, INDEX_STATS)
     horizon = _read_horizon(os.path.join(index_dir, INDEX_POSTINGS))
-    if horizon is None or not os.path.isdir(spath):
+    t_horizon = _read_horizon(os.path.join(index_dir, INDEX_TOMBSTONES))
+    if (horizon is None and t_horizon is None) or not os.path.isdir(spath):
         return 0
     dirs = [d for d in os.listdir(spath) if d.startswith("batch_id=")]
     ids = sorted(int(d.split("=", 1)[1]) for d in dirs)
-    fold = [i for i in ids if i != COMPACTED_BATCH_ID and i <= horizon]
+    fold = [
+        i
+        for i in ids
+        if (horizon is not None and 0 <= i <= horizon)
+        or (t_horizon is not None and i <= -2 and -i - 2 <= t_horizon)
+    ]
     if not fold:
         return 0
     has_compacted = COMPACTED_BATCH_ID in ids
@@ -1657,6 +1972,8 @@ def recover_index_compaction(spark: SparkSession, index_dir: str) -> bool:
     recovered = False
     for live_sub, tmp_sub in (
         (INDEX_POSTINGS, _STAGING_DIR),
+        (INDEX_TOMBSTONES, _TOMBSTONES_STAGING_DIR),
+        (INDEX_DOCS, _DOCS_STAGING_DIR),
         (INDEX_STATS, _STATS_STAGING_DIR),
     ):
         tmp = os.path.join(index_dir, tmp_sub)
@@ -1721,6 +2038,81 @@ def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the incrementally built artifact must serve the SAME ranking as the
 # direct corpus computation — one oracle for all three spellings
 QUERIES["text_bm25_incremental"] = (q_bm25_incremental, _oracle_bm25())
+
+
+# --- deletes in the incrementally maintained index --------------------------
+# The right-to-be-forgotten path for the search index (the twin of the
+# history sink's GDPR purge, streaming/sinks.py): delete_index_docs
+# tombstones doc_ids without rewriting the corpus; every serving helper
+# is delete-aware through read_index's anti-join; BM25's corpus stats
+# (n_docs, total_dl) are corrected by the delete batch's negative stats
+# row, and df self-corrects (it is the count of surviving postings per
+# term). compact_index PHYSICALLY purges the deleted docs' postings —
+# GDPR erasure completes at compaction, exactly like the history sink.
+# The registry query deletes a deterministic slice after an incremental
+# build, compacts (so the driver row exercises the purge path, not just
+# the anti-join), and serves the standard BM25 query; the oracle is the
+# corpus-scan spelling over the SURVIVING documents — ranking, df and
+# stats must all reflect the post-delete corpus exactly.
+
+DELETE_MOD = 7
+DELETE_REM = 3
+
+
+def build_incremental_index_with_deletes(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    """Incremental build (INCR_BATCHES batches), then ONE delete batch
+    tombstoning every doc_id % DELETE_MOD == DELETE_REM, then a
+    compaction with keep_last=1 — batches 0..INCR_BATCHES-2 fold (their
+    deleted docs' postings physically purge), the last batch and the
+    tombstones stay live (the served query exercises purged + anti-
+    joined paths at once). Idempotent per fixture identity."""
+    import os
+    import shutil
+
+    root = incremental_index_path(spark, sf_dir) + "_del"
+    done = os.path.join(root, "_COMPLETE")
+    if os.path.isdir(root):
+        try:
+            assert os.path.exists(done)
+            spark.read.schema(POSTINGS_SCHEMA + ", batch_id int").parquet(
+                os.path.join(root, INDEX_POSTINGS)
+            ).limit(1).count()
+            spark.read.parquet(os.path.join(root, INDEX_STATS)).limit(1).count()
+            return root
+        except Exception:
+            shutil.rmtree(root, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    for b in range(INCR_BATCHES):
+        batch = docs.where(F.col("doc_id") % INCR_BATCHES == b)
+        write_index_batch(batch_postings(batch), b, root)
+    delete_index_docs(
+        spark,
+        root,
+        docs.where(F.col("doc_id") % DELETE_MOD == DELETE_REM).select(
+            "doc_id"
+        ),
+        INCR_BATCHES,
+    )
+    compact_index(spark, root, keep_last=1)
+    with open(done, "w") as fh:  # written LAST: marks the build whole
+        fh.write("")
+    return root
+
+
+def q_bm25_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = build_incremental_index_with_deletes(spark, sf_dir)
+    postings, stats = read_index(spark, root)
+    return bm25_topk_over_postings(postings, stats)
+
+
+QUERIES["text_bm25_after_delete"] = (
+    q_bm25_after_delete,
+    _oracle_bm25(
+        where=f" WHERE doc_id % {DELETE_MOD} <> {DELETE_REM}"
+    ),
+)
 
 
 # --- phrase retrieval from the stored positional postings ------------------

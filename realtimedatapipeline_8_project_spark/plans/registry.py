@@ -66,13 +66,18 @@ _MODULES = (
 
 # The driver's per-round CORRECTNESS check covers a prefix of the registry
 # (50 entries). Order is therefore a verification budget: queries named
-# here register FIRST. Round-9 budget: the flagship, the 6 queries NEW
+# here register FIRST. Round-9 budget: the flagship, the 8 queries NEW
 # this round (TPC-H Q9 profit in both spellings, phrase retrieval from
 # the stored positional index in both spellings, the incrementally
-# grown IVF index, and prefix retrieval — holding the slot of the
-# retired corpus-scan text_boolean_search), then 43 of the 47 queries
-# whose newest driver row is round 6 (at the staleness limit) —
-# 1 + 6 + 43 = 50, the full budget. The 3 r06-latest rows NOT fronted are exactly the rows-only
+# grown IVF index, prefix retrieval, index deletes served through
+# BM25, and the TPC-H Q11 share-of-total shape — each of the last
+# four holding the slot of a retired entry, see _RETIRED), then 41 of
+# the 47 queries whose newest driver row is round 6 (at the staleness
+# limit) — 1 + 8 + 41 = 50, the full budget. Of the 6 r06-latest rows
+# NOT fronted, two retired this round (sim_knn_ivf_trained,
+# chunk_windows_native — their slots fund the two new non-text
+# queries, and their semantics stay pinned, see _RETIRED); one more
+# r07-latest entry retired (text_bm25_topk). The remaining 3 are exactly the rows-only
 # no-oracle trio (agg_approx_distinct, dedup_minhash_neardup,
 # dedup_simhash_neardup): their driver row is a weak rows-only check by
 # design, while their real correctness pin — the machine-checked twin
@@ -91,12 +96,19 @@ _PRIORITY = (
     "text_phrase_from_index",  # phrase query from positional postings
     "text_phrase_incremental",  # same phrase from the incremental index
     "sim_knn_ivf_grown",  # ANN served from incrementally grown lists
+    "text_bm25_after_delete",  # new r9: tombstone deletes in the
+    # incremental index, served through BM25 (slot from the retired
+    # sim_knn_ivf_trained — grown shares its oracle AND its trained
+    # codebook + probe path, so trained-IVF serving stays verified)
+    "agg_important_parts_1scan",  # new r9: TPC-H Q11 share-of-total
+    # shape (slot from the retired chunk_windows_native, whose
+    # semantics stay driver-verified via udtf_chunk_windows — same
+    # oracle — and machine-twinned in tests/test_udtf_and_epoch.py)
     # --- newest row is round 6: at the staleness limit, refresh 44 ---
     "agg_disjunctive_revenue",
     "agg_order_count_distribution",
     "agg_small_quantity_revenue",
     "agg_top_supplier_revenue",
-    "chunk_windows_native",
     "curation_end_to_end",
     "dedup_cluster_components",
     "dedup_incremental",
@@ -122,7 +134,6 @@ _PRIORITY = (
     "sample_source_rebalance",
     "sample_weighted_reservoir",
     "sim_kmeans_train",
-    "sim_knn_ivf_trained",
     "sketch_hll_portable",
     "snapshot_diff_cdc",
     "sparse_doc_cosine",
@@ -160,10 +171,27 @@ _PRIORITY = (
 # quality-aware dedup_survivors_quality). POLICY: a future round that
 # adds K registry entries retires K (or accepts a longer refresh
 # cycle) — the verification budget is fixed at 50 rows per round.
-# Applying the policy, text_search_prefix_from_index (r9) took the slot
-# of text_boolean_search: the corpus-scan AND spelling is the ORACLE of
-# text_search_from_index, so its semantics stay driver-verified every
-# time that entry rotates.
+# Applying the policy, round 9 funded its four other additions the
+# same way — each retiree's semantics remain driver-verified through a
+# live entry sharing its oracle (the text_boolean_search precedent):
+# - text_search_prefix_from_index took text_boolean_search's slot (the
+#   corpus-scan AND spelling IS text_search_from_index's oracle);
+# - text_bm25_after_delete took sim_knn_ivf_trained's slot
+#   (sim_knn_ivf_grown shares its oracle and internally builds the
+#   same trained codebook and probe path);
+# - agg_important_parts_1scan took chunk_windows_native's slot
+#   (udtf_chunk_windows shares its oracle; the native/UDTF twin is
+#   machine-pinned in tests/test_udtf_and_epoch.py);
+# - text_bm25_topk retired without a same-round replacement (its
+#   corpus-scan ranking is the shared ORACLE of text_bm25_from_index,
+#   text_bm25_incremental and — filtered — text_bm25_after_delete); as
+#   an r07-latest row this brings round 10's owed set to exactly the
+#   50-slot budget (flagship + the rows-only trio + 46 r07-latest) —
+#   without it r10 would be oversubscribed by one. A NEW r10 query
+#   therefore needs one more r07-latest retirement; the clean
+#   candidates, by this same precedent, are sql_waiting_suppliers and
+#   sql_excess_shipments (each is literally spark.sql(<oracle>) with a
+#   live 1-scan twin on the same oracle).
 _RETIRED = frozenset(
     {
         "dedup_simhash",
@@ -172,6 +200,9 @@ _RETIRED = frozenset(
         "dedup_events_exact",
         "dedup_survivors",
         "text_boolean_search",
+        "sim_knn_ivf_trained",
+        "chunk_windows_native",
+        "text_bm25_topk",
     }
 )
 

@@ -15,7 +15,10 @@ from realtimedatapipeline_8_project_spark.plans.registry import QUERIES
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
-    df = QUERIES[name](spark, sf_dir)
+    return plan_of_df(QUERIES[name](spark, sf_dir))
+
+
+def plan_of_df(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
@@ -776,11 +779,18 @@ def test_q21_spellings_agree(spark, sf_small):
 
 
 def test_bm25_single_corpus_pass_and_take_ordered(spark, sf_small):
-    """text_bm25_topk: the doc-grain aggregate is lineage-truncated, so
-    the final plan reads the checkpointed frame — the corpus is scanned
-    and exploded exactly once (inside the checkpoint), the 1-row stats
-    frame broadcasts, and top-k is TakeOrderedAndProject, all JVM-side."""
-    p = plan_of(spark, sf_small, "text_bm25_topk")
+    """text_bm25_topk (registry-retired r9 — its corpus-scan ranking is
+    the shared ORACLE of the three index-served BM25 entries; this test
+    is where its own plan stays pinned): the doc-grain aggregate is
+    lineage-truncated, so the final plan reads the checkpointed frame —
+    the corpus is scanned and exploded exactly once (inside the
+    checkpoint), the 1-row stats frame broadcasts, and top-k is
+    TakeOrderedAndProject, all JVM-side."""
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        QUERIES as _TA_QUERIES,
+    )
+
+    p = plan_of_df(_TA_QUERIES["text_bm25_topk"][0](spark, sf_small))
     assert "documents.parquet" not in p  # corpus pass happened once, inside the checkpoint
     assert "TakeOrderedAndProject" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
@@ -819,9 +829,14 @@ def test_bm25_from_index_never_scans_corpus(spark, sf_small):
 
 def test_bm25_spellings_agree(spark, sf_small):
     """Direct corpus computation and the stored-index path are the same
-    ranking function — pinned Spark vs Spark (the driver additionally
-    cross-validates both against one DuckDB oracle)."""
-    a = QUERIES["text_bm25_topk"](spark, sf_small)
+    ranking function — pinned Spark vs Spark (the direct spelling is
+    registry-retired; the driver cross-validates the index path against
+    the corpus-scan DuckDB oracle every rotation)."""
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        QUERIES as _TA_QUERIES,
+    )
+
+    a = _TA_QUERIES["text_bm25_topk"][0](spark, sf_small)
     b = QUERIES["text_bm25_from_index"](spark, sf_small)
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
 
@@ -1230,3 +1245,29 @@ def test_phrase_slop_guard_refuses_nonpositive(spark):
     # and a 1-term "phrase" is a category error, not an empty chain
     with pytest.raises(ValueError, match="2 terms"):
         phrase_hits_over_postings(postings, terms=("solo",))
+
+
+def test_q11_share_of_total_reuses_the_grouped_exchange(spark, sf_small):
+    """agg_important_parts_1scan (TPC-H Q11 shape): the nation filter
+    reaches the fact as a broadcast LeftSemi on the supplier-key set,
+    and the grouped per-part frame feeds BOTH consumers (output rows +
+    the 1-row scalar re-aggregate) through ONE exchange — the executed
+    plan must show the reuse, i.e. the fact is scanned and shuffled
+    exactly once, never twice for the scalar subquery side."""
+    df = QUERIES["agg_important_parts_1scan"](spark, sf_small)
+    p = plan_of_df(df)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+    assert "Python" not in p
+    # the fact scan reads only the 4 needed columns
+    li_scans = [
+        l
+        for l in p.splitlines()
+        if "ReadSchema" in l and "l_extendedprice" in l
+    ]
+    assert li_scans and all(
+        "l_shipdate" not in l and "l_orderkey" not in l for l in li_scans
+    )
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
