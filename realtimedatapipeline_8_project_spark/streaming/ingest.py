@@ -70,9 +70,11 @@ from ..operators.dedup import (
 from ..operators.text_analysis import (
     batch_postings,
     compact_index,
+    delete_index_docs,
     recover_index_compaction,
     write_index_batch,
 )
+from .sinks import purge_partitioned_keys
 
 KEPT = "kept"
 BANDS = "bands"
@@ -256,6 +258,70 @@ def run_dedup_ingest(
                 maintain_index=maintain_index,
                 compact_index_every=compact_index_every,
             )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def forget_ingest_batch(
+    ids_df: DataFrame, batch_id: int, corpus_dir: str
+) -> None:
+    """foreachBatch body of the FORGET (GDPR) stream: physically purge
+    the batch's doc_ids from the kept corpus and the band table
+    (affected-partition rewrites through the shared purge step — a
+    fully-victim partition is removed, never silently kept), and
+    tombstone them in the search index when one is maintained (serving
+    excludes them immediately; their postings purge physically at the
+    next compaction — erasure completes exactly like the history
+    sink's purge_keys).
+
+    Replay-safe: the corpus purges find nothing the second time, and
+    delete_index_docs recomputes identical tombstone rows (it excludes
+    its own partition from the already-tombstoned check). A crash
+    between the purges and the index delete is healed by the
+    checkpoint's replay of this batch. Contracts it rides: a forgotten
+    doc_id is never resubmitted to the ingest stream (the same
+    at-most-once identity invariant the merged-postings df derivation
+    rides), and the forget stream runs in the same maintenance lane as
+    the ingest loop (the artifacts are single-writer — interleaved, not
+    concurrent)."""
+    spark = ids_df.sparkSession
+    ids = (
+        ids_df.select("doc_id")
+        .where(F.col("doc_id").isNotNull())
+        .distinct()
+        .localCheckpoint()  # three consumers; compute the set once
+    )
+    if ids.isEmpty():
+        return
+    for sub in (KEPT, BANDS):
+        path = os.path.join(corpus_dir, sub)
+        if os.path.isdir(path):
+            purge_partitioned_keys(spark, path, ids, "doc_id")
+    index_dir = os.path.join(corpus_dir, INDEX)
+    if os.path.isdir(index_dir):
+        # same discipline as the ingest side: never touch an index
+        # whose previous compaction install is half-landed
+        recover_index_compaction(spark, index_dir)
+        delete_index_docs(spark, index_dir, ids, batch_id)
+
+
+def run_forget_ingest(
+    ids_stream: DataFrame, corpus_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Drain ``ids_stream`` (doc_id) through GDPR forgetting with
+    availableNow semantics — the streaming twin of the history sink's
+    purge_keys, for the ingest corpus + its search index. Its
+    checkpoint is its own (delete batch_ids are an independent
+    sequence: tombstone partitions live under their own ids and the
+    negative stats rows under the disjoint ``-(M+2)`` keys, so the two
+    streams' artifacts can never collide)."""
+    return (
+        ids_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda df, bid: forget_ingest_batch(df, bid, corpus_dir)
         )
         .trigger(availableNow=True)
         .start()

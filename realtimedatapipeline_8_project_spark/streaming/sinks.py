@@ -495,6 +495,55 @@ def write_batch_fanout(
 # requires.
 
 
+def purge_partitioned_keys(
+    spark: SparkSession, path: str, keys: DataFrame, key_col: str
+) -> int:
+    """Physically delete every row of the batch-partitioned parquet dir
+    ``path`` whose ``key_col`` appears in ``keys`` (already distinct).
+    Returns the number of batch partitions touched. The SINGLE
+    definition of the partition-purge step, shared by the history
+    sink's GDPR purge and the ingest corpus' forget path.
+
+    Rewrites ONLY affected partitions (semi-join discovery + broadcast
+    anti-join + dynamic overwrite). CRITICAL subtlety: dynamic
+    partition overwrite replaces only partitions PRESENT in the written
+    frame — a partition whose EVERY row is a victim produces zero rows,
+    would not be overwritten at all, and would silently keep the
+    victims' data on disk (a reported-success non-erasure). Fully-
+    victim partitions are therefore removed outright, AFTER the
+    survivor rewrite lands: a crash between the two leaves the victims
+    discoverable, and re-running the purge finishes the removal."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    affected = [
+        r.batch_id
+        for r in df.select(key_col, "batch_id")
+        .join(F.broadcast(keys), key_col, "left_semi")
+        .select("batch_id")
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return 0
+    remaining = df.where(F.col("batch_id").isin(affected)).join(
+        F.broadcast(keys), key_col, "left_anti"
+    )
+    with_survivors = [
+        r.batch_id for r in remaining.select("batch_id").distinct().collect()
+    ]
+    if with_survivors:
+        (
+            remaining.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(path)
+        )
+    for bid in set(affected) - set(with_survivors):
+        shutil.rmtree(os.path.join(path, f"batch_id={bid}"))
+    return len(affected)
+
+
 def purge_keys(
     spark: SparkSession,
     output_dir: str,
@@ -505,27 +554,10 @@ def purge_keys(
     ``keys_df`` (single column, same name). Returns the number of batch
     partitions rewritten."""
     hist_path = os.path.join(output_dir, "history")
-    hist = spark.read.parquet(hist_path)
     keys = keys_df.select(key_col).distinct()
     if keys.isEmpty():
         return 0
-    affected = [
-        r.batch_id
-        for r in hist.select(key_col, "batch_id")
-        .join(F.broadcast(keys), key_col, "left_semi")
-        .select("batch_id")
-        .distinct()
-        .collect()
-    ]
-    if affected:
-        (
-            hist.where(F.col("batch_id").isin(affected))
-            .join(F.broadcast(keys), key_col, "left_anti")
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(hist_path)
-        )
+    affected = purge_partitioned_keys(spark, hist_path, keys, key_col)
     # The compacted serving view, if materialized, must also forget.
     # NOT a rebuild from history: the cache legitimately serves keys
     # whose only history partitions were expired by retention (that is
@@ -538,7 +570,7 @@ def purge_keys(
             F.broadcast(keys), key_col, "left_anti"
         )
         _swap_latest(purged, spark, output_dir)
-    return len(affected)
+    return affected
 
 
 def expire_batches(

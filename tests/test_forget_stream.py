@@ -1,0 +1,191 @@
+"""The forget (GDPR) stream for the ingest corpus
+(streaming/ingest.py: forget_ingest_batch / run_forget_ingest) and the
+fully-victim-partition purge fix it shares with the history sink
+(streaming/sinks.py: purge_partitioned_keys): forgotten doc_ids must
+vanish from the kept corpus, the band table, AND the served search
+index — including the partition whose every row was a victim, which
+dynamic partition overwrite alone would have silently kept on disk."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+    INDEX_POSTINGS,
+    POSTINGS_SCHEMA,
+    batch_postings,
+    bm25_topk_over_postings,
+    compact_index,
+    read_index,
+)
+from realtimedatapipeline_8_project_spark.sources.tables import load_table
+from realtimedatapipeline_8_project_spark.streaming.ingest import (
+    INDEX,
+    forget_ingest_batch,
+    read_kept,
+    run_dedup_ingest,
+    run_forget_ingest,
+)
+
+
+def _ingest(spark, sf_dir, tmp_path, n=150, batches=3):
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < n)
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for b in range(batches):
+        rows = docs.where(F.col("doc_id") % batches == b).collect()
+        with open(os.path.join(src, f"b{b}.jsonl"), "w") as fh:
+            for r in rows:
+                fh.write(
+                    json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n"
+                )
+        time.sleep(1.1)
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    stream = raw.select(
+        F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+        F.get_json_object("value", "$.text").alias("text"),
+    )
+    corpus = str(tmp_path / "corpus")
+    q = run_dedup_ingest(
+        stream, corpus, str(tmp_path / "chk"), maintain_index=True
+    )
+    q.awaitTermination()
+    return corpus
+
+
+def test_forget_stream_erases_corpus_bands_and_index(
+    spark, sf_small, tmp_path
+):
+    """End-to-end: ingest three batches with index maintenance, then
+    drain a forget stream — the victims disappear from read_kept, the
+    band table, and every index serving path; BM25 equals a one-pass
+    build over the surviving corpus (stats corrected, not just rows
+    filtered); a second drain of the same ids is a no-op."""
+    corpus = _ingest(spark, sf_small, tmp_path)
+    kept_before = {r.doc_id for r in read_kept(spark, corpus).collect()}
+    victims = sorted(i for i in kept_before if i % 7 == 3)
+    assert victims  # the slice must actually hit
+
+    fsrc = str(tmp_path / "fsrc")
+    os.makedirs(fsrc, exist_ok=True)
+    with open(os.path.join(fsrc, "forget.jsonl"), "w") as fh:
+        for i in victims:
+            fh.write(json.dumps({"doc_id": i}) + "\n")
+    raw = spark.readStream.format("text").load(fsrc)
+    ids = raw.select(
+        F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id")
+    )
+    q = run_forget_ingest(ids, corpus, str(tmp_path / "fchk"))
+    q.awaitTermination()
+
+    kept = read_kept(spark, corpus)
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert kept_ids == kept_before - set(victims)
+    bands = spark.read.parquet(os.path.join(corpus, "bands"))
+    assert not ({r.doc_id for r in bands.collect()} & set(victims))
+
+    postings, stats = read_index(spark, os.path.join(corpus, INDEX))
+    one_pass = batch_postings(kept.select("doc_id", "text"))
+    one_stats = one_pass.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("tf").alias("total_dl"),
+    )
+    assert stats.collect() == one_stats.collect()
+    cols = ["term", "doc_id", "tf", "dl", "positions"]
+    assert sorted(map(str, postings.select(*cols).collect())) == sorted(
+        map(str, one_pass.select(*cols).collect())
+    )
+    assert (
+        bm25_topk_over_postings(postings, stats).collect()
+        == bm25_topk_over_postings(one_pass, one_stats).collect()
+    )
+
+    # replay / repeat: a second forget of the same ids changes nothing
+    vdf = spark.createDataFrame([(i,) for i in victims], "doc_id long")
+    forget_ingest_batch(vdf, 1, corpus)
+    postings2, stats2 = read_index(spark, os.path.join(corpus, INDEX))
+    assert stats2.collect() == one_stats.collect()
+    assert {r.doc_id for r in read_kept(spark, corpus).collect()} == kept_ids
+    # compaction after the forget physically purges the victims
+    compact_index(spark, os.path.join(corpus, INDEX), keep_last=0)
+    stored = {
+        r.doc_id
+        for r in spark.read.schema(POSTINGS_SCHEMA + ", batch_id int")
+        .parquet(os.path.join(corpus, INDEX, INDEX_POSTINGS))
+        .select("doc_id")
+        .collect()
+    }
+    assert not (stored & set(victims))
+
+
+def test_forget_of_a_whole_ingest_batch_removes_its_partitions(
+    spark, sf_small, tmp_path
+):
+    """The fully-victim-partition trap, end to end: forgetting EVERY
+    doc of one ingest batch must remove that batch's kept and bands
+    partitions outright — dynamic partition overwrite writes no rows
+    for an emptied partition, so without the explicit removal the
+    victims' data would survive on disk while the purge reports
+    success."""
+    corpus = _ingest(spark, sf_small, tmp_path)
+    kept = read_kept(spark, corpus)
+    batch0 = {r.doc_id for r in kept.where(F.col("batch_id") == 0).collect()}
+    others = {r.doc_id for r in kept.where(F.col("batch_id") != 0).collect()}
+    assert batch0 and others
+    vdf = spark.createDataFrame([(i,) for i in sorted(batch0)], "doc_id long")
+    forget_ingest_batch(vdf, 0, corpus)
+    assert not os.path.isdir(os.path.join(corpus, "kept", "batch_id=0"))
+    assert not os.path.isdir(os.path.join(corpus, "bands", "batch_id=0"))
+    assert {r.doc_id for r in read_kept(spark, corpus).collect()} == others
+    postings, stats = read_index(spark, os.path.join(corpus, INDEX))
+    assert not (
+        {r.doc_id for r in postings.select("doc_id").collect()} & batch0
+    )
+    assert stats.collect()[0].n_docs == len(others)
+
+
+def test_purge_keys_removes_fully_victim_history_partition(
+    spark, tmp_path
+):
+    """Regression for the history sink itself: purging every key of one
+    batch partition must delete the partition (the old anti-join +
+    dynamic-overwrite spelling wrote zero rows for it, overwrote
+    nothing, and silently KEPT the victims' rows on disk)."""
+    from realtimedatapipeline_8_project_spark.streaming.sinks import (
+        purge_keys,
+    )
+
+    out = str(tmp_path / "sink")
+    hist = os.path.join(out, "history")
+    for bid, keys in ((0, [1, 2]), (1, [3, 4]), (2, [2, 5])):
+        (
+            spark.createDataFrame(
+                [(k, "v") for k in keys], "event_id long, val string"
+            )
+            .withColumn("batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(hist)
+        )
+    victims = spark.createDataFrame([(1,), (2,)], "event_id long")
+    touched = purge_keys(spark, out, victims)
+    assert touched == 2  # batch 0 (fully victim) + batch 2 (partial)
+    assert not os.path.isdir(os.path.join(hist, "batch_id=0"))
+    left = sorted(
+        (r.event_id, r.batch_id)
+        for r in spark.read.parquet(hist).collect()
+    )
+    assert left == [(3, 1), (4, 1), (5, 2)]
