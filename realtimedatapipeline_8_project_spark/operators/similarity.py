@@ -673,7 +673,12 @@ def q_knn_ivf_trained(
     )
 
 
-def _oracle_knn_ivf_trained() -> str:
+def _oracle_knn_ivf_trained(exclude: str = "") -> str:
+    """DuckDB re-derivation of the trained-IVF probe. ``exclude`` is an
+    extra candidate predicate (e.g. the r10 delete query's surviving-
+    vectors filter — the codebook and assignments still derive from the
+    FULL corpus, exactly like the frozen-codebook index after
+    delete_ivf_vectors; only the candidate set shrinks)."""
     k_case = "CASE vec_id " + " ".join(
         f"WHEN {v} THEN {i}" for i, v in enumerate(IVFT_SEEDS)
     ) + " END"
@@ -722,7 +727,7 @@ WITH q AS (
 )
 SELECT a.vec_id, {pdist} AS dist
 FROM a2 a JOIN plists USING (k) CROSS JOIN probe p
-WHERE a.vec_id <> {IVFT_PROBE_ID}
+WHERE a.vec_id <> {IVFT_PROBE_ID}{exclude}
 ORDER BY dist ASC, a.vec_id ASC
 LIMIT {IVFT_TOP}
 """
@@ -935,7 +940,10 @@ WHERE {pair} <= {SEM_T}
 # for a retrain (which is a rebuild: new codebook => new assignment for
 # everything; incremental growth only makes sense under a frozen one).
 
-IVF_FORMAT_VERSION = 2  # v2: drift stats sum_d is DOUBLE (long overflowed)
+# v2: drift stats sum_d is DOUBLE (long overflowed)
+# v3: optional vec_tombstones/ dir (vector deletes) — a v2 reader would
+# silently SERVE deleted vectors (its read path has no anti-join)
+IVF_FORMAT_VERSION = 3
 IVF_LISTS = "lists"
 IVF_CODEBOOK = "codebook"
 IVF_STATS = "stats"
@@ -1012,9 +1020,33 @@ def write_ivf_batch(
     )
 
 
-def read_ivf_lists(spark: SparkSession, index_dir: str) -> DataFrame:
-    """Merge-on-read view of the grown inverted lists (explicit schema:
-    a legitimately empty index has no files to infer from)."""
+IVF_TOMBSTONES = "vec_tombstones"
+IVF_TOMBSTONES_SCHEMA = "vec_id bigint"
+
+
+def delete_ivf_vectors(
+    spark: SparkSession, index_dir: str, vec_ids: DataFrame, batch_id: int
+) -> None:
+    """Delete vectors from the grown IVF lists — the vector twin of the
+    text index's delete_index_docs (GDPR for embeddings: an embedding
+    of personal content is personal data). A delete batch writes ONE
+    artifact: its ``vec_tombstones/batch_id=M`` partition of vec_ids;
+    read_ivf_lists anti-joins every read against the tombstone set, so
+    the probe query (and a retrain's re-assignment, which reads through
+    the same path) excludes the victims immediately. Physical purge
+    happens at compact_ivf_lists (or wholesale at a retrain, which
+    rewrites the lists from the tombstone-filtered read).
+
+    SIMPLER than the text side, by design: there are no corpus stats to
+    correct (BM25-style n/avgdl do not exist here, and the per-batch
+    drift history deliberately measures assignment quality AT ingestion
+    time — deletes must not rewrite history), so there is no negative
+    stats row, no double-subtract hazard, and therefore NO tombstone
+    horizon: a replayed delete batch just overwrites its own partition
+    with the same ids, and a tombstone for an unknown or already-purged
+    vec_id is a no-op swept by the next compaction. Re-adding a deleted
+    vec_id is unsupported (the same at-most-once identity invariant as
+    the text index)."""
     import os
 
     from .text_analysis import _check_version_marker
@@ -1022,11 +1054,45 @@ def read_ivf_lists(spark: SparkSession, index_dir: str) -> DataFrame:
     _check_version_marker(
         index_dir, IVF_LISTS, IVF_FORMAT_VERSION, create=False
     )
-    return (
+    (
+        vec_ids.select("vec_id")
+        .where(F.col("vec_id").isNotNull())
+        .distinct()
+        .repartition("vec_id")  # AQE coalesces a tiny delete to O(1) files
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(index_dir, IVF_TOMBSTONES))
+    )
+
+
+def read_ivf_lists(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Merge-on-read view of the grown inverted lists (explicit schema:
+    a legitimately empty index has no files to infer from), minus the
+    tombstoned vectors (the anti side is tiny next to the lists — AQE
+    broadcasts it; a delete-free index skips the node entirely)."""
+    import os
+
+    from .text_analysis import _check_version_marker
+
+    _check_version_marker(
+        index_dir, IVF_LISTS, IVF_FORMAT_VERSION, create=False
+    )
+    lists = (
         spark.read.schema(IVF_LISTS_SCHEMA + ", batch_id int")
         .parquet(os.path.join(index_dir, IVF_LISTS))
         .drop("batch_id")
     )
+    tpath = os.path.join(index_dir, IVF_TOMBSTONES)
+    if os.path.isdir(tpath):
+        tombs = (
+            spark.read.schema(IVF_TOMBSTONES_SCHEMA + ", batch_id int")
+            .parquet(tpath)
+            .select("vec_id")
+        )
+        lists = lists.join(tombs, "vec_id", "left_anti")
+    return lists
 
 
 def compact_ivf_lists(
@@ -1055,20 +1121,84 @@ def compact_ivf_lists(
     lpath = os.path.join(index_dir, IVF_LISTS)
     absorb, src_ids = _plan_fold(lpath, keep_last)
     if not absorb:
+        # nothing new on the lists side; still sweep spent tombstones
+        _compact_ivf_tombstones(spark, index_dir, keep_last)
         return 0
     prev = _read_horizon(lpath)
     horizon = max(absorb) if prev is None else max(prev, max(absorb))
     raw = spark.read.schema(IVF_LISTS_SCHEMA + ", batch_id int").parquet(lpath)
+    merged = raw.where(
+        F.col("batch_id").isin([int(i) for i in src_ids])
+    ).drop("batch_id")
+    tpath = os.path.join(index_dir, IVF_TOMBSTONES)
+    if os.path.isdir(tpath):
+        # the PHYSICAL purge of deleted vectors — readers already
+        # excluded them (read_ivf_lists anti-joins), so dropping their
+        # rows changes nothing a probe computes at any crash point
+        tombs = (
+            spark.read.schema(IVF_TOMBSTONES_SCHEMA + ", batch_id int")
+            .parquet(tpath)
+            .select("vec_id")
+        )
+        merged = merged.join(tombs, "vec_id", "left_anti")
     merged = (
-        raw.where(F.col("batch_id").isin([int(i) for i in src_ids]))
-        .drop("batch_id")
-        .repartition("k")
+        merged.repartition("k")
         .sortWithinPartitions("k", "vec_id")
         .withColumn("batch_id", F.lit(_CB))
     )
     _stage_and_install(
         merged, lpath, os.path.join(index_dir, "_lists_compact_tmp"),
         absorb, horizon,
+    )
+    _compact_ivf_tombstones(spark, index_dir, keep_last)
+    return len(src_ids)
+
+
+def _compact_ivf_tombstones(
+    spark: SparkSession, index_dir: str, keep_last: int = 0
+) -> int:
+    """Fold vec-tombstone batch partitions, PURGING every tombstone
+    whose vector has no stored list rows left (the lists fold already
+    dropped them — a purged tombstone was a no-op in the read-time
+    anti-join, so removing it is crash-independent); one that still
+    suppresses stored rows (its vector's home batch was kept by the
+    lists fold's replay margin) survives into the compacted tombstone
+    partition and purges on a later pass. No horizon is recorded: IVF
+    deletes have no stats side-effect, so a replayed absorbed delete
+    batch re-appends only harmless no-op rows (swept here next time) —
+    the asymmetry with the text index's tombstones is deliberate."""
+    import os
+
+    from .text_analysis import _plan_fold, _stage_and_install
+    from .text_analysis import COMPACTED_BATCH_ID as _CB
+
+    tpath = os.path.join(index_dir, IVF_TOMBSTONES)
+    absorb, src_ids = _plan_fold(tpath, keep_last)
+    if not absorb:
+        return 0
+    raw = (
+        spark.read.schema(IVF_TOMBSTONES_SCHEMA + ", batch_id int")
+        .parquet(tpath)
+        .where(F.col("batch_id").isin([int(i) for i in src_ids]))
+        .drop("batch_id")
+        .distinct()  # cross-batch duplicate tombstones collapse here
+    )
+    stored = (
+        spark.read.schema(IVF_LISTS_SCHEMA + ", batch_id int")
+        .parquet(os.path.join(index_dir, IVF_LISTS))
+        .select("vec_id")
+    )
+    merged = (
+        raw.join(stored, "vec_id", "semi")
+        .repartition("vec_id")
+        .withColumn("batch_id", F.lit(_CB))
+    )
+    _stage_and_install(
+        merged,
+        tpath,
+        os.path.join(index_dir, "_vec_tombstones_compact_tmp"),
+        absorb,
+        None,
     )
     return len(src_ids)
 
@@ -1082,14 +1212,20 @@ def recover_ivf_compaction(spark: SparkSession, index_dir: str) -> bool:
 
     from .text_analysis import _STAGED_MARKER, _install_compaction
 
-    tmp = os.path.join(index_dir, "_lists_compact_tmp")
-    if not os.path.isdir(tmp):
-        return False
-    if not os.path.exists(os.path.join(tmp, _STAGED_MARKER)):
-        shutil.rmtree(tmp, ignore_errors=True)
-        return False
-    _install_compaction(os.path.join(index_dir, IVF_LISTS), tmp)
-    return True
+    recovered = False
+    for live_sub, tmp_sub in (
+        (IVF_LISTS, "_lists_compact_tmp"),
+        (IVF_TOMBSTONES, "_vec_tombstones_compact_tmp"),
+    ):
+        tmp = os.path.join(index_dir, tmp_sub)
+        if not os.path.isdir(tmp):
+            continue
+        if not os.path.exists(os.path.join(tmp, _STAGED_MARKER)):
+            shutil.rmtree(tmp, ignore_errors=True)
+            continue
+        _install_compaction(os.path.join(index_dir, live_sub), tmp)
+        recovered = True
+    return recovered
 
 
 _RETRAIN_TMP = "_retrain_tmp"
@@ -1116,6 +1252,12 @@ def _install_retrain(index_dir: str) -> None:
             shutil.rmtree(os.path.join(index_dir, name), ignore_errors=True)
             shutil.move(src, os.path.join(index_dir, name))
     _write_horizon(os.path.join(index_dir, IVF_LISTS), int(m["horizon"]))
+    # the re-assignment read through the tombstone anti-join, so the
+    # staged lists already exclude every deleted vector — the tombstones
+    # are spent. Removing them is idempotent and crash-independent: a
+    # tombstone left behind (crash here) only no-ops against lists that
+    # no longer hold its vector, and the next compaction sweeps it.
+    shutil.rmtree(os.path.join(index_dir, IVF_TOMBSTONES), ignore_errors=True)
     shutil.rmtree(tmp)
 
 
@@ -1329,16 +1471,23 @@ def build_ivf_grown(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-def q_knn_ivf_grown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 probe query served from the incrementally grown lists +
-    stored codebook — must equal q_knn_ivf_trained exactly (same
-    oracle): the frozen codebook IS the trained one, and row-local
-    assignment is batch-independent."""
+def _probe_grown_lists(spark: SparkSession, root: str) -> DataFrame:
+    """The top-10 probe over a grown-lists index dir — the SINGLE
+    serving path shared by the grown and delete-aware queries (reads
+    through read_ivf_lists, so tombstoned vectors are excluded from
+    the probe vector lookup, the candidate lists, and the result)."""
     import os
 
-    root = build_ivf_grown(spark, sf_dir)
-    lists = read_ivf_lists(spark, root)
-    cents = spark.read.parquet(os.path.join(root, IVF_CODEBOOK))
+    return probe_over_lists(
+        read_ivf_lists(spark, root),
+        spark.read.parquet(os.path.join(root, IVF_CODEBOOK)),
+    )
+
+
+def probe_over_lists(lists: DataFrame, cents: DataFrame) -> DataFrame:
+    """The probe math over explicit (lists, codebook) frames — what the
+    delete tests run against a hand-filtered lists frame to pin the
+    served-after-delete equivalence."""
     probe = lists.where(F.col("vec_id") == IVFT_PROBE_ID).select(
         F.col("qv").alias("pqv")
     )
@@ -1362,6 +1511,79 @@ def q_knn_ivf_grown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.expr(_IVFT_PDIST).alias("dist"))
         .orderBy(F.asc("dist"), F.asc("vec_id"))
         .limit(IVFT_TOP)
+    )
+
+
+def q_knn_ivf_grown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 probe query served from the incrementally grown lists +
+    stored codebook — must equal q_knn_ivf_trained exactly (same
+    oracle): the frozen codebook IS the trained one, and row-local
+    assignment is batch-independent."""
+    return _probe_grown_lists(spark, build_ivf_grown(spark, sf_dir))
+
+
+# --- vector deletes, served (registry entry PLANNED for round 10:
+# sim_knn_after_delete, slot funded by retiring sql_waiting_suppliers
+# per plans/registry.py's retirement note; until then the equivalence
+# is machine-pinned in tests/test_ivf_deletes.py) ------------------------
+
+IVF_DELETE_MOD = 9
+IVF_DELETE_REM = 4  # never the probe id (0 % 9 == 0)
+
+
+def build_ivf_grown_with_deletes(spark: SparkSession, sf_dir: str) -> str:
+    """Grown-lists build, then ONE delete batch tombstoning every
+    vec_id % IVF_DELETE_MOD == IVF_DELETE_REM, then a compaction with
+    keep_last=1 — earlier batches fold (their deleted vectors purge
+    physically), the last batch's victims stay tombstone-masked: the
+    served probe exercises both paths at once. The codebook stays the
+    one trained on the full corpus (deletes do not retrain; the drift
+    signal owns that decision). Idempotent per fixture identity."""
+    import os
+    import shutil
+
+    root = ivf_index_path(spark, sf_dir) + "_del"
+    done = os.path.join(root, "_COMPLETE")
+    if os.path.isdir(root):
+        try:
+            assert os.path.exists(done)
+            read_ivf_lists(spark, root).limit(1).count()
+            spark.read.parquet(os.path.join(root, IVF_CODEBOOK)).limit(
+                1
+            ).count()
+            return root
+        except Exception:
+            shutil.rmtree(root, ignore_errors=True)
+    q = _km_quantize(load_table(spark, sf_dir, "embeddings"))
+    frozen_ivf_codebook(q).write.mode("overwrite").parquet(
+        os.path.join(root, IVF_CODEBOOK)
+    )
+    cents = spark.read.parquet(os.path.join(root, IVF_CODEBOOK))
+    for b in range(IVF_GROW_BATCHES):
+        batch = q.where(F.col("vec_id") % IVF_GROW_BATCHES == b)
+        write_ivf_batch(_km_assign(batch, cents), b, root)
+    delete_ivf_vectors(
+        spark,
+        root,
+        q.where(
+            F.col("vec_id") % IVF_DELETE_MOD == IVF_DELETE_REM
+        ).select("vec_id"),
+        IVF_GROW_BATCHES,
+    )
+    compact_ivf_lists(spark, root, keep_last=1)
+    with open(done, "w") as fh:  # written LAST: marks the build whole
+        fh.write("")
+    return root
+
+
+def q_knn_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 probe over the grown index AFTER vector deletes — victims
+    must never appear among the neighbors, whether physically purged
+    (compacted batches) or tombstone-masked (the kept batch). Oracle
+    (r10): the trained-IVF oracle with the victims excluded from the
+    candidate set."""
+    return _probe_grown_lists(
+        spark, build_ivf_grown_with_deletes(spark, sf_dir)
     )
 
 
