@@ -1000,6 +1000,98 @@ QUERIES["text_search_prefix_from_index"] = (
 )
 
 
+# --- suffix (leading-wildcard) retrieval: the reversed-term dual ----------
+# ``*g``: a leading wildcard cannot range-prune term-sorted postings
+# (every row group may hold a matching term), so the standard dual
+# artifact serves it: postings re-keyed by REVERSE(term), re-sorted —
+# the suffix query becomes a PREFIX query on rterm, the same pushed
+# StringStartsWith + row-group range prune, cost ∝ the suffix's slice
+# of the vocabulary. The dual DERIVES from the stored postings (one
+# postings-sized rewrite at build time — never a second corpus pass)
+# in its own fixture dir. Registry entry PLANNED for round 10
+# (text_search_suffix_from_index, slot funded by retiring
+# sql_excess_shipments per plans/registry.py's note); until then the
+# corpus-scan equivalence is machine-pinned in tests/test_plans.py.
+
+SUFFIX_QUERY = "g"
+INDEX_POSTINGS_REV = "postings_rev"
+
+
+def reversed_index_path(spark: SparkSession, sf_dir: str) -> str:
+    return posting_index_path(spark, sf_dir) + "_rev"
+
+
+def build_reversed_index(spark: SparkSession, sf_dir: str) -> str:
+    """One-time (per fixture identity) build of the reversed-term dual:
+    (rterm, doc_id, tf) re-sorted by rterm. Derived from the scored
+    postings artifact — positions/dl are not carried (the dual serves
+    term-set lookups; scoring stays with the primary)."""
+    import os
+    import shutil
+
+    root = reversed_index_path(spark, sf_dir)
+    rpath = os.path.join(root, INDEX_POSTINGS_REV)
+    if os.path.isdir(root):
+        try:
+            spark.read.parquet(rpath).limit(1).count()
+            return root
+        except Exception:
+            shutil.rmtree(root, ignore_errors=True)
+    primary = build_scored_index(spark, sf_dir)
+    postings = spark.read.parquet(os.path.join(primary, INDEX_POSTINGS))
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    (
+        postings.select(
+            F.reverse(F.col("term")).alias("rterm"), "doc_id", "tf"
+        )
+        .repartition(n, "rterm")
+        .sortWithinPartitions("rterm", "doc_id")
+        .write.mode("overwrite")
+        .parquet(rpath)
+    )
+    return root
+
+
+def suffix_hits_over_reversed(postings_rev: DataFrame) -> DataFrame:
+    """Suffix retrieval over the reversed dual — per doc the distinct
+    matching terms and their total occurrences (COUNT DISTINCT of
+    rterm == of term: string reversal is a bijection)."""
+    return (
+        postings_rev.where(
+            F.col("rterm").startswith(SUFFIX_QUERY[::-1])
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("rterm").cast("long").alias("n_terms_matched"),
+            F.sum("tf").alias("total_tf"),
+        )
+    )
+
+
+def q_search_suffix_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    root = build_reversed_index(spark, sf_dir)
+    return suffix_hits_over_reversed(
+        spark.read.parquet(os.path.join(root, INDEX_POSTINGS_REV))
+    )
+
+
+# r10 registration will pair q_search_suffix_from_index with this
+# corpus-scan spelling (identical shape to ORACLE_PREFIX_SEARCH)
+ORACLE_SUFFIX_SEARCH = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_O_WORDS}) AS term FROM documents
+)
+SELECT doc_id,
+       COUNT(DISTINCT term) AS n_terms_matched,
+       COUNT(*) AS total_tf
+FROM terms
+WHERE term LIKE '%{SUFFIX_QUERY}'
+GROUP BY doc_id
+"""
+
+
 # --- BM25-scored top-k retrieval ------------------------------------------
 # Completes the retrieval arc (index -> boolean -> SCORED ranking): the
 # standard Okapi BM25 ranking function (Robertson et al., public

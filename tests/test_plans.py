@@ -1271,3 +1271,55 @@ def test_q11_share_of_total_reuses_the_grouped_exchange(spark, sf_small):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
+
+
+def test_suffix_retrieval_from_reversed_dual(spark, sf_small):
+    """Leading-wildcard (*g) retrieval from the reversed-term dual
+    artifact (r10-bound registry entry; the corpus-scan equivalence is
+    pinned HERE until then): results equal the corpus-scan spelling,
+    the plan is corpus-free with the reversed-prefix predicate pushed
+    as StringStartsWith into the rterm-sorted scan (a row-group range
+    prune — exactly what the PRIMARY postings cannot give a leading
+    wildcard), and the cached dual is reused, not rebuilt."""
+    from pyspark.sql import functions as F
+
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        SUFFIX_QUERY,
+        build_reversed_index,
+        normalized_text,
+        q_search_suffix_from_index,
+        words,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    df = q_search_suffix_from_index(spark, sf_small)
+    docs = load_table(spark, sf_small, "documents")
+    truth = (
+        docs.select(
+            "doc_id", F.explode(words(normalized_text("text"))).alias("term")
+        )
+        .where(F.col("term").endswith(SUFFIX_QUERY))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").cast("long").alias("n_terms_matched"),
+            F.count(F.lit(1)).alias("total_tf"),
+        )
+    )
+    assert sorted(map(str, df.collect())) == sorted(
+        map(str, truth.collect())
+    )
+    import os
+
+    root = build_reversed_index(spark, sf_small)
+    stamp = os.path.getmtime(os.path.join(root, "postings_rev", "_SUCCESS"))
+    p = plan_of_df(q_search_suffix_from_index(spark, sf_small))
+    assert "documents.parquet" not in p
+    assert "Python" not in p
+    assert any(
+        "PushedFilters" in l and "StringStartsWith(rterm" in l
+        for l in p.splitlines()
+    )
+    assert (
+        os.path.getmtime(os.path.join(root, "postings_rev", "_SUCCESS"))
+        == stamp
+    )
