@@ -1539,7 +1539,11 @@ def write_index_batch(
     )
     stats = postings.agg(
         F.countDistinct("doc_id").alias("n_docs"),
-        F.sum("tf").alias("total_dl"),
+        # an EMPTY batch sums to NULL; normalize to 0 so the merged
+        # corpus stats are never poisoned into NULL-vs-0 ambiguity
+        # (hypothesis found the all-docs-deleted corpus differing from
+        # its filtered-rebuild twin by exactly this)
+        F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("total_dl"),
     )
     (
         stats.withColumn("batch_id", F.lit(batch_id))
@@ -1680,8 +1684,10 @@ def read_index(spark: SparkSession, index_dir: str):
     stats = (
         spark.read.parquet(os.path.join(index_dir, INDEX_STATS))
         .agg(
-            F.sum("n_docs").alias("n_docs"),
-            F.sum("total_dl").alias("total_dl"),
+            F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("total_dl"), F.lit(0))
+            .cast("long")
+            .alias("total_dl"),
         )
     )
     return postings, stats

@@ -379,3 +379,73 @@ def test_boolean_search_docs_contain_all_terms(spark, data):
         i for i, toks in enumerate(docs) if set(BOOL_QUERY_TERMS) <= set(toks)
     }
     assert got == want
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.data())
+def test_index_deletes_equal_filtered_build(spark, tmp_path_factory, data):
+    """For an arbitrary tiny corpus, an arbitrary batch split, an
+    arbitrary delete subset, and an arbitrary compaction margin:
+    (postings, stats) of build+delete[+compact] == a build over the
+    corpus MINUS the deleted docs. The machine-checked general form of
+    the fixed-slice tests in test_index_deletes.py."""
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        batch_postings,
+        compact_index,
+        delete_index_docs,
+        read_index,
+        write_index_batch,
+    )
+
+    n_docs = data.draw(st.integers(min_value=1, max_value=12))
+    words_st = st.text(alphabet="abcd", min_size=1, max_size=4)
+    texts = data.draw(
+        st.lists(
+            st.lists(words_st, min_size=1, max_size=6).map(" ".join),
+            min_size=n_docs,
+            max_size=n_docs,
+        )
+    )
+    n_batches = data.draw(st.integers(min_value=1, max_value=3))
+    assign = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=n_batches - 1),
+            min_size=n_docs,
+            max_size=n_docs,
+        )
+    )
+    victims = data.draw(st.sets(st.integers(min_value=0, max_value=n_docs - 1)))
+    keep_last = data.draw(st.integers(min_value=0, max_value=n_batches))
+    do_compact = data.draw(st.booleans())
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    tmp = tmp_path_factory.mktemp("propidx")
+    root, twin = str(tmp / "idx"), str(tmp / "twin")
+    for b in range(n_batches):
+        in_b = [i for i, a in enumerate(assign) if a == b]
+        batch = docs.where(F.col("doc_id").isin(in_b or [-1]))
+        write_index_batch(batch_postings(batch), b, root)
+        survivors = [i for i in in_b if i not in victims]
+        write_index_batch(
+            batch_postings(docs.where(F.col("doc_id").isin(survivors or [-1]))),
+            b,
+            twin,
+        )
+    if victims:
+        delete_index_docs(
+            spark,
+            root,
+            spark.createDataFrame([(i,) for i in sorted(victims)], "doc_id long"),
+            n_batches,
+        )
+    if do_compact:
+        compact_index(spark, root, keep_last=keep_last)
+    p_a, s_a = read_index(spark, root)
+    p_b, s_b = read_index(spark, twin)
+    cols = ["term", "doc_id", "tf", "dl", "positions"]
+    assert sorted(map(str, p_a.select(*cols).collect())) == sorted(
+        map(str, p_b.select(*cols).collect())
+    )
+    assert s_a.collect() == s_b.collect()
