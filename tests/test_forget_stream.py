@@ -189,3 +189,78 @@ def test_purge_keys_removes_fully_victim_history_partition(
         for r in spark.read.parquet(hist).collect()
     )
     assert left == [(3, 1), (4, 1), (5, 2)]
+
+
+def test_interleaved_adds_and_forgets_converge(spark, sf_small, tmp_path):
+    """Adds and forgets interleave in production (each stream drains on
+    its own schedule): ingest b0, forget some of b0, ingest b1, forget
+    across both, compact mid-sequence — the final kept corpus, band
+    table, and served index must equal a one-pass build over exactly
+    the surviving docs."""
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        compact_index,
+    )
+    from realtimedatapipeline_8_project_spark.streaming.ingest import (
+        dedup_ingest_batch,
+    )
+
+    docs = (
+        load_table(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 240)
+    )
+    corpus = str(tmp_path / "corpus")
+    b = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    dedup_ingest_batch(b[0], 0, corpus, maintain_index=True)
+    forget_ingest_batch(
+        b[0].where(F.col("doc_id") % 5 == 0).select("doc_id"), 0, corpus
+    )
+    dedup_ingest_batch(b[1], 1, corpus, maintain_index=True)
+    compact_index(spark, os.path.join(corpus, INDEX), keep_last=1)
+    forget_ingest_batch(
+        docs.where(F.col("doc_id") % 5 == 1).select("doc_id"), 1, corpus
+    )
+    dedup_ingest_batch(b[2], 2, corpus, maintain_index=True)
+    forget_ingest_batch(
+        b[2].where(F.col("doc_id") % 5 == 2).select("doc_id"), 2, corpus
+    )
+
+    kept = read_kept(spark, corpus).select("doc_id", "text")
+    kept_ids = {r.doc_id for r in kept.collect()}
+    # forgotten = ids actually submitted to a forget, scoped to docs
+    # ingested BEFORE that forget (dedup may additionally drop near-dup
+    # docs — membership beyond the victims is dedup's decision, which
+    # this test deliberately does not re-predict): none may survive
+    forgotten = {
+        r.doc_id
+        for r in docs.collect()
+        if (r.doc_id % 3 == 0 and r.doc_id % 5 == 0)
+        or (r.doc_id % 3 in (0, 1) and r.doc_id % 5 == 1)
+        or (r.doc_id % 3 == 2 and r.doc_id % 5 == 2)
+    }
+    assert kept_ids and not (kept_ids & forgotten)
+    # docs matching a forget predicate but ingested AFTER that forget
+    # are NOT forgotten (a forget is an erasure of what exists, not a
+    # standing filter): at least some such docs must have survived
+    late = {
+        r.doc_id
+        for r in docs.collect()
+        if r.doc_id % 3 == 2 and r.doc_id % 5 == 1
+    }
+    assert late & kept_ids
+    postings, stats = read_index(spark, os.path.join(corpus, INDEX))
+    one = batch_postings(kept)
+    one_stats = one.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.coalesce(F.sum("tf"), F.lit(0)).cast("long").alias("total_dl"),
+    )
+    cols = ["term", "doc_id", "tf", "dl", "positions"]
+    assert sorted(map(str, postings.select(*cols).collect())) == sorted(
+        map(str, one.select(*cols).collect())
+    )
+    assert stats.collect() == one_stats.collect()
+    assert (
+        bm25_topk_over_postings(postings, stats).collect()
+        == bm25_topk_over_postings(one, one_stats).collect()
+    )
