@@ -1085,7 +1085,9 @@ def read_ivf_lists(spark: SparkSession, index_dir: str) -> DataFrame:
         .drop("batch_id")
     )
     tpath = os.path.join(index_dir, IVF_TOMBSTONES)
-    if os.path.isdir(tpath):
+    if os.path.isdir(tpath) and any(
+        d.startswith("batch_id=") for d in os.listdir(tpath)
+    ):
         tombs = (
             spark.read.schema(IVF_TOMBSTONES_SCHEMA + ", batch_id int")
             .parquet(tpath)

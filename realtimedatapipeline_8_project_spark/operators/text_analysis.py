@@ -1671,15 +1671,18 @@ def read_index(spark: SparkSession, index_dir: str):
         .drop("batch_id")
     )
     tpath = os.path.join(index_dir, INDEX_TOMBSTONES)
-    if os.path.isdir(tpath):
+    if os.path.isdir(tpath) and any(
+        d.startswith("batch_id=") for d in os.listdir(tpath)
+    ):
         tombs = (
             spark.read.schema(TOMBSTONES_SCHEMA + ", batch_id int")
             .parquet(tpath)
             .select("doc_id")
         )
         # deletes are tiny next to the corpus — AQE broadcasts the anti
-        # side; a delete-free index (no tombstones dir) skips the node
-        # entirely, so pre-existing plans are untouched
+        # side; a delete-free index (no tombstones dir, or every
+        # tombstone purged by compaction) skips the node entirely, so
+        # those plans are untouched
         postings = postings.join(tombs, "doc_id", "left_anti")
     stats = (
         spark.read.parquet(os.path.join(index_dir, INDEX_STATS))
