@@ -1092,6 +1092,139 @@ GROUP BY doc_id
 """
 
 
+# --- fuzzy (edit-distance-1) retrieval: the deletion-neighborhood dual -----
+# A misspelled query term ("sart") must still find its docs. Scanning
+# the vocabulary with a per-term edit-distance check is O(|vocab|) per
+# query — the index answer is the SymSpell discipline (public
+# algorithm): store each vocabulary term under every string obtainable
+# by deleting ONE character (plus itself). Any term within Levenshtein
+# distance 1 of the query then shares a stored variant with one of the
+# query's own deletion variants (equal: trivially; one deletion /
+# insertion: the shorter IS a variant of the longer; substitution:
+# deleting the differing position from both yields the same string) —
+# so the candidate lookup is a pushed IN(variant) probe of the dual,
+# cost ∝ the query's |q|+1 variant buckets, never the vocabulary. The
+# deletion-neighborhood is a SUPERSET of distance-1 (it also catches
+# e.g. transpositions at distance 2), so candidates pass an exact
+# levenshtein verify before touching the postings. Registry entry
+# PLANNED for round 10 (text_search_fuzzy_from_index, slot funded by
+# retiring graph_pagerank — oracle shared with graph_pagerank_bucketed
+# per plans/registry.py's policy); until then the corpus-scan
+# equivalence is machine-pinned in tests/test_plans.py.
+
+FUZZY_QUERY = "sart"  # not itself a vocabulary word: a true typo
+INDEX_FUZZY = "fuzzy"
+
+
+def fuzzy_index_path(spark: SparkSession, sf_dir: str) -> str:
+    return posting_index_path(spark, sf_dir) + "_fuzzy"
+
+
+def build_fuzzy_index(spark: SparkSession, sf_dir: str) -> str:
+    """One-time (per fixture identity) build of the deletion-
+    neighborhood dual: (variant, term) for every vocabulary term and
+    each of its single-character deletions (plus the term itself),
+    variant-sorted. Derived from the scored postings' vocabulary —
+    never a second corpus pass. Size ∝ vocab x (avg term length + 1):
+    the dual is vocabulary-scale, tiny next to the postings."""
+    import os
+    import shutil
+
+    root = fuzzy_index_path(spark, sf_dir)
+    fpath = os.path.join(root, INDEX_FUZZY)
+    if os.path.isdir(root):
+        try:
+            spark.read.parquet(fpath).limit(1).count()
+            return root
+        except Exception:
+            shutil.rmtree(root, ignore_errors=True)
+    primary = build_scored_index(spark, sf_dir)
+    vocab = (
+        spark.read.parquet(os.path.join(primary, INDEX_POSTINGS))
+        .select("term")
+        .distinct()
+    )
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    (
+        vocab.select(
+            "term",
+            F.explode(
+                F.array_union(
+                    F.array(F.col("term")),
+                    F.expr(
+                        "transform(sequence(1, length(term)), i -> "
+                        "concat(substring(term, 1, i-1), "
+                        "substring(term, i+1, length(term))))"
+                    ),
+                )
+            ).alias("variant"),
+        )
+        .distinct()
+        .repartition(n, "variant")
+        .sortWithinPartitions("variant", "term")
+        .write.mode("overwrite")
+        .parquet(fpath)
+    )
+    return root
+
+
+def _deletion_variants(q: str) -> list[str]:
+    return [q] + [q[:i] + q[i + 1 :] for i in range(len(q))]
+
+
+def q_search_fuzzy_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing any term within edit distance 1 of FUZZY_QUERY,
+    per doc the distinct matching terms + total occurrences. Two-phase,
+    exactly how a search service issues it: (1) candidate lookup — a
+    pushed IN(variant) probe of the dual, then the exact levenshtein
+    verify, collected to the driver (bounded: the |q|+1 variant
+    buckets' collisions — the codebook-seed precedent for a tiny
+    driver-side read); (2) a pushed IN(term) postings probe with the
+    verified terms as compile-time constants — the same plan shape as
+    every other from-index connective."""
+    import os
+
+    root = build_fuzzy_index(spark, sf_dir)
+    dual = spark.read.parquet(os.path.join(root, INDEX_FUZZY))
+    cands = sorted(
+        r.term
+        for r in dual.where(
+            F.col("variant").isin(_deletion_variants(FUZZY_QUERY))
+        )
+        .select("term")
+        .distinct()
+        .where(F.levenshtein(F.col("term"), F.lit(FUZZY_QUERY)) <= 1)
+        .collect()
+    )
+    primary = build_scored_index(spark, sf_dir)
+    postings = spark.read.parquet(os.path.join(primary, INDEX_POSTINGS))
+    matched = (
+        postings.where(F.col("term").isin(cands))
+        if cands
+        else postings.where(F.lit(False))
+    )
+    return matched.groupBy("doc_id").agg(
+        F.countDistinct("term").cast("long").alias("n_terms_matched"),
+        F.sum("tf").alias("total_tf"),
+    )
+
+
+# r10 registration will pair q_search_fuzzy_from_index with this
+# corpus-scan spelling (DuckDB's levenshtein is the exact semantics
+# the deletion-neighborhood + verify must reproduce)
+ORACLE_FUZZY_SEARCH = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_O_WORDS}) AS term FROM documents
+)
+SELECT doc_id,
+       COUNT(DISTINCT term) AS n_terms_matched,
+       COUNT(*) AS total_tf
+FROM terms
+WHERE levenshtein(term, '{FUZZY_QUERY}') <= 1
+GROUP BY doc_id
+"""
+
+
 # --- BM25-scored top-k retrieval ------------------------------------------
 # Completes the retrieval arc (index -> boolean -> SCORED ranking): the
 # standard Okapi BM25 ranking function (Robertson et al., public

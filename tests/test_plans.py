@@ -1323,3 +1323,58 @@ def test_suffix_retrieval_from_reversed_dual(spark, sf_small):
         os.path.getmtime(os.path.join(root, "postings_rev", "_SUCCESS"))
         == stamp
     )
+
+
+def test_fuzzy_retrieval_from_deletion_neighborhood_dual(spark, sf_small):
+    """Edit-distance-1 (fuzzy) retrieval from the SymSpell-style dual
+    (r10-bound registry entry; the corpus-scan levenshtein equivalence
+    is pinned HERE until then): results equal the exact-levenshtein
+    corpus-scan truth, the candidate probe pushes IN(variant) into the
+    variant-sorted dual scan, the postings probe pushes the verified
+    terms as IN(term), the plan is corpus-free, and the fuzzy query
+    must actually be fuzzy (more than the exact-match term set)."""
+    from pyspark.sql import functions as F
+
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        FUZZY_QUERY,
+        build_fuzzy_index,
+        normalized_text,
+        q_search_fuzzy_from_index,
+        words,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    df = q_search_fuzzy_from_index(spark, sf_small)
+    docs = load_table(spark, sf_small, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(words(normalized_text("text"))).alias("term")
+    )
+    truth = (
+        terms.where(F.levenshtein(F.col("term"), F.lit(FUZZY_QUERY)) <= 1)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").cast("long").alias("n_terms_matched"),
+            F.count(F.lit(1)).alias("total_tf"),
+        )
+    )
+    got = sorted(map(str, df.collect()))
+    assert got and got == sorted(map(str, truth.collect()))
+    # genuinely fuzzy: the query itself is NOT a vocabulary term, and
+    # at least one doc matches 2+ distinct fuzzy-matched terms
+    vocab = {r.term for r in terms.select("term").distinct().collect()}
+    assert FUZZY_QUERY not in vocab
+    assert any(r.n_terms_matched >= 2 for r in df.collect())
+
+    import os
+
+    root = build_fuzzy_index(spark, sf_small)
+    stamp = os.path.getmtime(os.path.join(root, "fuzzy", "_SUCCESS"))
+    p = plan_of_df(q_search_fuzzy_from_index(spark, sf_small))
+    assert "documents.parquet" not in p
+    assert "Python" not in p
+    assert any(
+        "PushedFilters" in l and "In(term, [" in l for l in p.splitlines()
+    )
+    assert (
+        os.path.getmtime(os.path.join(root, "fuzzy", "_SUCCESS")) == stamp
+    )
