@@ -191,7 +191,13 @@ _PRIORITY = (
 #   therefore needs one more r07-latest retirement; the clean
 #   candidates, by this same precedent, are sql_waiting_suppliers and
 #   sql_excess_shipments (each is literally spark.sql(<oracle>) with a
-#   live 1-scan twin on the same oracle).
+#   live 1-scan twin on the same oracle) and graph_pagerank (oracle
+#   shared with graph_pagerank_bucketed, the recommended scale plan).
+#   The r10 registrations these three slots are earmarked for — code,
+#   oracles, and machine pins ALREADY LANDED in r9 —
+#   are sim_knn_after_delete (operators/similarity.py),
+#   text_search_suffix_from_index and text_search_fuzzy_from_index
+#   (operators/text_analysis.py).
 _RETIRED = frozenset(
     {
         "dedup_simhash",
