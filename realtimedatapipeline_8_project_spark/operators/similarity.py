@@ -1054,6 +1054,12 @@ def delete_ivf_vectors(
     _check_version_marker(
         index_dir, IVF_LISTS, IVF_FORMAT_VERSION, create=False
     )
+    if batch_id < 0:
+        raise ValueError(
+            f"delete batch_id must be >= 0 (got {batch_id}): -1 is the "
+            "COMPACTED tombstone partition — a negative delete batch "
+            "would silently overwrite it and resurrect purged vectors"
+        )
     (
         vec_ids.select("vec_id")
         .where(F.col("vec_id").isNotNull())
@@ -1177,7 +1183,14 @@ def _compact_ivf_tombstones(
     tpath = os.path.join(index_dir, IVF_TOMBSTONES)
     absorb, src_ids = _plan_fold(tpath, keep_last)
     if not absorb:
-        return 0
+        # re-sweep the compacted partition: tombstones in it may have
+        # become spent since the last fold (a later lists fold purged
+        # their vectors) — "purges on a later pass" must not require a
+        # later DELETE to trigger the pass (the text-index twin's rule)
+        cdir = os.path.join(tpath, f"batch_id={_CB}")
+        if not os.path.isdir(cdir):
+            return 0
+        src_ids = [_CB]
     raw = (
         spark.read.schema(IVF_TOMBSTONES_SCHEMA + ", batch_id int")
         .parquet(tpath)
@@ -1190,9 +1203,13 @@ def _compact_ivf_tombstones(
         .parquet(os.path.join(index_dir, IVF_LISTS))
         .select("vec_id")
     )
+    survivors = raw.join(stored, "vec_id", "semi")
+    if not absorb:
+        survivors = survivors.localCheckpoint()
+        if survivors.count() == raw.count():
+            return 0  # nothing newly spent: leave the partition alone
     merged = (
-        raw.join(stored, "vec_id", "semi")
-        .repartition("vec_id")
+        survivors.repartition("vec_id")
         .withColumn("batch_id", F.lit(_CB))
     )
     _stage_and_install(
@@ -1202,7 +1219,7 @@ def _compact_ivf_tombstones(
         absorb,
         None,
     )
-    return len(src_ids)
+    return len(src_ids) if absorb else 1
 
 
 def recover_ivf_compaction(spark: SparkSession, index_dir: str) -> bool:

@@ -1733,6 +1733,13 @@ def delete_index_docs(
             "resolve deletes against — not an incremental index, or "
             "written by pre-v3 code (rebuild it)"
         )
+    if batch_id < 0:
+        raise ValueError(
+            f"delete batch_id must be >= 0 (got {batch_id}): the "
+            "negative key space is reserved — the COMPACTED partition "
+            "is -1 and delete-stats keys are -(M+2), so a negative "
+            "delete batch would silently overwrite one of them"
+        )
     tpath = os.path.join(index_dir, INDEX_TOMBSTONES)
     horizon = _read_horizon(tpath)
     if horizon is not None and batch_id <= horizon:
@@ -1760,6 +1767,10 @@ def delete_index_docs(
             .select("doc_id")
         )
         hits = hits.join(existing, "doc_id", "left_anti")
+    # two consumers (tombstone write + negative stats row): pay the
+    # docs-artifact join once, and the second write can never diverge
+    # from what the first committed
+    hits = hits.localCheckpoint()
     (
         hits.select("doc_id")
         .repartition("doc_id")  # AQE coalesces a tiny delete to O(1) files
@@ -2066,10 +2077,21 @@ def compact_index_tombstones(
 
     tpath = os.path.join(index_dir, INDEX_TOMBSTONES)
     absorb, src_ids = _plan_fold(tpath, keep_last)
-    if not absorb:
-        return 0
-    prev = _read_horizon(tpath)
-    horizon = max(absorb) if prev is None else max(prev, max(absorb))
+    if absorb:
+        prev = _read_horizon(tpath)
+        horizon = max(absorb) if prev is None else max(prev, max(absorb))
+    else:
+        # No new delete batches — but tombstones already IN the
+        # compacted partition may have become spent since the last fold
+        # (a later postings fold absorbed their docs' home batches and
+        # purged the rows). Without this re-sweep they would linger
+        # forever: "purges on a later pass" must not require a later
+        # DELETE to trigger the pass.
+        cdir = os.path.join(tpath, f"batch_id={COMPACTED_BATCH_ID}")
+        if not os.path.isdir(cdir):
+            return 0
+        src_ids = [COMPACTED_BATCH_ID]
+        horizon = None  # monotone: the recorded horizon stays in place
     raw = (
         spark.read.schema(TOMBSTONES_SCHEMA + ", batch_id int")
         .parquet(tpath)
@@ -2077,7 +2099,16 @@ def compact_index_tombstones(
         .drop("batch_id")
     )
     stored = _live_doc_ids(spark, index_dir, INDEX_POSTINGS)
-    survivors = raw.join(stored, "doc_id", "semi") if stored is not None else raw.limit(0)
+    survivors = (
+        raw.join(stored, "doc_id", "semi")
+        if stored is not None
+        else raw.limit(0)
+    )
+    if not absorb:
+        # rewrite the compacted partition only when something purges
+        survivors = survivors.localCheckpoint()
+        if survivors.count() == raw.count():
+            return 0
     merged = (
         survivors.repartition("doc_id")
         .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
@@ -2089,7 +2120,7 @@ def compact_index_tombstones(
         absorb,
         horizon,
     )
-    return len(src_ids)
+    return len(src_ids) if absorb else 1
 
 
 def compact_index_docs(spark: SparkSession, index_dir: str) -> int:

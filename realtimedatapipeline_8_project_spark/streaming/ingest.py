@@ -79,17 +79,25 @@ from .sinks import purge_partitioned_keys
 KEPT = "kept"
 BANDS = "bands"
 INDEX = "index"
+# explicit schemas: a fully-forgotten corpus (every partition purged by
+# the forget stream) leaves kept/ and bands/ as file-less dirs — schema
+# inference would raise and wedge both the next ingest batch's base
+# read and read_kept, exactly the all-deleted state read_index already
+# serves with POSTINGS_SCHEMA
+KEPT_SCHEMA = "doc_id bigint, text string"
+BANDS_SCHEMA = "doc_id bigint, band int, bucket string"
 
 
 def _read_prior(
-    spark: SparkSession, path: str, batch_id: int
+    spark: SparkSession, path: str, schema: str, batch_id: int
 ) -> DataFrame | None:
     """Prior-batch partitions of ``path``, or None iff the path does not
     exist yet (genuine first batch). Every OTHER read failure re-raises:
     a transient error must fail (and replay) the micro-batch, not
     silently disable dedup."""
     try:
-        df = spark.read.parquet(path)
+        df = spark.read.schema(schema + ", batch_id int").parquet(path)
+        df.limit(0).count()  # surface PATH_NOT_FOUND now, not mid-plan
     except Exception as exc:  # AnalysisException, version-stable match
         if "PATH_NOT_FOUND" in str(exc):
             return None
@@ -123,8 +131,8 @@ def dedup_ingest_batch(
         return
     kept_path = os.path.join(corpus_dir, KEPT)
     bands_path = os.path.join(corpus_dir, BANDS)
-    base = _read_prior(spark, kept_path, batch_id)
-    bands = _read_prior(spark, bands_path, batch_id)
+    base = _read_prior(spark, kept_path, KEPT_SCHEMA, batch_id)
+    bands = _read_prior(spark, bands_path, BANDS_SCHEMA, batch_id)
     # Lockstep check on PRIOR-BATCH CONTENT, not path existence: a crash
     # between this batch's own two writes leaves kept's batch_id=N
     # partition on disk with no bands dir, and the replay of batch N
@@ -329,5 +337,9 @@ def run_forget_ingest(
 
 
 def read_kept(spark: SparkSession, corpus_dir: str) -> DataFrame:
-    """The accumulated deduplicated corpus (doc_id, text, batch_id)."""
-    return spark.read.parquet(os.path.join(corpus_dir, KEPT))
+    """The accumulated deduplicated corpus (doc_id, text, batch_id).
+    Explicit schema: a fully-forgotten corpus is a legitimate state
+    with no files to infer from."""
+    return spark.read.schema(KEPT_SCHEMA + ", batch_id int").parquet(
+        os.path.join(corpus_dir, KEPT)
+    )

@@ -515,6 +515,14 @@ def purge_partitioned_keys(
     discoverable, and re-running the purge finishes the removal."""
     import shutil
 
+    # A fully-forgotten table (every partition already purged) leaves a
+    # base dir with no parquet files: schema inference would raise and
+    # wedge the re-run/replay this function's crash contract depends
+    # on. No partitions == nothing to purge.
+    if not os.path.isdir(path) or not any(
+        d.startswith("batch_id=") for d in os.listdir(path)
+    ):
+        return 0
     df = spark.read.parquet(path)
     affected = [
         r.batch_id
@@ -526,8 +534,11 @@ def purge_partitioned_keys(
     ]
     if not affected:
         return 0
-    remaining = df.where(F.col("batch_id").isin(affected)).join(
-        F.broadcast(keys), key_col, "left_anti"
+    remaining = (
+        df.where(F.col("batch_id").isin(affected))
+        .join(F.broadcast(keys), key_col, "left_anti")
+        .localCheckpoint()  # two consumers: the survivor-partition
+        # listing and the rewrite — one scan of the affected partitions
     )
     with_survivors = [
         r.batch_id for r in remaining.select("batch_id").distinct().collect()

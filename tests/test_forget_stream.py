@@ -264,3 +264,42 @@ def test_interleaved_adds_and_forgets_converge(spark, sf_small, tmp_path):
         bm25_topk_over_postings(postings, stats).collect()
         == bm25_topk_over_postings(one, one_stats).collect()
     )
+
+
+def test_full_forget_then_reingest_resumes(spark, sf_small, tmp_path):
+    """Forgetting EVERY kept doc is a legal GDPR outcome: the purge must
+    survive a repeat (the first pass leaves kept/ and bands/ as
+    file-less dirs — schema inference would wedge the replay), read_kept
+    must serve the empty corpus, and a subsequent ingest batch of NEW
+    docs must resume growing it."""
+    from realtimedatapipeline_8_project_spark.streaming.ingest import (
+        dedup_ingest_batch,
+    )
+
+    docs = (
+        load_table(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 60)
+    )
+    corpus = str(tmp_path / "corpus")
+    dedup_ingest_batch(docs.where(F.col("doc_id") < 30), 0, corpus)
+    # materialized ids: a real forget stream's ids come from their own
+    # source, never as a lazy plan over the files being purged
+    everyone = spark.createDataFrame(
+        [(r.doc_id,) for r in read_kept(spark, corpus).collect()],
+        "doc_id long",
+    )
+    forget_ingest_batch(everyone, 0, corpus)
+    assert read_kept(spark, corpus).count() == 0
+    # replay / repeat of the total forget must be a clean no-op, not a
+    # schema-inference crash on the now file-less dirs
+    forget_ingest_batch(everyone, 0, corpus)
+    assert read_kept(spark, corpus).count() == 0
+    # new docs resume the corpus (fresh ids — re-adding forgotten ids
+    # is unsupported by contract)
+    fresh = docs.where(
+        (F.col("doc_id") >= 30) & (F.col("doc_id") < 60)
+    )
+    dedup_ingest_batch(fresh, 1, corpus)
+    kept = {r.doc_id for r in read_kept(spark, corpus).collect()}
+    assert kept and all(i >= 30 for i in kept)

@@ -399,3 +399,61 @@ def test_bm25_after_delete_plan_is_corpus_free(spark, sf_small):
     assert "documents.parquet" not in p
     assert "Python" not in p
     assert "term" in p and "In(term" in p
+
+
+def test_negative_delete_batch_id_refuses(spark, sf_small, tmp_path):
+    """The negative key space is reserved (COMPACTED partition is -1,
+    delete-stats keys are -(M+2)): a negative delete batch_id would
+    silently overwrite one of them — refuse loudly instead."""
+    docs = _docs(spark, sf_small, n=30)
+    root = str(tmp_path / "idx")
+    _build(spark, docs, root)
+    for bad in (-1, -2, -6):
+        with pytest.raises(ValueError, match=">= 0"):
+            delete_index_docs(
+                spark, root, docs.limit(1).select("doc_id"), bad
+            )
+
+
+def test_spent_compacted_tombstones_resweep_without_new_deletes(
+    spark, sf_small, tmp_path
+):
+    """A tombstone already folded into the compacted partition becomes
+    spent when a LATER postings fold purges its doc — and must then be
+    swept even though no new delete batches ever arrive (erasure must
+    not wait for an unrelated future delete)."""
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        compact_index_tombstones,
+    )
+
+    docs = _docs(spark, sf_small, n=90)
+    root = str(tmp_path / "idx")
+    _build(spark, docs, root)
+    victims = docs.where(F.col("doc_id").isin(2, 5)).select("doc_id")
+    delete_index_docs(spark, root, victims, 3)
+    before = _snap(spark, root)
+    # fold the tombstone batch alone: postings still stored -> survive
+    compact_index_tombstones(spark, root, keep_last=0)
+    tdirs = {
+        d
+        for d in os.listdir(os.path.join(root, INDEX_TOMBSTONES))
+        if d.startswith("batch_id=")
+    }
+    assert tdirs == {f"batch_id={COMPACTED_BATCH_ID}"}
+    assert (
+        _raw_doc_ids(spark, root, INDEX_TOMBSTONES, TOMBSTONES_SCHEMA)
+        == {2, 5}
+    )
+    # a second tombstone-only pass with nothing newly spent is a no-op
+    assert compact_index_tombstones(spark, root, keep_last=0) == 0
+    # the postings fold purges the victims; the tombstone RE-SWEEP in
+    # the same compaction must then clear the spent compacted rows
+    compact_index(spark, root, keep_last=0)
+    assert _snap(spark, root) == before
+    assert (
+        _raw_doc_ids(spark, root, INDEX_TOMBSTONES, TOMBSTONES_SCHEMA)
+        == set()
+    )
+    assert not (
+        _raw_doc_ids(spark, root, INDEX_POSTINGS, POSTINGS_SCHEMA) & {2, 5}
+    )

@@ -290,3 +290,54 @@ def test_after_delete_query_fixture_and_serving(spark, sf_small):
     stamp = os.path.getmtime(os.path.join(root, "_COMPLETE"))
     q_knn_after_delete(spark, sf_small)
     assert os.path.getmtime(os.path.join(root, "_COMPLETE")) == stamp
+
+
+def test_negative_ivf_delete_batch_id_refuses(spark, sf_small, tmp_path):
+    root = str(tmp_path / "ivf")
+    _grow(spark, sf_small, root)
+    import pytest
+
+    with pytest.raises(ValueError, match=">= 0"):
+        delete_ivf_vectors(
+            spark,
+            root,
+            read_ivf_lists(spark, root).select("vec_id").limit(1),
+            -1,
+        )
+
+
+def test_spent_compacted_vec_tombstones_resweep(spark, sf_small, tmp_path):
+    """The vector twin of the re-sweep rule: tombstones folded into the
+    compacted partition while their vectors were still stored must be
+    swept by a later compaction whose lists fold purges the vectors —
+    without requiring any new delete batch."""
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        _compact_ivf_tombstones,
+    )
+
+    root = str(tmp_path / "ivf")
+    _grow(spark, sf_small, root)
+    ids = read_ivf_lists(spark, root).where(
+        F.col("vec_id").isin(5, 8)
+    ).select("vec_id")
+    delete_ivf_vectors(spark, root, ids, 3)
+    before = sorted(
+        map(str, read_ivf_lists(spark, root).select(*L_COLS).collect())
+    )
+    _compact_ivf_tombstones(spark, root, keep_last=0)
+    assert (
+        _stored_vec_ids(spark, root, IVF_TOMBSTONES, IVF_TOMBSTONES_SCHEMA)
+        == {5, 8}
+    )
+    assert _compact_ivf_tombstones(spark, root, keep_last=0) == 0
+    compact_ivf_lists(spark, root, keep_last=0)
+    assert (
+        sorted(
+            map(str, read_ivf_lists(spark, root).select(*L_COLS).collect())
+        )
+        == before
+    )
+    assert (
+        _stored_vec_ids(spark, root, IVF_TOMBSTONES, IVF_TOMBSTONES_SCHEMA)
+        == set()
+    )
