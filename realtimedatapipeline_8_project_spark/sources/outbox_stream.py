@@ -211,6 +211,18 @@ def make_outbox_source():
                     if remaining <= 0:
                         break  # incomplete trailing line: next poll
                     chunk = fh.read(min(_CHUNK, remaining))
+                    if not chunk:
+                        # the size check passed at entry, yet EOF
+                        # arrived early: the file shrank DURING the
+                        # drain (append-only violated mid-poll). Without
+                        # this guard the loop spins forever on empty
+                        # reads — fail loudly like the entry check does.
+                        raise ValueError(
+                            f"outbox file {fpath} shrank while being "
+                            f"drained (EOF {size - remaining} bytes "
+                            f"before the observed size {size}): "
+                            "append-only contract violated mid-poll"
+                        )
                     remaining -= len(chunk)
                     buf = buf[pos:] + chunk
                     pos = 0
@@ -253,14 +265,23 @@ def make_outbox_source():
         return 0
 
     def _read_slice(
-        fpath: str, start_byte: int, end_byte: int, sig=None
+        fpath: str,
+        start_byte: int,
+        end_byte: int,
+        sig=None,
+        committed_range: bool = True,
     ) -> list[tuple]:
-        """Rows in the committed byte range [start, end) — immutable in an
-        append-only file, hence a deterministic replay. A missing file
-        here means retention deleted a range a replay still needs: fail
+        """Rows in the byte range [start, end). For a COMMITTED range
+        (``committed_range``, the replay path) the bytes are immutable in
+        an append-only file, hence a deterministic replay; a missing file
+        there means retention deleted a range a replay still needs: fail
         loudly rather than silently dropping data; likewise a head
         fingerprint mismatch (name recreated) fails before a byte is
-        served."""
+        served. A FIRST read (the batch reader: committed_range=False)
+        carries no committed-lines argument — its garbage is garbage,
+        and gets the raw parse error, exactly as the stream reader's own
+        first read reports it (batch and stream must diagnose the same
+        file the same way)."""
         with open(fpath, "rb") as fh:
             _verify_sig(fh, os.path.basename(fpath), sig)
             fh.seek(start_byte)
@@ -272,7 +293,7 @@ def make_outbox_source():
             try:
                 out.append(_parse(line))
             except (ValueError, KeyError, TypeError) as exc:
-                if sig is None:
+                if sig is None and committed_range:
                     # a committed range is a span of whole lines of the
                     # file it was taken from — a parse failure inside it
                     # with no identity to verify means the name was
@@ -362,7 +383,11 @@ def make_outbox_source():
                 # the newline-terminated prefix, so a line caught
                 # mid-append is invisible rather than a JSONDecodeError
                 # (and batch == stream on identical files)
-                rows.extend(_read_slice(fpath, 0, _complete_size(fpath)))
+                rows.extend(
+                    _read_slice(
+                        fpath, 0, _complete_size(fpath), committed_range=False
+                    )
+                )
             rows.sort(key=lambda t: t[0])
             return iter(rows)
 

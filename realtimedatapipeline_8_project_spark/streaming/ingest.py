@@ -127,6 +127,17 @@ def dedup_ingest_batch(
         & F.col("text").isNotNull()
         & (F.col("text") != "")
     )
+    # at-least-once upstreams can redeliver a doc_id WITHIN one batch;
+    # intra_batch_dedup pairs only strictly-ordered id pairs (equal ids
+    # never pair), so duplicates would fan out quadratically through
+    # the survivor joins and land N times in the kept corpus, bands and
+    # index (breaking the each-doc_id-admitted-once invariant the
+    # merged-postings df and delete stats ride on). Collapse to ONE row
+    # per id — min_by text hash, so a REPLAY recomputes the same pick
+    # (dropDuplicates is first-wins, nondeterministic under replay).
+    delta = delta.groupBy("doc_id").agg(
+        F.min_by("text", F.xxhash64("text")).alias("text")
+    )
     if delta.isEmpty():
         return
     kept_path = os.path.join(corpus_dir, KEPT)
@@ -145,7 +156,10 @@ def dedup_ingest_batch(
         raise RuntimeError(
             "inconsistent dedup corpus state: prior batches exist in "
             f"exactly one of {kept_path!r} / {bands_path!r} — refusing "
-            "to ingest (kept and bands must grow in lockstep)"
+            "to ingest (kept and bands must grow in lockstep). If a "
+            "TOTAL forget crashed between its two purges, restart the "
+            "forget stream (its checkpoint replays the batch and "
+            "finishes the second purge) before resuming ingestion"
         )
     # the compute-bound shingle + sha256 MinHash pass runs ONCE per
     # micro-batch: the within-batch collapse, the base comparison, and
@@ -154,7 +168,30 @@ def dedup_ingest_batch(
     delta_sh = delta.select(
         "doc_id", shingles("text").alias("s")
     ).localCheckpoint()
-    delta_bands = _pmh_bands_of(_pmh_sig_of(delta_sh)).localCheckpoint()
+    delta_bands = _pmh_bands_of(_pmh_sig_of(delta_sh))
+    # sub-shingle-width docs (< n tokens) have EMPTY shingle sets, which
+    # all hash to one constant signature — left alone, every short doc
+    # would co-band with every short doc ever kept, growing candidate
+    # pairs O(|short docs|) per batch while the verify leg (NULL
+    # jaccard) never dedups any of them. Rebucket them by exact text
+    # hash: identical outcomes (they were never deduped and still are
+    # not), collisions bounded to text-identical short docs.
+    short_ids = delta_sh.where(F.size("s") == 0).select("doc_id")
+    short_buckets = (
+        delta.join(F.broadcast(short_ids), "doc_id")
+        .select(
+            "doc_id",
+            F.lit(-1).alias("band"),
+            F.concat(
+                F.lit("t:"), F.xxhash64("text").cast("string")
+            ).alias("bucket"),
+        )
+    )
+    delta_bands = (
+        delta_bands.join(F.broadcast(short_ids), "doc_id", "left_anti")
+        .unionByName(short_buckets)
+        .localCheckpoint()
+    )
     # within-batch near-dup collapse first: survivors carry the batch's
     # lowest doc_id per cluster into the base comparison
     intra = intra_batch_dedup(delta, delta_sh=delta_sh, delta_bands=delta_bands)
@@ -186,11 +223,15 @@ def dedup_ingest_batch(
     # this batch's stored bands = the already-computed band table
     # filtered to the ids actually committed (pruned re-read of the new
     # partition — the source of truth for what landed); no re-shingling
-    kept_ids = (
-        spark.read.parquet(kept_path)
+    committed = (
+        spark.read.schema(KEPT_SCHEMA + ", batch_id int")
+        .parquet(kept_path)
         .where(F.col("batch_id") == batch_id)
-        .select("doc_id")
+        .select("doc_id", "text")
+        .localCheckpoint()  # two consumers (bands filter + postings):
+        # one pruned scan of the new partition, not two
     )
+    kept_ids = committed.select("doc_id")
     (
         delta_bands.join(kept_ids, "doc_id")
         .withColumn("batch_id", F.lit(batch_id))
@@ -214,13 +255,8 @@ def dedup_ingest_batch(
         # partitions, so writing (or re-compacting) over it would
         # double-count the absorbed postings
         recover_index_compaction(spark, os.path.join(corpus_dir, INDEX))
-        kept_committed = (
-            spark.read.parquet(kept_path)
-            .where(F.col("batch_id") == batch_id)
-            .select("doc_id", "text")
-        )
         write_index_batch(
-            batch_postings(kept_committed),
+            batch_postings(committed),
             batch_id,
             os.path.join(corpus_dir, INDEX),
         )

@@ -68,16 +68,32 @@ def read_latest(spark: SparkSession, output_dir: str) -> DataFrame:
     the sole copy of keys whose history batches were retention-expired,
     so treating a corrupt/unreadable snapshot as absent would silently
     drop those keys from serving (the ingest.py failure discipline)."""
-    hist = spark.read.parquet(os.path.join(output_dir, "history"))
+    hist_path = os.path.join(output_dir, "history")
     compacted_path = os.path.join(output_dir, "latest")
+    # retention (expire_batches) or a purge may legitimately remove
+    # EVERY history partition while the compacted snapshot still holds
+    # the keys — the file-less history dir has no schema to infer, so
+    # serving must fall through to the snapshot instead of raising
+    hist = None
+    if os.path.isdir(hist_path) and any(
+        d.startswith("batch_id=") for d in os.listdir(hist_path)
+    ):
+        hist = spark.read.parquet(hist_path)
     try:
         compacted = spark.read.parquet(compacted_path).withColumn(
             "batch_id", F.lit(-1)
         )
-        hist = hist.unionByName(compacted)
+        hist = (
+            hist.unionByName(compacted) if hist is not None else compacted
+        )
     except Exception as exc:
         if "PATH_NOT_FOUND" not in str(exc):
             raise
+    if hist is None:
+        raise ValueError(
+            f"nothing to serve under {output_dir}: history holds no "
+            "batch partitions and no compacted snapshot exists"
+        )
     return _latest_wins(hist)
 
 
@@ -90,7 +106,17 @@ def read_history_asof(
     parquet scan as partition filters — no tombstones, no log replay):
     reproducible training snapshots and debugging reads come free from
     the idempotent layout."""
-    return spark.read.parquet(os.path.join(output_dir, "history")).where(
+    hist_path = os.path.join(output_dir, "history")
+    if not os.path.isdir(hist_path) or not any(
+        d.startswith("batch_id=") for d in os.listdir(hist_path)
+    ):
+        raise ValueError(
+            f"time-travel read as of batch {batch_id} is unanswerable: "
+            f"{hist_path} holds no batch partitions (retention or purge "
+            "removed them) — the compacted snapshot cannot reconstruct "
+            "an as-of view"
+        )
+    return spark.read.parquet(hist_path).where(
         F.col("batch_id") <= batch_id
     )
 
@@ -124,8 +150,13 @@ def _swap_latest(df: DataFrame, spark: SparkSession, output_dir: str) -> None:
     except Exception:
         shutil.rmtree(tmp_path, ignore_errors=True)  # incomplete staging
         raise
-    spark.read.parquet(tmp_path).write.mode("overwrite").parquet(latest_path)
-    shutil.rmtree(tmp_path, ignore_errors=True)
+    # install = remove + rename (same-fs move): the staged dir IS the
+    # snapshot, so re-writing it through a second full Spark job only
+    # doubled the write I/O and stretched the non-atomic window from a
+    # rename to an entire job — recover_latest performs this exact
+    # install, which is the proof it suffices
+    shutil.rmtree(latest_path, ignore_errors=True)
+    shutil.move(tmp_path, latest_path)
 
 
 def recover_latest(spark: SparkSession, output_dir: str) -> bool:
@@ -159,9 +190,12 @@ def write_latest(batch_df: DataFrame, batch_id: int, output_dir: str) -> None:
     spark = batch_df.sparkSession
     try:
         existing = spark.read.parquet(os.path.join(output_dir, "latest"))
-        merged = existing.unionByName(
-            batch_df.select(*existing.columns), allowMissingColumns=True
-        )
+        # no select(*existing.columns): that both DEFEATED
+        # allowMissingColumns (a batch missing a snapshot column raised
+        # at the select) and silently dropped any NEW batch column from
+        # the snapshot forever — unionByName aligns by name and fills
+        # either side's missing columns with NULL
+        merged = existing.unionByName(batch_df, allowMissingColumns=True)
     except Exception as exc:
         # only "not created yet" may seed from the batch alone — an
         # unreadable existing snapshot would otherwise be OVERWRITTEN
@@ -235,15 +269,49 @@ def read_rollup(spark: SparkSession, output_dir: str) -> DataFrame:
 def compact_rollup(spark: SparkSession, output_dir: str) -> None:
     """Collapse all partials into one merged partition (batch_id=-1).
     Amortized O(distinct keys); call only when every folded batch is
-    checkpoint-committed (see module note)."""
+    checkpoint-committed (see module note).
+
+    Staged install (the _swap_latest discipline): the old spelling
+    re-wrote the WHOLE rollup dir through a second Spark overwrite —
+    a crash inside it destroyed every partial with the only complete
+    copy stranded in a staging dir nothing consulted (and the staging
+    dir leaked even on success). Now: stage to _rollup_tmp, then
+    remove + rename; :func:`recover_rollup` finishes a crashed
+    install from a COMPLETE staging (_SUCCESS present), and an
+    incomplete staging is discarded with the live dir untouched."""
+    import shutil
+
     rollup_path = os.path.join(output_dir, "rollup")
     tmp_path = os.path.join(output_dir, "_rollup_tmp")
-    read_rollup(spark, output_dir).withColumn(
-        "batch_id", F.lit(-1)
-    ).write.mode("overwrite").partitionBy("batch_id").parquet(tmp_path)
-    spark.read.parquet(tmp_path).withColumn(
-        "batch_id", F.lit(-1)
-    ).write.mode("overwrite").partitionBy("batch_id").parquet(rollup_path)
+    try:
+        read_rollup(spark, output_dir).withColumn(
+            "batch_id", F.lit(-1)
+        ).write.mode("overwrite").partitionBy("batch_id").parquet(tmp_path)
+    except Exception:
+        shutil.rmtree(tmp_path, ignore_errors=True)  # incomplete staging
+        raise
+    shutil.rmtree(rollup_path, ignore_errors=True)
+    shutil.move(tmp_path, rollup_path)
+
+
+def recover_rollup(spark: SparkSession, output_dir: str) -> bool:
+    """Finish a :func:`compact_rollup` install that crashed between the
+    remove and the rename (COMPLETE staging present — Spark's _SUCCESS);
+    discard an incomplete staging. Returns True if a recovery landed.
+    Call before serving from a rollup dir that may have crashed
+    mid-compaction (the recover_latest twin)."""
+    import shutil
+
+    tmp_path = os.path.join(output_dir, "_rollup_tmp")
+    if not os.path.isdir(tmp_path):
+        return False
+    if not os.path.exists(os.path.join(tmp_path, "_SUCCESS")):
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        return False
+    rollup_path = os.path.join(output_dir, "rollup")
+    shutil.rmtree(rollup_path, ignore_errors=True)
+    shutil.move(tmp_path, rollup_path)
+    return True
 
 
 # --- incremental count-min sketch (mergeable-sketch sink) ------------------
