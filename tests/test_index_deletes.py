@@ -457,3 +457,57 @@ def test_spent_compacted_tombstones_resweep_without_new_deletes(
     assert not (
         _raw_doc_ids(spark, root, INDEX_POSTINGS, POSTINGS_SCHEMA) & {2, 5}
     )
+
+
+def test_dead_docs_rows_resweep_and_full_purged_redelete_is_noop(
+    spark, sf_small, tmp_path
+):
+    """The docs-dir twin of the tombstone re-sweep: once a doc's
+    postings AND tombstone are both physically gone, its lingering
+    (doc_id, dl) row is not clutter — a later delete of the same id
+    would find it, pass the already-tombstoned check (the tombstone is
+    gone), and write a SECOND permanent negative stats row. The
+    re-sweep removes the dead row at the next compaction even when no
+    batch partitions fold, after which a re-delete of the fully-purged
+    id is a no-op by construction (nothing left to resolve against)."""
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        compact_index_tombstones,
+    )
+
+    docs = _docs(spark, sf_small, n=90)
+    root = str(tmp_path / "idx")
+    _build(spark, docs, root)
+    # ghost delete batch 0, victim (doc 4, home batch 1) in batch 1 —
+    # the KEPT tombstone batch, so the first fold keeps d suppressed
+    ghost = spark.range(1).select((F.col("id") + 10_000_000).alias("doc_id"))
+    delete_index_docs(spark, root, ghost, 0)
+    delete_index_docs(
+        spark, root, docs.where(F.col("doc_id") == 4).select("doc_id"), 1
+    )
+    before = _snap(spark, root)
+    compact_index(spark, root, keep_last=1)
+    assert _snap(spark, root) == before
+    # postings purged while the tombstone (kept batch) stayed live, so
+    # the docs row correctly survived (a tombstone replay resolves dl
+    # against it)
+    assert 4 not in _raw_doc_ids(spark, root, INDEX_POSTINGS, POSTINGS_SCHEMA)
+    assert 4 in _raw_doc_ids(spark, root, INDEX_DOCS, DOCS_SCHEMA)
+    # standalone tombstone fold purges the now-spent tombstone WITHOUT
+    # any docs fold running — the docs row is now dead and lingering
+    compact_index_tombstones(spark, root, keep_last=0)
+    assert (
+        _raw_doc_ids(spark, root, INDEX_TOMBSTONES, TOMBSTONES_SCHEMA)
+        == set()
+    )
+    assert 4 in _raw_doc_ids(spark, root, INDEX_DOCS, DOCS_SCHEMA)
+    # the next compaction has NOTHING to fold on the postings side —
+    # the docs RE-SWEEP must still remove the dead row
+    compact_index(spark, root, keep_last=1)
+    assert _snap(spark, root) == before
+    assert 4 not in _raw_doc_ids(spark, root, INDEX_DOCS, DOCS_SCHEMA)
+    # fully purged: a re-delete resolves against nothing and subtracts
+    # nothing — the no-op the double-delete guarantee promises
+    delete_index_docs(
+        spark, root, docs.where(F.col("doc_id") == 4).select("doc_id"), 9
+    )
+    assert _snap(spark, root) == before
