@@ -211,6 +211,11 @@ def minhash_neardup(docs: DataFrame) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     sig = sh.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
+    # same guard as _pmh_bands_of: sub-shingle-width docs carry all-NULL
+    # signatures that co-band into one bucket — quadratic candidates the
+    # verify leg never confirms; exclude them from banding (outcomes
+    # identical, the blow-up gone)
+    sig = sig.where(F.element_at("sig", 1).isNotNull())
     rows_per_band = N_MINHASH // N_BANDS
     # bands carry only (doc_id, band, bucket) — the shingle arrays are
     # re-joined AFTER candidate generation so the band self-join shuffles
@@ -538,7 +543,7 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ),
     )
-    # one pass over tokens: accumulate the 28 per-bit balances as an array
+    # one pass over tokens: accumulate the SIMH_BITS per-bit balances
     zeros = F.array_repeat(F.lit(0).cast("long"), SIMH_BITS)
     bit_contrib = lambda h: F.array(  # noqa: E731
         *[
@@ -645,7 +650,6 @@ WHERE bit_count(xor(sh_a, sh_b)) <= {SIMH_HAMMING}
 # dedup: survivors come from collapsing pairs into CLUSTERS and keeping
 # one member per cluster. Components via iterative min-label propagation
 # plus pointer jumping (comp := comp[comp]) — each round halves path
-# lengths, so diameter-D clusters converge in O(log D) rounds with NO
 # lengths, so diameter-D clusters converge in O(log D) rounds. Rounds run
 # until a fixpoint: the per-round convergence check is one count() on the
 # label table (edge-list sized, tiny vs the corpus) — the same pattern
@@ -850,15 +854,20 @@ def _inc_delta(docs: DataFrame) -> DataFrame:
 def _pmh_sig_of(sh: DataFrame) -> DataFrame:
     """(doc_id, s) -> (doc_id, sig): the portable sha256-derived MinHash
     signature (same arithmetic as q_minhash_portable)."""
+    # hash ONCE per shingle (Spark does no subexpression elimination
+    # inside higher-order-function lambdas, so the one-lambda spelling
+    # ran sha256 twice per shingle — 2x the compute-bound step); the
+    # nested transform mirrors the oracle's hash-once hx CTE and is
+    # bit-identical
     hashed = sh.select(
         "doc_id",
         F.transform(
-            "s",
-            lambda g: F.struct(
-                F.conv(F.substring(F.sha2(g, 256), 1, 7), 16, 10)
+            F.transform("s", lambda g: F.sha2(g, 256)),
+            lambda hx: F.struct(
+                F.conv(F.substring(hx, 1, 7), 16, 10)
                 .cast("long")
                 .alias("h1"),
-                F.conv(F.substring(F.sha2(g, 256), 8, 7), 16, 10)
+                F.conv(F.substring(hx, 8, 7), 16, 10)
                 .cast("long")
                 .alias("h2"),
             ),
@@ -879,6 +888,14 @@ def _pmh_sig_of(sh: DataFrame) -> DataFrame:
 
 def _pmh_bands_of(sig: DataFrame) -> DataFrame:
     rows_per_band = PMH_K // PMH_BANDS
+    # an EMPTY shingle set (sub-shingle-width doc) yields an all-NULL
+    # signature, so every such doc would share ONE bucket in every band
+    # — the candidate self-join goes quadratic in the number of short
+    # docs while the exact-jaccard verify (NULL) never confirms any of
+    # those pairs. Emit no bands for them: dedup outcomes are identical
+    # (they were never dedupable), the O(m^2) shuffle is gone. The
+    # ingest loop separately rebuckets them by exact text hash.
+    sig = sig.where(F.element_at("sig", 1).isNotNull())
     return sig.select(
         "doc_id",
         F.explode(

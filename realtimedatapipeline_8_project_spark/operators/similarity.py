@@ -979,6 +979,13 @@ def write_ivf_batch(
     from .text_analysis import _check_version_marker, _read_horizon
 
     _check_version_marker(index_dir, IVF_LISTS, IVF_FORMAT_VERSION, create=True)
+    # finish any crash-pending retrain/compaction install BEFORE
+    # writing: a fully-staged retrain installed LATER would wholesale-
+    # replace lists/ and stats/, silently destroying every batch that
+    # landed in between (recovery-then-write keeps the order straight:
+    # the staged generation installs first, this batch appends to it)
+    recover_ivf_retrain(assigned.sparkSession, index_dir)
+    recover_ivf_compaction(assigned.sparkSession, index_dir)
     lpath = os.path.join(index_dir, IVF_LISTS)
     horizon = _read_horizon(lpath)
     if horizon is not None and batch_id <= horizon:
@@ -1054,6 +1061,12 @@ def delete_ivf_vectors(
     _check_version_marker(
         index_dir, IVF_LISTS, IVF_FORMAT_VERSION, create=False
     )
+    # same recovery-at-entry as write_ivf_batch: a stale staged retrain
+    # installed AFTER this delete would rmtree the tombstone set while
+    # its staged lists (re-assigned before the delete existed) still
+    # hold the victim — resurrecting a completed GDPR delete
+    recover_ivf_retrain(spark, index_dir)
+    recover_ivf_compaction(spark, index_dir)
     if batch_id < 0:
         raise ValueError(
             f"delete batch_id must be >= 0 (got {batch_id}): -1 is the "
@@ -1468,8 +1481,11 @@ def build_ivf_grown(spark: SparkSession, sf_dir: str) -> str:
         try:
             # completeness marker first: readability alone would accept
             # a build interrupted mid-batch (the probe query would then
-            # silently search a fraction of the corpus)
-            assert os.path.exists(done)
+            # silently search a fraction of the corpus). A raise, not an
+            # assert: python -O strips asserts, which would silently
+            # accept the partial build this marker exists to reject.
+            if not os.path.exists(done):
+                raise ValueError("incomplete build: no _COMPLETE marker")
             read_ivf_lists(spark, root).limit(1).count()
             spark.read.parquet(os.path.join(root, IVF_CODEBOOK)).limit(
                 1
@@ -1565,7 +1581,8 @@ def build_ivf_grown_with_deletes(spark: SparkSession, sf_dir: str) -> str:
     done = os.path.join(root, "_COMPLETE")
     if os.path.isdir(root):
         try:
-            assert os.path.exists(done)
+            if not os.path.exists(done):  # not assert: -O strips those
+                raise ValueError("incomplete build: no _COMPLETE marker")
             read_ivf_lists(spark, root).limit(1).count()
             spark.read.parquet(os.path.join(root, IVF_CODEBOOK)).limit(
                 1

@@ -2305,8 +2305,10 @@ def build_incremental_index(spark: SparkSession, sf_dir: str) -> str:
         try:
             # completeness marker first: readability alone would accept
             # a build interrupted between batches (served results would
-            # silently cover a fraction of the corpus)
-            assert os.path.exists(done)
+            # silently cover a fraction of the corpus). A raise, not an
+            # assert: python -O strips asserts.
+            if not os.path.exists(done):
+                raise ValueError("incomplete build: no _COMPLETE marker")
             # schema given explicitly: a legitimately empty index (all
             # batches zero-row) has no files to infer from
             spark.read.schema(POSTINGS_SCHEMA + ", batch_id int").parquet(
@@ -2371,7 +2373,8 @@ def build_incremental_index_with_deletes(
     done = os.path.join(root, "_COMPLETE")
     if os.path.isdir(root):
         try:
-            assert os.path.exists(done)
+            if not os.path.exists(done):  # not assert: -O strips those
+                raise ValueError("incomplete build: no _COMPLETE marker")
             spark.read.schema(POSTINGS_SCHEMA + ", batch_id int").parquet(
                 os.path.join(root, INDEX_POSTINGS)
             ).limit(1).count()

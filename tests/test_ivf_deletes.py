@@ -341,3 +341,55 @@ def test_spent_compacted_vec_tombstones_resweep(spark, sf_small, tmp_path):
         _stored_vec_ids(spark, root, IVF_TOMBSTONES, IVF_TOMBSTONES_SCHEMA)
         == set()
     )
+
+
+def test_stale_retrain_staging_installs_before_new_writes_and_deletes(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """A retrain that crashed after staging (_STAGED on disk) must be
+    INSTALLED before any later write or delete mutates the tree: a
+    delete issued against the old generation would otherwise be wiped
+    when the stale staging finally installs (its lists were re-assigned
+    before the delete existed and the install clears the tombstone set)
+    — resurrecting a completed GDPR delete. Writer-entry recovery
+    closes the window."""
+    import pytest as _pytest
+
+    root = str(tmp_path / "ivf")
+    _grow(spark, sf_small, root)
+
+    def boom(index_dir):
+        raise RuntimeError("simulated crash before the retrain install")
+
+    monkeypatch.setattr(SIM, "_install_retrain", boom)
+    with _pytest.raises(RuntimeError, match="simulated"):
+        SIM.retrain_ivf(spark, root, force=True)
+    monkeypatch.undo()
+    tmp = os.path.join(root, "_retrain_tmp")
+    assert os.path.isdir(tmp)  # fully staged, never installed
+
+    # materialized ids: real delete requests come from their own source,
+    # never as a lazy plan over the files the recovery will replace
+    vict_ids = {
+        r.vec_id
+        for r in read_ivf_lists(spark, root)
+        .where(F.col("vec_id").isin(5, 8))
+        .select("vec_id")
+        .collect()
+    }
+    victims = spark.createDataFrame(
+        [(i,) for i in sorted(vict_ids)], "vec_id long"
+    )
+    delete_ivf_vectors(spark, root, victims, 0)
+    # the delete recovered (installed) the staged retrain FIRST...
+    assert not os.path.isdir(tmp)
+    served = {
+        r.vec_id for r in read_ivf_lists(spark, root).select("vec_id").collect()
+    }
+    assert not (served & vict_ids)
+    # ...so no later recovery can replay the stale generation over it
+    assert SIM.recover_ivf_retrain(spark, root) is False
+    served2 = {
+        r.vec_id for r in read_ivf_lists(spark, root).select("vec_id").collect()
+    }
+    assert not (served2 & vict_ids)
