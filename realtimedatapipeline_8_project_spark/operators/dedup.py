@@ -210,12 +210,16 @@ def minhash_neardup(docs: DataFrame) -> DataFrame:
     sh = docs.select("doc_id", shingle_hashes("text").alias("sh")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sig = sh.select("doc_id", minhash_signature(F.col("sh")).alias("sig"))
-    # same guard as _pmh_bands_of: sub-shingle-width docs carry all-NULL
+    # same guard as _pmh_sig_of: sub-shingle-width docs carry all-NULL
     # signatures that co-band into one bucket — quadratic candidates the
-    # verify leg never confirms; exclude them from banding (outcomes
-    # identical, the blow-up gone)
-    sig = sig.where(F.element_at("sig", 1).isNotNull())
+    # verify leg never confirms. Filter empty shingle sets on the INPUT
+    # (the only source of NULL signatures) so the K-element signature
+    # expression is evaluated once; a downstream element_at(sig,1) filter
+    # made the Filter node re-evaluate the whole signature (no CSE across
+    # the Filter/Project boundary — the r9 2x regression).
+    sig = sh.where(F.size("sh") > 0).select(
+        "doc_id", minhash_signature(F.col("sh")).alias("sig")
+    )
     rows_per_band = N_MINHASH // N_BANDS
     # bands carry only (doc_id, band, bucket) — the shingle arrays are
     # re-joined AFTER candidate generation so the band self-join shuffles
@@ -853,21 +857,32 @@ def _inc_delta(docs: DataFrame) -> DataFrame:
 
 def _pmh_sig_of(sh: DataFrame) -> DataFrame:
     """(doc_id, s) -> (doc_id, sig): the portable sha256-derived MinHash
-    signature (same arithmetic as q_minhash_portable)."""
-    # hash ONCE per shingle (Spark does no subexpression elimination
-    # inside higher-order-function lambdas, so the one-lambda spelling
-    # ran sha256 twice per shingle — 2x the compute-bound step); the
-    # nested transform mirrors the oracle's hash-once hx CTE and is
-    # bit-identical
-    hashed = sh.select(
+    signature (same arithmetic as q_minhash_portable).
+
+    Sub-shingle-width docs (empty ``s``) are dropped HERE, on the input:
+    an empty shingle array is the only way the signature comes out
+    all-NULL, and filtering the cheap ``size(s) > 0`` predicate before
+    hashing means the K-element signature expression is evaluated once.
+    (The previous spelling filtered ``element_at(sig, 1) IS NOT NULL``
+    downstream in _pmh_bands_of; Spark does no common-subexpression
+    elimination across the Filter/Project boundary, so the Filter and
+    the banding Project EACH evaluated the full signature — the 2x
+    regression the r9 bench flagged.)"""
+    # Spelling A/B'd at sf0.1 (r10): the one-lambda form below evaluates
+    # sha2 twice per shingle but runs FASTER (0.57 s) than the nested
+    # hash-once double-transform (0.65 s) — nesting a second transform
+    # adds an interpreted higher-order-function layer whose per-element
+    # overhead exceeds the duplicated (codegen'd) sha256. Bit-identical
+    # to the oracle's hash-once hx CTE either way.
+    hashed = sh.where(F.size("s") > 0).select(
         "doc_id",
         F.transform(
-            F.transform("s", lambda g: F.sha2(g, 256)),
-            lambda hx: F.struct(
-                F.conv(F.substring(hx, 1, 7), 16, 10)
+            "s",
+            lambda g: F.struct(
+                F.conv(F.substring(F.sha2(g, 256), 1, 7), 16, 10)
                 .cast("long")
                 .alias("h1"),
-                F.conv(F.substring(hx, 8, 7), 16, 10)
+                F.conv(F.substring(F.sha2(g, 256), 8, 7), 16, 10)
                 .cast("long")
                 .alias("h2"),
             ),
@@ -888,14 +903,13 @@ def _pmh_sig_of(sh: DataFrame) -> DataFrame:
 
 def _pmh_bands_of(sig: DataFrame) -> DataFrame:
     rows_per_band = PMH_K // PMH_BANDS
-    # an EMPTY shingle set (sub-shingle-width doc) yields an all-NULL
-    # signature, so every such doc would share ONE bucket in every band
-    # — the candidate self-join goes quadratic in the number of short
-    # docs while the exact-jaccard verify (NULL) never confirms any of
-    # those pairs. Emit no bands for them: dedup outcomes are identical
-    # (they were never dedupable), the O(m^2) shuffle is gone. The
-    # ingest loop separately rebuckets them by exact text hash.
-    sig = sig.where(F.element_at("sig", 1).isNotNull())
+    # Sub-shingle-width docs never reach here: _pmh_sig_of drops empty
+    # shingle sets on the input (the only source of all-NULL signatures,
+    # which would co-band every short doc into ONE bucket per band — a
+    # quadratic candidate blow-up the exact-jaccard verify never
+    # confirms). Dedup outcomes are identical (those docs were never
+    # dedupable); the ingest loop separately rebuckets them by exact
+    # text hash.
     return sig.select(
         "doc_id",
         F.explode(
