@@ -39,8 +39,9 @@ HEADLINE = [
     # most sensitive to cross-query JIT/code-cache churn, and their
     # numbers should reflect the query, not 30 predecessors' compilation
     # debt (the shapes are independent of position; measured ~25% drift
-    # when run last)
-    "graph_pagerank",
+    # when run last). graph_pagerank (the plain spelling) retired from
+    # the registry in r10 — graph_pagerank_bucketed is the same oracle
+    # on the recommended exchange-free plan.
     "graph_pagerank_bucketed",
     "dedup_cluster_components",
     "agg_pricing_summary",
@@ -101,9 +102,7 @@ HEADLINE = [
     "text_encode_ids",
     # round-7 additions
     "text_search_from_index",
-    "sql_waiting_suppliers",
     "agg_waiting_suppliers_1scan",
-    "sql_excess_shipments",
     "sql_dormant_customers",
     "text_bm25_after_delete",
     "text_bm25_from_index",
@@ -121,6 +120,10 @@ HEADLINE = [
     "text_phrase_from_index",
     "text_phrase_incremental",
     "sim_knn_ivf_grown",
+    # round-10 additions
+    "sim_knn_after_delete",
+    "text_search_suffix_from_index",
+    "text_search_fuzzy_from_index",
 ]
 
 
@@ -157,7 +160,6 @@ def main() -> None:
         {}
         if warmup == 0
         else {
-            "graph_pagerank": 3,
             "graph_pagerank_bucketed": 3,
             "dedup_cluster_components": 3,
         }

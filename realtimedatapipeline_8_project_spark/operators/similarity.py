@@ -1086,23 +1086,35 @@ def delete_ivf_vectors(
     )
 
 
-def read_ivf_lists(spark: SparkSession, index_dir: str) -> DataFrame:
+def read_ivf_lists(
+    spark: SparkSession, index_dir: str, max_batch: int | None = None
+) -> DataFrame:
     """Merge-on-read view of the grown inverted lists (explicit schema:
     a legitimately empty index has no files to infer from), minus the
     tombstoned vectors (the anti side is tiny next to the lists — AQE
-    broadcasts it; a delete-free index skips the node entirely)."""
+    broadcasts it; a delete-free index skips the node entirely).
+
+    ``max_batch``: when set, exclude batch partitions ABOVE it (the
+    compacted partition always reads — it only ever holds committed
+    batches). Used by a bounded :func:`retrain_ivf` so an uncommitted
+    (replayable) batch's vectors are never absorbed; partition pruning
+    makes the bound free at scan time."""
     import os
 
+    from .text_analysis import COMPACTED_BATCH_ID as _CB
     from .text_analysis import _check_version_marker
 
     _check_version_marker(
         index_dir, IVF_LISTS, IVF_FORMAT_VERSION, create=False
     )
-    lists = (
-        spark.read.schema(IVF_LISTS_SCHEMA + ", batch_id int")
-        .parquet(os.path.join(index_dir, IVF_LISTS))
-        .drop("batch_id")
+    lists = spark.read.schema(IVF_LISTS_SCHEMA + ", batch_id int").parquet(
+        os.path.join(index_dir, IVF_LISTS)
     )
+    if max_batch is not None:
+        lists = lists.where(
+            (F.col("batch_id") == _CB) | (F.col("batch_id") <= max_batch)
+        )
+    lists = lists.drop("batch_id")
     tpath = os.path.join(index_dir, IVF_TOMBSTONES)
     if os.path.isdir(tpath) and any(
         d.startswith("batch_id=") for d in os.listdir(tpath)
@@ -1289,7 +1301,15 @@ def _install_retrain(index_dir: str) -> None:
     # are spent. Removing them is idempotent and crash-independent: a
     # tombstone left behind (crash here) only no-ops against lists that
     # no longer hold its vector, and the next compaction sweeps it.
-    shutil.rmtree(os.path.join(index_dir, IVF_TOMBSTONES), ignore_errors=True)
+    # EXCEPTION (manifest keep_tombstones): a max_batch-bounded retrain
+    # left an uncommitted batch OUT of the staged lists; its replay
+    # re-appends those vectors, and a tombstone masking one of them
+    # must survive to keep the delete served — kept tombstones are
+    # harmless no-ops elsewhere, swept by the next compaction.
+    if not m.get("keep_tombstones", False):
+        shutil.rmtree(
+            os.path.join(index_dir, IVF_TOMBSTONES), ignore_errors=True
+        )
     shutil.rmtree(tmp)
 
 
@@ -1314,13 +1334,30 @@ def recover_ivf_retrain(spark: SparkSession, index_dir: str) -> bool:
 
 
 def retrain_ivf(
-    spark: SparkSession, index_dir: str, force: bool = False
+    spark: SparkSession,
+    index_dir: str,
+    force: bool = False,
+    max_batch: int | None = None,
 ) -> bool:
     """ACT on the drift signal (closing the loop :func:`ivf_drift`
     opens): when the NEWEST stats batch flags ``needs_retrain`` (or
     ``force``), rebuild the index under a FRESH codebook trained on
     the CURRENT vector population and install it atomically. Returns
     True iff a retrain ran.
+
+    ``max_batch`` bounds the retrain to batches it may safely absorb:
+    the drift DECISION reads only stats with batch_id <= max_batch, the
+    re-assignment population and the recorded horizon exclude any live
+    partition above it, and tombstones survive the install whenever a
+    partition was excluded (its replay re-appends vectors a tombstone
+    may mask). The streaming ingest loop passes ``batch_id - 1`` — the
+    exact committed frontier — because a retrain that absorbed the
+    in-flight batch's own half-landed write would set horizon to that
+    batch_id and wedge its replay forever (write_ivf_batch refuses at
+    or below the horizon). An excluded half-landed partition IS dropped
+    by the install (its offsets never committed, so Structured
+    Streaming replays it into the new generation immediately — the
+    same body that ran this check re-writes it next statement).
 
     Scale shape: the lists store the full quantized vectors, so
     retrain never re-reads the corpus — one pass over the lists to
@@ -1358,12 +1395,14 @@ def retrain_ivf(
     if not force:
         if not os.path.isdir(os.path.join(index_dir, IVF_STATS)):
             return False  # cold index: nothing has signalled yet
-        newest = (
-            ivf_drift(spark, index_dir)
-            .orderBy(F.desc("batch_id"))
-            .limit(1)
-            .collect()
-        )
+        drift = ivf_drift(spark, index_dir)
+        if max_batch is not None:
+            # a stats row above the bound may belong to the batch being
+            # replayed RIGHT NOW (written, offsets uncommitted) — it
+            # must not trigger a retrain that would absorb its own
+            # half-landed lists partition
+            drift = drift.where(F.col("batch_id") <= max_batch)
+        newest = drift.orderBy(F.desc("batch_id")).limit(1).collect()
         if not newest or not newest[0].needs_retrain:
             return False
     lpath = os.path.join(index_dir, IVF_LISTS)
@@ -1372,11 +1411,22 @@ def retrain_ivf(
         for d in os.listdir(lpath)
         if d.startswith("batch_id=")
     ]
+    absorbed = [
+        i
+        for i in ids
+        if i != _CB and (max_batch is None or i <= max_batch)
+    ]
+    excluded = [
+        i for i in ids if i != _CB and max_batch is not None and i > max_batch
+    ]
     prev = _read_horizon(lpath)
-    horizon = max(
-        [i for i in ids if i != _CB] + ([prev] if prev is not None else [])
+    candidates = absorbed + ([prev] if prev is not None else [])
+    if not candidates:
+        return False  # nothing committed to absorb: retrain is moot
+    horizon = max(candidates)
+    pop = read_ivf_lists(spark, index_dir, max_batch=max_batch).select(
+        "vec_id", "qv"
     )
-    pop = read_ivf_lists(spark, index_dir).select("vec_id", "qv")
     k = spark.read.parquet(os.path.join(index_dir, IVF_CODEBOOK)).count()
     cents = _km_update(_km_assign(pop, _seed_centroids(pop, codebook_seeds(pop, k))))
     tmp = os.path.join(index_dir, _RETRAIN_TMP)
@@ -1408,7 +1458,9 @@ def retrain_ivf(
             .parquet(os.path.join(tmp, IVF_STATS))
         )
         with open(os.path.join(tmp, _MANIFEST), "w") as fh:
-            json.dump({"horizon": horizon}, fh)
+            json.dump(
+                {"horizon": horizon, "keep_tombstones": bool(excluded)}, fh
+            )
         with open(os.path.join(tmp, _STAGED_MARKER), "w") as fh:
             fh.write("")
     except Exception:
@@ -1557,10 +1609,10 @@ def q_knn_ivf_grown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe_grown_lists(spark, build_ivf_grown(spark, sf_dir))
 
 
-# --- vector deletes, served (registry entry PLANNED for round 10:
-# sim_knn_after_delete, slot funded by retiring sql_waiting_suppliers
-# per plans/registry.py's retirement note; until then the equivalence
-# is machine-pinned in tests/test_ivf_deletes.py) ------------------------
+# --- vector deletes, served (registered r10 as sim_knn_after_delete,
+# slot funded by retiring sql_waiting_suppliers per plans/registry.py's
+# retirement policy; the equivalence is also machine-pinned in
+# tests/test_ivf_deletes.py) ---------------------------------------------
 
 IVF_DELETE_MOD = 9
 IVF_DELETE_REM = 4  # never the probe id (0 % 9 == 0)
@@ -1626,6 +1678,17 @@ def q_knn_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sim_kmeans_train": (q_kmeans_train, _oracle_kmeans_train()),
     "sim_knn_ivf_grown": (q_knn_ivf_grown, _oracle_knn_ivf_trained()),
+    # the delete-serving probe: trained-IVF oracle minus the victims —
+    # the codebook/assignments still derive from the FULL corpus (deletes
+    # never retrain), only the candidate set shrinks
+    "sim_knn_after_delete": (
+        q_knn_after_delete,
+        _oracle_knn_ivf_trained(
+            exclude=(
+                f" AND a.vec_id % {IVF_DELETE_MOD} <> {IVF_DELETE_REM}"
+            )
+        ),
+    ),
     "dedup_semantic_pairs": (
         q_semantic_dedup_pairs,
         _oracle_semantic_dedup_pairs(),

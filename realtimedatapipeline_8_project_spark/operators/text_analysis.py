@@ -1008,10 +1008,10 @@ QUERIES["text_search_prefix_from_index"] = (
 # StringStartsWith + row-group range prune, cost ∝ the suffix's slice
 # of the vocabulary. The dual DERIVES from the stored postings (one
 # postings-sized rewrite at build time — never a second corpus pass)
-# in its own fixture dir. Registry entry PLANNED for round 10
-# (text_search_suffix_from_index, slot funded by retiring
-# sql_excess_shipments per plans/registry.py's note); until then the
-# corpus-scan equivalence is machine-pinned in tests/test_plans.py.
+# in its own fixture dir. Registered (r10) as
+# text_search_suffix_from_index, slot funded by retiring
+# sql_excess_shipments per plans/registry.py's policy; the corpus-scan
+# equivalence is also machine-pinned in tests/test_plans.py.
 
 SUFFIX_QUERY = "g"
 INDEX_POSTINGS_REV = "postings_rev"
@@ -1077,7 +1077,6 @@ def q_search_suffix_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r10 registration will pair q_search_suffix_from_index with this
 # corpus-scan spelling (identical shape to ORACLE_PREFIX_SEARCH)
 ORACLE_SUFFIX_SEARCH = f"""
 WITH terms AS (
@@ -1090,6 +1089,11 @@ FROM terms
 WHERE term LIKE '%{SUFFIX_QUERY}'
 GROUP BY doc_id
 """
+
+QUERIES["text_search_suffix_from_index"] = (
+    q_search_suffix_from_index,
+    ORACLE_SUFFIX_SEARCH,
+)
 
 
 # --- fuzzy (edit-distance-1) retrieval: the deletion-neighborhood dual -----
@@ -1106,11 +1110,11 @@ GROUP BY doc_id
 # cost ∝ the query's |q|+1 variant buckets, never the vocabulary. The
 # deletion-neighborhood is a SUPERSET of distance-1 (it also catches
 # e.g. transpositions at distance 2), so candidates pass an exact
-# levenshtein verify before touching the postings. Registry entry
-# PLANNED for round 10 (text_search_fuzzy_from_index, slot funded by
-# retiring graph_pagerank — oracle shared with graph_pagerank_bucketed
-# per plans/registry.py's policy); until then the corpus-scan
-# equivalence is machine-pinned in tests/test_plans.py.
+# levenshtein verify before touching the postings. Registered (r10) as
+# text_search_fuzzy_from_index, slot funded by retiring graph_pagerank
+# (oracle shared with graph_pagerank_bucketed per plans/registry.py's
+# policy); the corpus-scan equivalence is also machine-pinned in
+# tests/test_plans.py.
 
 FUZZY_QUERY = "sart"  # not itself a vocabulary word: a true typo
 INDEX_FUZZY = "fuzzy"
@@ -1212,7 +1216,6 @@ def q_search_fuzzy_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# r10 registration will pair q_search_fuzzy_from_index with this
 # corpus-scan spelling (DuckDB's levenshtein is the exact semantics
 # the deletion-neighborhood + verify must reproduce)
 ORACLE_FUZZY_SEARCH = f"""
@@ -1226,6 +1229,11 @@ FROM terms
 WHERE levenshtein(term, '{FUZZY_QUERY}') <= 1
 GROUP BY doc_id
 """
+
+QUERIES["text_search_fuzzy_from_index"] = (
+    q_search_fuzzy_from_index,
+    ORACLE_FUZZY_SEARCH,
+)
 
 
 # --- BM25-scored top-k retrieval ------------------------------------------

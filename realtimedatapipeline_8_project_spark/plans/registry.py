@@ -66,93 +66,93 @@ _MODULES = (
 
 # The driver's per-round CORRECTNESS check covers a prefix of the registry
 # (50 entries). Order is therefore a verification budget: queries named
-# here register FIRST. Round-9 budget: the flagship, the 8 queries NEW
-# this round (TPC-H Q9 profit in both spellings, phrase retrieval from
-# the stored positional index in both spellings, the incrementally
-# grown IVF index, prefix retrieval, index deletes served through
-# BM25, and the TPC-H Q11 share-of-total shape — each of the last
-# four holding the slot of a retired entry, see _RETIRED), then 41 of
-# the 47 queries whose newest driver row is round 6 (at the staleness
-# limit) — 1 + 8 + 41 = 50, the full budget. Of the 6 r06-latest rows
-# NOT fronted, two retired this round (sim_knn_ivf_trained,
-# chunk_windows_native — their slots fund the two new non-text
-# queries, and their semantics stay pinned, see _RETIRED); one more
-# r07-latest entry retired (text_bm25_topk). The remaining 3 are exactly the rows-only
-# no-oracle trio (agg_approx_distinct, dedup_minhash_neardup,
-# dedup_simhash_neardup): their driver row is a weak rows-only check by
-# design, while their real correctness pin — the machine-checked twin
-# equivalence in tests/test_neardup_twins.py — runs in every fast-suite
-# pass; they lead the r10 rotation. No existing query's serving plan
-# changed this round (the postings artifacts gained a positions column
-# and AQE-sized batch files, but the bm25/boolean serving plans read
-# the same pruned columns; both are re-proven every round by the
-# sf0.01 parity suite). Names not listed keep module order.
+# here register FIRST. Round-10 budget: the flagship, the 3 queries NEW
+# this round (the delete-serving IVF probe, suffix retrieval via the
+# reversed-term dual, fuzzy edit-distance-1 retrieval via the
+# deletion-neighborhood dual — each holding the slot of a retired
+# r07-latest entry, see _RETIRED), then the rows-only no-oracle trio
+# (agg_approx_distinct, dedup_minhash_neardup, dedup_simhash_neardup —
+# their newest driver row is round 6, at the staleness limit; their
+# driver row is a weak rows-only check by design while the real
+# correctness pin, the machine-checked twin equivalence in
+# tests/test_neardup_twins.py, runs in every fast-suite pass), then the
+# 43 queries whose newest driver row is round 7 and that survive this
+# round's retirements — 1 + 3 + 3 + 43 = 50, the full budget. The 48
+# r08-latest rows rotate in round 11, the 50 r09-latest in round 12.
+# MinHash fix note: dedup_minhash_neardup's plan changed this round
+# (the r9 element_at(sig,1) guard moved to the input side) — it is
+# fronted here anyway as part of the trio; dedup_intra_batch,
+# dedup_minhash_portable and dedup_incremental share the fixed helpers
+# and keep their r09-green rows (the sf0.01 parity suite re-proves all
+# four every fast-suite pass). Names not listed keep module order.
 _PRIORITY = (
     # flagship stays verified every round
     "enrich_broadcast_left_join",
-    # --- new in round 9 ---
-    "sql_profit_by_nation",  # TPC-H Q9 shape, CTE spelling
-    "agg_profit_by_nation_1scan",  # Q9 single-fact-scan rewrite
-    "text_phrase_from_index",  # phrase query from positional postings
-    "text_phrase_incremental",  # same phrase from the incremental index
-    "sim_knn_ivf_grown",  # ANN served from incrementally grown lists
-    "text_bm25_after_delete",  # new r9: tombstone deletes in the
-    # incremental index, served through BM25 (slot from the retired
-    # sim_knn_ivf_trained — grown shares its oracle AND its trained
-    # codebook + probe path, so trained-IVF serving stays verified)
-    "agg_important_parts_1scan",  # new r9: TPC-H Q11 share-of-total
-    # shape (slot from the retired chunk_windows_native, whose
-    # semantics stay driver-verified via udtf_chunk_windows — same
-    # oracle — and machine-twinned in tests/test_udtf_and_epoch.py)
-    # --- newest row is round 6: at the staleness limit, refresh 44 ---
-    "agg_disjunctive_revenue",
-    "agg_order_count_distribution",
-    "agg_small_quantity_revenue",
-    "agg_top_supplier_revenue",
-    "curation_end_to_end",
-    "dedup_cluster_components",
-    "dedup_incremental",
-    "dedup_intra_batch",
-    "dedup_jaccard_vs_probe",
-    "dedup_minhash_portable",
-    "dedup_semantic_pairs",
-    "enum_validation_filter",
-    "fuzzy_name_match",
-    "interval_overlap_sessions",
-    "join_full_outer",
-    "json_decode",
-    "kafka_producer_projection",
-    "kv_projection",
-    "layout_zorder",
-    "media_frame_sample",
-    "merge_apply_changes",
-    "ordered_drain",
-    "pit_state_join",
-    "point_lookup_string_hash",
-    "range_join_bucketed",
-    "reference_engagement_metrics",
-    "sample_source_rebalance",
-    "sample_weighted_reservoir",
-    "sim_kmeans_train",
-    "sketch_hll_portable",
-    "snapshot_diff_cdc",
-    "sparse_doc_cosine",
-    "sql_exists_correlated",
-    "text_search_prefix_from_index",  # new r9 (slot from the retired
-    # corpus-scan text_boolean_search, whose semantics remain verified
-    # as text_search_from_index's oracle)
-    "text_inverted_index",
-    "topk_recent",
-    "uuid_repair",
-    "win_distribution_family",
-    "win_event_gaps",
-    "win_funnel_dropoff",
-    "win_latest_per_user",
-    "win_trailing_range_frame",
+    # --- new in round 10 ---
+    "sim_knn_after_delete",  # IVF probe after vector deletes: purged
+    # batches + tombstone-masked kept batch (slot from the retired
+    # sql_waiting_suppliers — its SQL text stays live as
+    # agg_waiting_suppliers_1scan's oracle)
+    "text_search_suffix_from_index",  # leading-wildcard retrieval via
+    # the reversed-term dual (slot from the retired
+    # sql_excess_shipments — its SQL text stays live as
+    # agg_excess_shipments_1scan's oracle)
+    "text_search_fuzzy_from_index",  # edit-distance-1 retrieval via
+    # the deletion-neighborhood dual (slot from the retired
+    # graph_pagerank — oracle shared with graph_pagerank_bucketed,
+    # the recommended scale plan, which stays registered)
+    # --- rows-only trio: newest row round 6, at the staleness limit ---
+    "agg_approx_distinct",
+    "dedup_minhash_neardup",
+    "dedup_simhash_neardup",
+    # --- newest row is round 7: refresh all 43 surviving entries ---
+    "agg_excess_shipments_1scan",
+    "agg_waiting_suppliers_1scan",
+    "asof_last_purchase",
+    "contamination_ngram_overlap",
+    "curation_pii_redact",
+    "curation_source_mix",
+    "dedup_exact_fingerprint",
+    "dedup_simhash_portable",
+    "dq_outliers",
+    "hypertable_rollup",
+    "pandas_user_trend",
+    "pivot_event_types",
+    "sample_pack_sequences",
+    "sample_quality_gate",
+    "sample_shard_plan",
+    "sample_split_assign",
+    "sample_split_leakage_safe",
+    "sample_stratified",
+    "scale_bloom_semijoin",
+    "scale_salted_agg",
+    "scale_salted_join",
+    "scd2_user_state_history",
+    "sim_embedding_neardup",
+    "sim_embedding_quantize",
+    "sim_embedding_stats",
+    "sim_knn_bruteforce",
+    "sim_knn_ivf",
+    "sim_knn_lsh",
+    "sketch_count_min_estimate",
+    "sql_dormant_customers",
+    "sql_grouping_sets",
+    "text_bm25_from_index",
+    "text_encode_ids",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_search_from_index",
+    "text_term_salience",
+    "text_token_count",
+    "text_winnow_fingerprint",
+    "ts_gapfill_forward_fill",
+    "win_running_spend",
+    "win_tumbling_hour",
 )
 
-# (The round-8 prefix lives in git history: commit 1ac4330 and the
-# registry file as of round 8.)
+# (The round-9 prefix lives in git history: the registry file as of
+# commit c654641; round 8's as of commit 1ac4330.)
 
 # Redundant registry entries retired to keep the checked prefix dense:
 # dedup_simhash is subsumed by dedup_simhash_neardup (same sketch, plus the
@@ -185,19 +185,23 @@ _PRIORITY = (
 # - text_bm25_topk retired without a same-round replacement (its
 #   corpus-scan ranking is the shared ORACLE of text_bm25_from_index,
 #   text_bm25_incremental and — filtered — text_bm25_after_delete); as
-#   an r07-latest row this brings round 10's owed set to exactly the
-#   50-slot budget (flagship + the rows-only trio + 46 r07-latest) —
-#   without it r10 would be oversubscribed by one. A NEW r10 query
-#   therefore needs one more r07-latest retirement; the clean
-#   candidates, by this same precedent, are sql_waiting_suppliers and
-#   sql_excess_shipments (each is literally spark.sql(<oracle>) with a
-#   live 1-scan twin on the same oracle) and graph_pagerank (oracle
-#   shared with graph_pagerank_bucketed, the recommended scale plan).
-#   The r10 registrations these three slots are earmarked for — code,
-#   oracles, and machine pins ALREADY LANDED in r9 —
-#   are sim_knn_after_delete (operators/similarity.py),
-#   text_search_suffix_from_index and text_search_fuzzy_from_index
-#   (operators/text_analysis.py).
+#   an r07-latest row this brought round 10's owed set to exactly the
+#   50-slot budget. Round 10 applied the policy again, funding its
+#   three additions with three more r07-latest retirements, each by
+#   the same precedent (retiree's semantics stay driver-verified
+#   through a live entry sharing its oracle, plan properties stay
+#   pinned in tests/test_plans.py):
+# - sim_knn_after_delete took sql_waiting_suppliers' slot (the Q21 SQL
+#   spelling is literally spark.sql(<oracle>); its oracle stays live
+#   under agg_waiting_suppliers_1scan and the spellings-agree pin in
+#   tests/test_plans.py keeps the SQL path machine-checked);
+# - text_search_suffix_from_index took sql_excess_shipments' slot
+#   (same structure: the Q20 SQL spelling's oracle stays live under
+#   agg_excess_shipments_1scan, spellings-agree pinned);
+# - text_search_fuzzy_from_index took graph_pagerank's slot (oracle
+#   shared with graph_pagerank_bucketed — the recommended 100x plan,
+#   still registered; VERDICT r9 explicitly recommended retiring the
+#   plain spelling's driver slot).
 _RETIRED = frozenset(
     {
         "dedup_simhash",
@@ -209,6 +213,9 @@ _RETIRED = frozenset(
         "sim_knn_ivf_trained",
         "chunk_windows_native",
         "text_bm25_topk",
+        "sql_waiting_suppliers",
+        "sql_excess_shipments",
+        "graph_pagerank",
     }
 )
 

@@ -79,6 +79,8 @@ from .sinks import purge_partitioned_keys
 KEPT = "kept"
 BANDS = "bands"
 INDEX = "index"
+FORGOTTEN = "forgotten"
+FORGOTTEN_SCHEMA = "doc_id bigint"
 # explicit schemas: a fully-forgotten corpus (every partition purged by
 # the forget stream) leaves kept/ and bands/ as file-less dirs — schema
 # inference would raise and wedge both the next ingest batch's base
@@ -210,6 +212,23 @@ def dedup_ingest_batch(
         )
     else:
         kept = delta
+    # GDPR replay guard (ADVICE r9): a forgotten doc whose home batch is
+    # THIS one (written, offsets uncommitted when the forget ran) must
+    # not be resurrected by the replay. Exclusion happens at the WRITE
+    # stage, not on the delta: the victim still participates in the
+    # dedup decisions above (it shadows the same near-dups the original
+    # run shadowed — replay outcomes stay deterministic), but none of
+    # its rows land; bands and postings derive from the committed
+    # partition below, so all three artifacts stay victim-free. One
+    # broadcast anti-join against the human-scale erasure ledger.
+    forgotten_path = os.path.join(corpus_dir, FORGOTTEN)
+    if os.path.isdir(forgotten_path):
+        forgotten = (
+            spark.read.schema(FORGOTTEN_SCHEMA + ", batch_id int")
+            .parquet(forgotten_path)
+            .select("doc_id")
+        )
+        kept = kept.join(F.broadcast(forgotten), "doc_id", "left_anti")
     (
         kept.withColumn("batch_id", F.lit(batch_id))
         # doc_id-ordered row groups: the next batches' candidate fetch
@@ -329,14 +348,66 @@ def forget_ingest_batch(
     at-most-once identity invariant the merged-postings df derivation
     rides), and the forget stream runs in the same maintenance lane as
     the ingest loop (the artifacts are single-writer — interleaved, not
-    concurrent)."""
+    concurrent).
+
+    The ledger (ADVICE r9): the purges alone can be silently UNDONE by
+    an ingest replay — if the victim's home batch is still in the
+    ingest checkpoint's replayable tail (partition written, offsets
+    uncommitted), that batch's replay re-overwrites the kept/bands
+    partition with the victim inside and re-appends its postings. The
+    'never resubmitted' contract covers resubmission, not replay. So
+    the FIRST action here, before any purge, is recording the victim
+    ids in the ``forgotten/`` ledger; dedup_ingest_batch excludes
+    ledgered ids at its WRITE stage, so a replay re-derives identical
+    dedup decisions but physically lands nothing for an erased doc.
+    Two scoping rules keep the ledger honest:
+
+    * It records only ids that EXIST in the kept corpus when the
+      forget first lands (a forget is an erasure of what exists, not a
+      standing filter — a doc matching a forget predicate but ingested
+      later must be admitted; unknown ids stay no-ops).
+    * A REPLAY of this forget batch reuses its own already-written
+      ledger partition as the victim set instead of re-scoping: the
+      first attempt's purges already removed the victims from kept, so
+      re-scoping would find nothing and a crash between the purges and
+      the index delete would never get its tombstones.
+
+    Ledger size ∝ total erasure requests — human-scale,
+    broadcast-joined."""
     spark = ids_df.sparkSession
-    ids = (
-        ids_df.select("doc_id")
-        .where(F.col("doc_id").isNotNull())
-        .distinct()
-        .localCheckpoint()  # three consumers; compute the set once
-    )
+    ids = ids_df.select("doc_id").where(F.col("doc_id").isNotNull()).distinct()
+    ledger_path = os.path.join(corpus_dir, FORGOTTEN)
+    own_part = os.path.join(ledger_path, f"batch_id={batch_id}")
+    if os.path.isdir(own_part):
+        # replay: the durable record of this batch's scoped victim set
+        ids = (
+            spark.read.schema(FORGOTTEN_SCHEMA)
+            .parquet(own_part)
+            .localCheckpoint()  # three consumers; compute the set once
+        )
+    else:
+        kept_path = os.path.join(corpus_dir, KEPT)
+        if not os.path.isdir(kept_path):
+            return  # nothing ingested yet: every forget is a no-op
+        ids = ids.join(
+            read_kept(spark, corpus_dir).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ).localCheckpoint()  # three consumers; compute the set once
+        if ids.isEmpty():
+            return
+        (
+            # ledger FIRST: once these rows are down, no ingest replay
+            # can resurrect the victims even if every later step here
+            # crashes (the forget checkpoint replays this batch, finds
+            # the partition above, and finishes with the same set)
+            ids.withColumn("batch_id", F.lit(batch_id))
+            .repartition("doc_id")  # AQE: tiny set -> O(1) files
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(ledger_path)
+        )
     if ids.isEmpty():
         return
     for sub in (KEPT, BANDS):

@@ -179,7 +179,11 @@ def recover_latest(spark: SparkSession, output_dir: str) -> bool:
 def compact_latest(spark: SparkSession, output_dir: str) -> None:
     """Materialize the latest view for serving (amortized; idempotent via
     write-then-swap — see :func:`_swap_latest` for the crash/recovery
-    contract)."""
+    contract). Recovers a crash-pending swap at entry: a re-run after a
+    mid-swap crash would otherwise rebuild from history alone and
+    overwrite the staged snapshot — the only copy of any
+    retention-expired keys it carried."""
+    recover_latest(spark, output_dir)
     _swap_latest(read_latest(spark, output_dir), spark, output_dir)
 
 
@@ -188,6 +192,12 @@ def write_latest(batch_df: DataFrame, batch_id: int, output_dir: str) -> None:
     latest view. Use only for tiny key spaces — per-batch cost is
     O(total keys); the engine default is read_latest/compact_latest."""
     spark = batch_df.sparkSession
+    # recover-at-entry: after a mid-swap crash ``latest`` is gone and
+    # the staged dir holds the only complete snapshot — without this,
+    # the read below hits PATH_NOT_FOUND and the batch-only seed path
+    # installs a snapshot that silently drops every other key
+    # (including retention-expired ones history no longer holds).
+    recover_latest(spark, output_dir)
     try:
         existing = spark.read.parquet(os.path.join(output_dir, "latest"))
         # no select(*existing.columns): that both DEFEATED
@@ -281,6 +291,12 @@ def compact_rollup(spark: SparkSession, output_dir: str) -> None:
     incomplete staging is discarded with the live dir untouched."""
     import shutil
 
+    # recover-at-entry (the write_ivf_batch discipline): if a prior
+    # compaction crashed between the remove and the rename, the ONLY
+    # complete copy of all partials sits in _rollup_tmp — without this,
+    # the read below raises PATH_NOT_FOUND inside the try and the
+    # except handler would delete the staging it exists to protect.
+    recover_rollup(spark, output_dir)
     rollup_path = os.path.join(output_dir, "rollup")
     tmp_path = os.path.join(output_dir, "_rollup_tmp")
     try:
@@ -636,6 +652,11 @@ def purge_keys(
     keys = keys_df.select(key_col).distinct()
     if keys.isEmpty():
         return 0
+    # recover-at-entry: a crash-pending swap means ``latest`` is absent
+    # while the staged dir still holds the victims — the isdir check
+    # below would then skip the cache purge, and a LATER recover_latest
+    # would resurrect the purged keys into the serving view.
+    recover_latest(spark, output_dir)
     affected = purge_partitioned_keys(spark, hist_path, keys, key_col)
     # The compacted serving view, if materialized, must also forget.
     # NOT a rebuild from history: the cache legitimately serves keys

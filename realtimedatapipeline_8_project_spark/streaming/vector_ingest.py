@@ -11,16 +11,22 @@ same batch grain as the text index's:
   keep_last=1 — the replayable newest batch is never absorbed
   (compact_ivf_lists; shared manifest/_STAGED crash contract).
 * ``retrain_on_drift=True`` ACTS on the aging signal: at batch ENTRY,
-  if the newest drift stats crossed IVF_DRIFT_RATIO, retrain_ivf
-  rebuilds under a fresh codebook trained on the current population
-  and installs it atomically. Running the check at entry is what makes
-  it replay-safe: Structured Streaming only invokes batch N+1 after
-  batch N's offsets are durably committed, so a retrain triggered at
-  N+1's entry absorbs only committed batches — the one batch the
-  checkpoint can still replay (N+1 itself) lands past the recorded
-  horizon with the NEW codebook, and a crash-replay of N+1 re-runs the
-  entry check against the already-reset drift history (no double
-  retrain, its own partition re-overwrite stays idempotent).
+  if the newest COMMITTED drift stats crossed IVF_DRIFT_RATIO,
+  retrain_ivf rebuilds under a fresh codebook trained on the current
+  population and installs it atomically. Entry placement alone is NOT
+  enough for replay safety: if batch N's write landed but its offsets
+  never committed, N's replay re-enters this check with N's own stats
+  on disk — an unbounded retrain would absorb N (horizon = N) and
+  write_ivf_batch(N) would then refuse forever. The check therefore
+  passes ``max_batch = batch_id - 1`` (the committed frontier,
+  guaranteed by Structured Streaming's invoke-N+1-only-after-N-commits
+  order): the decision reads committed stats only, the rebuild absorbs
+  committed partitions only, and a half-landed partition of the
+  in-flight batch is dropped by the install and immediately re-written
+  by the very body that ran the check — under the new codebook, past
+  the recorded horizon. A crash-replay after a landed retrain re-runs
+  the check against the already-reset drift history (no double
+  retrain; the batch's own partition re-overwrite stays idempotent).
 
 Codebook bootstrap: if no codebook is stored yet, the first non-empty
 batch trains one (deterministic low-discrepancy seed pick + one Lloyd
@@ -107,9 +113,14 @@ def vector_ingest_batch(
     recover_ivf_retrain(spark, index_dir)
     recover_ivf_compaction(spark, index_dir)
     if retrain_on_drift:
-        # entry-point check: absorbs only committed prior batches (see
-        # module docstring for why this is the replay-safe placement)
-        retrain_ivf(spark, index_dir)
+        # entry-point check bounded to the committed frontier: batches
+        # < batch_id have durably committed offsets (Structured
+        # Streaming invokes N+1 only after N commits), while batch_id's
+        # OWN stats/lists may exist half-landed from a crashed prior
+        # attempt of this very batch — a retrain absorbing those would
+        # set horizon = batch_id and wedge the replay forever (see
+        # module docstring)
+        retrain_ivf(spark, index_dir, max_batch=batch_id - 1)
     delta_q = _km_quantize(delta)
     cents = _codebook(spark, delta_q, index_dir, k)
     write_ivf_batch(_km_assign(delta_q, cents), batch_id, index_dir)

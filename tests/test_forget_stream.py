@@ -303,3 +303,61 @@ def test_full_forget_then_reingest_resumes(spark, sf_small, tmp_path):
     dedup_ingest_batch(fresh, 1, corpus)
     kept = {r.doc_id for r in read_kept(spark, corpus).collect()}
     assert kept and all(i >= 30 for i in kept)
+
+
+def test_ingest_replay_cannot_resurrect_forgotten_docs(
+    spark, sf_small, tmp_path
+):
+    """ADVICE r9: the purges alone can be silently undone by an INGEST
+    replay — if the victim's home batch is still in the ingest
+    checkpoint's replayable tail (partition written, offsets never
+    committed), replaying it re-overwrites the kept/bands partition
+    WITH the victim and re-appends its postings. The forgotten/ ledger
+    closes this: the replay must land a victim-free partition in all
+    three artifacts, and every serving path must stay erased."""
+    from realtimedatapipeline_8_project_spark.streaming.ingest import (
+        BANDS,
+        BANDS_SCHEMA,
+        dedup_ingest_batch,
+    )
+
+    docs = (
+        load_table(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 60)
+    )
+    corpus = str(tmp_path / "corpus")
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    dedup_ingest_batch(b0, 0, corpus, maintain_index=True)
+    dedup_ingest_batch(b1, 1, corpus, maintain_index=True)
+    victims = sorted(
+        r.doc_id
+        for r in read_kept(spark, corpus)
+        .where(F.col("doc_id") % 2 == 1)
+        .limit(3)
+        .collect()
+    )
+    assert victims
+    vdf = spark.createDataFrame([(v,) for v in victims], "doc_id long")
+    forget_ingest_batch(vdf, 0, corpus)
+    # batch 1's offsets never committed -> the stream replays it:
+    dedup_ingest_batch(b1, 1, corpus, maintain_index=True)
+    kept = {r.doc_id for r in read_kept(spark, corpus).collect()}
+    assert not (kept & set(victims))  # corpus stays erased
+    bands = (
+        spark.read.schema(BANDS_SCHEMA + ", batch_id int")
+        .parquet(os.path.join(corpus, BANDS))
+    )
+    assert bands.where(F.col("doc_id").isin(victims)).count() == 0
+    served_postings, _ = read_index(spark, os.path.join(corpus, INDEX))
+    assert served_postings.where(F.col("doc_id").isin(victims)).count() == 0
+    # the physical postings partition the replay rewrote is victim-free
+    # too (not merely tombstone-masked)
+    raw = spark.read.schema(POSTINGS_SCHEMA + ", batch_id int").parquet(
+        os.path.join(corpus, INDEX, INDEX_POSTINGS)
+    )
+    assert raw.where(F.col("doc_id").isin(victims)).count() == 0
+    # non-victims from the replayed batch are all still served
+    survivors = {r.doc_id for r in read_kept(spark, corpus).collect()}
+    assert {i for i in survivors if i % 2 == 1}  # batch 1 still present

@@ -666,11 +666,16 @@ def test_disjunctive_revenue_pushes_implied_bounds_to_both_scans(
 
 
 def test_q21_exists_decorrelates_to_semi_anti_bounded_scans(spark, sf_small):
-    """sql_waiting_suppliers (TPC-H Q21 shape): both correlated
-    subqueries decorrelate into existence joins — never per-row subquery
-    execution — and the fact appears a bounded number of times (base +
-    one scan per subquery)."""
-    p = plan_of(spark, sf_small, "sql_waiting_suppliers")
+    """sql_waiting_suppliers (TPC-H Q21 shape, registry-retired r10 —
+    its SQL text is agg_waiting_suppliers_1scan's live oracle): both
+    correlated subqueries decorrelate into existence joins — never
+    per-row subquery execution — and the fact appears a bounded number
+    of times (base + one scan per subquery)."""
+    from realtimedatapipeline_8_project_spark.operators.sql_surface import (
+        QUERIES as _SQL_QUERIES,
+    )
+
+    p = plan_of_df(_SQL_QUERIES["sql_waiting_suppliers"][0](spark, sf_small))
     assert "LeftSemi" in p
     assert "LeftAnti" in p
     assert p.count("lineitem.parquet") == 3
@@ -689,10 +694,16 @@ def test_q21_single_scan_rewrite_scans_fact_once(spark, sf_small):
 
 
 def test_q20_nested_in_decorrelates_to_semi_joins(spark, sf_small):
-    """sql_excess_shipments (TPC-H Q20 shape): nested INs become semi
-    joins, the correlated scalar threshold becomes a per-part aggregate
-    + join (one extra fact scan, bounded), no per-row execution."""
-    p = plan_of(spark, sf_small, "sql_excess_shipments")
+    """sql_excess_shipments (TPC-H Q20 shape, registry-retired r10 —
+    its SQL text is agg_excess_shipments_1scan's live oracle): nested
+    INs become semi joins, the correlated scalar threshold becomes a
+    per-part aggregate + join (one extra fact scan, bounded), no
+    per-row execution."""
+    from realtimedatapipeline_8_project_spark.operators.sql_surface import (
+        QUERIES as _SQL_QUERIES,
+    )
+
+    p = plan_of_df(_SQL_QUERIES["sql_excess_shipments"][0](spark, sf_small))
     assert "LeftSemi" in p
     assert p.count("lineitem.parquet") == 2
     assert "BroadcastNestedLoop" not in p
@@ -771,7 +782,11 @@ def test_q21_spellings_agree(spark, sf_small):
     of the Q21 shape are the same function — pinned directly Spark vs
     Spark (the driver additionally cross-validates both against one
     DuckDB oracle)."""
-    a = QUERIES["sql_waiting_suppliers"](spark, sf_small)
+    from realtimedatapipeline_8_project_spark.operators.sql_surface import (
+        QUERIES as _SQL_QUERIES,
+    )
+
+    a = _SQL_QUERIES["sql_waiting_suppliers"][0](spark, sf_small)
     b = QUERIES["agg_waiting_suppliers_1scan"](spark, sf_small)
     rows_a = sorted(map(str, a.collect()))
     rows_b = sorted(map(str, b.collect()))
@@ -855,7 +870,11 @@ def test_q20_single_scan_rewrite_scans_fact_once(spark, sf_small):
 def test_q20_spellings_agree(spark, sf_small):
     """The nested-IN SQL spelling and the single-scan rewrite of the
     Q20 shape are the same function — pinned Spark vs Spark."""
-    a = QUERIES["sql_excess_shipments"](spark, sf_small)
+    from realtimedatapipeline_8_project_spark.operators.sql_surface import (
+        QUERIES as _SQL_QUERIES,
+    )
+
+    a = _SQL_QUERIES["sql_excess_shipments"][0](spark, sf_small)
     b = QUERIES["agg_excess_shipments_1scan"](spark, sf_small)
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
 

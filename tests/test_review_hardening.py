@@ -284,3 +284,84 @@ def test_write_latest_aligns_schemas_by_name(spark, tmp_path):
     write_latest(b2, 2, out)
     snap = spark.read.parquet(os.path.join(out, "latest"))
     assert {r.event_id for r in snap.collect()} == {1, 2, 3}
+
+
+def test_swap_family_recovers_pending_install_at_entry(spark, tmp_path):
+    """ADVICE r9: every MUTATOR of the latest/rollup swap family must
+    finish a crash-pending install before acting — recovery only-at-
+    read is not enough. Each scenario starts from the dangerous state
+    'crashed between remove and rename' (live dir gone, the COMPLETE
+    staging dir holding the only copy of the snapshot):
+
+    - compact_rollup re-run: without recover-at-entry its read raises
+      PATH_NOT_FOUND inside the try and the except handler deletes the
+      staging — permanently destroying every partial;
+    - compact_latest re-run: would rebuild from history alone and
+      install a snapshot missing the retention-expired keys only the
+      staged snapshot still holds;
+    - write_latest: would take the batch-only seed path and install a
+      snapshot that silently drops every other key;
+    - purge_keys: the isdir gate would skip the cache purge and a LATER
+      recovery would resurrect the victims into the serving view."""
+    import shutil as _shutil
+
+    import realtimedatapipeline_8_project_spark.streaming.sinks as SK
+
+    # --- rollup -----------------------------------------------------
+    out_r = str(tmp_path / "rollup_sink")
+    events = spark.createDataFrame(
+        [(i, "watch" if i % 2 else "click", 10 * i, 2 * i) for i in range(20)],
+        "event_id long, event_type string, duration long, "
+        "engagement_seconds long",
+    ).withColumn(
+        "event_time", F.timestamp_seconds(F.col("event_id") * 600 + 1)
+    )
+    SK.write_rollup(events, 0, out_r)
+    SK.compact_rollup(spark, out_r)
+    before = sorted(map(str, SK.read_rollup(spark, out_r).collect()))
+    # simulate the mid-swap crash: live dir gone, complete staging left
+    _shutil.move(
+        os.path.join(out_r, "rollup"), os.path.join(out_r, "_rollup_tmp")
+    )
+    SK.compact_rollup(spark, out_r)  # re-run directly — no manual recover
+    assert sorted(map(str, SK.read_rollup(spark, out_r).collect())) == before
+    assert not os.path.isdir(os.path.join(out_r, "_rollup_tmp"))
+
+    # --- latest: snapshot-only state (history fully expired) ---------
+    out_l = str(tmp_path / "latest_sink")
+    _mk_history(spark, out_l, [(0, [1, 2]), (1, [3])])
+    SK.compact_latest(spark, out_l)
+    SK.expire_batches(spark, out_l, keep_from_batch_id=99)
+    latest_dir = os.path.join(out_l, "latest")
+    tmp_dir = os.path.join(out_l, "_latest_tmp")
+
+    def crash():
+        _shutil.move(latest_dir, tmp_dir)
+
+    # compact_latest re-run after the crash: all three keys survive
+    crash()
+    SK.compact_latest(spark, out_l)
+    got = {r.event_id for r in SK.read_latest(spark, out_l).collect()}
+    assert got == {1, 2, 3}
+
+    # write_latest after the crash: merges with the RECOVERED snapshot
+    crash()
+    batch = spark.createDataFrame(
+        [(4, "v4", 14, 9)],
+        "event_id long, val string, event_time long, duration long",
+    )
+    SK.write_latest(batch, 2, out_l)
+    got = {
+        r.event_id for r in spark.read.parquet(latest_dir).collect()
+    }
+    assert got == {1, 2, 3, 4}
+
+    # purge_keys after the crash: victim gone from the recovered view
+    crash()
+    keys = spark.createDataFrame([(2,)], "event_id long")
+    SK.purge_keys(spark, out_l, keys)
+    got = {
+        r.event_id for r in spark.read.parquet(latest_dir).collect()
+    }
+    assert got == {1, 3, 4}
+    assert not os.path.exists(tmp_dir)

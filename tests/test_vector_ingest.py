@@ -182,3 +182,97 @@ def test_vector_ingest_retrains_on_drift_at_batch_entry(
     # a pre-retrain batch replay refuses on the horizon barrier
     with pytest.raises(ValueError, match="horizon"):
         vector_ingest_batch(parts[1], 1, root, retrain_on_drift=True)
+
+
+def test_replayed_drifted_batch_does_not_wedge_the_stream(
+    spark, sf_small, tmp_path
+):
+    """ADVICE r9: batch N lands (lists + drift stats crossing the
+    ratio) but its offsets never commit, so the stream replays N. The
+    replay re-enters the retrain check with N's OWN stats on disk — an
+    unbounded entry-point retrain would absorb N (horizon = N) and the
+    replay's write_ivf_batch(N) would then refuse forever, permanently
+    wedging the stream. Bounded to the committed frontier
+    (max_batch = N - 1) the replay must land idempotently; the retrain
+    then fires at N+1's entry exactly as the module docstring argues."""
+    emb = _emb(spark, sf_small)
+    root = str(tmp_path / "ivf")
+    parts = [emb.where(F.col("vec_id") % 3 == b) for b in range(3)]
+    vector_ingest_batch(parts[0], 0, root, retrain_on_drift=True)
+    old_cents = sorted(
+        map(
+            str,
+            spark.read.parquet(os.path.join(root, IVF_CODEBOOK)).collect(),
+        )
+    )
+    shifted = parts[1].select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> x + CAST(5.0 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    # batch 1 lands; its own stats cross the drift ratio; offsets never
+    # commit (crash) -> the stream replays batch 1:
+    vector_ingest_batch(shifted, 1, root, retrain_on_drift=True)
+    before = _rows(spark, root)
+    vector_ingest_batch(shifted, 1, root, retrain_on_drift=True)  # replay
+    assert _rows(spark, root) == before  # idempotent, NOT wedged
+    assert sorted(
+        map(
+            str,
+            spark.read.parquet(os.path.join(root, IVF_CODEBOOK)).collect(),
+        )
+    ) == old_cents  # the replay's entry check saw committed stats only
+    # batch 2's entry: batch 1 is now committed — the retrain fires,
+    # absorbs 0 and 1, and batch 2 lands under the fresh codebook
+    vector_ingest_batch(parts[2], 2, root, retrain_on_drift=True)
+    drift = {r.batch_id: r for r in ivf_drift(spark, root).collect()}
+    assert set(drift) == {-1, 2}
+    pop = parts[0].unionByName(
+        shifted.select(
+            "vec_id",
+            F.col("embedding").cast("array<float>").alias("embedding"),
+        )
+    ).unionByName(parts[2])
+    assert _rows(spark, root) == _assign_all(spark, pop, root)
+
+
+def test_bounded_retrain_excludes_live_batch_and_keeps_tombstones(
+    spark, sf_small, tmp_path
+):
+    """Unit mechanics of retrain_ivf(max_batch=...): a partition above
+    the bound is neither absorbed into the compacted lists nor counted
+    into the horizon (its replay is accepted, never double-served), and
+    the tombstone set SURVIVES the install (the excluded partition's
+    replay re-appends vectors a tombstone may mask — dropping it would
+    resurrect a completed GDPR delete)."""
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        IVF_TOMBSTONES,
+        delete_ivf_vectors,
+        retrain_ivf,
+        write_ivf_batch,
+    )
+
+    emb = _emb(spark, sf_small)
+    root = str(tmp_path / "ivf")
+    parts = [emb.where(F.col("vec_id") % 2 == b) for b in range(2)]
+    vector_ingest_batch(parts[0], 0, root)  # bootstraps the codebook
+    cents = spark.read.parquet(os.path.join(root, IVF_CODEBOOK))
+    assigned1 = _km_assign(_km_quantize(parts[1]), cents)
+    write_ivf_batch(assigned1, 1, root)  # half-landed: never committed
+    victim = parts[1].select("vec_id").orderBy("vec_id").limit(1)
+    victim_id = victim.collect()[0].vec_id
+    delete_ivf_vectors(spark, root, victim, 2)
+    assert retrain_ivf(spark, root, force=True, max_batch=0) is True
+    # the excluded partition is gone from the lists (dropped, to be
+    # replayed), the horizon admits its replay, tombstones survived
+    assert os.path.isdir(os.path.join(root, IVF_TOMBSTONES))
+    new_cents = spark.read.parquet(os.path.join(root, IVF_CODEBOOK))
+    write_ivf_batch(
+        _km_assign(_km_quantize(parts[1]), new_cents), 1, root
+    )  # the replay: accepted, not refused
+    got = {r.vec_id for r in read_ivf_lists(spark, root).collect()}
+    want = {
+        r.vec_id for r in parts[0].unionByName(parts[1]).collect()
+    } - {victim_id}
+    assert got == want  # everything served once; the delete still holds
