@@ -80,7 +80,15 @@ KEPT = "kept"
 BANDS = "bands"
 INDEX = "index"
 FORGOTTEN = "forgotten"
-FORGOTTEN_SCHEMA = "doc_id bigint"
+# home_batch = the kept-corpus batch the victim lived in when the forget
+# scoped it. It is what makes the ledger PRUNABLE (prune_forgotten_ledger):
+# only a replay of that one ingest batch could resurrect the victim, so
+# once its offsets are committed (every batch below the current one) the
+# row is dead weight — and it scopes the write-stage exclusion in
+# dedup_ingest_batch to exactly that replay instead of shadowing the
+# doc_id forever. NULL home_batch (a pre-home_batch ledger row) degrades
+# to the old unscoped behavior: excluded from every batch, never pruned.
+FORGOTTEN_SCHEMA = "doc_id bigint, home_batch int"
 # explicit schemas: a fully-forgotten corpus (every partition purged by
 # the forget stream) leaves kept/ and bands/ as file-less dirs — schema
 # inference would raise and wedge both the next ingest batch's base
@@ -221,11 +229,24 @@ def dedup_ingest_batch(
     # its rows land; bands and postings derive from the committed
     # partition below, so all three artifacts stay victim-free. One
     # broadcast anti-join against the human-scale erasure ledger.
+    # Scoping (ADVICE r10): only a replay of the victim's HOME batch can
+    # resurrect it (dedup admits a doc_id once, so no other batch ever
+    # contained it), so the exclusion filters the ledger to
+    # home_batch == this batch. A later batch legitimately reusing a
+    # ledgered doc_id is therefore not silently dropped here — though
+    # id reuse remains OUTSIDE the ingest contract (the index's delete
+    # tombstones mask the doc_id until a compaction physically applies
+    # and sweeps them; see forget_ingest_batch). NULL home_batch
+    # (pre-scoping ledger rows) stays excluded from every batch.
     forgotten_path = os.path.join(corpus_dir, FORGOTTEN)
     if os.path.isdir(forgotten_path):
         forgotten = (
             spark.read.schema(FORGOTTEN_SCHEMA + ", batch_id int")
             .parquet(forgotten_path)
+            .where(
+                F.col("home_batch").isNull()
+                | (F.col("home_batch") == F.lit(batch_id))
+            )
             .select("doc_id")
         )
         kept = kept.join(F.broadcast(forgotten), "doc_id", "left_anti")
@@ -290,6 +311,11 @@ def dedup_ingest_batch(
             # checkpoint offsets are durable), so absorbing them is
             # replay-safe.
             compact_index(spark, os.path.join(corpus_dir, INDEX), keep_last=1)
+            # ledger maintenance rides the same cadence: erasure
+            # requests whose resurrection window has closed (home batch
+            # committed, victim verifiably erased everywhere) stop
+            # riding every future batch's broadcast anti-join
+            prune_forgotten_ledger(spark, corpus_dir, batch_id)
 
 
 def run_dedup_ingest(
@@ -365,61 +391,171 @@ def forget_ingest_batch(
     * It records only ids that EXIST in the kept corpus when the
       forget first lands (a forget is an erasure of what exists, not a
       standing filter — a doc matching a forget predicate but ingested
-      later must be admitted; unknown ids stay no-ops).
-    * A REPLAY of this forget batch reuses its own already-written
-      ledger partition as the victim set instead of re-scoping: the
-      first attempt's purges already removed the victims from kept, so
-      re-scoping would find nothing and a crash between the purges and
-      the index delete would never get its tombstones.
+      later must be admitted; unknown ids stay no-ops), and records
+      each victim's home kept-batch alongside (FORGOTTEN_SCHEMA) so
+      the write-stage exclusion scopes to exactly that batch's replay
+      and prune_forgotten_ledger can retire the row once the batch is
+      committed.
+    * A REPLAY of this forget batch takes its victim set as the UNION
+      of its already-written ledger partition and a fresh re-scope of
+      the incoming ids against kept, then rewrites the partition with
+      that union (ADVICE r10). Either source alone is wrong in some
+      crash state: Spark's job commit is not atomic, so a crash while
+      promoting task files can leave a PARTIAL partition whose
+      directory nevertheless exists — trusting it would silently drop
+      the missing victims from the purge and tombstone steps forever —
+      while a crash between the first attempt's purges and the index
+      delete removes victims from kept, so re-scoping alone would
+      never get their tombstones. The union is correct in every state:
+      already-purged victims come from the partition, not-yet-purged
+      (including partition-missing) ones from the re-scope, and a
+      crash during the rewrite itself just repeats the union.
 
-    Ledger size ∝ total erasure requests — human-scale,
-    broadcast-joined."""
+    Ledger size ∝ total erasure requests — human-scale, broadcast-
+    joined — and prune_forgotten_ledger retires fully-erased rows at
+    the ingest loop's compaction cadence."""
     spark = ids_df.sparkSession
-    ids = ids_df.select("doc_id").where(F.col("doc_id").isNotNull()).distinct()
+    incoming = (
+        ids_df.select("doc_id").where(F.col("doc_id").isNotNull()).distinct()
+    )
     ledger_path = os.path.join(corpus_dir, FORGOTTEN)
     own_part = os.path.join(ledger_path, f"batch_id={batch_id}")
+    kept_path = os.path.join(corpus_dir, KEPT)
+    scoped = None
+    if os.path.isdir(kept_path):
+        # victims still present in kept, each carrying its home batch
+        # (kept holds a doc_id at most once — the dedup admission
+        # invariant — so this inner join is 1:1)
+        scoped = incoming.join(
+            read_kept(spark, corpus_dir).select(
+                "doc_id", F.col("batch_id").cast("int").alias("home_batch")
+            ),
+            "doc_id",
+        )
     if os.path.isdir(own_part):
-        # replay: the durable record of this batch's scoped victim set
+        stored = spark.read.schema(FORGOTTEN_SCHEMA).parquet(own_part)
+        ids = stored if scoped is None else stored.unionByName(scoped)
         ids = (
-            spark.read.schema(FORGOTTEN_SCHEMA)
-            .parquet(own_part)
-            .localCheckpoint()  # three consumers; compute the set once
+            # min_by-style collapse: a victim in both sources has the
+            # same home_batch (kept never reassigns batches); min also
+            # lets a non-null re-scope refine a NULL legacy row
+            ids.groupBy("doc_id")
+            .agg(F.min("home_batch").alias("home_batch"))
+            .localCheckpoint()  # materialized BEFORE the overwrite
+            # below reads-then-replaces own_part, and shared by the
+            # purge + delete consumers
         )
     else:
-        kept_path = os.path.join(corpus_dir, KEPT)
-        if not os.path.isdir(kept_path):
+        if scoped is None:
             return  # nothing ingested yet: every forget is a no-op
-        ids = ids.join(
-            read_kept(spark, corpus_dir).select("doc_id"),
-            "doc_id",
-            "left_semi",
-        ).localCheckpoint()  # three consumers; compute the set once
-        if ids.isEmpty():
-            return
-        (
-            # ledger FIRST: once these rows are down, no ingest replay
-            # can resurrect the victims even if every later step here
-            # crashes (the forget checkpoint replays this batch, finds
-            # the partition above, and finishes with the same set)
-            ids.withColumn("batch_id", F.lit(batch_id))
-            .repartition("doc_id")  # AQE: tiny set -> O(1) files
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(ledger_path)
-        )
+        ids = scoped.localCheckpoint()  # several consumers; compute once
     if ids.isEmpty():
         return
+    (
+        # ledger FIRST: once these rows are down, no ingest replay
+        # can resurrect the victims even if every later step here
+        # crashes (the forget checkpoint replays this batch and
+        # finishes with the same — unioned — set)
+        ids.withColumn("batch_id", F.lit(batch_id))
+        .repartition("doc_id")  # AQE: tiny set -> O(1) files
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(ledger_path)
+    )
     for sub in (KEPT, BANDS):
         path = os.path.join(corpus_dir, sub)
         if os.path.isdir(path):
-            purge_partitioned_keys(spark, path, ids, "doc_id")
+            purge_partitioned_keys(
+                spark, path, ids.select("doc_id"), "doc_id"
+            )
     index_dir = os.path.join(corpus_dir, INDEX)
     if os.path.isdir(index_dir):
         # same discipline as the ingest side: never touch an index
         # whose previous compaction install is half-landed
         recover_index_compaction(spark, index_dir)
         delete_index_docs(spark, index_dir, ids, batch_id)
+
+
+def prune_forgotten_ledger(
+    spark: SparkSession, corpus_dir: str, frontier_batch_id: int
+) -> int:
+    """Retire dead rows from the ``forgotten/`` ledger (VERDICT r10 #5):
+    without pruning, every erasure request rides every future ingest
+    batch's broadcast anti-join forever. A ledger row exists to stop an
+    INGEST replay of the victim's home batch from resurrecting it, so
+    it is dead once BOTH hold:
+
+    * ``home_batch < frontier_batch_id`` (the ingest batch currently
+      being processed): foreachBatch offsets commit before the next
+      batch starts, so every batch below the current one is committed
+      and can never replay. NULL home_batch (legacy rows) never
+      qualifies. This rides the same single-checkpoint contract as the
+      replay guard itself — re-ingesting the same source under a FRESH
+      checkpoint is resubmission, which the ingest contract already
+      forbids.
+    * the victim is verifiably fully erased — absent from kept, absent
+      from bands, and not alive in the index (tombstoned or physically
+      gone). This protects a forget batch that CRASHED mid-way (ledger
+      written, purges or tombstones pending): its rows survive pruning,
+      and the forget checkpoint's replay finishes the erasure. The
+      checks are one broadcast join of the human-scale ledger against
+      the kept/bands id columns and the per-doc ``docs/`` artifact —
+      column-pruned scans at compaction cadence, never the postings.
+
+    Physical removal goes through purge_partitioned_keys, so a ledger
+    partition whose every row is dead is removed outright (a forget
+    replay then finds no partition, re-scopes against kept, finds the
+    victims gone, and no-ops). Returns the number of rows pruned."""
+    from ..operators.text_analysis import (
+        INDEX_DOCS,
+        INDEX_TOMBSTONES,
+        TOMBSTONES_SCHEMA,
+    )
+
+    ledger_path = os.path.join(corpus_dir, FORGOTTEN)
+    if not os.path.isdir(ledger_path) or not any(
+        d.startswith("batch_id=") for d in os.listdir(ledger_path)
+    ):
+        return 0
+    ledger = spark.read.schema(FORGOTTEN_SCHEMA + ", batch_id int").parquet(
+        ledger_path
+    )
+    dead = ledger.where(
+        F.col("home_batch").isNotNull()
+        & (F.col("home_batch") < F.lit(frontier_batch_id))
+    ).select("doc_id")
+    for sub, schema in ((KEPT, KEPT_SCHEMA), (BANDS, BANDS_SCHEMA)):
+        path = os.path.join(corpus_dir, sub)
+        if os.path.isdir(path):
+            live = (
+                spark.read.schema(schema + ", batch_id int")
+                .parquet(path)
+                .select("doc_id")
+            )
+            dead = dead.join(live, "doc_id", "left_anti")
+    index_dir = os.path.join(corpus_dir, INDEX)
+    dpath = os.path.join(index_dir, INDEX_DOCS)
+    if os.path.isdir(dpath):
+        alive = spark.read.schema("doc_id bigint, dl bigint, batch_id int") \
+            .parquet(dpath).select("doc_id")
+        tpath = os.path.join(index_dir, INDEX_TOMBSTONES)
+        if os.path.isdir(tpath) and any(
+            d.startswith("batch_id=") for d in os.listdir(tpath)
+        ):
+            tombs = (
+                spark.read.schema(TOMBSTONES_SCHEMA + ", batch_id int")
+                .parquet(tpath)
+                .select("doc_id")
+            )
+            alive = alive.join(tombs, "doc_id", "left_anti")
+        dead = dead.join(alive, "doc_id", "left_anti")
+    dead = dead.distinct().localCheckpoint()  # consumed by the count
+    # below AND the partition purge — scope the checks once
+    n = dead.count()
+    if n:
+        purge_partitioned_keys(spark, ledger_path, dead, "doc_id")
+    return n
 
 
 def run_forget_ingest(

@@ -361,3 +361,196 @@ def test_ingest_replay_cannot_resurrect_forgotten_docs(
     # non-victims from the replayed batch are all still served
     survivors = {r.doc_id for r in read_kept(spark, corpus).collect()}
     assert {i for i in survivors if i % 2 == 1}  # batch 1 still present
+
+
+def _home_of(spark, corpus, victims):
+    return {
+        r.doc_id: r.batch_id
+        for r in read_kept(spark, corpus)
+        .where(F.col("doc_id").isin(victims))
+        .collect()
+    }
+
+
+def test_forget_replay_recovers_partial_ledger_partition(
+    spark, sf_small, tmp_path
+):
+    """ADVICE r10 (medium): Spark job commit is not atomic — a crash
+    while promoting task files can leave the forget batch's ledger
+    partition PARTIAL while its directory exists. Trusting directory
+    existence as a completeness marker would make the replay erase only
+    the partial victim set, silently and permanently missing the rest.
+    The replay must union the partition contents with a fresh re-scope
+    of the incoming ids against kept, rewrite the partition, and erase
+    everything."""
+    from realtimedatapipeline_8_project_spark.streaming.ingest import (
+        BANDS,
+        BANDS_SCHEMA,
+        FORGOTTEN,
+        FORGOTTEN_SCHEMA,
+        dedup_ingest_batch,
+    )
+
+    docs = (
+        load_table(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 60)
+    )
+    corpus = str(tmp_path / "corpus")
+    dedup_ingest_batch(docs.where(F.col("doc_id") % 2 == 0), 0, corpus,
+                       maintain_index=True)
+    dedup_ingest_batch(docs.where(F.col("doc_id") % 2 == 1), 1, corpus,
+                       maintain_index=True)
+    victims = sorted(
+        r.doc_id for r in read_kept(spark, corpus).limit(3).collect()
+    )
+    assert len(victims) == 3
+    home = _home_of(spark, corpus, victims)
+    # simulate the crashed first attempt: only ONE victim's row landed
+    # in the partition, no purge ran (the ledger write is the first
+    # action, so a mid-write crash leaves kept/bands/index untouched)
+    own_part = os.path.join(corpus, FORGOTTEN, f"batch_id={0}")
+    spark.createDataFrame(
+        [(victims[0], home[victims[0]])], FORGOTTEN_SCHEMA
+    ).write.parquet(own_part)
+    # the checkpoint replays the forget batch with the full incoming set
+    vdf = spark.createDataFrame([(v,) for v in victims], "doc_id long")
+    forget_ingest_batch(vdf, 0, corpus)
+    kept = {r.doc_id for r in read_kept(spark, corpus).collect()}
+    assert not (kept & set(victims))
+    bands = spark.read.schema(BANDS_SCHEMA + ", batch_id int").parquet(
+        os.path.join(corpus, BANDS)
+    )
+    assert bands.where(F.col("doc_id").isin(victims)).count() == 0
+    served, _ = read_index(spark, os.path.join(corpus, INDEX))
+    assert served.where(F.col("doc_id").isin(victims)).count() == 0
+    # the partition was rewritten with the COMPLETE victim set (homes
+    # recorded), so a second replay stays erasure-complete
+    ledger = spark.read.schema(FORGOTTEN_SCHEMA).parquet(own_part)
+    rows = {(r.doc_id, r.home_batch) for r in ledger.collect()}
+    assert rows == {(v, home[v]) for v in victims}
+    forget_ingest_batch(vdf, 0, corpus)  # second replay: no-op, no raise
+    assert spark.read.schema(FORGOTTEN_SCHEMA).parquet(own_part).count() == 3
+
+
+def test_ledger_prunes_after_compaction_and_replay_stays_erased(
+    spark, sf_small, tmp_path
+):
+    """VERDICT r10 #5: a fully-erased victim whose home batch is
+    committed must leave the forgotten/ ledger at the ingest loop's
+    compaction cadence (else every erasure rides every future batch's
+    broadcast forever) — and the replayable-tail batch must still land
+    victim-free afterwards."""
+    from realtimedatapipeline_8_project_spark.streaming.ingest import (
+        FORGOTTEN,
+        FORGOTTEN_SCHEMA,
+        dedup_ingest_batch,
+        prune_forgotten_ledger,
+    )
+
+    docs = (
+        load_table(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 120)
+    )
+    corpus = str(tmp_path / "corpus")
+    b = [docs.where(F.col("doc_id") % 4 == i) for i in range(4)]
+    dedup_ingest_batch(b[0], 0, corpus, maintain_index=True,
+                       compact_index_every=2)
+    dedup_ingest_batch(b[1], 1, corpus, maintain_index=True,
+                       compact_index_every=2)
+    victims = sorted(
+        r.doc_id for r in read_kept(spark, corpus).limit(3).collect()
+    )
+    vdf = spark.createDataFrame([(v,) for v in victims], "doc_id long")
+    forget_ingest_batch(vdf, 0, corpus)
+    ledger_path = os.path.join(corpus, FORGOTTEN)
+    n_before = (
+        spark.read.schema(FORGOTTEN_SCHEMA + ", batch_id int")
+        .parquet(ledger_path).count()
+    )
+    assert n_before == 3
+    # batch 2: no compaction ((2+1) % 2 != 0) -> ledger intact
+    dedup_ingest_batch(b[2], 2, corpus, maintain_index=True,
+                       compact_index_every=2)
+    assert (
+        spark.read.schema(FORGOTTEN_SCHEMA + ", batch_id int")
+        .parquet(ledger_path).count()
+    ) == 3
+    # batch 3 triggers compaction + prune: homes 0/1 < frontier 3 and
+    # the victims are fully erased -> all rows retire, and the
+    # fully-dead partition directory is removed outright
+    dedup_ingest_batch(b[3], 3, corpus, maintain_index=True,
+                       compact_index_every=2)
+    assert not any(
+        d.startswith("batch_id=") for d in os.listdir(ledger_path)
+    )
+    # replay of the newest (replayable-tail) batch after the prune:
+    # victims stay erased everywhere (their home batches are committed
+    # — the pruned rows' resurrection window was already closed)
+    dedup_ingest_batch(b[3], 3, corpus, maintain_index=True,
+                       compact_index_every=2)
+    kept = {r.doc_id for r in read_kept(spark, corpus).collect()}
+    assert not (kept & set(victims))
+    served, _ = read_index(spark, os.path.join(corpus, INDEX))
+    assert served.where(F.col("doc_id").isin(victims)).count() == 0
+    # idempotent: nothing left to prune
+    assert prune_forgotten_ledger(spark, corpus, 99) == 0
+
+
+def test_ledger_prune_spares_unfinished_forget(spark, sf_small, tmp_path):
+    """A forget batch that crashed between its purges leaves the
+    victim's erasure INCOMPLETE (still in bands / index) — pruning must
+    spare its ledger rows so the forget checkpoint's replay can finish,
+    and retire them only once the replay has."""
+    from realtimedatapipeline_8_project_spark.streaming.ingest import (
+        BANDS,
+        BANDS_SCHEMA,
+        FORGOTTEN,
+        FORGOTTEN_SCHEMA,
+        KEPT,
+        dedup_ingest_batch,
+        prune_forgotten_ledger,
+    )
+    from realtimedatapipeline_8_project_spark.streaming.sinks import (
+        purge_partitioned_keys,
+    )
+
+    docs = (
+        load_table(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 60)
+    )
+    corpus = str(tmp_path / "corpus")
+    dedup_ingest_batch(docs.where(F.col("doc_id") % 2 == 0), 0, corpus,
+                       maintain_index=True)
+    dedup_ingest_batch(docs.where(F.col("doc_id") % 2 == 1), 1, corpus,
+                       maintain_index=True)
+    victim = read_kept(spark, corpus).limit(1).collect()[0]
+    home = _home_of(spark, corpus, [victim.doc_id])[victim.doc_id]
+    vdf = spark.createDataFrame([(victim.doc_id,)], "doc_id long")
+    # simulate the crash state: ledger written, kept purged, bands and
+    # index untouched (crash between the two purge calls)
+    own_part = os.path.join(corpus, FORGOTTEN, f"batch_id={0}")
+    spark.createDataFrame(
+        [(victim.doc_id, home)], FORGOTTEN_SCHEMA
+    ).write.parquet(own_part)
+    purge_partitioned_keys(
+        spark, os.path.join(corpus, KEPT), vdf, "doc_id"
+    )
+    # erasure incomplete -> the row survives pruning at any frontier
+    assert prune_forgotten_ledger(spark, corpus, 99) == 0
+    assert (
+        spark.read.schema(FORGOTTEN_SCHEMA).parquet(own_part).count() == 1
+    )
+    # the forget replay finishes the erasure (bands + index tombstone)
+    forget_ingest_batch(vdf, 0, corpus)
+    bands = spark.read.schema(BANDS_SCHEMA + ", batch_id int").parquet(
+        os.path.join(corpus, BANDS)
+    )
+    assert bands.where(F.col("doc_id") == victim.doc_id).count() == 0
+    served, _ = read_index(spark, os.path.join(corpus, INDEX))
+    assert served.where(F.col("doc_id") == victim.doc_id).count() == 0
+    # ...after which the row retires
+    assert prune_forgotten_ledger(spark, corpus, 99) == 1
+    assert not os.path.isdir(own_part)
