@@ -124,6 +124,8 @@ HEADLINE = [
     "sim_knn_after_delete",
     "text_search_suffix_from_index",
     "text_search_fuzzy_from_index",
+    # round-11 additions
+    "text_bm25_maxscore",
 ]
 
 

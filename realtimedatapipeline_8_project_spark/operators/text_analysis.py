@@ -759,7 +759,14 @@ QUERIES["text_encode_ids"] = (q_encode_ids, ORACLE_ENCODE_IDS)
 # (doc_id, dl — what delete_index_docs looks deleted lengths up in)
 # and an optional ``tombstones/`` dir; a v2 dir lacks ``docs/``, so a
 # delete against it would silently find nothing to delete.
-INDEX_FORMAT_VERSION = 3
+# v4 (r11): per-batch term_stats/ bounds artifact added to the
+# incremental index layout (write_index_batch writes it, the compaction
+# family re-aligns it). The bump is load-bearing in BOTH directions: v3
+# code compacting a v4 dir would fold postings without re-aligning
+# term_stats (stale bounds -> unsafe pruning), and v4 reading a v3 dir
+# would find no bounds at all — the version marker turns both into the
+# documented loud-rebuild demand.
+INDEX_FORMAT_VERSION = 4
 
 
 def artifact_path(
@@ -1052,20 +1059,45 @@ def build_reversed_index(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-def suffix_hits_over_reversed(postings_rev: DataFrame) -> DataFrame:
+def suffix_hits_over_reversed(
+    postings_rev: DataFrame, suffixes=(SUFFIX_QUERY,)
+) -> DataFrame:
     """Suffix retrieval over the reversed dual — per doc the distinct
     matching terms and their total occurrences (COUNT DISTINCT of
-    rterm == of term: string reversal is a bijection)."""
-    return (
-        postings_rev.where(
-            F.col("rterm").startswith(SUFFIX_QUERY[::-1])
-        )
-        .groupBy("doc_id")
-        .agg(
+    rterm == of term: string reversal is a bijection). Multi-suffix
+    (r11): ``suffixes`` is the AND-form the boolean path already has —
+    a doc qualifies only if EVERY suffix pattern matched at least one
+    of its terms (per-pattern conditional MAX flags on the same
+    aggregate, no extra pass); the scan is one pushed
+    Or(StringStartsWith...) over the same rterm-sorted artifact, cost
+    ∝ the union of the suffixes' vocabulary slices. A single suffix
+    keeps the exact single-pattern plan (no flag columns)."""
+    rpats = [s[::-1] for s in suffixes]
+    cond = F.col("rterm").startswith(rpats[0])
+    for p in rpats[1:]:
+        cond = cond | F.col("rterm").startswith(p)
+    hits = postings_rev.where(cond).groupBy("doc_id")
+    if len(rpats) == 1:
+        return hits.agg(
             F.countDistinct("rterm").cast("long").alias("n_terms_matched"),
             F.sum("tf").alias("total_tf"),
         )
+    out = hits.agg(
+        F.countDistinct("rterm").cast("long").alias("n_terms_matched"),
+        F.sum("tf").alias("total_tf"),
+        *[
+            F.max(
+                F.when(F.col("rterm").startswith(p), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"_m{i}")
+            for i, p in enumerate(rpats)
+        ],
     )
+    every = F.col("_m0") == 1
+    for i in range(1, len(rpats)):
+        every = every & (F.col(f"_m{i}") == 1)
+    return out.where(every).select("doc_id", "n_terms_matched", "total_tf")
 
 
 def q_search_suffix_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1094,6 +1126,46 @@ QUERIES["text_search_suffix_from_index"] = (
     q_search_suffix_from_index,
     ORACLE_SUFFIX_SEARCH,
 )
+
+
+# Multi-suffix AND form (r11; registration earmarked for the r12
+# rotation — the r11 prefix budget is spent, and an unfronted registry
+# entry would sit never-checked): docs containing a term ending in
+# EVERY one of the suffixes. Same dual, same pushed scan.
+MULTI_SUFFIX_QUERY = ("g", "er")
+
+
+def q_search_multi_suffix_from_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    root = build_reversed_index(spark, sf_dir)
+    return suffix_hits_over_reversed(
+        spark.read.parquet(os.path.join(root, INDEX_POSTINGS_REV)),
+        MULTI_SUFFIX_QUERY,
+    )
+
+
+def _suffix_like(col: str, s: str) -> str:
+    return f"{col} LIKE '%{s}'"
+
+
+ORACLE_MULTI_SUFFIX_SEARCH = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_O_WORDS}) AS term FROM documents
+)
+SELECT doc_id,
+       COUNT(DISTINCT term) AS n_terms_matched,
+       COUNT(*) AS total_tf
+FROM terms
+WHERE {" OR ".join(_suffix_like("term", s) for s in MULTI_SUFFIX_QUERY)}
+GROUP BY doc_id
+HAVING {" AND ".join(
+    f"MAX(CASE WHEN {_suffix_like('term', s)} THEN 1 ELSE 0 END) = 1"
+    for s in MULTI_SUFFIX_QUERY
+)}
+"""
 
 
 # --- fuzzy (edit-distance-1) retrieval: the deletion-neighborhood dual -----
@@ -1176,44 +1248,108 @@ def _deletion_variants(q: str) -> list[str]:
     return [q] + [q[:i] + q[i + 1 :] for i in range(len(q))]
 
 
-def q_search_fuzzy_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Docs containing any term within edit distance 1 of FUZZY_QUERY,
-    per doc the distinct matching terms + total occurrences. Two-phase,
-    exactly how a search service issues it: (1) candidate lookup — a
-    pushed IN(variant) probe of the dual, then the exact levenshtein
-    verify, collected to the driver (bounded: the |q|+1 variant
-    buckets' collisions — the codebook-seed precedent for a tiny
-    driver-side read); (2) a pushed IN(term) postings probe with the
-    verified terms as compile-time constants — the same plan shape as
-    every other from-index connective."""
+def _within_one_edit(a: str, b: str) -> bool:
+    """Exact ``levenshtein(a, b) <= 1`` without the general DP: equal,
+    one substitution (same length, one differing position), or one
+    insertion/deletion (length differs by 1 and the shorter is the
+    longer minus one character). Mirrors the DuckDB oracle's
+    ``levenshtein(term, q) <= 1`` predicate bit-for-bit."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if abs(la - lb) != 1:
+        return False
+    s, t = (a, b) if la < lb else (b, a)  # s shorter
+    i = 0
+    while i < len(s) and s[i] == t[i]:
+        i += 1
+    return s[i:] == t[i + 1 :]
+
+
+def _fuzzy_candidates(
+    dual: DataFrame, queries: tuple[str, ...]
+) -> dict[str, list[str]]:
+    """Verified distance-<=1 vocabulary terms per query typo, via ONE
+    pushed IN(variant) probe of the dual covering every typo's deletion
+    neighborhood (candidate sets may overlap — e.g. two typos of the
+    same word — so the probe unions the buckets and the exact
+    distance-1 verify fans the collected terms back out per typo).
+    Driver-side size: the probed buckets' collisions — bounded tiny,
+    the codebook-seed precedent."""
+    variants = sorted({v for q in queries for v in _deletion_variants(q)})
+    terms = [
+        r.term
+        for r in dual.where(F.col("variant").isin(variants))
+        .select("term")
+        .distinct()
+        .collect()
+    ]
+    return {
+        q: sorted(t for t in terms if _within_one_edit(t, q))
+        for q in queries
+    }
+
+
+def fuzzy_hits_from_index(
+    spark: SparkSession, sf_dir: str, queries: tuple[str, ...]
+) -> DataFrame:
+    """Docs fuzzily matching EVERY query typo (AND across typos; a
+    single typo is the plain fuzzy query), per doc the distinct
+    matching terms + total occurrences. Two-phase, exactly how a
+    search service issues it: (1) candidate lookup — ONE pushed
+    IN(variant) probe of the dual covering every typo's deletion
+    neighborhood, exact distance-1 verify driver-side
+    (:func:`_fuzzy_candidates`; bounded tiny — the codebook-seed
+    precedent); (2) ONE pushed IN(term) postings probe with the union
+    of verified terms as compile-time constants, per-typo qualification
+    as conditional MAX flags on the same aggregate — the same plan
+    shape as every other from-index connective, and the multi-typo
+    form adds no second postings scan."""
     import os
 
     root = build_fuzzy_index(spark, sf_dir)  # also ensures the primary
     dual = spark.read.parquet(os.path.join(root, INDEX_FUZZY))
-    cands = sorted(
-        r.term
-        for r in dual.where(
-            F.col("variant").isin(_deletion_variants(FUZZY_QUERY))
-        )
-        .select("term")
-        .distinct()
-        .where(F.levenshtein(F.col("term"), F.lit(FUZZY_QUERY)) <= 1)
-        .collect()
-    )
+    cand = _fuzzy_candidates(dual, queries)
     # path only — build_fuzzy_index above built (or verified) the
     # primary artifact; re-probing it here would re-run the idempotency
     # Spark jobs on every query
     primary = scored_index_path(spark, sf_dir)
     postings = spark.read.parquet(os.path.join(primary, INDEX_POSTINGS))
-    matched = (
-        postings.where(F.col("term").isin(cands))
-        if cands
-        else postings.where(F.lit(False))
-    )
-    return matched.groupBy("doc_id").agg(
+    agg_cols = (
         F.countDistinct("term").cast("long").alias("n_terms_matched"),
         F.sum("tf").alias("total_tf"),
     )
+    if not all(cand.values()):
+        # some typo matched nothing: the AND can never hold (and the
+        # single-typo form has nothing to scan)
+        return (
+            postings.where(F.lit(False)).groupBy("doc_id").agg(*agg_cols)
+        )
+    all_terms = sorted({t for ts in cand.values() for t in ts})
+    matched = postings.where(F.col("term").isin(all_terms))
+    if len(queries) == 1:
+        return matched.groupBy("doc_id").agg(*agg_cols)
+    out = matched.groupBy("doc_id").agg(
+        *agg_cols,
+        *[
+            F.max(
+                F.when(F.col("term").isin(cand[q]), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"_m{i}")
+            for i, q in enumerate(queries)
+        ],
+    )
+    every = F.col("_m0") == 1
+    for i in range(1, len(queries)):
+        every = every & (F.col(f"_m{i}") == 1)
+    return out.where(every).select("doc_id", "n_terms_matched", "total_tf")
+
+
+def q_search_fuzzy_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fuzzy_hits_from_index(spark, sf_dir, (FUZZY_QUERY,))
 
 
 # corpus-scan spelling (DuckDB's levenshtein is the exact semantics
@@ -1234,6 +1370,37 @@ QUERIES["text_search_fuzzy_from_index"] = (
     q_search_fuzzy_from_index,
     ORACLE_FUZZY_SEARCH,
 )
+
+
+# Multi-typo AND form (r11; registration earmarked for the r12 rotation
+# — the r11 prefix budget is spent, and an unfronted registry entry
+# would sit never-checked): docs fuzzily matching EVERY typo. Same
+# dual, one variant probe, one postings probe.
+MULTI_FUZZY_QUERY = ("sart", "winow")
+
+ORACLE_MULTI_FUZZY_SEARCH = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_O_WORDS}) AS term FROM documents
+)
+SELECT doc_id,
+       COUNT(DISTINCT term) AS n_terms_matched,
+       COUNT(*) AS total_tf
+FROM terms
+WHERE {" OR ".join(
+    f"levenshtein(term, '{q}') <= 1" for q in MULTI_FUZZY_QUERY
+)}
+GROUP BY doc_id
+HAVING {" AND ".join(
+    f"MAX(CASE WHEN levenshtein(term, '{q}') <= 1 THEN 1 ELSE 0 END) = 1"
+    for q in MULTI_FUZZY_QUERY
+)}
+"""
+
+
+def q_search_multi_fuzzy_from_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return fuzzy_hits_from_index(spark, sf_dir, MULTI_FUZZY_QUERY)
 
 
 # --- BM25-scored top-k retrieval ------------------------------------------
@@ -1431,22 +1598,19 @@ def batch_postings(docs: DataFrame) -> DataFrame:
     return tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
 
 
-def build_scored_index(spark: SparkSession, sf_dir: str) -> str:
-    """One-time (per fixture identity) build of the BM25-ready postings
-    artifact: ``postings/`` = (term, doc_id, tf, dl) term-repartitioned
-    and term-sorted; ``stats/`` = 1 row (n_docs, total_dl)."""
+def write_scored_index(docs: DataFrame, root: str) -> None:
+    """Write the BM25-ready artifact for a docs frame under ``root``:
+    ``postings/`` = (term, doc_id, tf, dl, positions) term-repartitioned
+    and term-sorted; ``stats/`` = 1 row (n_docs, total_dl);
+    ``term_stats/`` = per-term (df, max_tf, min_dl) — df for scoring
+    without a postings count, (max_tf, min_dl) the exact per-term
+    max-impact inputs :func:`bm25_maxscore_topk` prunes with (the bound
+    is recomputed against CURRENT corpus stats at query time, so the
+    stored columns stay corpus-independent and mergeable: df sums,
+    max_tf maxes, min_dl mins across disjoint doc sets)."""
     import os
-    import shutil
 
-    root = scored_index_path(spark, sf_dir)
-    if os.path.isdir(root):
-        try:
-            spark.read.parquet(os.path.join(root, "postings")).limit(1).count()
-            spark.read.parquet(os.path.join(root, "stats")).limit(1).count()
-            return root
-        except Exception:
-            shutil.rmtree(root, ignore_errors=True)
-    docs = load_table(spark, sf_dir, "documents")
+    spark = docs.sparkSession
     postings = batch_postings(docs)
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     (
@@ -1455,24 +1619,55 @@ def build_scored_index(spark: SparkSession, sf_dir: str) -> str:
         .write.mode("overwrite")
         .parquet(os.path.join(root, "postings"))
     )
-    stats = (
-        spark.read.parquet(os.path.join(root, "postings"))
-        .agg(
+    stored = spark.read.parquet(os.path.join(root, "postings"))
+    (
+        stored.agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.sum("tf").alias("total_dl"),
-        )
+        ).write.mode("overwrite").parquet(os.path.join(root, "stats"))
     )
-    stats.write.mode("overwrite").parquet(os.path.join(root, "stats"))
+    (
+        stored.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),  # (term, doc_id) unique
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, "term_stats"))
+    )
+
+
+def build_scored_index(spark: SparkSession, sf_dir: str) -> str:
+    """One-time (per fixture identity) build of the BM25-ready postings
+    artifact (see :func:`write_scored_index` for the layout)."""
+    import os
+    import shutil
+
+    root = scored_index_path(spark, sf_dir)
+    if os.path.isdir(root):
+        try:
+            spark.read.parquet(os.path.join(root, "postings")).limit(1).count()
+            spark.read.parquet(os.path.join(root, "stats")).limit(1).count()
+            spark.read.parquet(
+                os.path.join(root, "term_stats")
+            ).limit(1).count()
+            return root
+        except Exception:
+            shutil.rmtree(root, ignore_errors=True)
+    write_scored_index(load_table(spark, sf_dir, "documents"), root)
     return root
 
 
-def bm25_topk_over_postings(postings: DataFrame, stats: DataFrame) -> DataFrame:
-    """BM25 top-k of the fixed query over (term, doc_id, tf, dl) posting
-    rows + a 1-row (n_docs, total_dl) stats frame — the SINGLE serving
-    path shared by the one-pass artifact and the incrementally
+def bm25_topk_over_postings(
+    postings: DataFrame, stats: DataFrame, terms=BOOL_QUERY_TERMS
+) -> DataFrame:
+    """BM25 top-k of the query ``terms`` over (term, doc_id, tf, dl)
+    posting rows + a 1-row (n_docs, total_dl) stats frame — the SINGLE
+    serving path shared by the one-pass artifact and the incrementally
     maintained one. Requires (term, doc_id) unique across the postings
     (df = the count of retrieved postings per term)."""
-    idx = postings.where(F.col("term").isin(*BOOL_QUERY_TERMS))
+    idx = postings.where(F.col("term").isin(*terms))
     df_t = idx.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return (
         idx.join(F.broadcast(df_t), "term")
@@ -1507,6 +1702,221 @@ def q_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["text_bm25_from_index"] = (q_bm25_from_index, _oracle_bm25())
 
 
+# --- top-k pruned BM25 (max-score) from the stored index -------------------
+# VERDICT r9/r10 #2: text_bm25_from_index reads the query terms' FULL
+# postings — correct and bounded by postings, not corpus, but at 100 TB
+# a skewed-df (stop-word-ish) term's postings IS corpus-scale. The
+# classic exact answer is max-score pruning (Turtle & Flood 1995; the
+# DAAT MaxScore family Lucene/Tantivy ship): a per-term upper bound on
+# any single posting's contribution lets the engine skip the long
+# postings of low-impact terms entirely, except where a short-postings
+# candidate needs its contribution completed.
+#
+# The bound: bm25_contrib_micro is monotone increasing in tf and
+# decreasing in dl (idf fixed per term), so contrib(tf, dl) <=
+# contrib(max_tf, min_dl) for every posting of the term — with
+# (max_tf, min_dl) stored per term at build/compaction, the bound is
+# EXACT under current corpus stats and computed with the SAME Spark
+# expression tree as scoring (same double association order, same
+# micro-quantization — F.round is monotone, so quantized contributions
+# respect it; no cross-engine ULP caveat can break the bound).
+#
+# The batch algorithm (3 bounded driver reads, never a corpus scan):
+# 1. ub_t for the query terms from the |terms|-row term_stats lookup
+#    (pushed In(term) scan) joined with the 1-row corpus stats.
+# 2. theta = the k-th best single-term contribution of the highest-ub
+#    ("seed") term — a top-k over the seed's postings only. At least k
+#    docs have true score >= their seed contribution >= theta, so the
+#    final k-th true score >= theta.
+# 3. Split terms by ascending ub: non-essential N = the longest prefix
+#    with cumulative ub STRICTLY below theta; essential E = the rest
+#    (never empty: theta <= sum of all ub). A doc outside every
+#    essential posting list scores <= sum_N ub < theta — it cannot
+#    displace the top-k, ties included. So: scan E's postings fully,
+#    scan N's postings ONLY for the candidate doc_ids E produced —
+#    pushed as an In(doc_id,...) parquet filter when the candidate set
+#    is small (postings are doc_id-sorted within each term, so row
+#    groups of the skewed term actually skip), else a broadcast
+#    semi-join (scoring work still pruned; scan pruning lost).
+# Cost: the skewed term's postings are read ∝ |candidates of the rare
+# terms|, not ∝ its own df — the 100 TB gap VERDICT r10 names, closed.
+# Degenerate inputs degrade to the unpruned path, never to wrong
+# answers (theta = 0 when the seed's df < k; candidate blowup falls
+# back to the semi-join).
+
+MAXSCORE_IN_LIMIT = 4096  # push In(doc_id,...) below this, semi-join above
+
+
+def _bm25_maxscore(
+    postings: DataFrame,
+    stats: DataFrame,
+    tstats: DataFrame,
+    terms,
+    diag: dict | None = None,
+) -> DataFrame:
+    """The max-score serving core over explicit frames: ``postings``
+    (term, doc_id, tf, dl — (term, doc_id) unique), ``stats`` (1 row:
+    n_docs, total_dl), ``tstats`` (per-term df, max_tf, min_dl,
+    already restricted to the query terms). Shared by the one-pass
+    scored artifact and the incrementally maintained index."""
+    empty = (
+        postings.select("doc_id").limit(0)
+        .withColumn("score_micro", F.lit(0).cast("long"))
+    )
+    # (1) per-term exact upper bounds — |query terms| rows
+    ub_rows = (
+        tstats.crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            "df",
+            bm25_contrib_micro(
+                F.col("max_tf"),
+                F.col("min_dl"),
+                F.col("df"),
+                F.col("n_docs"),
+                F.col("total_dl"),
+            ).alias("ub"),
+        )
+        .collect()
+    )
+    if not ub_rows:  # no query term occurs in the corpus
+        return empty
+    ub = {r.term: int(r.ub) for r in ub_rows}
+    df_of = {r.term: int(r.df) for r in ub_rows}
+    present = sorted(ub)  # absent terms contribute nothing anywhere
+    seed = max(present, key=lambda t: (ub[t], t))
+    # (2) theta: k-th best single-term contribution of the seed term —
+    # a top-k over ONE term's postings, k rows to the driver
+    contrib = bm25_contrib_micro(
+        F.col("tf"),
+        F.col("dl"),
+        F.lit(df_of[seed]),
+        F.col("n_docs"),
+        F.col("total_dl"),
+    )
+    seed_top = (
+        postings.where(F.col("term") == seed)
+        .crossJoin(F.broadcast(stats))
+        .select(contrib.alias("c"))
+        .orderBy(F.desc("c"))
+        .limit(BM25_TOPK)
+        .collect()
+    )
+    theta = int(seed_top[-1].c) if len(seed_top) == BM25_TOPK else 0
+    # (3) ascending-ub prefix with cumulative bound strictly below theta
+    by_ub = sorted(present, key=lambda t: (ub[t], t))
+    pruned, acc = [], 0
+    for t in by_ub:
+        if acc + ub[t] < theta:
+            pruned.append(t)
+            acc += ub[t]
+        else:
+            break
+    essential = [t for t in present if t not in set(pruned)]
+    if diag is not None:
+        diag.update(theta=theta, essential=essential, pruned=pruned, ub=ub)
+    ess = postings.where(F.col("term").isin(*essential))
+    if pruned:
+        cand_rows = (
+            ess.select("doc_id")
+            .distinct()
+            .limit(MAXSCORE_IN_LIMIT + 1)
+            .collect()
+        )
+        non = postings.where(F.col("term").isin(*pruned))
+        if len(cand_rows) <= MAXSCORE_IN_LIMIT:
+            cands = [int(r.doc_id) for r in cand_rows]
+            non = non.where(F.col("doc_id").isin(cands))
+        else:
+            non = non.join(
+                F.broadcast(ess.select("doc_id").distinct()),
+                "doc_id",
+                "left_semi",
+            )
+        scored = ess.unionByName(non)
+    else:
+        scored = ess
+    dft = F.create_map(
+        *[F.lit(x) for t in present for x in (t, df_of[t])]
+    )
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            bm25_contrib_micro(
+                F.col("tf"),
+                F.col("dl"),
+                dft[F.col("term")],
+                F.col("n_docs"),
+                F.col("total_dl"),
+            ).alias("c_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c_micro").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+def bm25_maxscore_topk(
+    spark: SparkSession,
+    root: str,
+    terms=BOOL_QUERY_TERMS,
+    diag: dict | None = None,
+) -> DataFrame:
+    """Exact BM25 top-k from the scored index at ``root`` with
+    max-score pruning — identical ranking to
+    :func:`bm25_topk_over_postings` (the machine-checked pin), reading
+    strictly fewer posting rows whenever pruning engages. ``diag``
+    (tests): filled with theta / essential / pruned terms."""
+    import os
+
+    return _bm25_maxscore(
+        spark.read.parquet(os.path.join(root, "postings")),
+        spark.read.parquet(os.path.join(root, "stats")),
+        spark.read.parquet(os.path.join(root, "term_stats")).where(
+            F.col("term").isin(*terms)
+        ),
+        terms,
+        diag,
+    )
+
+
+def bm25_maxscore_incremental(
+    spark: SparkSession,
+    index_dir: str,
+    terms=BOOL_QUERY_TERMS,
+    diag: dict | None = None,
+) -> DataFrame:
+    """Max-score serving from the INCREMENTALLY maintained index: the
+    merged per-batch bounds (:func:`read_term_stats`) drive the same
+    pruning core; whenever the bounds cannot be trusted (live
+    tombstones, mid-crash partition mismatch) the query silently serves
+    the unpruned spelling instead — identical ranking either way, the
+    bounds only ever buy speed."""
+    postings, stats = read_index(spark, index_dir)
+    tstats = read_term_stats(spark, index_dir)
+    if tstats is None:
+        if diag is not None:
+            diag["fallback"] = "bounds_unavailable"
+        return bm25_topk_over_postings(postings, stats, terms)
+    return _bm25_maxscore(
+        postings, stats, tstats.where(F.col("term").isin(*terms)), terms, diag
+    )
+
+
+def q_bm25_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The max-score-pruned serving spelling of the same ranking as
+    text_bm25_from_index — SAME oracle (the corpus-scan BM25), so the
+    driver proves pruning never changes the answer. Scale argument:
+    SCALE.md §text-retrieval (query cost ∝ the RARE terms' postings +
+    candidate-pruned reads of the skewed ones, never corpus)."""
+    return bm25_maxscore_topk(spark, build_scored_index(spark, sf_dir))
+
+
+QUERIES["text_bm25_maxscore"] = (q_bm25_maxscore, _oracle_bm25())
+
+
 # --- incrementally maintained search index ---------------------------------
 # VERDICT r7 item 2: the stored index above rebuilds from a FULL corpus
 # pass whenever the fixture changes, but the engine ingests documents
@@ -1535,11 +1945,17 @@ INDEX_POSTINGS = "postings"
 INDEX_STATS = "stats"
 INDEX_DOCS = "docs"
 INDEX_TOMBSTONES = "tombstones"
+INDEX_TERM_STATS = "term_stats"
 POSTINGS_SCHEMA = (
     "term string, doc_id bigint, tf bigint, dl bigint, positions array<int>"
 )
 DOCS_SCHEMA = "doc_id bigint, dl bigint"
 TOMBSTONES_SCHEMA = "doc_id bigint"
+# per-term max-impact bound inputs (r11): corpus-independent and
+# mergeable across disjoint doc sets (df sums, max_tf maxes, min_dl
+# mins) — the incremental twin of the scored index's term_stats; see
+# bm25_maxscore_topk for the bound derivation
+TERM_STATS_SCHEMA = "term string, df bigint, max_tf bigint, min_dl bigint"
 INDEX_HORIZON_FILE = "_compaction_horizon.json"
 INDEX_VERSION_FILE = "_format_version.json"
 _STAGING_DIR = "_postings_compact_tmp"
@@ -1699,6 +2115,25 @@ def write_index_batch(
         .partitionBy("batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(os.path.join(index_dir, INDEX_STATS))
+    )
+    # per-term max-impact bound inputs (r11, format v4): df/max_tf/
+    # min_dl are doc-local like tf and dl, so a batch's rows derive
+    # from the batch alone and merge additively across batches (a doc
+    # lands in exactly one batch — the same invariant df rides on).
+    # One term-grain aggregate of the already-checkpointed postings;
+    # vocabulary-sized, tiny next to the postings write itself.
+    (
+        postings.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+        )
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(index_dir, INDEX_TERM_STATS))
     )
 
 
@@ -2003,11 +2438,14 @@ def compact_index(
     absorb, src_ids = _plan_fold(ppath, keep_last)
     if not absorb:
         # nothing new on the postings side; still fold tombstones/docs
-        # (deletes may have accumulated without new ingest batches) and
-        # resume a stats fold a previous crash may have left undone
+        # (deletes may have accumulated without new ingest batches),
+        # resume a stats fold a previous crash may have left undone,
+        # and heal a term_stats/postings partition mismatch a crash
+        # between the postings install and its re-alignment left
         compact_index_tombstones(spark, index_dir, keep_last)
         compact_index_docs(spark, index_dir)
         compact_index_stats(spark, index_dir)
+        compact_index_term_stats(spark, index_dir)
         return 0
     prev = _read_horizon(ppath)
     horizon = max(absorb) if prev is None else max(prev, max(absorb))
@@ -2042,12 +2480,70 @@ def compact_index(
     compact_index_tombstones(spark, index_dir, keep_last)
     compact_index_docs(spark, index_dir)
     compact_index_stats(spark, index_dir)
+    compact_index_term_stats(spark, index_dir)
     return len(src_ids)
 
 
 _STATS_STAGING_DIR = "_stats_compact_tmp"
 _TOMBSTONES_STAGING_DIR = "_tombstones_compact_tmp"
 _DOCS_STAGING_DIR = "_docs_compact_tmp"
+_TERM_STATS_STAGING_DIR = "_term_stats_compact_tmp"
+
+
+def _partition_ids(path: str) -> set[int]:
+    import os
+
+    if not os.path.isdir(path):
+        return set()
+    return {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(path)
+        if d.startswith("batch_id=")
+    }
+
+
+def read_term_stats(spark: SparkSession, index_dir: str):
+    """Merged per-term (df, max_tf, min_dl) bounds for the incrementally
+    maintained index, or None when the bounds cannot be trusted and the
+    caller must serve UNPRUNED (correct either way — pruning is an
+    optimization, and a wrong bound is the one thing that could make it
+    a correctness bug):
+
+    * live tombstones present — stored df/max_tf still count deleted
+      docs, and an OVER-counted df UNDER-estimates idf and therefore
+      the bound, which is the unsafe direction; bounds are exact again
+      once compaction physically purges the victims and sweeps the
+      tombstones (Lucene's deletes-degrade-bounds discipline);
+    * term_stats partitions not 1:1 with the postings partitions — the
+      crash window between a postings-fold install and the term_stats
+      re-alignment fold (:func:`compact_index_term_stats` heals it at
+      the next compaction);
+    * no term_stats dir at all (a pre-v4 index, which the version
+      marker refuses loudly anyway)."""
+    import os
+
+    tspath = os.path.join(index_dir, INDEX_TERM_STATS)
+    if not os.path.isdir(tspath):
+        return None
+    tpath = os.path.join(index_dir, INDEX_TOMBSTONES)
+    if os.path.isdir(tpath) and any(
+        d.startswith("batch_id=") for d in os.listdir(tpath)
+    ):
+        return None
+    if _partition_ids(tspath) != _partition_ids(
+        os.path.join(index_dir, INDEX_POSTINGS)
+    ):
+        return None
+    return (
+        spark.read.schema(TERM_STATS_SCHEMA + ", batch_id int")
+        .parquet(tspath)
+        .groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.max("max_tf").alias("max_tf"),
+            F.min("min_dl").alias("min_dl"),
+        )
+    )
 
 
 def _live_doc_ids(spark: SparkSession, index_dir: str, *subs: str):
@@ -2264,6 +2760,70 @@ def compact_index_stats(spark: SparkSession, index_dir: str) -> int:
     return len(src_ids)
 
 
+def compact_index_term_stats(spark: SparkSession, index_dir: str) -> int:
+    """Re-align the per-term bounds artifact with the postings after a
+    fold. The compacted partition's rows are RECOMPUTED from the
+    compacted postings partition — never additively merged: absorbed
+    batches' pre-purge counts would keep deleted docs inside df/max_tf,
+    and the recompute is one vocabulary-grain groupBy over rows the
+    postings fold just rewrote anyway. Absorbed term_stats partitions
+    drop; replayable-tail partitions stay 1:1 with their postings
+    partitions (their write_index_batch replay rewrites both). Runs
+    AFTER the postings install: a crash between the two leaves a
+    partition set that no longer matches the postings, which
+    :func:`read_term_stats` detects and answers with None (serving
+    falls back to unpruned scoring) until the next compaction heals it
+    — degraded, never wrong."""
+    import os
+
+    ppath = os.path.join(index_dir, INDEX_POSTINGS)
+    tspath = os.path.join(index_dir, INDEX_TERM_STATS)
+    if not os.path.isdir(tspath):
+        return 0
+    p_ids, t_ids = _partition_ids(ppath), _partition_ids(tspath)
+    absorbed = sorted(
+        i for i in t_ids if i != COMPACTED_BATCH_ID and i not in p_ids
+    )
+    recompute = COMPACTED_BATCH_ID in p_ids and (
+        bool(absorbed) or COMPACTED_BATCH_ID not in t_ids
+    )
+    stale_compacted = (
+        COMPACTED_BATCH_ID in t_ids and COMPACTED_BATCH_ID not in p_ids
+    )
+    if not (absorbed or recompute or stale_compacted):
+        return 0
+    if COMPACTED_BATCH_ID in p_ids:
+        merged = (
+            spark.read.schema(POSTINGS_SCHEMA + ", batch_id int")
+            .parquet(ppath)
+            .where(F.col("batch_id") == COMPACTED_BATCH_ID)
+            .groupBy("term")
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.max("tf").alias("max_tf"),
+                F.min("dl").alias("min_dl"),
+            )
+            .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
+        )
+    else:
+        # postings fold ended empty (everything purged): stage a
+        # zero-row merge so the install drops the stale compacted
+        # bounds partition (_stage_and_install's staged_empty path)
+        merged = (
+            spark.read.schema(TERM_STATS_SCHEMA + ", batch_id int")
+            .parquet(tspath)
+            .limit(0)
+        )
+    _stage_and_install(
+        merged,
+        tspath,
+        os.path.join(index_dir, _TERM_STATS_STAGING_DIR),
+        absorbed,
+        None,
+    )
+    return len(absorbed) + (1 if (recompute or stale_compacted) else 0)
+
+
 def recover_index_compaction(spark: SparkSession, index_dir: str) -> bool:
     """Finish a :func:`compact_index` (or stats-fold) install that
     crashed after its staging completed (``_STAGED`` marker present):
@@ -2279,6 +2839,7 @@ def recover_index_compaction(spark: SparkSession, index_dir: str) -> bool:
         (INDEX_TOMBSTONES, _TOMBSTONES_STAGING_DIR),
         (INDEX_DOCS, _DOCS_STAGING_DIR),
         (INDEX_STATS, _STATS_STAGING_DIR),
+        (INDEX_TERM_STATS, _TERM_STATS_STAGING_DIR),
     ):
         tmp = os.path.join(index_dir, tmp_sub)
         if not os.path.isdir(tmp):

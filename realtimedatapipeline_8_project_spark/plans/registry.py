@@ -66,93 +66,88 @@ _MODULES = (
 
 # The driver's per-round CORRECTNESS check covers a prefix of the registry
 # (50 entries). Order is therefore a verification budget: queries named
-# here register FIRST. Round-10 budget: the flagship, the 3 queries NEW
-# this round (the delete-serving IVF probe, suffix retrieval via the
-# reversed-term dual, fuzzy edit-distance-1 retrieval via the
-# deletion-neighborhood dual — each holding the slot of a retired
-# r07-latest entry, see _RETIRED), then the rows-only no-oracle trio
-# (agg_approx_distinct, dedup_minhash_neardup, dedup_simhash_neardup —
-# their newest driver row is round 6, at the staleness limit; their
-# driver row is a weak rows-only check by design while the real
-# correctness pin, the machine-checked twin equivalence in
-# tests/test_neardup_twins.py, runs in every fast-suite pass), then the
-# 43 queries whose newest driver row is round 7 and that survive this
-# round's retirements — 1 + 3 + 3 + 43 = 50, the full budget. The 48
-# r08-latest rows rotate in round 11, the 50 r09-latest in round 12.
-# MinHash fix note: dedup_minhash_neardup's plan changed this round
-# (the r9 element_at(sig,1) guard moved to the input side) — it is
-# fronted here anyway as part of the trio; dedup_intra_batch,
-# dedup_minhash_portable and dedup_incremental share the fixed helpers
-# and keep their r09-green rows (the sf0.01 parity suite re-proves all
-# four every fast-suite pass). Names not listed keep module order.
+# here register FIRST. Round-11 budget: the flagship, the 1 query NEW
+# this round (text_bm25_maxscore — the max-score-pruned serving twin of
+# text_bm25_from_index; registering it WITHOUT a retirement takes the
+# registry to 148 = exactly the 3-round cycle capacity of 1 flagship +
+# 49 x 3, per the retirement policy's "or accepts a longer refresh
+# cycle" clause — the cycle stays 3 rounds), then the 48 queries whose
+# newest driver row is round 8 (the owed rotation set named by VERDICT
+# r10 #3) — 1 + 1 + 48 = 50, the full budget. The 49 r09-latest rows
+# rotate in round 12, the 49 r10-latest in round 13. Names not listed
+# keep module order.
+#
+# EARMARKED for r12: register the multi-term AND duals
+# (q_search_multi_suffix_from_index / q_search_multi_fuzzy_from_index,
+# operators/text_analysis.py — code + oracles + plan pins landed r11,
+# tests/test_multi_term_retrieval.py). Registering both needs TWO
+# retirements drawn FROM the r09-latest rotation set (prefix math:
+# 1 flagship + 2 new + 47 = 50), chosen by the usual rule — each
+# retiree's semantics must stay driver-verified through a live entry
+# sharing its oracle.
 _PRIORITY = (
     # flagship stays verified every round
     "enrich_broadcast_left_join",
-    # --- new in round 10 ---
-    "sim_knn_after_delete",  # IVF probe after vector deletes: purged
-    # batches + tombstone-masked kept batch (slot from the retired
-    # sql_waiting_suppliers — its SQL text stays live as
-    # agg_waiting_suppliers_1scan's oracle)
-    "text_search_suffix_from_index",  # leading-wildcard retrieval via
-    # the reversed-term dual (slot from the retired
-    # sql_excess_shipments — its SQL text stays live as
-    # agg_excess_shipments_1scan's oracle)
-    "text_search_fuzzy_from_index",  # edit-distance-1 retrieval via
-    # the deletion-neighborhood dual (slot from the retired
-    # graph_pagerank — oracle shared with graph_pagerank_bucketed,
-    # the recommended scale plan, which stays registered)
-    # --- rows-only trio: newest row round 6, at the staleness limit ---
-    "agg_approx_distinct",
-    "dedup_minhash_neardup",
-    "dedup_simhash_neardup",
-    # --- newest row is round 7: refresh all 43 surviving entries ---
-    "agg_excess_shipments_1scan",
-    "agg_waiting_suppliers_1scan",
-    "asof_last_purchase",
-    "contamination_ngram_overlap",
-    "curation_pii_redact",
-    "curation_source_mix",
-    "dedup_exact_fingerprint",
-    "dedup_simhash_portable",
-    "dq_outliers",
-    "hypertable_rollup",
-    "pandas_user_trend",
-    "pivot_event_types",
-    "sample_pack_sequences",
-    "sample_quality_gate",
-    "sample_shard_plan",
-    "sample_split_assign",
-    "sample_split_leakage_safe",
-    "sample_stratified",
-    "scale_bloom_semijoin",
-    "scale_salted_agg",
-    "scale_salted_join",
-    "scd2_user_state_history",
-    "sim_embedding_neardup",
-    "sim_embedding_quantize",
-    "sim_embedding_stats",
-    "sim_knn_bruteforce",
-    "sim_knn_ivf",
-    "sim_knn_lsh",
-    "sketch_count_min_estimate",
-    "sql_dormant_customers",
-    "sql_grouping_sets",
-    "text_bm25_from_index",
-    "text_encode_ids",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_search_from_index",
-    "text_term_salience",
-    "text_token_count",
-    "text_winnow_fingerprint",
-    "ts_gapfill_forward_fill",
-    "win_running_spend",
-    "win_tumbling_hour",
+    # --- new in round 11 ---
+    "text_bm25_maxscore",  # exact top-k BM25 with max-score pruning
+    # from the stored per-term (df, max_tf, min_dl) bounds — same
+    # oracle as text_bm25_from_index (pruning must not change the
+    # ranking); closes the skewed-df postings-read gap VERDICT r10
+    # names (the one designed-in 100 TB scale gap of the text path)
+    # --- newest row is round 8: refresh all 48 surviving entries ---
+    "agg_cube",
+    "agg_distinct_counts",
+    "agg_large_volume_customers",
+    "agg_mode_median",
+    "agg_percentiles",
+    "agg_pricing_summary",
+    "agg_priority_shipments",
+    "agg_returned_item_report",
+    "agg_revenue_by_nation",
+    "agg_rollup",
+    "agg_shipping_priority",
+    "agg_top1_per_group_sortfree",
+    "agg_top_customers",
+    "agg_volume_shipping",
+    "array_event_history",
+    "dedup_survivors_quality",
+    "dq_audit",
+    "dq_profile",
+    "dq_referential",
+    "explode_top_tokens",
+    "graph_pagerank_bucketed",
+    "hist_price_profile",
+    "join_semi_anti",
+    "json_as_map",
+    "json_variant",
+    "media_decode_stub",
+    "media_dedup_exact",
+    "media_metadata",
+    "sample_epoch_shuffle",
+    "scale_agg_then_join",
+    "set_ops",
+    "sql_in_subquery",
+    "sql_lateral_topk",
+    "sql_market_share",
+    "sql_min_cost_supplier",
+    "sql_notin_null_trap",
+    "sql_scalar_subquery",
+    "text_bigram_fluency",
+    "text_bm25_incremental",
+    "text_repetition",
+    "text_search_any_from_index",
+    "text_search_exclude_from_index",
+    "ts_m4_downsample",
+    "udtf_chunk_windows",
+    "unpivot_metrics",
+    "win_rank_family",
+    "win_sessionize",
+    "win_sliding_window",
 )
 
-# (The round-9 prefix lives in git history: the registry file as of
-# commit c654641; round 8's as of commit 1ac4330.)
+# (The round-10 prefix lives in git history: the registry file as of
+# commit b3b22eb; round 9's as of commit c654641; round 8's as of
+# commit 1ac4330.)
 
 # Redundant registry entries retired to keep the checked prefix dense:
 # dedup_simhash is subsumed by dedup_simhash_neardup (same sketch, plus the
@@ -231,6 +226,97 @@ for _m in _MODULES:
 _missing = [n for n in _PRIORITY if n not in _ALL]
 if _missing:
     raise ValueError(f"priority names not registered: {_missing}")
+
+# --- scale-story lint (VERDICT r10 #8) -------------------------------------
+# Every query registered from round 11 on must NAME its scale argument in
+# SCALE.md (the r10 trio did this by hand; this makes the build fail
+# without it, so the 100x story stays ahead of the query count). The
+# pre-r11 registry is grandfathered by the frozen list below — those
+# entries are covered by SCALE.md's family sections, which predate the
+# per-name discipline. Additions to this list are forbidden: a new query
+# earns registration by writing its SCALE.md paragraph, not by growing
+# the exemption.
+_SCALE_GRANDFATHERED = frozenset({
+    "agg_approx_distinct", "agg_cube", "agg_disjunctive_revenue",
+    "agg_distinct_counts", "agg_excess_shipments_1scan",
+    "agg_important_parts_1scan", "agg_large_volume_customers",
+    "agg_mode_median", "agg_order_count_distribution", "agg_percentiles",
+    "agg_pricing_summary", "agg_priority_shipments",
+    "agg_profit_by_nation_1scan", "agg_returned_item_report",
+    "agg_revenue_by_nation", "agg_rollup", "agg_shipping_priority",
+    "agg_small_quantity_revenue", "agg_top1_per_group_sortfree",
+    "agg_top_customers", "agg_top_supplier_revenue", "agg_volume_shipping",
+    "agg_waiting_suppliers_1scan", "array_event_history",
+    "asof_last_purchase", "contamination_ngram_overlap",
+    "curation_end_to_end", "curation_pii_redact", "curation_source_mix",
+    "dedup_cluster_components", "dedup_exact_fingerprint",
+    "dedup_incremental", "dedup_intra_batch", "dedup_jaccard_vs_probe",
+    "dedup_minhash_neardup", "dedup_minhash_portable",
+    "dedup_semantic_pairs", "dedup_simhash_neardup",
+    "dedup_simhash_portable", "dedup_survivors_quality", "dq_audit",
+    "dq_outliers", "dq_profile", "dq_referential",
+    "enrich_broadcast_left_join", "enum_validation_filter",
+    "explode_top_tokens", "fuzzy_name_match", "graph_pagerank_bucketed",
+    "hist_price_profile", "hypertable_rollup", "interval_overlap_sessions",
+    "join_full_outer", "join_semi_anti", "json_as_map", "json_decode",
+    "json_variant", "kafka_producer_projection", "kv_projection",
+    "layout_zorder", "media_decode_stub", "media_dedup_exact",
+    "media_frame_sample", "media_metadata", "merge_apply_changes",
+    "ordered_drain", "pandas_user_trend", "pit_state_join",
+    "pivot_event_types", "point_lookup_string_hash", "range_join_bucketed",
+    "reference_engagement_metrics", "sample_epoch_shuffle",
+    "sample_pack_sequences", "sample_quality_gate", "sample_shard_plan",
+    "sample_source_rebalance", "sample_split_assign",
+    "sample_split_leakage_safe", "sample_stratified",
+    "sample_weighted_reservoir", "scale_agg_then_join",
+    "scale_bloom_semijoin", "scale_salted_agg", "scale_salted_join",
+    "scd2_user_state_history", "set_ops", "sim_embedding_neardup",
+    "sim_embedding_quantize", "sim_embedding_stats", "sim_kmeans_train",
+    "sim_knn_after_delete", "sim_knn_bruteforce", "sim_knn_ivf",
+    "sim_knn_ivf_grown", "sim_knn_lsh", "sketch_count_min_estimate",
+    "sketch_hll_portable", "snapshot_diff_cdc", "sparse_doc_cosine",
+    "sql_dormant_customers", "sql_exists_correlated", "sql_grouping_sets",
+    "sql_in_subquery", "sql_lateral_topk", "sql_market_share",
+    "sql_min_cost_supplier", "sql_notin_null_trap", "sql_profit_by_nation",
+    "sql_scalar_subquery", "text_bigram_fluency", "text_bm25_after_delete",
+    "text_bm25_from_index", "text_bm25_incremental", "text_encode_ids",
+    "text_fingerprint", "text_inverted_index", "text_lang_id",
+    "text_phrase_from_index", "text_phrase_incremental",
+    "text_quality_score", "text_repetition", "text_search_any_from_index",
+    "text_search_exclude_from_index", "text_search_from_index",
+    "text_search_fuzzy_from_index", "text_search_prefix_from_index",
+    "text_search_suffix_from_index", "text_term_salience",
+    "text_token_count", "text_winnow_fingerprint", "topk_recent",
+    "ts_gapfill_forward_fill", "ts_m4_downsample", "udtf_chunk_windows",
+    "unpivot_metrics", "uuid_repair", "win_distribution_family",
+    "win_event_gaps", "win_funnel_dropoff", "win_latest_per_user",
+    "win_rank_family", "win_running_spend", "win_sessionize",
+    "win_sliding_window", "win_trailing_range_frame", "win_tumbling_hour",
+})
+
+
+def _lint_scale_story() -> None:
+    import os
+
+    scale_md = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", "SCALE.md"
+    )
+    if not os.path.exists(scale_md):  # installed outside the repo tree
+        return
+    with open(scale_md) as fh:
+        scale = fh.read()
+    unargued = sorted(
+        n for n in _ALL if n not in _SCALE_GRANDFATHERED and n not in scale
+    )
+    if unargued:
+        raise ValueError(
+            f"registered queries without a SCALE.md argument: {unargued} — "
+            "every new registration must name its 100x scale story in "
+            "SCALE.md (VERDICT r10 #8)"
+        )
+
+
+_lint_scale_story()
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

@@ -1,0 +1,293 @@
+"""Max-score-pruned BM25 from the stored scored index (VERDICT r10 #2):
+bm25_maxscore_topk must return the EXACT same ranking as the unpruned
+serving path while reading strictly fewer posting rows when a query term
+is skewed (stop-word-ish df). The planted fixture makes the pruning
+decision deterministic: two rare high-impact terms + one term present in
+every document."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+    BM25_TOPK,
+    batch_postings,
+    bm25_maxscore_incremental,
+    bm25_maxscore_topk,
+    bm25_topk_over_postings,
+    build_scored_index,
+    compact_index,
+    delete_index_docs,
+    read_index,
+    read_term_stats,
+    write_index_batch,
+    write_scored_index,
+)
+from realtimedatapipeline_8_project_spark.plans.registry import QUERIES
+
+from .test_plans import plan_of_df
+
+TERMS = ("rarekind", "rareword", "common")
+
+
+def _rows(df):
+    return [(r.doc_id, r.score_micro) for r in df.collect()]
+
+
+def _planted(spark, tmp_path, n_docs=400):
+    """400 docs, every one containing 'common' (df = n_docs); doc_id
+    0-14 contain 'rarekind' (df 15 >= k, so theta > 0), 15-29 contain
+    'rareword'. tf and dl vary with doc_id so scores are distinct-ish
+    and the (max_tf, min_dl) bound is exercised off the corner."""
+    rows = []
+    for i in range(n_docs):
+        toks = ["common"] * (1 + i % 3) + ["filler"] * (i % 7)
+        if i < 15:
+            toks += ["rarekind"] * (1 + i % 2)
+        elif i < 30:
+            toks += ["rareword"] * (1 + i % 2)
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    root = str(tmp_path / "scored")
+    write_scored_index(docs, root)
+    return root
+
+
+def test_maxscore_prunes_skewed_term_and_matches_full(spark, tmp_path):
+    root = _planted(spark, tmp_path)
+    postings = spark.read.parquet(os.path.join(root, "postings"))
+    stats = spark.read.parquet(os.path.join(root, "stats"))
+    diag = {}
+    got = [
+        (r.doc_id, r.score_micro)
+        for r in bm25_maxscore_topk(spark, root, TERMS, diag).collect()
+    ]
+    want = [
+        (r.doc_id, r.score_micro)
+        for r in bm25_topk_over_postings(postings, stats, TERMS).collect()
+    ]
+    assert got == want and len(got) == BM25_TOPK
+    # the skewed term was pruned; the rare terms stayed essential
+    assert diag["pruned"] == ["common"], diag
+    assert sorted(diag["essential"]) == ["rarekind", "rareword"]
+    assert diag["theta"] > diag["ub"]["common"]
+    # rows-read pin: essential postings read fully + the skewed term's
+    # postings read only for the essential candidates — strictly fewer
+    # than the full path's postings of all three terms
+    cands = {
+        r.doc_id
+        for r in postings.where(
+            F.col("term").isin(*diag["essential"])
+        ).select("doc_id").collect()
+    }
+    rows_full = postings.where(F.col("term").isin(*TERMS)).count()
+    rows_pruned = postings.where(
+        F.col("term").isin(*diag["essential"])
+    ).count() + postings.where(
+        (F.col("term") == "common")
+        & F.col("doc_id").isin([int(c) for c in cands])
+    ).count()
+    assert rows_pruned < rows_full, (rows_pruned, rows_full)
+    # and the candidate restriction reaches the parquet scan: the
+    # skewed term's postings scan carries a pushed In(doc_id, ...)
+    p = plan_of_df(bm25_maxscore_topk(spark, root, TERMS))
+    assert "In(doc_id" in p, p
+
+
+def test_maxscore_theta_zero_degrades_to_full_scoring(spark, tmp_path):
+    """Seed df < k => theta = 0 => nothing prunable; the answer still
+    equals the unpruned path (the degenerate-input contract)."""
+    rows = [
+        (i, ("alpha " if i < 4 else "") + ("beta " if i % 2 else "") + "pad")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    root = str(tmp_path / "scored")
+    write_scored_index(docs, root)
+    terms = ("alpha", "beta")
+    diag = {}
+    got = [
+        (r.doc_id, r.score_micro)
+        for r in bm25_maxscore_topk(spark, root, terms, diag).collect()
+    ]
+    postings = spark.read.parquet(os.path.join(root, "postings"))
+    stats = spark.read.parquet(os.path.join(root, "stats"))
+    want = [
+        (r.doc_id, r.score_micro)
+        for r in bm25_topk_over_postings(postings, stats, terms).collect()
+    ]
+    assert got == want
+    assert diag["pruned"] == [] and diag["theta"] == 0
+
+
+def test_maxscore_absent_terms_and_empty_result(spark, tmp_path):
+    root = _planted(spark, tmp_path, n_docs=50)
+    # an absent term contributes nothing; all-absent returns empty
+    got = bm25_maxscore_topk(
+        spark, root, ("rarekind", "nosuchterm")
+    ).collect()
+    postings = spark.read.parquet(os.path.join(root, "postings"))
+    stats = spark.read.parquet(os.path.join(root, "stats"))
+    want = bm25_topk_over_postings(
+        postings, stats, ("rarekind", "nosuchterm")
+    ).collect()
+    assert [(r.doc_id, r.score_micro) for r in got] == [
+        (r.doc_id, r.score_micro) for r in want
+    ]
+    assert bm25_maxscore_topk(spark, root, ("nosuchterm",)).count() == 0
+
+
+def test_registered_maxscore_equals_from_index(spark, sf_small):
+    """The registered query (fixture terms, fixture corpus) must equal
+    text_bm25_from_index row-for-row — they share the DuckDB oracle and
+    the driver proves both, but this is the fast local pin."""
+    a = [
+        (r.doc_id, r.score_micro)
+        for r in QUERIES["text_bm25_maxscore"](spark, sf_small).collect()
+    ]
+    b = [
+        (r.doc_id, r.score_micro)
+        for r in QUERIES["text_bm25_from_index"](spark, sf_small).collect()
+    ]
+    assert a == b and len(a) == BM25_TOPK
+
+
+def _planted_docs(spark, n_docs=400):
+    rows = []
+    for i in range(n_docs):
+        toks = ["common"] * (1 + i % 3) + ["filler"] * (i % 7)
+        if i < 15:
+            toks += ["rarekind"] * (1 + i % 2)
+        elif i < 30:
+            toks += ["rareword"] * (1 + i % 2)
+        rows.append((i, " ".join(toks)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_maxscore_through_delete_and_compaction(
+    spark, tmp_path
+):
+    """The 'at build/compaction' half of VERDICT r10 #2 on the
+    incrementally maintained index: per-batch bounds merge exactly and
+    prune while clean; live tombstones make the bounds untrusted
+    (stored df over-counts -> idf under-estimates -> the UNSAFE
+    direction) so serving silently falls back to unpruned; compaction
+    physically purges, sweeps the tombstones, RECOMPUTES the compacted
+    bounds, and pruning re-enables — exact at every stage."""
+    docs = _planted_docs(spark)
+    idx = str(tmp_path / "incr")
+    for b in range(3):
+        write_index_batch(
+            batch_postings(docs.where(F.col("doc_id") % 3 == b)), b, idx
+        )
+    # clean index: bounds merge across batches, skewed term prunes
+    diag = {}
+    got = _rows(bm25_maxscore_incremental(spark, idx, TERMS, diag))
+    postings, stats = read_index(spark, idx)
+    want = _rows(bm25_topk_over_postings(postings, stats, TERMS))
+    assert got == want and diag["pruned"] == ["common"]
+    # merged bounds == exact recompute over the live postings
+    merged = {
+        r.term: (r.df, r.max_tf, r.min_dl)
+        for r in read_term_stats(spark, idx)
+        .where(F.col("term").isin(*TERMS))
+        .collect()
+    }
+    exact = {
+        r.term: (r.df, r.max_tf, r.min_dl)
+        for r in postings.where(F.col("term").isin(*TERMS))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+        )
+        .collect()
+    }
+    assert merged == exact
+    # delete two rarekind docs: tombstones live -> fallback, still exact
+    delete_index_docs(
+        spark,
+        idx,
+        spark.createDataFrame([(0,), (3,)], "doc_id long"),
+        3,
+    )
+    assert read_term_stats(spark, idx) is None
+    diag = {}
+    got = _rows(bm25_maxscore_incremental(spark, idx, TERMS, diag))
+    assert diag.get("fallback") == "bounds_unavailable"
+    postings, stats = read_index(spark, idx)  # tombstone-aware
+    assert got == _rows(bm25_topk_over_postings(postings, stats, TERMS))
+    # compaction purges + sweeps + realigns: pruning re-enables, bounds
+    # exact over the SURVIVING corpus
+    compact_index(spark, idx, keep_last=0)
+    assert read_term_stats(spark, idx) is not None
+    diag = {}
+    got = _rows(bm25_maxscore_incremental(spark, idx, TERMS, diag))
+    assert "fallback" not in diag and diag["pruned"] == ["common"]
+    postings, stats = read_index(spark, idx)
+    assert got == _rows(bm25_topk_over_postings(postings, stats, TERMS))
+    merged = {
+        r.term: (r.df, r.max_tf, r.min_dl)
+        for r in read_term_stats(spark, idx)
+        .where(F.col("term").isin(*TERMS))
+        .collect()
+    }
+    assert merged["rarekind"][0] == exact["rarekind"][0] - 2  # df shrank
+
+
+def test_term_stats_partition_mismatch_falls_back_then_heals(
+    spark, tmp_path
+):
+    """The crash window between a postings install and the term_stats
+    re-alignment leaves the partition sets disagreeing: bounds must
+    read as unavailable (serve unpruned, never prune on stale bounds)
+    and the next compaction must heal the artifact."""
+    import shutil
+
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        INDEX_TERM_STATS,
+    )
+
+    docs = _planted_docs(spark, n_docs=90)
+    idx = str(tmp_path / "incr")
+    for b in range(3):
+        write_index_batch(
+            batch_postings(docs.where(F.col("doc_id") % 3 == b)), b, idx
+        )
+    # simulate the mismatch: one batch's bounds partition missing
+    shutil.rmtree(os.path.join(idx, INDEX_TERM_STATS, "batch_id=1"))
+    assert read_term_stats(spark, idx) is None
+    diag = {}
+    got = _rows(bm25_maxscore_incremental(spark, idx, TERMS, diag))
+    assert diag.get("fallback") == "bounds_unavailable"
+    postings, stats = read_index(spark, idx)
+    assert got == _rows(bm25_topk_over_postings(postings, stats, TERMS))
+    # compaction absorbs every postings batch and recomputes the
+    # compacted bounds from them — consistent again
+    compact_index(spark, idx, keep_last=0)
+    ts = read_term_stats(spark, idx)
+    assert ts is not None
+    got = _rows(bm25_maxscore_incremental(spark, idx, TERMS))
+    postings, stats = read_index(spark, idx)
+    assert got == _rows(bm25_topk_over_postings(postings, stats, TERMS))
+
+
+def test_scored_index_cache_without_term_stats_rebuilds(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """A pre-r11 cached scored index (no term_stats/) must rebuild, not
+    serve a maxscore query a missing artifact."""
+    import shutil
+
+    import realtimedatapipeline_8_project_spark.operators.text_analysis as TA
+
+    legacy = str(tmp_path / "legacy")
+    monkeypatch.setattr(TA, "scored_index_path", lambda s, d: legacy)
+    root = build_scored_index(spark, sf_small)
+    assert root == legacy
+    shutil.rmtree(os.path.join(legacy, "term_stats"))
+    root = build_scored_index(spark, sf_small)
+    assert os.path.isdir(os.path.join(root, "term_stats"))
