@@ -649,12 +649,11 @@ def q_knn_ivf_trained(
     # probe vector = source-table point lookup (pushed 1-row read),
     # served through the parameterized ivf_probe — the train-then-serve
     # spelling of the same serving surface the stored-index queries use
+    qv = quantized_probe_vector(spark, sf_dir)
+    if qv is None:  # empty corpus: an empty answer, not a raise
+        return _empty_probe_result(assigned)
     return ivf_probe(
-        assigned,
-        cents,
-        quantized_probe_vector(spark, sf_dir),
-        n_probe=n_probe,
-        exclude_id=IVFT_PROBE_ID,
+        assigned, cents, qv, n_probe=n_probe, exclude_id=IVFT_PROBE_ID
     )
 
 
@@ -1545,13 +1544,15 @@ def build_ivf_grown(spark: SparkSession, sf_dir: str) -> str:
 
 def quantized_probe_vector(
     spark: SparkSession, sf_dir: str, vec_id: int = IVFT_PROBE_ID
-) -> list[int]:
+) -> list[int] | None:
     """Point-lookup of ONE vector from the source ``embeddings`` table,
     quantized — how the registered fixture queries obtain their probe
     vector for :func:`ivf_probe`. The ``vec_id =`` predicate reaches the
     parquet scan (PushedFilters), so this is a 1-row bounded driver read
     of the SOURCE table — the serving path never scans the index lists
-    to locate its own probe (VERDICT r10 #1)."""
+    to locate its own probe (VERDICT r10 #1). Returns None when the id
+    is absent (the empty-corpus fixture contract: a probe of nothing is
+    an empty answer, not a raise — callers return an empty frame)."""
     rows = (
         _km_quantize(load_table(spark, sf_dir, "embeddings"))
         .where(F.col("vec_id") == vec_id)
@@ -1559,8 +1560,18 @@ def quantized_probe_vector(
         .collect()
     )
     if not rows:
-        raise ValueError(f"no vector with vec_id={vec_id} in {sf_dir}")
+        return None
     return [int(x) for x in rows[0].qv]
+
+
+def _empty_probe_result(lists: DataFrame) -> DataFrame:
+    """The (vec_id, dist) zero-row frame a probe of an empty corpus
+    serves — same schema as every ivf_probe result."""
+    return (
+        lists.select("vec_id")
+        .limit(0)
+        .withColumn("dist", F.lit(0).cast("bigint"))
+    )
 
 
 def ivf_probe(
@@ -1607,6 +1618,61 @@ def ivf_probe(
     )
 
 
+def ivf_probe_batch(
+    lists: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    n_probe: int = IVFT_PROBE,
+    top: int = IVFT_TOP,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Batch ANN serving: top-``top`` neighbors for EVERY query vector
+    in ``queries`` (qid bigint, qv array<bigint> — quantized) in ONE
+    plan, returning (qid, vec_id, dist, rank). The fleet-serving form
+    of :func:`ivf_probe`: a nightly hard-negative-mining or
+    retrieval-eval job probes millions of vectors, and per-vector
+    driver round-trips would make the driver the bottleneck.
+
+    Shape: centroid ranking is a K x Q broadcast product (the codebook
+    is broadcast-tiny; a per-qid window takes the n_probe nearest
+    lists), the chosen (qid, list) pairs broadcast into the candidate
+    join — each list row fans out ONLY to the queries that probe its
+    list — and the final top-k is one qid-keyed exchange of candidate
+    rows (∝ Q x probed-list sizes, never corpus x Q all-pairs).
+    ``exclude_self`` drops the row where vec_id == qid (in-corpus
+    queries must not return themselves). ``rank`` (1-based per qid,
+    ties by vec_id) makes the output deterministic and
+    order-insensitively comparable."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col("qid").cast("long").alias("qid"), F.col("qv").alias("pqv")
+    )
+    sq = lambda col: F.aggregate(  # noqa: E731
+        F.zip_with(col, F.col("pqv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + x,
+    )
+    wl = Window.partitionBy("qid").orderBy(F.asc("pd"), F.asc("k"))
+    plists = (
+        cents.crossJoin(F.broadcast(q))
+        .select("qid", "k", "pqv", sq(F.col("c")).alias("pd"))
+        .withColumn("_rn", F.row_number().over(wl))
+        .where(F.col("_rn") <= n_probe)
+        .select("qid", "k", "pqv")
+    )
+    cand = lists.join(F.broadcast(plists), "k")
+    if exclude_self:
+        cand = cand.where(F.col("vec_id") != F.col("qid"))
+    wt = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        cand.select("qid", "vec_id", sq(F.col("qv")).alias("dist"))
+        .withColumn("rank", F.row_number().over(wt))
+        .where(F.col("rank") <= top)
+        .select("qid", "vec_id", "dist", "rank")
+    )
+
+
 def _probe_grown_lists(
     spark: SparkSession, root: str, query_vec, exclude_id: int | None = None
 ) -> DataFrame:
@@ -1649,12 +1715,10 @@ def q_knn_ivf_grown(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is batch-independent. Probe vector = a source-table
     point lookup, served through the parameterized :func:`ivf_probe`."""
     root = build_ivf_grown(spark, sf_dir)
-    return _probe_grown_lists(
-        spark,
-        root,
-        quantized_probe_vector(spark, sf_dir),
-        exclude_id=IVFT_PROBE_ID,
-    )
+    qv = quantized_probe_vector(spark, sf_dir)
+    if qv is None:  # empty corpus: an empty answer, not a raise
+        return _empty_probe_result(read_ivf_lists(spark, root))
+    return _probe_grown_lists(spark, root, qv, exclude_id=IVFT_PROBE_ID)
 
 
 # --- vector deletes, served (registered r10 as sim_knn_after_delete,
@@ -1720,12 +1784,10 @@ def q_knn_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set. Probe vector = a source-table point lookup, served
     through the parameterized :func:`ivf_probe`."""
     root = build_ivf_grown_with_deletes(spark, sf_dir)
-    return _probe_grown_lists(
-        spark,
-        root,
-        quantized_probe_vector(spark, sf_dir),
-        exclude_id=IVFT_PROBE_ID,
-    )
+    qv = quantized_probe_vector(spark, sf_dir)
+    if qv is None:  # empty corpus: an empty answer, not a raise
+        return _empty_probe_result(read_ivf_lists(spark, root))
+    return _probe_grown_lists(spark, root, qv, exclude_id=IVFT_PROBE_ID)
 
 
 QUERIES = {

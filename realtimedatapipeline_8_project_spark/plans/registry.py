@@ -84,7 +84,11 @@ _MODULES = (
 # retirements drawn FROM the r09-latest rotation set (prefix math:
 # 1 flagship + 2 new + 47 = 50), chosen by the usual rule — each
 # retiree's semantics must stay driver-verified through a live entry
-# sharing its oracle.
+# sharing its oracle. Also candidate: the batch ANN probe
+# (similarity.ivf_probe_batch, r11 — top-k per query vector for a
+# whole query frame in one plan, machine-checked vs the per-query
+# re-derivation in tests/test_ivf_probe.py; needs a DuckDB QUALIFY
+# oracle + its own slot/retirement if registered).
 _PRIORITY = (
     # flagship stays verified every round
     "enrich_broadcast_left_join",

@@ -111,6 +111,65 @@ def test_in_corpus_probe_without_exclusion_returns_self_first(
     assert excl == _expected(spark, root, qv, exclude_id=IVFT_PROBE_ID)
 
 
+def test_batch_probe_matches_per_query_rederivation(
+    spark, sf_small, tmp_path
+):
+    """ivf_probe_batch over a mixed query frame (in-corpus vectors with
+    self-exclusion + a synthetic external vector) must equal the
+    pure-Python per-query re-derivation, including the per-qid rank."""
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        ivf_probe_batch,
+    )
+
+    root = str(tmp_path / "ivf")
+    _grow(spark, sf_small, root)
+    qvs = {
+        0: quantized_probe_vector(spark, sf_small, 0),
+        7: quantized_probe_vector(spark, sf_small, 7),
+        900001: [x + 555 for x in quantized_probe_vector(spark, sf_small, 2)],
+    }
+    queries = spark.createDataFrame(
+        [(qid, qv) for qid, qv in qvs.items()],
+        "qid long, qv array<bigint>",
+    )
+    lists = read_ivf_lists(spark, root)
+    cents = spark.read.parquet(os.path.join(root, IVF_CODEBOOK))
+    got = sorted(
+        (r.qid, r.rank, r.vec_id, r.dist)
+        for r in ivf_probe_batch(
+            lists, cents, queries, exclude_self=True
+        ).collect()
+    )
+    want = []
+    for qid, qv in qvs.items():
+        for rank, (d, v) in enumerate(
+            [
+                (d, v)
+                for d, v in _expected(spark, root, qv, exclude_id=qid)
+            ],
+            start=1,
+        ):
+            want.append((qid, rank, v, d))
+    assert got == sorted(want)
+    # and a 1-query batch equals the single-vector serving path
+    one = spark.createDataFrame(
+        [(0, qvs[0])], "qid long, qv array<bigint>"
+    )
+    batch1 = sorted(
+        (r.vec_id, r.dist)
+        for r in ivf_probe_batch(
+            lists, cents, one, exclude_self=True
+        ).collect()
+    )
+    single = sorted(
+        (r.vec_id, r.dist)
+        for r in ivf_probe(
+            lists, cents, qvs[0], exclude_id=0
+        ).collect()
+    )
+    assert batch1 == single
+
+
 def test_served_probe_plan_scans_lists_once_without_probe_lookup(
     spark, sf_small
 ):
