@@ -1721,6 +1721,95 @@ def q_knn_ivf_grown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _probe_grown_lists(spark, root, qv, exclude_id=IVFT_PROBE_ID)
 
 
+# Batch serving fixture (r11; registration candidate for r12 — see
+# plans/registry.py's earmark comment): three in-corpus query vectors
+# probed against the grown index in ONE plan, self-hits excluded.
+BATCH_QIDS = (0, 7, 13)  # present at every sf
+
+
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 per query vector over the incrementally grown lists +
+    stored codebook via :func:`ivf_probe_batch` — the fleet spelling of
+    q_knn_ivf_grown (same pipeline, Q queries in one plan)."""
+    import os
+
+    root = build_ivf_grown(spark, sf_dir)
+    queries = (
+        _km_quantize(load_table(spark, sf_dir, "embeddings"))
+        .where(F.col("vec_id").isin(*BATCH_QIDS))
+        .select(F.col("vec_id").alias("qid"), "qv")
+    )
+    return ivf_probe_batch(
+        read_ivf_lists(spark, root),
+        spark.read.parquet(os.path.join(root, IVF_CODEBOOK)),
+        queries,
+        exclude_self=True,
+    )
+
+
+def _oracle_knn_batch() -> str:
+    """DuckDB re-derivation of the batch probe: the trained-IVF oracle
+    pipeline (the frozen grown codebook IS the trained one) with the
+    probe/plists/top-k stages parameterized over the query set via
+    per-qid window ranks."""
+    k_case = "CASE vec_id " + " ".join(
+        f"WHEN {v} THEN {i}" for i, v in enumerate(IVFT_SEEDS)
+    ) + " END"
+    dist = (
+        f"CAST(list_sum(list_transform(range(1, {KM_DIM + 1}), "
+        f"i -> (v.qv[i] - c.c[i]) * (v.qv[i] - c.c[i]))) AS BIGINT)"
+    )
+    pdist = (
+        f"CAST(list_sum(list_transform(range(1, {KM_DIM + 1}), "
+        f"i -> (a.qv[i] - p.pqv[i]) * (a.qv[i] - p.pqv[i]))) AS BIGINT)"
+    )
+    cdist = (
+        f"CAST(list_sum(list_transform(range(1, {KM_DIM + 1}), "
+        f"i -> (c.c[i] - p.pqv[i]) * (c.c[i] - p.pqv[i]))) AS BIGINT)"
+    )
+    qids = ", ".join(str(q) for q in BATCH_QIDS)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {KM_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+), c0 AS (
+  SELECT {k_case} AS k, qv AS c FROM q WHERE vec_id IN {IVFT_SEEDS}
+), a1 AS (
+  SELECT v.vec_id, v.qv, c.k, {dist} AS d
+  FROM q v CROSS JOIN c0 c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY d, c.k) = 1
+), e1 AS (
+  SELECT k, i, CAST(SUM(qv[i]) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a1 CROSS JOIN range(1, {KM_DIM + 1}) t1(i)
+  GROUP BY k, i
+), c1 AS (
+  SELECT k, array_agg(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+                      ORDER BY i) AS c
+  FROM e1 GROUP BY k
+), a2 AS (
+  SELECT v.vec_id, v.qv, c.k, {dist} AS d
+  FROM q v CROSS JOIN c1 c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY d, c.k) = 1
+), probes AS (
+  SELECT vec_id AS qid, qv AS pqv FROM q WHERE vec_id IN ({qids})
+), plists AS (
+  SELECT p.qid, p.pqv, c.k FROM c1 c CROSS JOIN probes p
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY {cdist} ASC, c.k ASC)
+          <= {IVFT_PROBE}
+)
+SELECT qid, vec_id, dist, rank FROM (
+  SELECT p.qid, a.vec_id, {pdist} AS dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p.qid
+              ORDER BY {pdist} ASC, a.vec_id ASC) AS INT) AS rank
+  FROM a2 a JOIN plists p USING (k)
+  WHERE a.vec_id <> p.qid
+)
+WHERE rank <= {IVFT_TOP}
+"""
+
+
 # --- vector deletes, served (registered r10 as sim_knn_after_delete,
 # slot funded by retiring sql_waiting_suppliers per plans/registry.py's
 # retirement policy; the equivalence is also machine-pinned in

@@ -299,9 +299,12 @@ def test_compaction_of_deleted_index_survives_crash_at_every_step(
 ):
     """The exhaustive crash-point discipline of the plain-index test,
     on an index WITH tombstones: crash at every filesystem mutation of
-    the four folds (postings, tombstones, docs, stats); after recovery
-    plus one resumed compaction, reads are row-identical, the deleted
-    docs are physically gone, and no staging dir survives."""
+    the five folds (postings, tombstones, docs, stats, term_stats);
+    after recovery plus one resumed compaction, reads are
+    row-identical, the deleted docs are physically gone, the per-term
+    bounds are realigned (read_term_stats serves again — it refused
+    while tombstones lived or partitions mismatched mid-crash), and no
+    staging dir survives."""
     import shutil as _shutil
 
     docs = _docs(spark, sf_small, n=120)
@@ -368,17 +371,24 @@ def test_compaction_of_deleted_index_survives_crash_at_every_step(
             _raw_doc_ids(spark, root, INDEX_TOMBSTONES, TOMBSTONES_SCHEMA)
             == set()
         )
+        # the bounds artifact is realigned with the purged postings:
+        # read_term_stats serves (no live tombstones, partitions 1:1)
+        # and its df for a surviving doc's term counts no victims
+        assert TA.read_term_stats(spark, root) is not None, (
+            f"crash point {crash_point}: bounds not realigned"
+        )
         for tmp_sub in (
             "_postings_compact_tmp",
             "_tombstones_compact_tmp",
             "_docs_compact_tmp",
             "_stats_compact_tmp",
+            "_term_stats_compact_tmp",
         ):
             assert not os.path.isdir(os.path.join(root, tmp_sub))
         if not crashed:
             break
         crash_point += 1
-    assert crash_point >= 10  # four folds' installs, every mutation
+    assert crash_point >= 10  # five folds' installs, every mutation
 
 
 def test_bm25_after_delete_plan_is_corpus_free(spark, sf_small):

@@ -170,6 +170,26 @@ def test_batch_probe_matches_per_query_rederivation(
     assert batch1 == single
 
 
+def test_batch_query_matches_duckdb_oracle(spark, sf_oracle):
+    """q_knn_batch (the r12 registration candidate) against its DuckDB
+    oracle at the driver's scale — the same gate the driver would run,
+    carried locally until the registry slot opens."""
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        _oracle_knn_batch,
+        q_knn_batch,
+    )
+
+    from .oracle_harness import compare, duck_connection
+
+    con = duck_connection(sf_oracle)
+    try:
+        df = q_knn_batch(spark, sf_oracle)
+        assert df.count() == 3 * IVFT_TOP
+        assert not compare(df, con, _oracle_knn_batch(), "knn_batch")
+    finally:
+        con.close()
+
+
 def test_served_probe_plan_scans_lists_once_without_probe_lookup(
     spark, sf_small
 ):
