@@ -275,6 +275,60 @@ def test_term_stats_partition_mismatch_falls_back_then_heals(
     assert got == _rows(bm25_topk_over_postings(postings, stats, TERMS))
 
 
+def test_maxscore_equals_full_scoring_on_random_corpora(
+    spark, tmp_path
+):
+    """Property: on arbitrary small corpora and arbitrary query-term
+    subsets (skewed, rare, absent, single-term, dl-varied), the pruned
+    path's top-k equals the unpruned path's EXACTLY — the bound, theta
+    seeding, strict-inequality prefix selection, and tie handling can
+    never change a ranking. Hypothesis-shaped but deterministic
+    exploration: a fixed battery of adversarial corpora (one shared
+    Spark index build per corpus, many query sets each) to keep runtime
+    sane — ties are planted deliberately (identical docs => identical
+    scores => doc_id tie-breaks at the k boundary)."""
+    corpora = {
+        # skew + two rarities + planted exact ties (docs 50/51/52
+        # identical => equal scores at the k boundary)
+        "skew": [
+            (
+                i,
+                " ".join(
+                    ["the"] * (1 + i % 4)
+                    + (["rare"] if i % 11 == 0 else [])
+                    + (["mid"] if i % 3 == 0 else [])
+                    + ["pad"] * (i % 5)
+                ),
+            )
+            for i in range(50)
+        ]
+        + [(50, "the rare mid"), (51, "the rare mid"), (52, "the rare mid")],
+        # every doc identical: all scores tie, theta == every score
+        "allsame": [(i, "the rare pad") for i in range(15)],
+        # tiny corpus below k: theta must stay 0, no pruning
+        "tiny": [(i, "the rare") for i in range(4)],
+    }
+    queries = [
+        ("the",),
+        ("rare",),
+        ("rare", "the"),
+        ("mid", "the", "rare"),
+        ("absentterm", "the"),
+        ("absentterm",),
+    ]
+    for cname, rows in corpora.items():
+        root = str(tmp_path / f"prop_{cname}")
+        write_scored_index(
+            spark.createDataFrame(rows, "doc_id long, text string"), root
+        )
+        postings = spark.read.parquet(os.path.join(root, "postings"))
+        stats = spark.read.parquet(os.path.join(root, "stats"))
+        for terms in queries:
+            got = _rows(bm25_maxscore_topk(spark, root, terms))
+            want = _rows(bm25_topk_over_postings(postings, stats, terms))
+            assert got == want, (cname, terms, got, want)
+
+
 def test_scored_index_cache_without_term_stats_rebuilds(
     spark, sf_small, tmp_path, monkeypatch
 ):
