@@ -338,6 +338,21 @@ def test_ingest_maintains_search_index_equal_to_one_pass(
     served_once = bm25_topk_over_postings(one_pass, one_stats).collect()
     assert sorted(map(str, served_incr)) == sorted(map(str, served_once))
 
+    # the per-batch bounds artifact rides the same loop (r11): the
+    # streaming-maintained index serves max-score-pruned BM25 with the
+    # exact same ranking (bounds trusted: no deletes, partitions 1:1)
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        bm25_maxscore_incremental,
+        read_term_stats,
+    )
+
+    idx = os.path.join(corpus, "index")
+    assert read_term_stats(spark, idx) is not None
+    diag = {}
+    served_pruned = bm25_maxscore_incremental(spark, idx, diag=diag).collect()
+    assert "fallback" not in diag
+    assert sorted(map(str, served_pruned)) == sorted(map(str, served_incr))
+
     # replaying a committed batch must not change the merged index
     dedup_ingest_batch(batches[2], 2, corpus, maintain_index=True)
     postings2, stats2 = read_index(spark, os.path.join(corpus, "index"))
