@@ -77,18 +77,29 @@ _MODULES = (
 # rotate in round 12, the 49 r10-latest in round 13. Names not listed
 # keep module order.
 #
-# EARMARKED for r12: register the multi-term AND duals
-# (q_search_multi_suffix_from_index / q_search_multi_fuzzy_from_index,
-# operators/text_analysis.py — code + oracles + plan pins landed r11,
-# tests/test_multi_term_retrieval.py). Registering both needs TWO
-# retirements drawn FROM the r09-latest rotation set (prefix math:
-# 1 flagship + 2 new + 47 = 50), chosen by the usual rule — each
-# retiree's semantics must stay driver-verified through a live entry
-# sharing its oracle. Also candidate: the batch ANN probe
-# (similarity.ivf_probe_batch, r11 — top-k per query vector for a
-# whole query frame in one plan, machine-checked vs the per-query
-# re-derivation in tests/test_ivf_probe.py; needs a DuckDB QUALIFY
-# oracle + its own slot/retirement if registered).
+# EARMARKED for r12 (everything below landed r11 as code + oracle +
+# pins; only the registration slot waits): register
+# - text_search_multi_suffix_from_index / _multi_fuzzy_from_index
+#   (ORACLE_MULTI_SUFFIX_SEARCH / ORACLE_MULTI_FUZZY_SEARCH,
+#   tests/test_multi_term_retrieval.py), and
+# - sim_knn_batch (similarity.q_knn_batch + _oracle_knn_batch — the
+#   ivf_probe_batch fleet probe, DuckDB-verified in
+#   tests/test_ivf_probe.py).
+# Prefix math: 1 flagship + 3 new + 46 r09-latest = 50, funded by
+# THREE retirements FROM the r09-latest set, each per the usual rule
+# (retiree's semantics stay driver-verified through a live entry
+# sharing its oracle):
+# - sql_profit_by_nation (the CTE two-scan Q9 spelling IS
+#   spark.sql(<oracle>); the oracle stays live under
+#   agg_profit_by_nation_1scan — the exact sql_waiting_suppliers
+#   precedent),
+# - sim_knn_ivf_grown (sim_knn_batch reads the SAME grown
+#   lists/codebook artifacts through the same read path, with a
+#   strictly larger serving surface; single-vector serving stays
+#   driver-checked via sim_knn_after_delete),
+# - text_phrase_incremental (oracle shared with text_phrase_from_index;
+#   the per-batch index-maintenance machinery it exercised stays
+#   driver-checked via text_bm25_incremental on the same artifacts).
 _PRIORITY = (
     # flagship stays verified every round
     "enrich_broadcast_left_join",

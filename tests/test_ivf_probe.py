@@ -190,6 +190,26 @@ def test_batch_query_matches_duckdb_oracle(spark, sf_oracle):
         con.close()
 
 
+def test_batch_probe_plan_scans_lists_once_no_cartesian(spark, sf_small):
+    """Scale-shape pin for the fleet probe: the lists artifact is
+    scanned ONCE (candidates only — queries fan in via the broadcast
+    (qid, list) pairs), the K x Q centroid product is broadcast-side
+    (never a CartesianProduct over the lists), and the per-qid top-k is
+    a Window, not a global sort."""
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        IVF_LISTS,
+        ivf_index_path,
+        q_knn_batch,
+    )
+
+    df = q_knn_batch(spark, sf_small)
+    p = plan_of_df(df)
+    lists_loc = os.path.join(ivf_index_path(spark, sf_small), IVF_LISTS)
+    assert p.count(lists_loc) == 1, p
+    assert "CartesianProduct" not in p, p
+    assert "Window" in p, p
+
+
 def test_served_probe_plan_scans_lists_once_without_probe_lookup(
     spark, sf_small
 ):
