@@ -1059,6 +1059,35 @@ def build_reversed_index(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+def _suffix_agg(hits: DataFrame, rpats: list[str]) -> DataFrame:
+    """Per-doc qualification over (rterm, doc_id, tf) hit rows: distinct
+    matching terms + total occurrences, AND across patterns via
+    per-pattern conditional MAX flags on the one aggregate. A single
+    pattern keeps the flag-free plan."""
+    grouped = hits.groupBy("doc_id")
+    if len(rpats) == 1:
+        return grouped.agg(
+            F.countDistinct("rterm").cast("long").alias("n_terms_matched"),
+            F.sum("tf").alias("total_tf"),
+        )
+    out = grouped.agg(
+        F.countDistinct("rterm").cast("long").alias("n_terms_matched"),
+        F.sum("tf").alias("total_tf"),
+        *[
+            F.max(
+                F.when(F.col("rterm").startswith(p), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias(f"_m{i}")
+            for i, p in enumerate(rpats)
+        ],
+    )
+    every = F.col("_m0") == 1
+    for i in range(1, len(rpats)):
+        every = every & (F.col(f"_m{i}") == 1)
+    return out.where(every).select("doc_id", "n_terms_matched", "total_tf")
+
+
 def suffix_hits_over_reversed(
     postings_rev: DataFrame, suffixes=(SUFFIX_QUERY,)
 ) -> DataFrame:
@@ -1076,28 +1105,7 @@ def suffix_hits_over_reversed(
     cond = F.col("rterm").startswith(rpats[0])
     for p in rpats[1:]:
         cond = cond | F.col("rterm").startswith(p)
-    hits = postings_rev.where(cond).groupBy("doc_id")
-    if len(rpats) == 1:
-        return hits.agg(
-            F.countDistinct("rterm").cast("long").alias("n_terms_matched"),
-            F.sum("tf").alias("total_tf"),
-        )
-    out = hits.agg(
-        F.countDistinct("rterm").cast("long").alias("n_terms_matched"),
-        F.sum("tf").alias("total_tf"),
-        *[
-            F.max(
-                F.when(F.col("rterm").startswith(p), F.lit(1)).otherwise(
-                    F.lit(0)
-                )
-            ).alias(f"_m{i}")
-            for i, p in enumerate(rpats)
-        ],
-    )
-    every = F.col("_m0") == 1
-    for i in range(1, len(rpats)):
-        every = every & (F.col(f"_m{i}") == 1)
-    return out.where(every).select("doc_id", "n_terms_matched", "total_tf")
+    return _suffix_agg(postings_rev.where(cond), rpats)
 
 
 def q_search_suffix_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2446,6 +2454,7 @@ def compact_index(
         compact_index_docs(spark, index_dir)
         compact_index_stats(spark, index_dir)
         compact_index_term_stats(spark, index_dir)
+        compact_index_suffix_dual(spark, index_dir)
         return 0
     prev = _read_horizon(ppath)
     horizon = max(absorb) if prev is None else max(prev, max(absorb))
@@ -2481,6 +2490,7 @@ def compact_index(
     compact_index_docs(spark, index_dir)
     compact_index_stats(spark, index_dir)
     compact_index_term_stats(spark, index_dir)
+    compact_index_suffix_dual(spark, index_dir)
     return len(src_ids)
 
 
@@ -2824,6 +2834,124 @@ def compact_index_term_stats(spark: SparkSession, index_dir: str) -> int:
     return len(absorbed) + (1 if (recompute or stale_compacted) else 0)
 
 
+# --- incrementally maintained suffix dual (r11) ----------------------------
+# The one-pass reversed-term dual (build_reversed_index) serves suffix
+# queries with a pushed prefix probe — but it derives from a FULL corpus
+# pass, which a streaming index cannot afford to repeat. The incremental
+# discipline: the dual mirrors ONLY the compacted postings partition
+# (re-derived inside the compaction that rewrites those rows anyway —
+# one postings-sized projection, never a corpus re-scan), while the
+# replayable-tail batches are served straight from the PRIMARY postings
+# with an endswith filter. The tail carries no range prune, but its size
+# is bounded by the compaction cadence — exactly the LSM/Lucene
+# small-segments-scan-fine discipline. Freshness is a horizon handshake:
+# the dual records the postings horizon it was derived at (installed
+# atomically with its rows by the shared stage-and-install machinery);
+# any mismatch (mid-crash, dual never built, postings re-folded) makes
+# serving fall back to the primary-only endswith scan — degraded, never
+# wrong — until the next compaction re-aligns it.
+
+REV_SCHEMA = "rterm string, doc_id bigint, tf bigint"
+_REV_STAGING_DIR = "_postings_rev_compact_tmp"
+
+
+def compact_index_suffix_dual(spark: SparkSession, index_dir: str) -> int:
+    """Re-derive the reversed-term dual from the compacted postings
+    partition (skipped when the recorded horizons already agree and the
+    dual partition exists). Runs AFTER the postings install; the
+    staged install records the postings horizon atomically with the
+    dual's rows."""
+    import os
+
+    ppath = os.path.join(index_dir, INDEX_POSTINGS)
+    horizon = _read_horizon(ppath)
+    if horizon is None:
+        return 0  # nothing compacted yet: the whole index is tail
+    rpath = os.path.join(index_dir, INDEX_POSTINGS_REV)
+    cdir = os.path.join(rpath, f"batch_id={COMPACTED_BATCH_ID}")
+    has_compacted_postings = os.path.isdir(
+        os.path.join(ppath, f"batch_id={COMPACTED_BATCH_ID}")
+    )
+    if _read_horizon(rpath) == horizon and (
+        os.path.isdir(cdir) or not has_compacted_postings
+    ):
+        return 0
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    merged = (
+        spark.read.schema(POSTINGS_SCHEMA + ", batch_id int")
+        .parquet(ppath)
+        .where(F.col("batch_id") == F.lit(COMPACTED_BATCH_ID))
+        .select(F.reverse(F.col("term")).alias("rterm"), "doc_id", "tf")
+        .repartition(n, "rterm")
+        .sortWithinPartitions("rterm", "doc_id")
+        .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
+    )
+    _stage_and_install(
+        merged, rpath, os.path.join(index_dir, _REV_STAGING_DIR), [], horizon
+    )
+    return 1
+
+
+def suffix_hits_incremental(
+    spark: SparkSession, index_dir: str, suffixes=(SUFFIX_QUERY,)
+) -> DataFrame:
+    """Suffix retrieval (single or multi-pattern AND) from the
+    incrementally maintained index: pushed prefix probe of the
+    compacted dual + endswith scan of the replayable-tail primary
+    partitions, tombstone-aware, identical rows to a corpus-scan at
+    every point (see the section comment for the freshness
+    handshake)."""
+    import os
+
+    _check_version_marker(
+        index_dir, INDEX_POSTINGS, INDEX_FORMAT_VERSION, create=False
+    )
+    ppath = os.path.join(index_dir, INDEX_POSTINGS)
+    rpath = os.path.join(index_dir, INDEX_POSTINGS_REV)
+    raw = spark.read.schema(POSTINGS_SCHEMA + ", batch_id int").parquet(
+        ppath
+    )
+    rpats = [s[::-1] for s in suffixes]
+    horizon = _read_horizon(ppath)
+    fresh = horizon is not None and _read_horizon(rpath) == horizon
+    if fresh:
+        dcond = F.col("rterm").startswith(rpats[0])
+        for p in rpats[1:]:
+            dcond = dcond | F.col("rterm").startswith(p)
+        dual_hits = (
+            spark.read.schema(REV_SCHEMA + ", batch_id int")
+            .parquet(rpath)
+            .drop("batch_id")
+            .where(dcond)
+        )
+        tail = raw.where(F.col("batch_id") != F.lit(COMPACTED_BATCH_ID))
+    else:
+        dual_hits = None
+        tail = raw
+    tcond = F.col("term").endswith(suffixes[0])
+    for s in suffixes[1:]:
+        tcond = tcond | F.col("term").endswith(s)
+    tail_hits = tail.where(tcond).select(
+        F.reverse(F.col("term")).alias("rterm"), "doc_id", "tf"
+    )
+    hits = (
+        tail_hits
+        if dual_hits is None
+        else dual_hits.unionByName(tail_hits)
+    )
+    tpath = os.path.join(index_dir, INDEX_TOMBSTONES)
+    if os.path.isdir(tpath) and any(
+        d.startswith("batch_id=") for d in os.listdir(tpath)
+    ):
+        tombs = (
+            spark.read.schema(TOMBSTONES_SCHEMA + ", batch_id int")
+            .parquet(tpath)
+            .select("doc_id")
+        )
+        hits = hits.join(tombs, "doc_id", "left_anti")
+    return _suffix_agg(hits, rpats)
+
+
 def recover_index_compaction(spark: SparkSession, index_dir: str) -> bool:
     """Finish a :func:`compact_index` (or stats-fold) install that
     crashed after its staging completed (``_STAGED`` marker present):
@@ -2840,6 +2968,7 @@ def recover_index_compaction(spark: SparkSession, index_dir: str) -> bool:
         (INDEX_DOCS, _DOCS_STAGING_DIR),
         (INDEX_STATS, _STATS_STAGING_DIR),
         (INDEX_TERM_STATS, _TERM_STATS_STAGING_DIR),
+        (INDEX_POSTINGS_REV, _REV_STAGING_DIR),
     ):
         tmp = os.path.join(index_dir, tmp_sub)
         if not os.path.isdir(tmp):
