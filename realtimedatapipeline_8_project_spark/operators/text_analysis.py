@@ -1231,17 +1231,7 @@ def build_fuzzy_index(spark: SparkSession, sf_dir: str) -> str:
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     (
         vocab.select(
-            "term",
-            F.explode(
-                F.array_union(
-                    F.array(F.col("term")),
-                    F.expr(
-                        "transform(sequence(1, length(term)), i -> "
-                        "concat(substring(term, 1, i-1), "
-                        "substring(term, i+1, length(term))))"
-                    ),
-                )
-            ).alias("variant"),
+            "term", F.explode(F.expr(_VARIANTS_SQL)).alias("variant")
         )
         .distinct()
         .repartition(n, "variant")
@@ -1254,6 +1244,16 @@ def build_fuzzy_index(spark: SparkSession, sf_dir: str) -> str:
 
 def _deletion_variants(q: str) -> list[str]:
     return [q] + [q[:i] + q[i + 1 :] for i in range(len(q))]
+
+
+# the Spark-side spelling of _deletion_variants over a `term` column —
+# the SINGLE definition shared by the one-pass dual build and the
+# incremental dual derive/tail-membership check (two hand-maintained
+# copies could silently diverge on the neighborhood)
+_VARIANTS_SQL = (
+    "array_union(array(term), transform(sequence(1, length(term)), i -> "
+    "concat(substring(term, 1, i-1), substring(term, i+1, length(term)))))"
+)
 
 
 def _within_one_edit(a: str, b: str) -> bool:
@@ -1300,31 +1300,13 @@ def _fuzzy_candidates(
     }
 
 
-def fuzzy_hits_from_index(
-    spark: SparkSession, sf_dir: str, queries: tuple[str, ...]
+def _fuzzy_qualify(
+    postings: DataFrame, queries: tuple[str, ...], cand: dict
 ) -> DataFrame:
-    """Docs fuzzily matching EVERY query typo (AND across typos; a
-    single typo is the plain fuzzy query), per doc the distinct
-    matching terms + total occurrences. Two-phase, exactly how a
-    search service issues it: (1) candidate lookup — ONE pushed
-    IN(variant) probe of the dual covering every typo's deletion
-    neighborhood, exact distance-1 verify driver-side
-    (:func:`_fuzzy_candidates`; bounded tiny — the codebook-seed
-    precedent); (2) ONE pushed IN(term) postings probe with the union
-    of verified terms as compile-time constants, per-typo qualification
-    as conditional MAX flags on the same aggregate — the same plan
-    shape as every other from-index connective, and the multi-typo
-    form adds no second postings scan."""
-    import os
-
-    root = build_fuzzy_index(spark, sf_dir)  # also ensures the primary
-    dual = spark.read.parquet(os.path.join(root, INDEX_FUZZY))
-    cand = _fuzzy_candidates(dual, queries)
-    # path only — build_fuzzy_index above built (or verified) the
-    # primary artifact; re-probing it here would re-run the idempotency
-    # Spark jobs on every query
-    primary = scored_index_path(spark, sf_dir)
-    postings = spark.read.parquet(os.path.join(primary, INDEX_POSTINGS))
+    """Per-doc qualification given the verified candidate terms per
+    typo: ONE pushed IN(term) postings probe with the candidate union
+    as compile-time constants, per-typo AND via conditional MAX flags
+    on the same aggregate (single typo keeps the flag-free plan)."""
     agg_cols = (
         F.countDistinct("term").cast("long").alias("n_terms_matched"),
         F.sum("tf").alias("total_tf"),
@@ -1354,6 +1336,34 @@ def fuzzy_hits_from_index(
     for i in range(1, len(queries)):
         every = every & (F.col(f"_m{i}") == 1)
     return out.where(every).select("doc_id", "n_terms_matched", "total_tf")
+
+
+def fuzzy_hits_from_index(
+    spark: SparkSession, sf_dir: str, queries: tuple[str, ...]
+) -> DataFrame:
+    """Docs fuzzily matching EVERY query typo (AND across typos; a
+    single typo is the plain fuzzy query), per doc the distinct
+    matching terms + total occurrences. Two-phase, exactly how a
+    search service issues it: (1) candidate lookup — ONE pushed
+    IN(variant) probe of the dual covering every typo's deletion
+    neighborhood, exact distance-1 verify driver-side
+    (:func:`_fuzzy_candidates`; bounded tiny — the codebook-seed
+    precedent); (2) ONE pushed IN(term) postings probe with the union
+    of verified terms as compile-time constants, per-typo qualification
+    as conditional MAX flags on the same aggregate — the same plan
+    shape as every other from-index connective, and the multi-typo
+    form adds no second postings scan."""
+    import os
+
+    root = build_fuzzy_index(spark, sf_dir)  # also ensures the primary
+    dual = spark.read.parquet(os.path.join(root, INDEX_FUZZY))
+    cand = _fuzzy_candidates(dual, queries)
+    # path only — build_fuzzy_index above built (or verified) the
+    # primary artifact; re-probing it here would re-run the idempotency
+    # Spark jobs on every query
+    primary = scored_index_path(spark, sf_dir)
+    postings = spark.read.parquet(os.path.join(primary, INDEX_POSTINGS))
+    return _fuzzy_qualify(postings, queries, cand)
 
 
 def q_search_fuzzy_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2455,6 +2465,7 @@ def compact_index(
         compact_index_stats(spark, index_dir)
         compact_index_term_stats(spark, index_dir)
         compact_index_suffix_dual(spark, index_dir)
+        compact_index_fuzzy_dual(spark, index_dir)
         return 0
     prev = _read_horizon(ppath)
     horizon = max(absorb) if prev is None else max(prev, max(absorb))
@@ -2491,6 +2502,7 @@ def compact_index(
     compact_index_stats(spark, index_dir)
     compact_index_term_stats(spark, index_dir)
     compact_index_suffix_dual(spark, index_dir)
+    compact_index_fuzzy_dual(spark, index_dir)
     return len(src_ids)
 
 
@@ -2892,6 +2904,120 @@ def compact_index_suffix_dual(spark: SparkSession, index_dir: str) -> int:
     return 1
 
 
+# --- incrementally maintained fuzzy dual (r11) -----------------------------
+# Same discipline as the suffix dual: the deletion-neighborhood dual
+# (variant, term) mirrors only the COMPACTED postings' vocabulary
+# (re-derived inside the compaction — vocabulary-sized, tiny next to
+# the postings rewrite), the replayable-tail batches contribute
+# candidates through a DISTRIBUTED membership check (tail vocabulary ->
+# explode deletion variants -> pushed IN against the query's variant
+# buckets), and the horizon handshake degrades a stale dual to running
+# that same membership check over the FULL vocabulary — correct,
+# vocabulary-scale, healed at the next compaction. Candidate terms are
+# verified driver-side with the exact distance-1 check (bounded: the
+# probed buckets' collisions) and the postings probe is the standard
+# delete-aware pushed IN(term) over read_index.
+
+_FUZZY_STAGING_DIR = "_fuzzy_compact_tmp"
+
+
+def compact_index_fuzzy_dual(spark: SparkSession, index_dir: str) -> int:
+    """Re-derive the deletion-neighborhood dual from the compacted
+    postings' vocabulary (skipped when the recorded horizons already
+    agree and the dual partition exists)."""
+    import os
+
+    ppath = os.path.join(index_dir, INDEX_POSTINGS)
+    horizon = _read_horizon(ppath)
+    if horizon is None:
+        return 0  # nothing compacted yet: the whole index is tail
+    fpath = os.path.join(index_dir, INDEX_FUZZY)
+    cdir = os.path.join(fpath, f"batch_id={COMPACTED_BATCH_ID}")
+    has_compacted_postings = os.path.isdir(
+        os.path.join(ppath, f"batch_id={COMPACTED_BATCH_ID}")
+    )
+    if _read_horizon(fpath) == horizon and (
+        os.path.isdir(cdir) or not has_compacted_postings
+    ):
+        return 0
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    merged = (
+        spark.read.schema(POSTINGS_SCHEMA + ", batch_id int")
+        .parquet(ppath)
+        .where(F.col("batch_id") == F.lit(COMPACTED_BATCH_ID))
+        .select("term")
+        .distinct()
+        .select("term", F.explode(F.expr(_VARIANTS_SQL)).alias("variant"))
+        .distinct()
+        .repartition(n, "variant")
+        .sortWithinPartitions("variant", "term")
+        .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
+    )
+    _stage_and_install(
+        merged, fpath, os.path.join(index_dir, _FUZZY_STAGING_DIR), [], horizon
+    )
+    return 1
+
+
+def fuzzy_hits_incremental(
+    spark: SparkSession, index_dir: str, queries: tuple[str, ...] = None
+) -> DataFrame:
+    """Fuzzy retrieval (single or multi-typo AND) from the
+    incrementally maintained index — candidate terms from the compacted
+    dual probe plus the tail vocabulary's distributed neighborhood
+    check, exact distance-1 verify, then the standard delete-aware
+    postings probe (see the section comment)."""
+    import os
+
+    if queries is None:
+        queries = (FUZZY_QUERY,)
+    _check_version_marker(
+        index_dir, INDEX_POSTINGS, INDEX_FORMAT_VERSION, create=False
+    )
+    ppath = os.path.join(index_dir, INDEX_POSTINGS)
+    fpath = os.path.join(index_dir, INDEX_FUZZY)
+    raw = spark.read.schema(POSTINGS_SCHEMA + ", batch_id int").parquet(
+        ppath
+    )
+    variants = sorted({v for q in queries for v in _deletion_variants(q)})
+    horizon = _read_horizon(ppath)
+    fresh = horizon is not None and _read_horizon(fpath) == horizon
+    if fresh:
+        comp_terms = (
+            spark.read.schema("variant string, term string, batch_id int")
+            .parquet(fpath)
+            .where(F.col("variant").isin(variants))
+            .select("term")
+        )
+        tail_vocab = (
+            raw.where(F.col("batch_id") != F.lit(COMPACTED_BATCH_ID))
+            .select("term")
+            .distinct()
+        )
+    else:
+        comp_terms = None
+        tail_vocab = raw.select("term").distinct()
+    tail_terms = (
+        tail_vocab.select(
+            "term", F.explode(F.expr(_VARIANTS_SQL)).alias("variant")
+        )
+        .where(F.col("variant").isin(variants))
+        .select("term")
+    )
+    cand_df = (
+        tail_terms
+        if comp_terms is None
+        else comp_terms.unionByName(tail_terms)
+    )
+    terms = [r.term for r in cand_df.distinct().collect()]
+    cand = {
+        q: sorted(t for t in terms if _within_one_edit(t, q))
+        for q in queries
+    }
+    postings, _ = read_index(spark, index_dir)
+    return _fuzzy_qualify(postings, queries, cand)
+
+
 def suffix_hits_incremental(
     spark: SparkSession, index_dir: str, suffixes=(SUFFIX_QUERY,)
 ) -> DataFrame:
@@ -2969,6 +3095,7 @@ def recover_index_compaction(spark: SparkSession, index_dir: str) -> bool:
         (INDEX_STATS, _STATS_STAGING_DIR),
         (INDEX_TERM_STATS, _TERM_STATS_STAGING_DIR),
         (INDEX_POSTINGS_REV, _REV_STAGING_DIR),
+        (INDEX_FUZZY, _FUZZY_STAGING_DIR),
     ):
         tmp = os.path.join(index_dir, tmp_sub)
         if not os.path.isdir(tmp):

@@ -384,6 +384,7 @@ def test_compaction_of_deleted_index_survives_crash_at_every_step(
             "_stats_compact_tmp",
             "_term_stats_compact_tmp",
             "_postings_rev_compact_tmp",
+            "_fuzzy_compact_tmp",
         ):
             assert not os.path.isdir(os.path.join(root, tmp_sub))
         if not crashed:
