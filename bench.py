@@ -30,8 +30,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from realtimedatapipeline_8_project_spark.plans.registry import QUERIES
+from realtimedatapipeline_8_project_spark.operators import similarity as _sim
+from realtimedatapipeline_8_project_spark.plans.registry import QUERIES as QUERIES
 from realtimedatapipeline_8_project_spark.session import get_session
+
+# sim_knn_ivf_grown retired from the driver-correctness registry in r12
+# (sim_knn_batch reads the same artifacts with a larger surface) but
+# STAYS in the bench gate against its UNCHANGED 0.72 s budget: it is the
+# query that breached in r11 (VERDICT r11 #1), and retirement moves a
+# correctness slot, never a perf gate — the budget dies only by being
+# met. Its semantics stay machine-pinned (grown == trained row-identity
+# in tests/test_similarity_quality.py).
+QUERIES = dict(QUERIES)
+QUERIES["sim_knn_ivf_grown"] = _sim.QUERIES["sim_knn_ivf_grown"][0]
 
 HEADLINE = [
     "enrich_broadcast_left_join",
@@ -114,11 +125,12 @@ HEADLINE = [
     "text_bm25_incremental",
     "sql_market_share",
     "sql_notin_null_trap",
-    # round-9 additions
-    "sql_profit_by_nation",
+    # round-9 additions (sql_profit_by_nation and
+    # text_phrase_incremental retired r12 with their registry slots —
+    # their live twins agg_profit_by_nation_1scan and
+    # text_phrase_from_index stay benched)
     "agg_profit_by_nation_1scan",
     "text_phrase_from_index",
-    "text_phrase_incremental",
     "sim_knn_ivf_grown",
     # round-10 additions
     "sim_knn_after_delete",
@@ -126,6 +138,10 @@ HEADLINE = [
     "text_search_fuzzy_from_index",
     # round-11 additions
     "text_bm25_maxscore",
+    # round-12 additions
+    "text_search_multi_suffix_from_index",
+    "text_search_multi_fuzzy_from_index",
+    "sim_knn_batch",
 ]
 
 

@@ -1175,6 +1175,14 @@ HAVING {" AND ".join(
 )}
 """
 
+# registered r12 per the recorded rotation plan (plans/registry.py) —
+# slot funded by retiring sql_profit_by_nation (oracle lives on under
+# agg_profit_by_nation_1scan)
+QUERIES["text_search_multi_suffix_from_index"] = (
+    q_search_multi_suffix_from_index,
+    ORACLE_MULTI_SUFFIX_SEARCH,
+)
+
 
 # --- fuzzy (edit-distance-1) retrieval: the deletion-neighborhood dual -----
 # A misspelled query term ("sart") must still find its docs. Scanning
@@ -1419,6 +1427,16 @@ def q_search_multi_fuzzy_from_index(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return fuzzy_hits_from_index(spark, sf_dir, MULTI_FUZZY_QUERY)
+
+
+# registered r12 per the recorded rotation plan (plans/registry.py) —
+# slot funded by retiring text_phrase_incremental (oracle shared with
+# text_phrase_from_index; the per-batch maintenance machinery stays
+# driver-checked via text_bm25_incremental on the same artifacts)
+QUERIES["text_search_multi_fuzzy_from_index"] = (
+    q_search_multi_fuzzy_from_index,
+    ORACLE_MULTI_FUZZY_SEARCH,
+)
 
 
 # --- BM25-scored top-k retrieval ------------------------------------------
@@ -1846,8 +1864,16 @@ def _bm25_maxscore(
             cands = [int(r.doc_id) for r in cand_rows]
             non = non.where(F.col("doc_id").isin(cands))
         else:
+            # >MAXSCORE_IN_LIMIT candidates: the essential doc_id set
+            # is UNBOUNDED above (a skewed high-ub term can be
+            # essential while a low-ub moderate-df decoy is pruned —
+            # then the candidate set is corpus-scale), so the semi-join
+            # side must NOT be force-broadcast (VERDICT r11 #4: a
+            # forced hint here is a driver/executor OOM at 100 TB).
+            # Unhinted, AQE broadcasts when the set is actually small
+            # and shuffles on doc_id when it isn't — both correct.
             non = non.join(
-                F.broadcast(ess.select("doc_id").distinct()),
+                ess.select("doc_id").distinct(),
                 "doc_id",
                 "left_semi",
             )

@@ -66,103 +66,85 @@ _MODULES = (
 
 # The driver's per-round CORRECTNESS check covers a prefix of the registry
 # (50 entries). Order is therefore a verification budget: queries named
-# here register FIRST. Round-11 budget: the flagship, the 1 query NEW
-# this round (text_bm25_maxscore — the max-score-pruned serving twin of
-# text_bm25_from_index; registering it WITHOUT a retirement takes the
-# registry to 148 = exactly the 3-round cycle capacity of 1 flagship +
-# 49 x 3, per the retirement policy's "or accepts a longer refresh
-# cycle" clause — the cycle stays 3 rounds), then the 48 queries whose
-# newest driver row is round 8 (the owed rotation set named by VERDICT
-# r10 #3) — 1 + 1 + 48 = 50, the full budget. The 49 r09-latest rows
-# rotate in round 12, the 49 r10-latest in round 13. Names not listed
-# keep module order.
+# here register FIRST. Round-12 budget (the rotation plan VERDICT r11 #2
+# ordered, executed verbatim): the flagship, the 3 queries NEW this
+# round, then the 46 surviving queries whose newest driver row is round
+# 9 — 1 + 3 + 46 = 50, the full budget. The additions are funded by
+# THREE retirements FROM the r09-latest set (see _RETIRED below), so
+# the registry stays at 148 = the 3-round cycle capacity and the 49
+# r10-latest rows rotate in round 13, the 49 r11-latest in round 14.
+# Names not listed keep module order.
 #
-# EARMARKED for r12 (everything below landed r11 as code + oracle +
-# pins; only the registration slot waits): register
-# - text_search_multi_suffix_from_index / _multi_fuzzy_from_index
-#   (ORACLE_MULTI_SUFFIX_SEARCH / ORACLE_MULTI_FUZZY_SEARCH,
-#   tests/test_multi_term_retrieval.py), and
-# - sim_knn_batch (similarity.q_knn_batch + _oracle_knn_batch — the
-#   ivf_probe_batch fleet probe, DuckDB-verified in
-#   tests/test_ivf_probe.py).
-# Prefix math: 1 flagship + 3 new + 46 r09-latest = 50, funded by
-# THREE retirements FROM the r09-latest set, each per the usual rule
-# (retiree's semantics stay driver-verified through a live entry
-# sharing its oracle):
-# - sql_profit_by_nation (the CTE two-scan Q9 spelling IS
-#   spark.sql(<oracle>); the oracle stays live under
-#   agg_profit_by_nation_1scan — the exact sql_waiting_suppliers
-#   precedent),
-# - sim_knn_ivf_grown (sim_knn_batch reads the SAME grown
-#   lists/codebook artifacts through the same read path, with a
-#   strictly larger serving surface; single-vector serving stays
-#   driver-checked via sim_knn_after_delete),
-# - text_phrase_incremental (oracle shared with text_phrase_from_index;
-#   the per-batch index-maintenance machinery it exercised stays
-#   driver-checked via text_bm25_incremental on the same artifacts).
+# EARMARKED for r13: register bm25_maxscore_incremental (VERDICT r11
+# #6 — the max-score-pruned serving of the INCREMENTALLY maintained
+# index, operators/text_analysis.py; already tested for fold crash,
+# bounds-unavailable fallback, and through-delete-and-compaction in
+# tests/test_bm25_maxscore.py; oracle = the same _oracle_bm25 the
+# unpruned incremental path shares), slot funded per the retirement
+# policy — candidate retiree: text_bm25_incremental itself (the
+# UNPRUNED serving of the same artifacts; its oracle lives on under
+# the pruned entry, and the unpruned/pruned equality battery in
+# tests/test_bm25_maxscore.py machine-pins the pair every build).
 _PRIORITY = (
     # flagship stays verified every round
     "enrich_broadcast_left_join",
-    # --- new in round 11 ---
-    "text_bm25_maxscore",  # exact top-k BM25 with max-score pruning
-    # from the stored per-term (df, max_tf, min_dl) bounds — same
-    # oracle as text_bm25_from_index (pruning must not change the
-    # ranking); closes the skewed-df postings-read gap VERDICT r10
-    # names (the one designed-in 100 TB scale gap of the text path)
-    # --- newest row is round 8: refresh all 48 surviving entries ---
-    "agg_cube",
-    "agg_distinct_counts",
-    "agg_large_volume_customers",
-    "agg_mode_median",
-    "agg_percentiles",
-    "agg_pricing_summary",
-    "agg_priority_shipments",
-    "agg_returned_item_report",
-    "agg_revenue_by_nation",
-    "agg_rollup",
-    "agg_shipping_priority",
-    "agg_top1_per_group_sortfree",
-    "agg_top_customers",
-    "agg_volume_shipping",
-    "array_event_history",
-    "dedup_survivors_quality",
-    "dq_audit",
-    "dq_profile",
-    "dq_referential",
-    "explode_top_tokens",
-    "graph_pagerank_bucketed",
-    "hist_price_profile",
-    "join_semi_anti",
-    "json_as_map",
-    "json_variant",
-    "media_decode_stub",
-    "media_dedup_exact",
-    "media_metadata",
-    "sample_epoch_shuffle",
-    "scale_agg_then_join",
-    "set_ops",
-    "sql_in_subquery",
-    "sql_lateral_topk",
-    "sql_market_share",
-    "sql_min_cost_supplier",
-    "sql_notin_null_trap",
-    "sql_scalar_subquery",
-    "text_bigram_fluency",
-    "text_bm25_incremental",
-    "text_repetition",
-    "text_search_any_from_index",
-    "text_search_exclude_from_index",
-    "ts_m4_downsample",
-    "udtf_chunk_windows",
-    "unpivot_metrics",
-    "win_rank_family",
-    "win_sessionize",
-    "win_sliding_window",
+    # --- new in round 12 (earmarked in r11, code + oracle + pins
+    # landed then; registration slots opened by the 3 retirements) ---
+    "text_search_multi_suffix_from_index",  # AND over suffix duals
+    "text_search_multi_fuzzy_from_index",  # AND over typo neighborhoods
+    "sim_knn_batch",  # fleet ANN probe: Q queries, one plan
+    # --- newest row is round 9: refresh all 46 surviving entries ---
+    "agg_disjunctive_revenue",
+    "agg_important_parts_1scan",
+    "agg_order_count_distribution",
+    "agg_profit_by_nation_1scan",
+    "agg_small_quantity_revenue",
+    "agg_top_supplier_revenue",
+    "curation_end_to_end",
+    "dedup_cluster_components",
+    "dedup_incremental",
+    "dedup_intra_batch",
+    "dedup_jaccard_vs_probe",
+    "dedup_minhash_portable",
+    "dedup_semantic_pairs",
+    "enum_validation_filter",
+    "fuzzy_name_match",
+    "interval_overlap_sessions",
+    "join_full_outer",
+    "json_decode",
+    "kafka_producer_projection",
+    "kv_projection",
+    "layout_zorder",
+    "media_frame_sample",
+    "merge_apply_changes",
+    "ordered_drain",
+    "pit_state_join",
+    "point_lookup_string_hash",
+    "range_join_bucketed",
+    "reference_engagement_metrics",
+    "sample_source_rebalance",
+    "sample_weighted_reservoir",
+    "sim_kmeans_train",
+    "sketch_hll_portable",
+    "snapshot_diff_cdc",
+    "sparse_doc_cosine",
+    "sql_exists_correlated",
+    "text_bm25_after_delete",
+    "text_inverted_index",
+    "text_phrase_from_index",
+    "text_search_prefix_from_index",
+    "topk_recent",
+    "uuid_repair",
+    "win_distribution_family",
+    "win_event_gaps",
+    "win_funnel_dropoff",
+    "win_latest_per_user",
+    "win_trailing_range_frame",
 )
 
-# (The round-10 prefix lives in git history: the registry file as of
-# commit b3b22eb; round 9's as of commit c654641; round 8's as of
-# commit 1ac4330.)
+# (The round-11 prefix lives in git history: the registry file as of
+# commit 4339550; round 10's as of commit b3b22eb; round 9's as of
+# commit c654641; round 8's as of commit 1ac4330.)
 
 # Redundant registry entries retired to keep the checked prefix dense:
 # dedup_simhash is subsumed by dedup_simhash_neardup (same sketch, plus the
@@ -212,6 +194,27 @@ _PRIORITY = (
 #   shared with graph_pagerank_bucketed — the recommended 100x plan,
 #   still registered; VERDICT r9 explicitly recommended retiring the
 #   plain spelling's driver slot).
+# Round 12 applied the policy again, funding its three additions with
+# the three retirements VERDICT r11 #2 named, each by the same
+# precedent:
+# - sql_profit_by_nation retired for text_search_multi_suffix_from_index
+#   (the CTE two-scan Q9 spelling IS spark.sql(<oracle>); the oracle
+#   stays live under agg_profit_by_nation_1scan, and the two spellings'
+#   row-identity + both plans stay machine-pinned in
+#   tests/test_plans.py::test_q9_profit_spellings_and_plans);
+# - sim_knn_ivf_grown retired for sim_knn_batch (the batch probe reads
+#   the SAME grown lists/codebook artifacts through the same
+#   read_ivf_lists path with a strictly larger serving surface;
+#   single-vector serving stays driver-checked via sim_knn_after_delete,
+#   and grown==trained row-identity stays machine-pinned in
+#   tests/test_similarity_quality.py; the query also STAYS in bench.py
+#   against its unchanged 0.72 s budget — retirement moves the
+#   correctness slot, never the perf gate);
+# - text_phrase_incremental retired for text_search_multi_fuzzy_from_index
+#   (oracle shared with text_phrase_from_index; the from-index ==
+#   incremental row-identity stays machine-pinned in tests/test_plans.py,
+#   and the per-batch index-maintenance machinery stays driver-checked
+#   via text_bm25_incremental on the same artifacts).
 _RETIRED = frozenset(
     {
         "dedup_simhash",
@@ -226,6 +229,9 @@ _RETIRED = frozenset(
         "sql_waiting_suppliers",
         "sql_excess_shipments",
         "graph_pagerank",
+        "sql_profit_by_nation",
+        "sim_knn_ivf_grown",
+        "text_phrase_incremental",
     }
 )
 

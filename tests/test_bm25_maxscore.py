@@ -345,3 +345,69 @@ def test_scored_index_cache_without_term_stats_rebuilds(
     shutil.rmtree(os.path.join(legacy, "term_stats"))
     root = build_scored_index(spark, sf_small)
     assert os.path.isdir(os.path.join(root, "term_stats"))
+
+
+def test_maxscore_essential_skew_fallback_is_not_force_broadcast(
+    spark, tmp_path
+):
+    """VERDICT r11 #4 'done' clause: when the SKEWED term is itself
+    essential (here: corpus-scale df but a high (max_tf, min_dl) bound)
+    while a low-bound moderate-df decoy is the pruned term, the
+    candidate set is corpus-scale (> MAXSCORE_IN_LIMIT), and the
+    >4096-candidate semi-join leg must run WITHOUT a forced broadcast —
+    the essential doc_id set is unbounded above, so the join side is
+    AQE's call, never a hint (a forced broadcast here is a
+    driver/executor OOM at 100 TB). The answer must still equal the
+    unpruned path exactly."""
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        MAXSCORE_IN_LIMIT,
+    )
+
+    rows = []
+    # 4500 docs with the skewed term at tf=1, dl=6 ...
+    for i in range(4500):
+        rows.append((i, "mega " + " ".join(["filler"] * 5)))
+    # ... plus ONE doc with tf=40 (dl 41): bound combines max_tf=40
+    # with min_dl=6 — loose but exact, and high enough to keep the
+    # skewed term essential
+    rows.append((4500, " ".join(["mega"] * 40 + ["filler"])))
+    # 600 uniform seed docs: the highest-bound term; theta = its own
+    # (k-th best = every) contribution
+    for i in range(4501, 5101):
+        rows.append((i, "rarekind " + " ".join(["filler"] * 15)))
+    # 600 decoy docs, long (dl 40): low bound, moderate df — the
+    # pruned term
+    for i in range(5101, 5701):
+        rows.append((i, "decoy " + " ".join(["filler"] * 39)))
+    # 3000 pure-filler docs keep the skewed term's idf meaningful
+    for i in range(5701, 8701):
+        rows.append((i, " ".join(["filler"] * 6)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    root = str(tmp_path / "scored")
+    write_scored_index(docs, root)
+
+    terms = ("rarekind", "mega", "decoy")
+    diag = {}
+    df = bm25_maxscore_topk(spark, root, terms, diag)
+    got = _rows(df)
+    # the planted shape held: skewed term essential, decoy pruned
+    assert diag["pruned"] == ["decoy"], diag
+    assert sorted(diag["essential"]) == ["mega", "rarekind"], diag
+    # and the candidate set genuinely overflows the In() push-down
+    postings = spark.read.parquet(os.path.join(root, "postings"))
+    n_cand = (
+        postings.where(F.col("term").isin(*diag["essential"]))
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert n_cand > MAXSCORE_IN_LIMIT, n_cand
+    # exactness: identical to the unpruned serving path
+    stats = spark.read.parquet(os.path.join(root, "stats"))
+    assert got == _rows(bm25_topk_over_postings(postings, stats, terms))
+    # the fallback semi-join carries NO broadcast hint (AQE decides);
+    # the only hints in the plan are the 1-row corpus-stats cross joins
+    op = df._jdf.queryExecution().optimizedPlan().toString()
+    semi = [l for l in op.splitlines() if "LeftSemi" in l]
+    assert semi, op  # the fallback leg was actually taken
+    assert all("strategy=broadcast" not in l for l in semi), op

@@ -26,7 +26,6 @@ from realtimedatapipeline_8_project_spark.operators.similarity import (
     read_ivf_lists,
     write_ivf_batch,
 )
-from realtimedatapipeline_8_project_spark.plans.registry import QUERIES
 from realtimedatapipeline_8_project_spark.sources.tables import load_table
 
 from .test_plans import plan_of_df
@@ -220,12 +219,91 @@ def test_served_probe_plan_scans_lists_once_without_probe_lookup(
     self-exclusion, never a probe lookup."""
     from realtimedatapipeline_8_project_spark.operators.similarity import (
         IVF_LISTS,
+        QUERIES as SIM_QUERIES,  # grown retired from the registry (r12)
         ivf_index_path,
     )
 
-    df = QUERIES["sim_knn_ivf_grown"](spark, sf_small)
+    df = SIM_QUERIES["sim_knn_ivf_grown"][0](spark, sf_small)
     p = plan_of_df(df)
     lists_loc = os.path.join(ivf_index_path(spark, sf_small), IVF_LISTS)
     assert p.count(lists_loc) == 1, p
     probe_eq = f"EqualTo(vec_id,{IVFT_PROBE_ID})"
     assert p.count(probe_eq) == p.count(f"Not({probe_eq})"), p
+
+
+def test_probe_vector_memoized_per_fixture_identity(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """VERDICT r11 #1: the probe-vector point lookup is a per-FIXTURE
+    cost, not a per-serving-call Spark job — a memo hit must not touch
+    the source table at all, the memo must hand out copies (caller
+    mutation can't poison later serves), and a changed fixture identity
+    (same path, new mtime) must recompute rather than serve stale."""
+    import shutil
+
+    import realtimedatapipeline_8_project_spark.operators.similarity as sim
+
+    v1 = quantized_probe_vector(spark, sf_small, 3)
+    assert v1 is not None
+
+    def boom(*a, **k):  # a memo hit never reaches the source table
+        raise AssertionError("memo miss: re-read the source embeddings")
+
+    monkeypatch.setattr(sim, "load_table", boom)
+    assert quantized_probe_vector(spark, sf_small, 3) == v1
+    # hands out a copy, never its own state
+    got = quantized_probe_vector(spark, sf_small, 3)
+    got[0] += 999
+    assert quantized_probe_vector(spark, sf_small, 3) == v1
+    monkeypatch.undo()
+
+    # identity invalidation: a COPY of the fixture under a new dir is a
+    # new identity (cold call computes), and bumping its mtime in place
+    # is ANOTHER new identity (recompute, not a stale serve)
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    shutil.copyfile(
+        os.path.join(sf_small, "embeddings.parquet"),
+        fx / "embeddings.parquet",
+    )
+    calls = {"n": 0}
+    real = sim.load_table
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(sim, "load_table", counting)
+    v2 = quantized_probe_vector(spark, str(fx), 3)
+    assert v2 == v1 and calls["n"] == 1
+    assert quantized_probe_vector(spark, str(fx), 3) == v1
+    assert calls["n"] == 1  # second call was a memo hit
+    st = os.stat(fx / "embeddings.parquet")
+    os.utime(fx / "embeddings.parquet", ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    assert quantized_probe_vector(spark, str(fx), 3) == v1
+    assert calls["n"] == 2  # new identity: recomputed
+
+
+def test_batch_probe_never_broadcasts_query_frame(spark, sf_small):
+    """VERDICT r11 #2 'done' clause: Q is the scale-growing side of the
+    fleet probe, so NO plan node may broadcast the query frame. The only
+    broadcast hint in the whole logical plan is the K-row CODEBOOK
+    (right side of the centroid-ranking cross join, streamed against
+    the query frame); the (qid, list) pairs join the lists with no
+    forced side (AQE-decided: broadcast at interactive Q, shuffle on k
+    at fleet Q)."""
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        q_knn_batch,
+    )
+
+    df = q_knn_batch(spark, sf_small)
+    op = df._jdf.queryExecution().optimizedPlan().toString()
+    hints = [l for l in op.splitlines() if "strategy=broadcast" in l]
+    assert len(hints) == 1, op
+    # the one hint is the codebook on the RIGHT of the cross join —
+    # never a leftHint (the query frame streams on the left)
+    assert "Join Cross, rightHint=(strategy=broadcast)" in hints[0], op
+    assert "leftHint" not in op, op
+    # and the candidate join carries no hint at all
+    inner = [l for l in op.splitlines() if "Join Inner" in l]
+    assert inner and all("Hint" not in l for l in inner), op

@@ -1012,7 +1012,14 @@ def test_q9_profit_spellings_and_plans(spark, sf_small):
     checkpoint), and never a cartesian product. Both spellings are the
     same function, pinned Spark vs Spark (the driver additionally
     cross-validates both against one DuckDB oracle)."""
-    p_sql = plan_of(spark, sf_small, "sql_profit_by_nation")
+    # the CTE spelling is registry-retired (r12: its slot funded
+    # text_search_multi_suffix_from_index; the oracle lives on under
+    # the 1-scan twin) — the spellings-agree + both-plans pin lives HERE
+    from realtimedatapipeline_8_project_spark.operators.sql_surface import (
+        QUERIES as _SQL_QUERIES,
+    )
+
+    p_sql = plan_of_df(_SQL_QUERIES["sql_profit_by_nation"][0](spark, sf_small))
     assert p_sql.count("lineitem.parquet") == 2
     assert "CartesianProduct" not in p_sql
     assert any(
@@ -1035,7 +1042,7 @@ def test_q9_profit_spellings_and_plans(spark, sf_small):
     # joined to its own source
     assert p1.count("hashpartitioning(l_suppkey") == 2
     assert "SortMergeJoin" not in p1
-    a = QUERIES["sql_profit_by_nation"](spark, sf_small)
+    a = _SQL_QUERIES["sql_profit_by_nation"][0](spark, sf_small)
     b = QUERIES["agg_profit_by_nation_1scan"](spark, sf_small)
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
 
@@ -1058,8 +1065,15 @@ def test_phrase_from_index_corpus_free_and_incremental_agrees(
         if "PushedFilters" in l and "EqualTo(term," in l
     ]
     assert len(pushed) >= 2
+    # the incremental spelling is registry-retired (r12: its slot
+    # funded text_search_multi_fuzzy_from_index) — the from-index ==
+    # incremental row-identity stays pinned HERE
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        QUERIES as _TEXT_QUERIES,
+    )
+
     a = QUERIES["text_phrase_from_index"](spark, sf_small)
-    b = QUERIES["text_phrase_incremental"](spark, sf_small)
+    b = _TEXT_QUERIES["text_phrase_incremental"][0](spark, sf_small)
     rows = sorted(map(str, a.collect()))
     assert rows == sorted(map(str, b.collect()))
     assert rows  # the fixture phrase actually occurs

@@ -338,20 +338,23 @@ def test_ivf_grown_equals_full_rebuild_under_frozen_codebook(
     )
     lists2 = read_ivf_lists(spark, root)
     assert sorted(map(str, lists2.select(*cols).collect())) == got
-    # served from the grown lists == the full-rebuild trained query
-    a = QUERIES["sim_knn_ivf_grown"](spark, sf_small)
-    # the trained spelling is registry-retired (grown shares its oracle
-    # and serving path); its row-identity to grown stays pinned HERE
+    # served from the grown lists == the full-rebuild trained query.
+    # Both spellings are registry-retired (r10/r12: the batch probe and
+    # after-delete queries carry their oracles); the grown == trained
+    # row-identity stays pinned HERE, on the module-level entries.
     from realtimedatapipeline_8_project_spark.operators.similarity import (
         QUERIES as _SIM_QUERIES,
     )
 
+    a = _SIM_QUERIES["sim_knn_ivf_grown"][0](spark, sf_small)
     b = _SIM_QUERIES["sim_knn_ivf_trained"][0](spark, sf_small)
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
     # the serving plan touches only the artifact
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        QUERIES["sim_knn_ivf_grown"](spark, sf_small).explain("formatted")
+        _SIM_QUERIES["sim_knn_ivf_grown"][0](spark, sf_small).explain(
+            "formatted"
+        )
     assert "embeddings.parquet" not in buf.getvalue()
 
 

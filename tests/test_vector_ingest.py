@@ -276,3 +276,78 @@ def test_bounded_retrain_excludes_live_batch_and_keeps_tombstones(
         r.vec_id for r in parts[0].unionByName(parts[1]).collect()
     } - {victim_id}
     assert got == want  # everything served once; the delete still holds
+
+
+def test_fleet_probe_parity_across_compaction_and_retrain(
+    spark, sf_small, tmp_path
+):
+    """VERDICT r11 #8 (stretch): the batch fleet probe wired into the
+    streaming maintenance loop — between ingest batches, ivf_probe_batch
+    over a mixed query frame (two in-corpus vectors with self-exclusion
+    + one external off-lattice vector) must equal the per-vector
+    ivf_probe on the SAME stored artifacts, at every maintenance state:
+    fresh lists, across an auto-compaction fold, and across a
+    drift-triggered entry-point retrain (new codebook, reset history,
+    horizon barrier) followed by another fold. Both paths read through
+    read_ivf_lists, so tombstone masking and partition layout changes
+    are invisible to the parity."""
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        ivf_probe,
+        ivf_probe_batch,
+    )
+
+    emb = _emb(spark, sf_small)
+    root = str(tmp_path / "ivf")
+    parts = [emb.where(F.col("vec_id") % 3 == b) for b in range(3)]
+
+    def assert_parity():
+        lists = read_ivf_lists(spark, root)
+        cents = spark.read.parquet(os.path.join(root, IVF_CODEBOOK))
+        src = {
+            r.vec_id: list(r.qv)
+            for r in _km_quantize(emb)
+            .where(F.col("vec_id").isin(0, 7, 13))
+            .collect()
+        }
+        qvs = {
+            0: src[0],
+            7: src[7],
+            900_001: [x + 555 for x in src[13]],  # external vector
+        }
+        queries = spark.createDataFrame(
+            list(qvs.items()), "qid long, qv array<bigint>"
+        )
+        got: dict[int, list] = {}
+        for r in ivf_probe_batch(
+            lists, cents, queries, exclude_self=True
+        ).collect():
+            got.setdefault(r.qid, []).append((r.rank, r.dist, r.vec_id))
+        assert set(got) == set(qvs)
+        for qid, qv in qvs.items():
+            single = [
+                (i + 1, r.dist, r.vec_id)
+                for i, r in enumerate(
+                    ivf_probe(lists, cents, qv, exclude_id=qid).collect()
+                )
+            ]
+            assert sorted(got[qid]) == single, qid
+
+    vector_ingest_batch(parts[0], 0, root, compact_every=2,
+                        retrain_on_drift=True)
+    assert_parity()  # fresh single-batch lists
+    vector_ingest_batch(parts[1], 1, root, compact_every=2,
+                        retrain_on_drift=True)  # fold fires ((1+1) % 2)
+    assert_parity()  # across the compaction boundary
+    shifted = parts[2].select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> x + CAST(5.0 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    vector_ingest_batch(shifted, 2, root, compact_every=2,
+                        retrain_on_drift=True)  # drifted batch flags
+    vector_ingest_batch(parts[2], 3, root, compact_every=2,
+                        retrain_on_drift=True)  # retrain + fold
+    drift = {r.batch_id for r in ivf_drift(spark, root).collect()}
+    assert drift == {-1, 3}  # the retrain actually happened
+    assert_parity()  # across the retrain + second fold
