@@ -1,0 +1,169 @@
+"""Hybrid (sparse + dense) retrieval: reciprocal-rank fusion of the two
+serving surfaces the engine already maintains — BM25 top-k from the
+stored scored text index and ANN top-k from the stored IVF lists — in
+ONE plan (SURVEY §2.13 extension; the standard first-stage retrieval
+shape of an LLM data pipeline: lexical recall + semantic recall, fused
+without score calibration).
+
+Why RRF (Cormack et al., public algorithm): BM25 micro-units and
+quantized L2 distances live on incomparable scales, and any linear
+score mix needs per-corpus calibration; rank fusion needs none —
+``rrf = Σ_legs 1 / (K + rank_leg)`` — and is the production default in
+hybrid search stacks. Scored in integer micro-units
+(``round(1e6 / (K + rank))``) so the cross-engine compare stays exact
+(the bm25_contrib_micro discipline; the two engines compute the same
+double division on the same small integers before one round).
+
+Scale shape: each leg is the ALREADY-PRUNED index read (BM25: pushed
+IN(term) postings slices; ANN: n_probe inverted lists — never a corpus
+scan), each leg's top-k is k rows, the rank windows and the full-outer
+fusion join run on 2k rows total, and the final sort is k-bounded.
+At 100 TB the cost is exactly the two index reads; fusion is free.
+The id join assumes the pipeline's natural invariant that doc_id and
+vec_id share an id space (embeddings are emitted per kept document —
+the vector_ingest producer contract).
+
+Registration earmarked for r13 (plans/registry.py): the registry is at
+its 148-slot rotation capacity, so the query ships code-complete with
+its oracle and waits for a funded slot; candidate retiree =
+text_bm25_from_index, whose oracle (_oracle_bm25) stays live under the
+registered text_bm25_maxscore per the shared-oracle precedent.
+
+No Python UDFs; nothing leaves the JVM.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .similarity import (
+    IVF_CODEBOOK,
+    IVFT_PROBE_ID,
+    _oracle_knn_ivf_trained,
+    build_ivf_grown,
+    ivf_probe,
+    quantized_probe_vector,
+    read_ivf_lists,
+)
+from .text_analysis import (
+    BOOL_QUERY_TERMS,
+    INDEX_POSTINGS,
+    INDEX_STATS,
+    _oracle_bm25,
+    bm25_topk_over_postings,
+    build_scored_index,
+)
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+RRF_TOP = 10
+
+
+def rrf_fuse(
+    text_top: DataFrame,
+    vec_top: DataFrame,
+    k: int = RRF_K,
+    top: int = RRF_TOP,
+) -> DataFrame:
+    """Fuse a BM25 leg (doc_id, score_micro) and an ANN leg
+    (vec_id, dist) by reciprocal rank. Returns
+    (doc_id, text_rank, vec_rank, rrf_micro) — ranks are 1-based within
+    each leg, 0 when the doc appears in only one leg (a NULL would hash
+    differently across engines for no semantic gain). Both legs are
+    top-k frames, so the no-partition rank windows order k rows each —
+    never a corpus sort."""
+    wt = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    t = text_top.select(
+        "doc_id", F.row_number().over(wt).cast("long").alias("text_rank")
+    )
+    wv = Window.orderBy(F.asc("dist"), F.asc("vec_id"))
+    v = vec_top.select(
+        F.col("vec_id").alias("vdoc_id"),
+        F.row_number().over(wv).cast("long").alias("vec_rank"),
+    )
+    contrib = (
+        lambda rank: F.when(  # noqa: E731
+            rank > 0,
+            F.round(F.lit(1_000_000.0) / (F.lit(k) + rank), 0).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    )
+    fused = (
+        t.join(v, t.doc_id == v.vdoc_id, "full_outer")
+        .select(
+            F.coalesce("doc_id", "vdoc_id").alias("doc_id"),
+            F.coalesce("text_rank", F.lit(0)).alias("text_rank"),
+            F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+        )
+        .select(
+            "doc_id",
+            "text_rank",
+            "vec_rank",
+            (contrib(F.col("text_rank")) + contrib(F.col("vec_rank"))).alias(
+                "rrf_micro"
+            ),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(top)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid top-10: the registered BM25 serving leg (scored index,
+    BOOL_QUERY_TERMS) fused with the registered ANN serving leg (grown
+    IVF lists, source-table probe vector, self-excluded) — both read
+    from their STORED artifacts, fused in one plan."""
+    troot = build_scored_index(spark, sf_dir)
+    postings = spark.read.parquet(os.path.join(troot, INDEX_POSTINGS))
+    stats = spark.read.parquet(os.path.join(troot, INDEX_STATS))
+    text_top = bm25_topk_over_postings(postings, stats, BOOL_QUERY_TERMS)
+    vroot = build_ivf_grown(spark, sf_dir)
+    qv = quantized_probe_vector(spark, sf_dir)
+    if qv is None:  # empty corpus: an empty fused answer, not a raise
+        return rrf_fuse(text_top, _empty_vec_leg(spark))
+    vec_top = ivf_probe(
+        read_ivf_lists(spark, vroot),
+        spark.read.parquet(os.path.join(vroot, IVF_CODEBOOK)),
+        qv,
+        exclude_id=IVFT_PROBE_ID,
+    )
+    return rrf_fuse(text_top, vec_top)
+
+
+def _empty_vec_leg(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "vec_id bigint, dist bigint")
+
+
+def _oracle_hybrid_rrf() -> str:
+    """DuckDB re-derivation: the two leg oracles verbatim as subqueries
+    (CTEs compose — each leg's oracle is the SAME string the registered
+    leg queries are driver-checked against), ranked per leg, full-outer
+    fused with the identical integer-micro RRF contribution."""
+    c = f"CAST(ROUND(1000000.0 / ({RRF_K} + rnk), 0) AS BIGINT)"
+    return f"""
+WITH text_leg AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rnk
+  FROM ({_oracle_bm25()}) bm
+), text_rrf AS (
+  SELECT doc_id, rnk AS text_rank, {c} AS c_text FROM text_leg
+), vec_leg AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY dist ASC, vec_id ASC) AS rnk
+  FROM ({_oracle_knn_ivf_trained()}) knn
+), vec_rrf AS (
+  SELECT vec_id, rnk AS vec_rank, {c} AS c_vec FROM vec_leg
+)
+SELECT COALESCE(t.doc_id, v.vec_id) AS doc_id,
+       COALESCE(t.text_rank, 0) AS text_rank,
+       COALESCE(v.vec_rank, 0) AS vec_rank,
+       COALESCE(t.c_text, 0) + COALESCE(v.c_vec, 0) AS rrf_micro
+FROM text_rrf t FULL OUTER JOIN vec_rrf v ON t.doc_id = v.vec_id
+ORDER BY rrf_micro DESC, doc_id ASC
+LIMIT {RRF_TOP}
+"""
+
+
+QUERIES = {
+    "hybrid_rrf_topk": (q_hybrid_rrf, _oracle_hybrid_rrf()),
+}

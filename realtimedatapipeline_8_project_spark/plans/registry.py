@@ -85,6 +85,22 @@ _MODULES = (
 # UNPRUNED serving of the same artifacts; its oracle lives on under
 # the pruned entry, and the unpruned/pruned equality battery in
 # tests/test_bm25_maxscore.py machine-pins the pair every build).
+# Also earmarked r13 (r12 code + oracle + tests, slot-blocked by the
+# same capacity math):
+# - hybrid_rrf_topk (operators/hybrid.py — reciprocal-rank fusion of
+#   the stored-index BM25 leg and the stored-IVF ANN leg, DuckDB
+#   oracle composed from the two legs' own oracle strings,
+#   tests/test_hybrid.py; candidate retiree: text_bm25_from_index,
+#   whose _oracle_bm25 stays live under the registered
+#   text_bm25_maxscore);
+# - sim_knn_pq_adc + sim_knn_pq_rerank (the PQ/ADC memory-bounded ANN
+#   tier, full train-encode-serve DuckDB oracles, tests/test_pq.py;
+#   funding: one slot from retiring sim_knn_ivf — the untrained
+#   sign-sketch IVF variant superseded by the trained/PQ family, its
+#   bucketed-probe plan property staying pinned in tests/test_plans.py
+#   — and the other per the "longer refresh cycle" clause if no
+#   second same-oracle retiree emerges; the r13 builder decides with
+#   the full rotation math in front of them.
 _PRIORITY = (
     # flagship stays verified every round
     "enrich_broadcast_left_join",

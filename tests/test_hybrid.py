@@ -1,0 +1,74 @@
+"""Hybrid sparse+dense retrieval (operators/hybrid.py): reciprocal-rank
+fusion of the stored-index BM25 leg and the stored-IVF ANN leg — the r13
+registration candidate, carried here with the same oracle gate the
+driver would run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401 (planted frames)
+
+from realtimedatapipeline_8_project_spark.operators.hybrid import (
+    RRF_K,
+    RRF_TOP,
+    _oracle_hybrid_rrf,
+    q_hybrid_rrf,
+    rrf_fuse,
+)
+
+from .test_plans import plan_of_df
+
+
+def _c(rank: int) -> int:
+    return round(1_000_000.0 / (RRF_K + rank))
+
+
+def test_rrf_fuse_planted_frames(spark):
+    """Fusion math on planted legs: a doc in BOTH legs sums both
+    contributions; single-leg docs carry rank 0 on the other leg; ties
+    on rrf_micro break by doc_id; top is bounded."""
+    text = spark.createDataFrame(
+        [(10, 900), (11, 800), (12, 700)], "doc_id long, score_micro long"
+    )
+    vec = spark.createDataFrame(
+        [(11, 5), (13, 6), (14, 7)], "vec_id long, dist long"
+    )
+    rows = {
+        r.doc_id: (r.text_rank, r.vec_rank, r.rrf_micro)
+        for r in rrf_fuse(text, vec).collect()
+    }
+    assert rows[11] == (2, 1, _c(2) + _c(1))  # in both legs
+    assert rows[10] == (1, 0, _c(1))
+    assert rows[13] == (0, 2, _c(2))
+    # equal-rank singletons tie on rrf_micro -> doc_id ascending order
+    got = [r.doc_id for r in rrf_fuse(text, vec).collect()]
+    assert got.index(12) < got.index(14)  # both rank-3 singletons
+    assert rows[12][2] == rows[14][2] == _c(3)
+    # top bound respected
+    assert len(got) == min(5, RRF_TOP)
+
+
+def test_hybrid_query_matches_duckdb_oracle(spark, sf_oracle):
+    """q_hybrid_rrf against its composed DuckDB oracle at the driver's
+    scale — both leg oracles are the exact strings the registered leg
+    queries are driver-checked against."""
+    from .oracle_harness import compare, duck_connection
+
+    con = duck_connection(sf_oracle)
+    try:
+        df = q_hybrid_rrf(spark, sf_oracle)
+        assert df.count() == RRF_TOP
+        assert not compare(df, con, _oracle_hybrid_rrf(), "hybrid_rrf")
+    finally:
+        con.close()
+
+
+def test_hybrid_plan_reads_only_stored_artifacts(spark, sf_small):
+    """Serving-cost pin: the fused plan touches ONLY the two stored
+    artifacts — no documents corpus scan (the BM25 leg reads postings)
+    and no embeddings source scan (the ANN leg reads the lists; the
+    probe vector is the memoized point lookup, not a plan node)."""
+    p = plan_of_df(q_hybrid_rrf(spark, sf_small))
+    assert "documents.parquet" not in p, p
+    assert "embeddings.parquet" not in p, p
+    # both legs present: pushed term IN-filter + the lists artifact
+    assert "postings" in p and "lists" in p, p
