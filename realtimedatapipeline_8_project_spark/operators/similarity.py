@@ -2319,6 +2319,252 @@ def q_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF + PQ composition ---------------------------------------------------
+# The classic billion-scale serving recipe (FAISS IVFPQ shape, non-
+# residual variant — codes quantize the RAW vector, the coarse index
+# only prunes; the residual refinement is a recall upgrade this
+# deterministic-integer pipeline deliberately skips so the full DuckDB
+# oracle stays one CTE chain): the coarse trained codebook prunes I/O
+# to n_probe inverted lists, and each list row stores PQ CODES instead
+# of the quantized vector — the scan is both pruned AND 64x narrower,
+# scored by the same literal ADC table as the flat PQ path. At 100 TB:
+# I/O ∝ probed-list fraction x 8 ints per vector; the only exchange is
+# the final top-k.
+
+IVFPQ_LISTS = "lists_pq"
+
+
+def ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
+    from .text_analysis import artifact_path
+
+    return artifact_path(
+        spark, sf_dir, "embeddings.parquet", "ivfpq_index",
+        IVF_FORMAT_VERSION,
+    )
+
+
+def build_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """One-time (per fixture identity) IVFPQ artifact: the coarse
+    trained codebook (codebook/ — the IVFT pipeline), the per-subspace
+    PQ codebooks (pq_codebook/), and lists_pq/ (k, vec_id, codes) —
+    k-partitioned + (k, vec_id)-sorted so a probe prunes files and row
+    groups. _COMPLETE-marked, validation memoized."""
+    import os
+    import shutil
+
+    root = ivfpq_index_path(spark, sf_dir)
+    done = os.path.join(root, "_COMPLETE")
+    if root in _VERIFIED_IVF_ROOTS and os.path.exists(done):
+        return root
+    if os.path.isdir(root):
+        try:
+            if not os.path.exists(done):  # not assert: -O strips those
+                raise ValueError("incomplete build: no _COMPLETE marker")
+            spark.read.parquet(
+                os.path.join(root, IVFPQ_LISTS)
+            ).limit(1).count()
+            spark.read.parquet(
+                os.path.join(root, IVF_CODEBOOK)
+            ).limit(1).count()
+            spark.read.parquet(
+                os.path.join(root, PQ_CODEBOOK)
+            ).limit(1).count()
+            _VERIFIED_IVF_ROOTS.add(root)
+            return root
+        except Exception:
+            shutil.rmtree(root, ignore_errors=True)
+    q = _km_quantize(load_table(spark, sf_dir, "embeddings"))
+    frozen_ivf_codebook(q).write.mode("overwrite").parquet(
+        os.path.join(root, IVF_CODEBOOK)
+    )
+    train_pq_codebook(q).write.mode("overwrite").parquet(
+        os.path.join(root, PQ_CODEBOOK)
+    )
+    cents = spark.read.parquet(os.path.join(root, IVF_CODEBOOK))
+    pq_cb = spark.read.parquet(os.path.join(root, PQ_CODEBOOK))
+    coarse = _km_assign(q, cents).select("vec_id", "k")
+    codes = pq_encode(q, pq_cb)
+    (
+        coarse.join(codes, "vec_id")
+        .select("k", "vec_id", "codes")
+        .repartition("k")
+        .sortWithinPartitions("k", "vec_id")
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, IVFPQ_LISTS))
+    )
+    with open(done, "w") as fh:  # written LAST: marks the build whole
+        fh.write("")
+    _VERIFIED_IVF_ROOTS.add(root)
+    return root
+
+
+def ivfpq_probe(
+    spark: SparkSession,
+    root: str,
+    query_qv,
+    n_probe: int = IVFT_PROBE,
+    top: int = IVFT_TOP,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """(vec_id, adc_dist) top-``top`` over the n_probe nearest coarse
+    lists, scored by ADC against the caller's vector: the ivf_probe
+    list-pruning plan with the pq_adc_topk literal table in place of
+    exact vector arithmetic — the only corpus-side work is a pruned
+    scan of 8-int code rows."""
+    import os
+
+    arr = "array(" + ",".join(f"{int(x)}L" for x in query_qv) + ")"
+    pd = (
+        f"aggregate(zip_with(c, {arr}, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    cents = spark.read.parquet(os.path.join(root, IVF_CODEBOOK))
+    plists = (
+        cents.selectExpr("k", pd + " AS pd")
+        .orderBy(F.asc("pd"), F.asc("k"))
+        .limit(n_probe)
+        .select("k")
+    )
+    tbl = [[0] * PQ_K for _ in range(PQ_M)]
+    for m, j, c in _pq_codebook_rows(spark, root):
+        lo = PQ_SUBDIM * (m - 1)
+        sub = query_qv[lo:lo + PQ_SUBDIM]
+        tbl[m - 1][j] = sum(
+            (int(a) - int(b)) * (int(a) - int(b)) for a, b in zip(sub, c)
+        )
+    lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{v}L" for v in row) + ")" for row in tbl
+        )
+        + ")"
+    )
+    dist = (
+        f"aggregate(sequence(1, {PQ_M}), CAST(0 AS BIGINT), (s, m) -> "
+        f"s + element_at(element_at({lit}, m), "
+        f"element_at(codes, m) + 1))"
+    )
+    out = spark.read.parquet(os.path.join(root, IVFPQ_LISTS)).join(
+        F.broadcast(plists), "k"
+    )
+    if exclude_id is not None:
+        out = out.where(F.col("vec_id") != exclude_id)
+    return (
+        out.selectExpr("vec_id", dist + " AS adc_dist")
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(top)
+    )
+
+
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 ADC neighbors of the standard probe over the IVFPQ
+    artifact — pruned to the n_probe nearest coarse lists AND scored
+    from 8-int codes."""
+    root = build_ivfpq_index(spark, sf_dir)
+    qv = quantized_probe_vector(spark, sf_dir)
+    if qv is None:  # empty corpus: an empty answer, not a raise
+        return spark.createDataFrame([], "vec_id bigint, adc_dist bigint")
+    return ivfpq_probe(spark, root, qv, exclude_id=IVFT_PROBE_ID)
+
+
+def _oracle_knn_ivfpq() -> str:
+    """DuckDB re-derivation of the composed pipeline: the trained
+    coarse codebook (c-prefixed CTEs — the _oracle_knn_ivf_trained
+    chain) prunes the candidate set to the probe's n_probe lists; the
+    PQ chain (p-prefixed CTEs) supplies codes and the query ADC table;
+    the served distance is the summed lookups over the pruned
+    candidates only."""
+    ck_case = "CASE vec_id " + " ".join(
+        f"WHEN {v} THEN {i}" for i, v in enumerate(IVFT_SEEDS)
+    ) + " END"
+    pj_case = "CASE vec_id " + " ".join(
+        f"WHEN {v} THEN {i}" for i, v in enumerate(PQ_SEEDS)
+    ) + " END"
+    cdist = (
+        f"CAST(list_sum(list_transform(range(1, {KM_DIM + 1}), "
+        f"i -> (v.qv[i] - c.c[i]) * (v.qv[i] - c.c[i]))) AS BIGINT)"
+    )
+    probedist = (
+        f"CAST(list_sum(list_transform(range(1, {KM_DIM + 1}), "
+        f"i -> (c.c[i] - p.pqv[i]) * (c.c[i] - p.pqv[i]))) AS BIGINT)"
+    )
+    sd = (
+        f"CAST(list_sum(list_transform(range(1, {PQ_SUBDIM + 1}), "
+        f"i -> (s.sq[i] - c.c[i]) * (s.sq[i] - c.c[i]))) AS BIGINT)"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {KM_QSCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+), cc0 AS (
+  SELECT {ck_case} AS k, qv AS c FROM q WHERE vec_id IN {IVFT_SEEDS}
+), ca1 AS (
+  SELECT v.vec_id, v.qv, c.k, {cdist} AS d
+  FROM q v CROSS JOIN cc0 c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY d, c.k) = 1
+), ce1 AS (
+  SELECT k, i, CAST(SUM(qv[i]) AS BIGINT) AS s, COUNT(*) AS n
+  FROM ca1 CROSS JOIN range(1, {KM_DIM + 1}) t1(i)
+  GROUP BY k, i
+), cc1 AS (
+  SELECT k, array_agg(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+                      ORDER BY i) AS c
+  FROM ce1 GROUP BY k
+), ca2 AS (
+  SELECT v.vec_id, v.qv, c.k, {cdist} AS d
+  FROM q v CROSS JOIN cc1 c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY d, c.k) = 1
+), cprobe AS (
+  SELECT qv AS pqv FROM q WHERE vec_id = {IVFT_PROBE_ID}
+), cplists AS (
+  SELECT c.k FROM cc1 c CROSS JOIN cprobe p
+  ORDER BY {probedist} ASC, c.k ASC
+  LIMIT {IVFT_PROBE}
+), sub AS (
+  SELECT vec_id, CAST(t.m AS INT) AS m,
+         list_transform(range(1, {PQ_SUBDIM + 1}),
+                        i -> qv[{PQ_SUBDIM} * (t.m - 1) + i]) AS sq
+  FROM q CROSS JOIN range(1, {PQ_M + 1}) t(m)
+), pc0 AS (
+  SELECT m, {pj_case} AS j, sq AS c FROM sub WHERE vec_id IN {PQ_SEEDS}
+), pa1 AS (
+  SELECT s.vec_id, s.m, s.sq, c.j, {sd} AS d
+  FROM sub s JOIN pc0 c USING (m)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                             ORDER BY d, c.j) = 1
+), pe1 AS (
+  SELECT m, j, i, CAST(SUM(sq[i]) AS BIGINT) AS sm, COUNT(*) AS n
+  FROM pa1 CROSS JOIN range(1, {PQ_SUBDIM + 1}) t1(i)
+  GROUP BY m, j, i
+), pc1 AS (
+  SELECT m, j, array_agg(CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT)
+                         ORDER BY i) AS c
+  FROM pe1 GROUP BY m, j
+), pcodes AS (
+  SELECT s.vec_id, s.m, c.j, {sd} AS d
+  FROM sub s JOIN pc1 c USING (m)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                             ORDER BY d, c.j) = 1
+), pprobe AS (
+  SELECT m, sq FROM sub WHERE vec_id = {IVFT_PROBE_ID}
+), ptbl AS (
+  SELECT c.m, c.j, {sd} AS td
+  FROM pc1 c JOIN pprobe s USING (m)
+)
+SELECT k.vec_id AS vec_id, CAST(SUM(t.td) AS BIGINT) AS adc_dist
+FROM pcodes k
+JOIN ptbl t USING (m, j)
+JOIN ca2 a ON a.vec_id = k.vec_id
+JOIN cplists pl ON pl.k = a.k
+WHERE k.vec_id <> {IVFT_PROBE_ID}
+GROUP BY k.vec_id
+ORDER BY adc_dist ASC, k.vec_id ASC
+LIMIT {IVFT_TOP}
+"""
+
+
 QUERIES = {
     "sim_kmeans_train": (q_kmeans_train, _oracle_kmeans_train()),
     # registered r12 (the fleet ANN probe — Q queries in one plan); its

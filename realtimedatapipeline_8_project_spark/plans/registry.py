@@ -93,8 +93,9 @@ _MODULES = (
 #   tests/test_hybrid.py; candidate retiree: text_bm25_from_index,
 #   whose _oracle_bm25 stays live under the registered
 #   text_bm25_maxscore);
-# - sim_knn_pq_adc + sim_knn_pq_rerank (the PQ/ADC memory-bounded ANN
-#   tier, full train-encode-serve DuckDB oracles, tests/test_pq.py;
+# - sim_knn_pq_adc + sim_knn_pq_rerank + sim_knn_ivfpq (the PQ/ADC
+#   memory-bounded ANN tier and its IVF composition, full
+#   train-encode-serve DuckDB oracles, tests/test_pq.py;
 #   funding: one slot from retiring sim_knn_ivf — the untrained
 #   sign-sketch IVF variant superseded by the trained/PQ family, its
 #   bucketed-probe plan property staying pinned in tests/test_plans.py

@@ -237,3 +237,84 @@ def test_pq_rerank_matches_duckdb_oracle(spark, sf_oracle):
         assert not compare(df, con, _oracle_knn_pq_rerank(), "knn_pq_rerank")
     finally:
         con.close()
+
+
+def test_ivfpq_matches_duckdb_oracle_and_pruned_rederivation(
+    spark, sf_oracle
+):
+    """q_knn_ivfpq against its composed DuckDB oracle at the driver's
+    scale, plus a cross-artifact consistency pin: the IVFPQ answer must
+    equal the flat-PQ ADC ranking restricted to the coarse candidates
+    (derived from the independently verified grown-IVF artifact — same
+    trained codebook)."""
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        IVF_CODEBOOK,
+        IVFT_PROBE,
+        _oracle_knn_ivfpq,
+        build_ivf_grown,
+        q_knn_ivfpq,
+        read_ivf_lists,
+    )
+
+    from .oracle_harness import compare, duck_connection
+
+    con = duck_connection(sf_oracle)
+    try:
+        df = q_knn_ivfpq(spark, sf_oracle)
+        assert df.count() == IVFT_TOP
+        assert not compare(df, con, _oracle_knn_ivfpq(), "knn_ivfpq")
+    finally:
+        con.close()
+
+    qvs = _qvecs(spark, sf_oracle)
+    probe = qvs[IVFT_PROBE_ID]
+    groot = build_ivf_grown(spark, sf_oracle)
+    cb = {
+        r.k: [int(x) for x in r.c]
+        for r in spark.read.parquet(
+            os.path.join(groot, IVF_CODEBOOK)
+        ).collect()
+    }
+    probed = set(
+        sorted(cb, key=lambda k: (_sd(cb[k], probe), k))[:IVFT_PROBE]
+    )
+    cand = {
+        r.vec_id
+        for r in read_ivf_lists(spark, groot).collect()
+        if r.k in probed and r.vec_id != IVFT_PROBE_ID
+    }
+    c1, codes = _py_pq(qvs)
+    tbl = {k: _sd(_sub(probe, k[0]), c) for k, c in c1.items()}
+    want = sorted(
+        (
+            sum(tbl[(m, codes[v][m - 1])] for m in range(1, PQ_M + 1)),
+            v,
+        )
+        for v in cand
+    )[:IVFT_TOP]
+    got = [
+        (r.adc_dist, r.vec_id)
+        for r in q_knn_ivfpq(spark, sf_oracle).collect()
+    ]
+    assert got == want
+
+
+def test_ivfpq_plan_scans_only_code_lists(spark, sf_small):
+    """Serving-cost pin for the composition: the plan's only corpus-
+    side scan is lists_pq (8-int code rows — no qv column anywhere in
+    the read schema), pruned by the broadcast probe-list ids; the
+    coarse codebook is the one K-row side scan; no source scan, no
+    flat-PQ codes scan."""
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        IVFPQ_LISTS,
+        ivfpq_index_path,
+        q_knn_ivfpq,
+    )
+
+    df = q_knn_ivfpq(spark, sf_small)
+    p = plan_of_df(df)
+    assert "embeddings.parquet" not in p, p
+    lists_loc = os.path.join(ivfpq_index_path(spark, sf_small), IVFPQ_LISTS)
+    assert p.count(lists_loc) == 1, p
+    scans = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert scans and all("qv" not in l for l in scans), scans
