@@ -1622,6 +1622,7 @@ def ivf_probe(
     n_probe: int = IVFT_PROBE,
     top: int = IVFT_TOP,
     exclude_id: int | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Parameterized ANN serving probe: top-``top`` nearest vectors to a
     CALLER-SUPPLIED quantized query vector (any int sequence — an
@@ -1636,7 +1637,15 @@ def ivf_probe(
     ``exclude_id`` optionally drops one vec_id from the candidates: the
     fixture queries probe with a corpus vector's own embedding and must
     not return the vector itself (their stored oracles exclude it); an
-    external query vector passes None."""
+    external query vector passes None.
+
+    ``allowed`` (r12) optionally restricts candidates to a caller-
+    supplied (vec_id) frame — FILTERED vector search (a label slice, a
+    tenant's documents, a training split): a semi-join with NO forced
+    side after the list pruning, so a small filter broadcasts (AQE)
+    and a corpus-scale one degrades to a shuffle join — never a
+    post-top-k filter, which would silently return fewer than ``top``
+    valid neighbors."""
     # The whole distance expression is ONE F.expr string with the
     # literal array inlined (integers only — injection-free), the
     # _IVFT_PDIST spelling: the per-element lit/cast and per-lambda
@@ -1662,6 +1671,8 @@ def ivf_probe(
     out = lists.join(F.broadcast(plists), "k")
     if exclude_id is not None:
         out = out.where(F.col("vec_id") != exclude_id)
+    if allowed is not None:
+        out = out.join(allowed.select("vec_id"), "vec_id", "left_semi")
     return (
         out.selectExpr("vec_id", sqdist("qv") + " AS dist")
         .orderBy(F.asc("dist"), F.asc("vec_id"))
@@ -2316,6 +2327,50 @@ def q_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.selectExpr("vec_id", dist + " AS dist")
         .orderBy(F.asc("dist"), F.asc("vec_id"))
         .limit(IVFT_TOP)
+    )
+
+
+# --- filtered vector search -------------------------------------------------
+# The attribute-constrained probe ("nearest neighbors WITH label = L" /
+# a tenant's documents / a training split): candidates semi-join the
+# filter frame INSIDE the probe (pre-top-k — a post-top-k filter would
+# silently return fewer than k valid neighbors). The filter frame here
+# derives from the source table's label column through a pushed
+# predicate; a production caller passes whatever id frame its policy
+# engine produced. Registration earmarked r13+ with the PQ family.
+
+FILTER_LABEL = 3  # present with ~50 members at every sf
+
+
+def q_knn_filtered_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 probe over the grown lists restricted to vectors whose
+    source-table label equals FILTER_LABEL."""
+    root = build_ivf_grown(spark, sf_dir)
+    qv = quantized_probe_vector(spark, sf_dir)
+    if qv is None:  # empty corpus: an empty answer, not a raise
+        return _empty_probe_result(read_ivf_lists(spark, root))
+    import os
+
+    allowed = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("label") == FILTER_LABEL)
+        .select("vec_id")
+    )
+    return ivf_probe(
+        read_ivf_lists(spark, root),
+        spark.read.parquet(os.path.join(root, IVF_CODEBOOK)),
+        qv,
+        exclude_id=IVFT_PROBE_ID,
+        allowed=allowed,
+    )
+
+
+def _oracle_knn_filtered_label() -> str:
+    return _oracle_knn_ivf_trained(
+        exclude=(
+            f" AND a.vec_id IN (SELECT vec_id FROM embeddings"
+            f" WHERE label = {FILTER_LABEL})"
+        )
     )
 
 

@@ -102,6 +102,15 @@ _MODULES = (
 #   — and the other per the "longer refresh cycle" clause if no
 #   second same-oracle retiree emerges; the r13 builder decides with
 #   the full rotation math in front of them.
+# Capacity math for r13 (decide BEFORE registering): the owed set is
+# flagship + 49 r10-latest = the full 50 budget, so every new
+# registration displaces an r10-latest row to r14 (a 4-round gap the
+# freshness histogram will show). Register at most 2-3; priority:
+# (1) bm25_maxscore_incremental (VERDICT-ordered), (2) hybrid_rrf_topk,
+# (3) sim_knn_ivfpq (one representative of the PQ family — its oracle
+# chain exercises both codebooks and the codes artifact; the flat
+# adc/rerank pair stays locally gated by tests/test_pq.py until slots
+# free up).
 _PRIORITY = (
     # flagship stays verified every round
     "enrich_broadcast_left_join",

@@ -72,3 +72,24 @@ def test_hybrid_plan_reads_only_stored_artifacts(spark, sf_small):
     assert "embeddings.parquet" not in p, p
     # both legs present: pushed term IN-filter + the lists artifact
     assert "postings" in p and "lists" in p, p
+
+
+def test_hybrid_empty_corpus_contract(spark, tmp_path):
+    """The empty-input contract (ingest F3 discipline) extends to the
+    fused query: an empty documents+embeddings fixture serves an empty
+    (doc_id, text_rank, vec_rank, rrf_micro) frame, not a raise."""
+    import os
+
+    from realtimedatapipeline_8_project_spark.sources.tables import (
+        load_table,
+    )
+
+    empty_sf = str(tmp_path / "empty")
+    os.makedirs(empty_sf)
+    for t in ("documents", "embeddings"):
+        load_table(spark, "/root/testdata/sf0.001", t).limit(0).write.parquet(
+            os.path.join(empty_sf, f"{t}.parquet")
+        )
+    out = q_hybrid_rrf(spark, empty_sf)
+    assert out.columns == ["doc_id", "text_rank", "vec_rank", "rrf_micro"]
+    assert out.count() == 0

@@ -307,3 +307,67 @@ def test_batch_probe_never_broadcasts_query_frame(spark, sf_small):
     # and the candidate join carries no hint at all
     inner = [l for l in op.splitlines() if "Join Inner" in l]
     assert inner and all("Hint" not in l for l in inner), op
+
+
+def test_filtered_probe_matches_oracle_and_rederivation(
+    spark, sf_oracle, sf_small, tmp_path
+):
+    """Filtered vector search (r12): the label-restricted probe equals
+    both its DuckDB oracle (trained-IVF oracle + the label IN-filter on
+    the candidate set) and the pure-Python re-derivation with the
+    filter applied BEFORE the top-k (a post-top-k filter would return
+    fewer valid neighbors — the planted assertion below would catch
+    it). The filter must never grow the result: every served id
+    carries the label."""
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        FILTER_LABEL,
+        _oracle_knn_filtered_label,
+        q_knn_filtered_label,
+    )
+
+    from .oracle_harness import compare, duck_connection
+
+    con = duck_connection(sf_oracle)
+    try:
+        df = q_knn_filtered_label(spark, sf_oracle)
+        rows = df.collect()
+        assert rows  # the fixture label slice reaches the probed lists
+        assert not compare(
+            df, con, _oracle_knn_filtered_label(), "knn_filtered"
+        )
+    finally:
+        con.close()
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_oracle, "embeddings").collect()
+    }
+    assert all(labels[r.vec_id] == FILTER_LABEL for r in rows)
+    # re-derivation on the small fixture: filter-then-topk, bit-exact
+    root = str(tmp_path / "ivf")
+    _grow(spark, sf_small, root)
+    qv = quantized_probe_vector(spark, sf_small)
+    lab_small = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf_small, "embeddings").collect()
+    }
+    want = [
+        (d, v)
+        for d, v in _expected(
+            spark, root, qv, top=10**9, exclude_id=IVFT_PROBE_ID
+        )
+        if lab_small[v] == FILTER_LABEL
+    ][:IVFT_TOP]
+    lists = read_ivf_lists(spark, root)
+    cents = spark.read.parquet(os.path.join(root, IVF_CODEBOOK))
+    allowed = (
+        load_table(spark, sf_small, "embeddings")
+        .where(F.col("label") == FILTER_LABEL)
+        .select("vec_id")
+    )
+    got = [
+        (r.dist, r.vec_id)
+        for r in ivf_probe(
+            lists, cents, qv, exclude_id=IVFT_PROBE_ID, allowed=allowed
+        ).collect()
+    ]
+    assert got == want
