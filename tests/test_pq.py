@@ -318,3 +318,27 @@ def test_ivfpq_plan_scans_only_code_lists(spark, sf_small):
     assert p.count(lists_loc) == 1, p
     scans = [l for l in p.splitlines() if "ReadSchema" in l]
     assert scans and all("qv" not in l for l in scans), scans
+
+
+def test_pq_family_empty_corpus_contracts(spark, tmp_path):
+    """Every new serving path honors the empty-input contract: an empty
+    embeddings fixture serves an empty frame with the query's schema,
+    never a raise (ingest F3 discipline, extended to the r13 earmark
+    family)."""
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        q_knn_filtered_label,
+        q_knn_ivfpq,
+        q_knn_pq_rerank,
+    )
+
+    empty_sf = str(tmp_path / "empty")
+    os.makedirs(empty_sf)
+    load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(
+        0
+    ).write.parquet(os.path.join(empty_sf, "embeddings.parquet"))
+    out = q_knn_ivfpq(spark, empty_sf)
+    assert out.columns == ["vec_id", "adc_dist"] and out.count() == 0
+    out = q_knn_pq_rerank(spark, empty_sf)
+    assert out.columns == ["vec_id", "dist"] and out.count() == 0
+    out = q_knn_filtered_label(spark, empty_sf)
+    assert out.columns == ["vec_id", "dist"] and out.count() == 0
