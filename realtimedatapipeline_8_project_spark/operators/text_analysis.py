@@ -2371,6 +2371,12 @@ def _install_compaction(ppath: str, tmp: str) -> None:
     for d in m["absorbed"]:
         shutil.rmtree(os.path.join(ppath, d), ignore_errors=True)
     if "horizon" in m:  # the stats fold carries no horizon of its own
+        # the staged_empty branch above creates no live dir — a dual
+        # re-derived from an EMPTIED compacted partition (every doc
+        # deleted) still must record its horizon, or serving would
+        # forever fall back as "stale" (and this write would crash on
+        # the missing dir — the hypothesis-found all-docs-deleted case)
+        os.makedirs(ppath, exist_ok=True)
         _write_horizon(ppath, int(m["horizon"]))
     shutil.rmtree(tmp)
 

@@ -523,3 +523,38 @@ def test_dead_docs_rows_resweep_and_full_purged_redelete_is_noop(
         spark, root, docs.where(F.col("doc_id") == 4).select("doc_id"), 9
     )
     assert _snap(spark, root) == before
+
+
+def test_delete_everything_then_compact_installs_dual_horizons(
+    spark, sf_small, tmp_path
+):
+    """The hypothesis-found r12 edge (fixed pin, independent of the
+    .hypothesis example database): delete EVERY doc, then compact with
+    keep_last=0. The compacted postings partition is zero rows
+    (staged_empty), and the suffix/fuzzy dual installs must still
+    record their horizon handshakes into freshly-created dual dirs —
+    not crash, and not leave the duals permanently 'stale'. Serving
+    afterwards returns empty frames through the fresh-dual path."""
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        INDEX_FUZZY,
+        INDEX_POSTINGS_REV,
+        _read_horizon,
+        fuzzy_hits_incremental,
+        suffix_hits_incremental,
+    )
+
+    docs = _docs(spark, sf_small, n=30)
+    root = str(tmp_path / "idx")
+    _build(spark, docs, root)
+    delete_index_docs(spark, root, docs.select("doc_id"), 3)
+    compact_index(spark, root, keep_last=0)
+    h = _read_horizon(os.path.join(root, INDEX_POSTINGS))
+    assert h is not None
+    # both duals installed their handshakes into (empty) live dirs
+    assert _read_horizon(os.path.join(root, INDEX_POSTINGS_REV)) == h
+    assert _read_horizon(os.path.join(root, INDEX_FUZZY)) == h
+    # the emptied index serves empty answers, fresh-path (no raise)
+    assert suffix_hits_incremental(spark, root).count() == 0
+    assert fuzzy_hits_incremental(spark, root).count() == 0
+    post, _stats = read_index(spark, root)
+    assert post.count() == 0
