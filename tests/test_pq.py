@@ -342,3 +342,61 @@ def test_pq_family_empty_corpus_contracts(spark, tmp_path):
     assert out.columns == ["vec_id", "dist"] and out.count() == 0
     out = q_knn_filtered_label(spark, empty_sf)
     assert out.columns == ["vec_id", "dist"] and out.count() == 0
+
+
+def test_pq_rerank_refine_leg_pushes_id_filter(spark, sf_small):
+    """The re-rank claim is 'R point reads of the source, never a
+    corpus scan' — pin that the refine leg's In(vec_id) actually
+    reaches the source parquet scan (PushedFilters)."""
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        q_knn_pq_rerank,
+    )
+
+    p = plan_of_df(q_knn_pq_rerank(spark, sf_small))
+    pushed = [
+        l for l in p.splitlines() if "PushedFilters" in l and "In(vec_id" in l
+    ]
+    assert pushed, p
+
+
+def test_ivfpq_external_vector_probe(spark, sf_small):
+    """The IVFPQ serve is parameterized like ivf_probe: an external
+    (non-corpus) vector costs the same plan and matches the
+    re-derivation — coarse ranking and the ADC table both fold against
+    the caller's literal."""
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        IVF_CODEBOOK,
+        IVFT_PROBE,
+        build_ivfpq_index,
+        ivfpq_probe,
+    )
+
+    qvs = _qvecs(spark, sf_small)
+    ext = [x + 333 for x in qvs[5]]  # off-lattice: in no corpus row
+    root = build_ivfpq_index(spark, sf_small)
+    cb = {
+        r.k: [int(x) for x in r.c]
+        for r in spark.read.parquet(
+            os.path.join(root, IVF_CODEBOOK)
+        ).collect()
+    }
+    probed = set(sorted(cb, key=lambda k: (_sd(cb[k], ext), k))[:IVFT_PROBE])
+    coarse = {
+        r.vec_id: r.k
+        for r in spark.read.parquet(os.path.join(root, "lists_pq")).collect()
+    }
+    c1, codes = _py_pq(qvs)
+    tbl = {k: _sd(_sub(ext, k[0]), c) for k, c in c1.items()}
+    want = sorted(
+        (
+            sum(tbl[(m, codes[v][m - 1])] for m in range(1, PQ_M + 1)),
+            v,
+        )
+        for v, k in coarse.items()
+        if k in probed
+    )[:IVFT_TOP]
+    got = [
+        (r.adc_dist, r.vec_id)
+        for r in ivfpq_probe(spark, root, ext).collect()
+    ]
+    assert got == want and want
