@@ -102,6 +102,21 @@ _MODULES = (
 #   — and the other per the "longer refresh cycle" clause if no
 #   second same-oracle retiree emerges; the r13 builder decides with
 #   the full rotation math in front of them.
+# - dist_quantile_hist + dist_heavy_hitters (operators/distribution.py
+#   — mergeable log-histogram percentile envelopes and exact two-phase
+#   heavy hitters, both with DuckDB oracles, merge-identity /
+#   pigeonhole-boundary / plan pins in tests/test_distribution.py and
+#   SCALE.md §Distribution-profiling arguments already written; module
+#   deliberately NOT imported here until slots open, the hybrid.py
+#   precedent; candidate funding: retire sketch_count_min_estimate
+#   (dist_heavy_hitters answers the same "who is frequent" question
+#   exactly, and the count-min build+probe semantics stay machine-
+#   checked by tests/test_properties.py's overcount-guarantee test)
+#   and hist_price_profile (dist_quantile_hist profiles the same
+#   o_totalprice distribution with a mergeable sketch; the equi-width
+#   20-bin histogram's oracle semantics live on in the same module's
+#   tests) — the r13 builder decides with the rotation math in front
+#   of them.
 # Capacity math for r13 (decide BEFORE registering): the owed set is
 # flagship + 49 r10-latest = the full 50 budget, so every new
 # registration displaces an r10-latest row to r14 (a 4-round gap the

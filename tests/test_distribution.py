@@ -1,0 +1,220 @@
+"""Distribution-profiling sketches (operators/distribution.py): mergeable
+log-histogram quantiles + exact two-phase heavy hitters — the r13+
+registration candidates, carried with the same DuckDB-oracle gate the
+driver would run, plus the merge/pigeonhole/plan properties the oracle
+alone can't see."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from realtimedatapipeline_8_project_spark.operators.distribution import (
+    HH_FRAC,
+    QH_SUB,
+    ORACLE_HEAVY_HITTERS,
+    _make_partition_candidates,
+    _oracle_quantile_hist,
+    heavy_hitters,
+    merge_hists,
+    q_heavy_hitters,
+    q_quantile_hist,
+    quantile_hist,
+    quantiles_from_hist,
+)
+
+from .oracle_harness import compare, duck_connection
+from .test_plans import plan_of_df
+
+
+# --- quantile histogram ------------------------------------------------------
+
+
+def test_quantile_hist_matches_duckdb_oracle(spark, sf_oracle):
+    con = duck_connection(sf_oracle)
+    try:
+        df = q_quantile_hist(spark, sf_oracle)
+        assert not compare(df, con, _oracle_quantile_hist(), "dist_quantile_hist")
+    finally:
+        con.close()
+
+
+def test_quantile_envelope_contains_true_percentile(spark, sf_small):
+    """For every (group, q): the ceil(q*N/100)-th smallest exact value
+    lies inside [est_lo, est_hi] — the sketch's defining guarantee."""
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet").selectExpr(
+        "o_orderpriority AS grp",
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents",
+    )
+    vals = {}
+    for r in orders.collect():
+        vals.setdefault(r.grp, []).append(r.cents)
+    got = q_quantile_hist(spark, sf_small).collect()
+    assert got
+    for r in got:
+        xs = sorted(vals[r.grp])
+        assert r.n_total == len(xs)
+        true_pct = xs[-(-r.q_pct * len(xs) // 100) - 1]  # ceil rank, 1-based
+        assert r.est_lo <= true_pct <= r.est_hi, (r, true_pct)
+        # relative-width bound: singleton below QH_SUB, <= lo/QH_SUB above
+        if r.est_lo < QH_SUB:
+            assert r.est_lo == r.est_hi
+        else:
+            assert (r.est_hi - r.est_lo) * QH_SUB <= r.est_lo
+
+
+def test_quantile_hist_merge_identity(spark, sf_small):
+    """Counters merge by addition: the sketch of the whole equals the
+    merged sketches of disjoint halves — the property that makes the
+    histogram a mergeable streaming/multi-shard summary."""
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet").selectExpr(
+        "o_orderkey",
+        "o_orderpriority",
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents",
+    )
+    h_all = quantile_hist(orders, "o_orderpriority", "cents")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    h_merged = merge_hists(
+        quantile_hist(a, "o_orderpriority", "cents"),
+        quantile_hist(b, "o_orderpriority", "cents"),
+    )
+    key = lambda r: (r.grp, r.bucket_id, r.est_lo, r.est_hi, r.n)
+    assert sorted(map(key, h_all.collect())) == sorted(
+        map(key, h_merged.collect())
+    )
+    # and the read-out agrees too
+    qk = lambda r: (r.grp, r.q_pct, r.n_total, r.est_lo, r.est_hi)
+    assert sorted(map(qk, quantiles_from_hist(h_all).collect())) == sorted(
+        map(qk, quantiles_from_hist(h_merged).collect())
+    )
+
+
+def test_quantile_bucket_edges(spark):
+    """Boundary buckets: 0 and QH_SUB-1 are singletons; QH_SUB opens the
+    first octave; octave edges (2^k and 2^k - 1) land in different
+    buckets; every bucket envelope contains its value."""
+    vals = [0, 1, QH_SUB - 1, QH_SUB, 31, 32, 255, 256, 1 << 40, (1 << 41) - 1]
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, x long")
+    rows = {r.bucket_id: r for r in quantile_hist(df, "grp", "x").collect()}
+    by_val = {}
+    for bid, r in rows.items():
+        for v in vals:
+            if r.est_lo <= v <= r.est_hi:
+                by_val.setdefault(v, set()).add(bid)
+    for v in vals:
+        assert v in by_val, f"{v} not covered by any bucket"
+    for v in (0, 1, QH_SUB - 1):
+        (bid,) = by_val[v]
+        assert rows[bid].est_lo == rows[bid].est_hi == v == bid
+    assert by_val[31].isdisjoint(by_val[32])
+    assert by_val[255].isdisjoint(by_val[256])
+    assert by_val[1 << 40].isdisjoint(by_val[(1 << 41) - 1])
+
+
+def test_quantile_hist_single_exchange(spark, sf_small):
+    """Scale pin: the sketch build is ONE exchange (partial agg sits on
+    the scan; the exchange carries counter rows only)."""
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet").selectExpr(
+        "o_orderpriority",
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents",
+    )
+    p = plan_of_df(quantile_hist(orders, "o_orderpriority", "cents"))
+    assert p.count("Exchange (") == 1, p  # tree form: one shuffle node
+    assert "HashAggregate" in p, p
+
+
+# --- heavy hitters -----------------------------------------------------------
+
+
+def test_heavy_hitters_matches_duckdb_oracle(spark, sf_oracle):
+    con = duck_connection(sf_oracle)
+    try:
+        df = q_heavy_hitters(spark, sf_oracle)
+        rows = df.collect()
+        # stable fixture property: 30 of 31 vocabulary terms qualify at
+        # EVERY sf (the rare term pins the exclusion side) — the
+        # registered query never degenerates to an empty hash match
+        assert len(rows) == 30
+        assert not compare(df, con, ORACLE_HEAVY_HITTERS, "dist_heavy_hitters")
+    finally:
+        con.close()
+
+
+def test_heavy_hitters_partitioning_invariant(spark, sf_small):
+    """The answer is EXACT, so any partitioning gives the same rows —
+    unlike arrival-order summaries (Misra-Gries/SpaceSaving)."""
+    ev = (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .select("user_id")
+        .filter(F.col("user_id").isNotNull())
+    )
+    key = lambda r: (r.user_id, r.n)
+    base = sorted(map(key, heavy_hitters(ev).collect()))
+    assert base  # fixture has qualifying users
+    for nparts in (1, 3, 13):
+        got = sorted(map(key, heavy_hitters(ev.repartition(nparts)).collect()))
+        assert got == base, nparts
+
+
+def test_heavy_hitters_even_spread_boundary(spark):
+    """Adversarial pigeonhole case: a key with EXACTLY total/HH_FRAC
+    occurrences, spread perfectly evenly so no partition sees it above
+    its local share — the weighted local rule (partial*F >= n_p) must
+    still surface it; a key one occurrence short must not appear."""
+    per_part, nparts = 200, 5
+    rows = []
+    fill = 10_000
+    for p in range(nparts):
+        rows += [(7,)] * 2  # 10 total == 1% of 1000, 2 per partition
+        rows += [(9,)] * (2 if p < 4 else 1)  # 9 total: just below
+        n_fill = per_part - (2 + (2 if p < 4 else 1))
+        rows += [(fill + p * per_part + i,) for i in range(n_fill)]
+    ev = spark.createDataFrame(rows, "user_id long").repartition(nparts)
+    got = {r.user_id: r.n for r in heavy_hitters(ev).collect()}
+    assert got.get(7) == 10
+    assert 9 not in got
+    # fillers each appear once: 1*100 < 1000
+    assert all(k in (7,) for k in got)
+
+
+def test_partition_candidates_emit_bound():
+    """Each partition emits at most HH_FRAC keys (the broadcastability
+    bound), with the equality case: HH_FRAC keys at exactly 1/HH_FRAC
+    each all qualify; add one row and none do."""
+    gen = _make_partition_candidates(HH_FRAC, "user_id", "int64")
+    pdf = pd.DataFrame(
+        {"user_id": [k for k in range(HH_FRAC) for _ in range(10)]}
+    )
+    (out,) = list(gen(iter([pdf])))
+    assert len(out) == HH_FRAC  # 10 * HH_FRAC == n, boundary holds
+    diluted = pd.concat(
+        [pdf, pd.DataFrame({"user_id": [999_999]})], ignore_index=True
+    )
+    (out2,) = list(gen(iter([diluted])))
+    assert len(out2) == 0  # 10 * HH_FRAC < n + 1 for every key
+    # accumulation spans batches of one partition
+    half = len(pdf) // 2
+    (out3,) = list(gen(iter([pdf.iloc[:half], pdf.iloc[half:]])))
+    assert sorted(out3["user_id"]) == sorted(out["user_id"])
+
+
+def test_heavy_hitters_plan_shape(spark, sf_small):
+    """Scale pins: candidates come from an Arrow map pass (no exchange
+    below it), the verify join is a broadcast LEFT SEMI against the
+    candidate set, and the final threshold compares against a broadcast
+    1-row count frame — no full-key-space shuffle anywhere."""
+    p = plan_of_df(q_heavy_hitters(spark, sf_small))
+    assert "MapInPandas" in p, p
+    assert "LeftSemi" in p, p
+    assert p.count("BroadcastExchange") >= 2, p
+
+
+def test_heavy_hitters_empty_input(spark):
+    ev = spark.createDataFrame([], "user_id long")
+    assert heavy_hitters(ev).count() == 0
+
+
+def test_quantile_hist_empty_input(spark):
+    df = spark.createDataFrame([], "grp string, x long")
+    assert quantiles_from_hist(quantile_hist(df, "grp", "x")).count() == 0
