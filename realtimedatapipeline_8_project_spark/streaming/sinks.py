@@ -428,6 +428,44 @@ def read_hll(spark: SparkSession, output_dir: str) -> DataFrame:
     )
 
 
+def write_qhist(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_dir: str,
+    grp: str = "o_orderpriority",
+    x: str = "cents",
+) -> None:
+    """Per-batch partial quantile histogram (operators/distribution.py):
+    log2/linear integer bucket counters add cell-wise — the third
+    associative sketch merge beside counter-add (write_sketch) and
+    register-max (write_hll). O(|batch groups| x 64 x QH_SUB) state per
+    batch; idempotent per batch id. Serving percentiles from the merged
+    table (read_qhist + quantiles_from_hist) is bit-identical to the
+    one-pass batch sketch — no re-scan of history to answer 'p99 so
+    far'."""
+    from ..operators.distribution import quantile_hist
+
+    (
+        quantile_hist(batch_df, grp, x)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(output_dir, "qhist"))
+    )
+
+
+def read_qhist(spark: SparkSession, output_dir: str) -> DataFrame:
+    """Merged histogram = cell-wise sum of all batch partials (the
+    merge_hists identity, machine-pinned in tests/test_distribution.py)."""
+    partials = spark.read.parquet(os.path.join(output_dir, "qhist"))
+    return (
+        partials.drop("batch_id")
+        .groupBy("grp", "bucket_id", "est_lo", "est_hi")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
 def write_moments(
     batch_df: DataFrame, batch_id: int, output_dir: str
 ) -> None:

@@ -218,3 +218,44 @@ def test_heavy_hitters_empty_input(spark):
 def test_quantile_hist_empty_input(spark):
     df = spark.createDataFrame([], "grp string, x long")
     assert quantiles_from_hist(quantile_hist(df, "grp", "x")).count() == 0
+
+
+# --- streaming mergeable sink -------------------------------------------------
+
+
+def test_qhist_sink_replay_equals_batch(spark, sf_small, tmp_path):
+    """Mergeable-histogram sink: per-micro-batch partials summed on read
+    equal the one-pass sketch over all orders, survive an idempotent
+    batch-id replay, and serve bit-identical percentile envelopes."""
+    import os
+
+    from realtimedatapipeline_8_project_spark.streaming.sinks import (
+        read_qhist,
+        write_qhist,
+    )
+
+    out = os.path.join(str(tmp_path), "out")
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet").selectExpr(
+        "o_orderkey",
+        "o_orderpriority",
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents",
+    )
+    n = orders.count()
+    per = (n + 2) // 3
+    for i in range(3):
+        write_qhist(
+            orders.orderBy("o_orderkey").offset(i * per).limit(per), i, out
+        )
+    # replay a committed batch id: dynamic overwrite keeps it idempotent
+    write_qhist(orders.orderBy("o_orderkey").limit(per), 0, out)
+
+    merged = read_qhist(spark, out)
+    key = lambda r: (r.grp, r.bucket_id, r.est_lo, r.est_hi, r.n)
+    want = quantile_hist(orders, "o_orderpriority", "cents")
+    assert sorted(map(key, merged.collect())) == sorted(
+        map(key, want.collect())
+    )
+    qk = lambda r: (r.grp, r.q_pct, r.n_total, r.est_lo, r.est_hi)
+    assert sorted(map(qk, quantiles_from_hist(merged).collect())) == sorted(
+        map(qk, quantiles_from_hist(want).collect())
+    )
