@@ -1549,12 +1549,14 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_bm25(where: str = "") -> str:
+def _oracle_bm25(where: str = "", terms=None) -> str:
     """The corpus-scan BM25 spelling (DuckDB). ``where`` restricts the
     corpus (e.g. the delete query's surviving-docs predicate) — stats,
     df and the ranking all derive from the restricted corpus, exactly
-    what a delete-aware index must serve."""
-    terms = list(BOOL_QUERY_TERMS)
+    what a delete-aware index must serve. ``terms`` overrides the query
+    (default = the registered fixture query) — the batch/fleet oracle
+    composes one instance per query."""
+    terms = list(BOOL_QUERY_TERMS if terms is None else terms)
     tf_cols = ",\n         ".join(
         f"COUNT(*) FILTER (term = '{t}') AS tf_{i}"
         for i, t in enumerate(terms)
@@ -1736,6 +1738,90 @@ def q_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the artifact path must equal the direct corpus computation
 QUERIES["text_bm25_from_index"] = (q_bm25_from_index, _oracle_bm25())
+
+
+# --- batch (fleet) BM25 from the stored index -------------------------------
+# The text-side mirror of sim_knn_batch: Q queries answered in ONE plan
+# over the same stored postings/stats artifacts single-query serving
+# reads. Scale shape (the ivf_probe_batch lessons applied from the
+# start): the union of all fleet terms is pushed as ONE In(term) filter
+# into the postings scan (each term's postings read once however many
+# queries share it); the (qid, term) query frame and the per-term df
+# frame join UNHINTED — Q and the vocabulary are the scale-growing sides
+# and are never force-broadcast (AQE broadcasts them at fixture size,
+# shuffles at fleet size); the only forced broadcast is the provably
+# 1-row stats frame; per-query top-k rides ONE qid-keyed window exchange.
+# Registration: r13+ earmark (plans/registry.py capacity policy) — the
+# PQ-family precedent: functions + oracle + tests now, slot later.
+
+BM25_FLEET = (
+    (1, ("dup", "window")),  # the registered rare+common shape
+    (2, ("scan", "filter", "spark")),  # all-common, 3 terms
+    (3, ("window", "hash")),  # shares a term with query 1
+)
+
+
+def bm25_batch_over_postings(
+    postings: DataFrame, stats: DataFrame, fleet=BM25_FLEET
+) -> DataFrame:
+    """(qid, doc_id, score_micro, rank): per-query BM25 top-k for every
+    fleet query, one plan. Per-term df comes from the retrieved postings
+    (term-level filter retrieves each query term's full postings, so df
+    is the corpus df — the same identity single-query serving uses)."""
+    spark = postings.sparkSession
+    all_terms = sorted({t for _, ts in fleet for t in ts})
+    idx = postings.where(F.col("term").isin(*all_terms))
+    df_t = idx.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in fleet for t in ts], "qid long, term string"
+    )
+    scored = (
+        idx.join(df_t, "term")  # unhinted: vocab-bounded, AQE decides
+        .crossJoin(F.broadcast(stats))  # 1-row scalar frame
+        .join(qterms, "term")  # unhinted: Q is the scale-growing side
+        .select(
+            "qid",
+            "doc_id",
+            bm25_contrib_micro(
+                F.col("tf"),
+                F.col("dl"),
+                F.col("df"),
+                F.col("n_docs"),
+                F.col("total_dl"),
+            ).alias("c_micro"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("c_micro").alias("score_micro"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= BM25_TOPK)
+        .select("qid", "doc_id", "score_micro", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    root = build_scored_index(spark, sf_dir)
+    postings = spark.read.parquet(os.path.join(root, "postings"))
+    stats = spark.read.parquet(os.path.join(root, "stats"))
+    return bm25_batch_over_postings(postings, stats)
+
+
+def _oracle_bm25_batch(fleet=BM25_FLEET) -> str:
+    """Composed from the single-query corpus-scan spelling — one ranked
+    instance per fleet query, qid-tagged (the hybrid-oracle precedent)."""
+    legs = [
+        f"""SELECT CAST({qid} AS BIGINT) AS qid, doc_id, score_micro,
+       ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
+FROM ({_oracle_bm25(terms=ts)}) leg_{qid}"""
+        for qid, ts in fleet
+    ]
+    return "\nUNION ALL\n".join(legs)
 
 
 # --- top-k pruned BM25 (max-score) from the stored index -------------------

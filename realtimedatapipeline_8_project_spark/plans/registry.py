@@ -117,6 +117,15 @@ _MODULES = (
 #   20-bin histogram's oracle semantics live on in the same module's
 #   tests) — the r13 builder decides with the rotation math in front
 #   of them.
+# - text_bm25_batch (operators/text_analysis.py bm25_batch_over_postings
+#   — fleet BM25 from the stored index, one plan for Q queries, the
+#   sim_knn_batch mirror; DuckDB oracle composed per qid from the
+#   single-query spelling, cross-path identity + dedup-pushed-In +
+#   absent-term pins in tests/test_bm25_batch.py, SCALE.md §Batch-BM25;
+#   candidate funding: text_bm25_from_index's slot once
+#   bm25_maxscore_incremental registers — its oracle already lives on
+#   under text_bm25_maxscore, and the batch path reads the same
+#   artifacts with a strictly larger serving surface).
 # Capacity math for r13 (decide BEFORE registering): the owed set is
 # flagship + 49 r10-latest = the full 50 budget, so every new
 # registration displaces an r10-latest row to r14 (a 4-round gap the
