@@ -164,6 +164,152 @@ LIMIT {RRF_TOP}
 """
 
 
+# --- batch (fleet) hybrid retrieval -----------------------------------------
+# Compose the two fleet serving paths: bm25_batch_over_postings (text)
+# and ivf_probe_batch (vectors) fused per qid — Q hybrid queries in ONE
+# plan. The natural consumer is retrieval-eval / hard-negative mining
+# over a query log: per-query hybrid jobs would pay Q driver round
+# trips; here every leg amortizes its index access across the fleet
+# (deduplicated pushed term set; per-list fan-out only to the queries
+# probing that list). Each fleet entry is (qid, terms) where qid is
+# ALSO the in-corpus probe vec_id (the doc_id == vec_id id-space
+# invariant; exclude_self drops the probe's own vector row).
+# Registration: r13+ earmark beside hybrid_rrf_topk.
+
+HYBRID_FLEET = (
+    (0, ("dup", "window")),  # rare+common terms, corpus vector 0
+    (7, ("scan", "filter", "spark")),
+    (13, ("window", "hash")),
+)
+
+
+def rrf_fuse_batch(
+    text_top: DataFrame,
+    vec_top: DataFrame,
+    k: int = RRF_K,
+    top: int = RRF_TOP,
+) -> DataFrame:
+    """Fuse qid-keyed leg frames — text (qid, doc_id, score_micro,
+    rank), vectors (qid, vec_id, dist, rank) — into per-query hybrid
+    top-``top``. The legs' OWN 1-based per-qid ranks are reused (both
+    rank with the single-fuse orderings: score desc / dist asc, id
+    asc), so fusion adds no window over candidate sets — only the
+    k-bounded final rank per qid."""
+    t = text_top.select(
+        "qid", "doc_id", F.col("rank").cast("long").alias("text_rank")
+    )
+    v = vec_top.select(
+        F.col("qid").alias("vqid"),
+        F.col("vec_id").alias("vdoc_id"),
+        F.col("rank").cast("long").alias("vec_rank"),
+    )
+    contrib = (
+        lambda rank: F.when(  # noqa: E731
+            rank > 0,
+            F.round(F.lit(1_000_000.0) / (F.lit(k) + rank), 0).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    )
+    fused = (
+        t.join(
+            v,
+            (t.qid == v.vqid) & (t.doc_id == v.vdoc_id),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("qid", "vqid").alias("qid"),
+            F.coalesce("doc_id", "vdoc_id").alias("doc_id"),
+            F.coalesce("text_rank", F.lit(0)).alias("text_rank"),
+            F.coalesce("vec_rank", F.lit(0)).alias("vec_rank"),
+        )
+        .select(
+            "qid",
+            "doc_id",
+            "text_rank",
+            "vec_rank",
+            (contrib(F.col("text_rank")) + contrib(F.col("vec_rank"))).alias(
+                "rrf_micro"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= top)
+        .drop("rn")
+    )
+
+
+def q_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleet hybrid top-10 per query: the batch BM25 leg and the batch
+    ANN leg, both from their STORED artifacts, fused in one plan."""
+    from ..sources.tables import load_table
+    from .similarity import _km_quantize, ivf_probe_batch
+    from .text_analysis import bm25_batch_over_postings
+
+    troot = build_scored_index(spark, sf_dir)
+    postings = spark.read.parquet(os.path.join(troot, INDEX_POSTINGS))
+    stats = spark.read.parquet(os.path.join(troot, INDEX_STATS))
+    text = bm25_batch_over_postings(postings, stats, fleet=HYBRID_FLEET)
+
+    vroot = build_ivf_grown(spark, sf_dir)
+    qids = tuple(qid for qid, _ in HYBRID_FLEET)
+    queries = (
+        _km_quantize(load_table(spark, sf_dir, "embeddings"))
+        .where(F.col("vec_id").isin(*qids))
+        .select(F.col("vec_id").alias("qid"), "qv")
+    )
+    vec = ivf_probe_batch(
+        read_ivf_lists(spark, vroot),
+        spark.read.parquet(os.path.join(vroot, IVF_CODEBOOK)),
+        queries,
+        exclude_self=True,
+    )
+    return rrf_fuse_batch(text, vec)
+
+
+def _oracle_hybrid_batch() -> str:
+    """Composed fleet oracle: per-qid text legs (the single-query BM25
+    spelling, qid-tagged and ranked) full-outer fused with the batch-ANN
+    oracle restricted to the hybrid fleet's qids — the same strings the
+    leg paths are checked against."""
+    from .similarity import _oracle_knn_batch
+    from .text_analysis import _oracle_bm25
+
+    c = f"CAST(ROUND(1000000.0 / ({RRF_K} + rnk), 0) AS BIGINT)"
+    text_legs = "\nUNION ALL\n".join(
+        f"""SELECT CAST({qid} AS BIGINT) AS qid, doc_id,
+       ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rnk
+FROM ({_oracle_bm25(terms=ts)}) tl_{qid}"""
+        for qid, ts in HYBRID_FLEET
+    )
+    qids = tuple(qid for qid, _ in HYBRID_FLEET)
+    return f"""
+WITH text_leg AS (
+{text_legs}
+), text_rrf AS (
+  SELECT qid, doc_id, rnk AS text_rank, {c} AS c_text FROM text_leg
+), vec_leg AS (
+  SELECT qid, vec_id, rank AS rnk FROM ({_oracle_knn_batch(qid_set=qids)}) kb
+), vec_rrf AS (
+  SELECT qid, vec_id, rnk AS vec_rank, {c} AS c_vec FROM vec_leg
+), fused AS (
+  SELECT COALESCE(t.qid, v.qid) AS qid,
+         COALESCE(t.doc_id, v.vec_id) AS doc_id,
+         COALESCE(t.text_rank, 0) AS text_rank,
+         COALESCE(v.vec_rank, 0) AS vec_rank,
+         COALESCE(t.c_text, 0) + COALESCE(v.c_vec, 0) AS rrf_micro
+  FROM text_rrf t FULL OUTER JOIN vec_rrf v
+    ON t.qid = v.qid AND t.doc_id = v.vec_id
+)
+SELECT qid, doc_id, text_rank, vec_rank, rrf_micro FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+           ORDER BY rrf_micro DESC, doc_id ASC) AS rn
+  FROM fused
+) WHERE rn <= {RRF_TOP}
+"""
+
+
 QUERIES = {
     "hybrid_rrf_topk": (q_hybrid_rrf, _oracle_hybrid_rrf()),
+    "hybrid_rrf_batch": (q_hybrid_batch, _oracle_hybrid_batch()),
 }

@@ -1820,11 +1820,13 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_knn_batch() -> str:
+def _oracle_knn_batch(qid_set=None) -> str:
     """DuckDB re-derivation of the batch probe: the trained-IVF oracle
     pipeline (the frozen grown codebook IS the trained one) with the
     probe/plists/top-k stages parameterized over the query set via
-    per-qid window ranks."""
+    per-qid window ranks. ``qid_set`` overrides the probed vec_ids
+    (default = the registered fixture fleet) — the batch-hybrid oracle
+    composes this with its own fleet."""
     k_case = "CASE vec_id " + " ".join(
         f"WHEN {v} THEN {i}" for i, v in enumerate(IVFT_SEEDS)
     ) + " END"
@@ -1840,7 +1842,7 @@ def _oracle_knn_batch() -> str:
         f"CAST(list_sum(list_transform(range(1, {KM_DIM + 1}), "
         f"i -> (c.c[i] - p.pqv[i]) * (c.c[i] - p.pqv[i]))) AS BIGINT)"
     )
-    qids = ", ".join(str(q) for q in BATCH_QIDS)
+    qids = ", ".join(str(q) for q in (BATCH_QIDS if qid_set is None else qid_set))
     return f"""
 WITH q AS (
   SELECT vec_id,

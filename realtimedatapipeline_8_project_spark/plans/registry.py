@@ -126,6 +126,12 @@ _MODULES = (
 #   bm25_maxscore_incremental registers — its oracle already lives on
 #   under text_bm25_maxscore, and the batch path reads the same
 #   artifacts with a strictly larger serving surface).
+# - hybrid_rrf_batch (operators/hybrid.py — Q hybrid queries in one
+#   plan: the two fleet legs fused per qid, reusing leg ranks; oracle
+#   composes the per-qid BM25 spellings with the qid-parameterized
+#   batch-ANN oracle; per-qid identity vs the single-query hybrid
+#   pinned in tests/test_hybrid.py; registers only alongside-or-after
+#   hybrid_rrf_topk per the capacity math).
 # Capacity math for r13 (decide BEFORE registering): the owed set is
 # flagship + 49 r10-latest = the full 50 budget, so every new
 # registration displaces an r10-latest row to r14 (a 4-round gap the

@@ -93,3 +93,123 @@ def test_hybrid_empty_corpus_contract(spark, tmp_path):
     out = q_hybrid_rrf(spark, empty_sf)
     assert out.columns == ["doc_id", "text_rank", "vec_rank", "rrf_micro"]
     assert out.count() == 0
+
+
+# --- batch (fleet) hybrid ----------------------------------------------------
+
+
+def test_rrf_fuse_batch_planted_frames(spark):
+    """Fleet fusion math on planted qid-keyed legs: contributions sum
+    within a qid, never across qids (the same doc under two qids fuses
+    independently), single-leg docs carry rank 0, per-qid top bound."""
+    from realtimedatapipeline_8_project_spark.operators.hybrid import (
+        rrf_fuse_batch,
+    )
+
+    text = spark.createDataFrame(
+        [(1, 10, 900, 1), (1, 11, 800, 2), (2, 10, 700, 1)],
+        "qid long, doc_id long, score_micro long, rank long",
+    )
+    vec = spark.createDataFrame(
+        [(1, 11, 5, 1), (2, 13, 6, 1)],
+        "qid long, vec_id long, dist long, rank long",
+    )
+    rows = {
+        (r.qid, r.doc_id): (r.text_rank, r.vec_rank, r.rrf_micro)
+        for r in rrf_fuse_batch(text, vec).collect()
+    }
+    assert rows[(1, 11)] == (2, 1, _c(2) + _c(1))  # both legs, qid 1
+    assert rows[(1, 10)] == (1, 0, _c(1))  # text-only in qid 1
+    assert rows[(2, 10)] == (1, 0, _c(1))  # same doc, independent qid
+    assert rows[(2, 13)] == (0, 1, _c(1))  # vec-only in qid 2
+    assert len(rows) == 4
+
+
+def test_hybrid_batch_matches_duckdb_oracle(spark, sf_oracle):
+    from realtimedatapipeline_8_project_spark.operators.hybrid import (
+        HYBRID_FLEET,
+        _oracle_hybrid_batch,
+        q_hybrid_batch,
+    )
+
+    from .oracle_harness import compare, duck_connection
+
+    con = duck_connection(sf_oracle)
+    try:
+        df = q_hybrid_batch(spark, sf_oracle)
+        rows = df.collect()
+        assert {r.qid for r in rows} == {qid for qid, _ in HYBRID_FLEET}
+        assert not compare(df, con, _oracle_hybrid_batch(), "hybrid_rrf_batch")
+    finally:
+        con.close()
+
+
+def test_hybrid_batch_equals_per_query_hybrid(spark, sf_small):
+    """Cross-path identity: each fleet qid's fused answer equals the
+    single-query hybrid pipeline run with that qid's terms and probe
+    vector over the same stored artifacts."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from realtimedatapipeline_8_project_spark.operators.hybrid import (
+        HYBRID_FLEET,
+        q_hybrid_batch,
+        rrf_fuse,
+    )
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        IVF_CODEBOOK,
+        _km_quantize,
+        build_ivf_grown,
+        ivf_probe,
+        read_ivf_lists,
+    )
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        INDEX_POSTINGS,
+        INDEX_STATS,
+        bm25_topk_over_postings,
+        build_scored_index,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    got = {}
+    for r in q_hybrid_batch(spark, sf_small).collect():
+        got.setdefault(r.qid, set()).add(
+            (r.doc_id, r.text_rank, r.vec_rank, r.rrf_micro)
+        )
+
+    troot = build_scored_index(spark, sf_small)
+    postings = spark.read.parquet(os.path.join(troot, INDEX_POSTINGS))
+    stats = spark.read.parquet(os.path.join(troot, INDEX_STATS))
+    vroot = build_ivf_grown(spark, sf_small)
+    lists = read_ivf_lists(spark, vroot)
+    cents = spark.read.parquet(os.path.join(vroot, IVF_CODEBOOK))
+    emb = _km_quantize(load_table(spark, sf_small, "embeddings"))
+    for qid, terms in HYBRID_FLEET:
+        qv = [
+            r.qv for r in emb.where(F2.col("vec_id") == qid).collect()
+        ][0]
+        single = rrf_fuse(
+            bm25_topk_over_postings(postings, stats, terms=terms),
+            ivf_probe(lists, cents, qv, exclude_id=qid),
+        )
+        want = {
+            (r.doc_id, r.text_rank, r.vec_rank, r.rrf_micro)
+            for r in single.collect()
+        }
+        assert got[qid] == want, qid
+
+
+def test_hybrid_batch_plan_artifacts_only(spark, sf_small):
+    """The fleet plan reads the two stored artifacts plus a pushed
+    In(vec_id) point read of the query vectors — never a documents
+    scan, never an unfiltered embeddings scan."""
+    from realtimedatapipeline_8_project_spark.operators.hybrid import (
+        q_hybrid_batch,
+    )
+
+    p = plan_of_df(q_hybrid_batch(spark, sf_small))
+    assert "documents.parquet" not in p, p
+    assert "postings" in p and "lists" in p, p
+    if "embeddings.parquet" in p:  # the fleet-probe point read
+        assert "In(vec_id" in p, p
