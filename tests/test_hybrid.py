@@ -213,3 +213,31 @@ def test_hybrid_batch_plan_artifacts_only(spark, sf_small):
     assert "postings" in p and "lists" in p, p
     if "embeddings.parquet" in p:  # the fleet-probe point read
         assert "In(vec_id" in p, p
+
+
+def test_hybrid_batch_empty_corpus_contract(spark, tmp_path):
+    """Empty-input contract for the fleet paths: an empty
+    documents+embeddings fixture serves empty qid-keyed frames (batch
+    BM25, batch hybrid), not a raise."""
+    import os
+
+    from realtimedatapipeline_8_project_spark.operators.hybrid import (
+        q_hybrid_batch,
+    )
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        q_bm25_batch,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    empty_sf = str(tmp_path / "empty")
+    os.makedirs(empty_sf)
+    for t in ("documents", "embeddings"):
+        load_table(spark, "/root/testdata/sf0.001", t).limit(0).write.parquet(
+            os.path.join(empty_sf, f"{t}.parquet")
+        )
+    bb = q_bm25_batch(spark, empty_sf)
+    assert bb.columns == ["qid", "doc_id", "score_micro", "rank"]
+    assert bb.count() == 0
+    hb = q_hybrid_batch(spark, empty_sf)
+    assert hb.columns == ["qid", "doc_id", "text_rank", "vec_rank", "rrf_micro"]
+    assert hb.count() == 0
