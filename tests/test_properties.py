@@ -449,3 +449,89 @@ def test_index_deletes_equal_filtered_build(spark, tmp_path_factory, data):
         map(str, p_b.select(*cols).collect())
     )
     assert s_a.collect() == s_b.collect()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_quantile_bucket_envelope_property(data):
+    """For ARBITRARY non-negative BIGINTs: the integer bucket math
+    (evaluated via the DuckDB oracle spelling, the exact expression the
+    Spark side twins) puts every value inside its own [est_lo, est_hi]
+    envelope, with singleton width below QH_SUB and relative width
+    <= 1/QH_SUB above it — no fixture involved."""
+    import duckdb
+
+    from realtimedatapipeline_8_project_spark.operators.distribution import (
+        QH_SUB,
+        _bucket_exprs_duck,
+    )
+
+    vals = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=(1 << 62) - 1),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    e = _bucket_exprs_duck("x")
+    rows = duckdb.sql(
+        f"SELECT x, {e['bucket_id']} AS b, {e['est_lo']} AS lo, "
+        f"{e['est_hi']} AS hi FROM (SELECT unnest(?) AS x)",
+        params=[vals],
+    ).fetchall()
+    seen = {}
+    for x, b, lo, hi in rows:
+        assert lo <= x <= hi, (x, lo, hi)
+        if x < QH_SUB:
+            assert lo == hi == x == b
+        else:
+            assert (hi - lo) * QH_SUB <= lo
+        # bucket id determines the envelope (merge soundness)
+        assert seen.setdefault(b, (lo, hi)) == (lo, hi)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_heavy_hitter_candidates_superset_property(data):
+    """Weighted pigeonhole on ARBITRARY multisets and ARBITRARY
+    partitionings: the union of per-partition candidate emissions always
+    contains every key holding >= 1/HH_FRAC of ALL rows, and each
+    partition emits at most HH_FRAC keys."""
+    import pandas as pd2
+
+    from realtimedatapipeline_8_project_spark.operators.distribution import (
+        HH_FRAC,
+        _make_partition_candidates,
+    )
+
+    keys = data.draw(
+        st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400)
+    )
+    nparts = data.draw(st.integers(min_value=1, max_value=7))
+    # arbitrary assignment of rows to partitions
+    assign = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=nparts - 1),
+            min_size=len(keys),
+            max_size=len(keys),
+        )
+    )
+    parts = {p: [] for p in range(nparts)}
+    for k, p in zip(keys, assign):
+        parts[p].append(k)
+    gen = _make_partition_candidates(HH_FRAC, "user_id", "int64")
+    union = set()
+    for p, rows in parts.items():
+        if not rows:
+            continue
+        (out,) = list(
+            gen(iter([pd2.DataFrame({"user_id": pd2.array(rows, "int64")})]))
+        )
+        assert len(out) <= HH_FRAC
+        union |= set(out["user_id"].tolist())
+    total = len(keys)
+    from collections import Counter
+
+    for k, n in Counter(keys).items():
+        if n * HH_FRAC >= total:
+            assert k in union, (k, n, total, nparts)
