@@ -277,6 +277,101 @@ def heavy_hitters(
     )
 
 
+def _make_grouped_candidates(frac: int, grp: str, col: str, pd_dtypes):
+    """Grouped form of the candidate pass: the weighted pigeonhole holds
+    PER GROUP (if cnt_{g,k} >= n_g/frac over partitions then some
+    partition has partial_{g,k} >= n_{g,p}/frac), so the local rule
+    compares each (group, key) partial against THAT GROUP's rows in the
+    partition. Emits <= frac keys per (group, partition)."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        counts: dict = {}
+        gn: dict = {}
+        for pdf in it:
+            for g, v in pdf[grp].value_counts().items():
+                gn[g] = gn.get(g, 0) + int(v)
+            for (g, k), v in pdf.groupby([grp, col]).size().items():
+                counts[(g, k)] = counts.get((g, k), 0) + int(v)
+        out_g, out_k = [], []
+        for (g, k), v in counts.items():
+            if v * frac >= gn[g]:
+                out_g.append(g)
+                out_k.append(k)
+        yield _pd.DataFrame(
+            {
+                grp: _pd.array(out_g, dtype=pd_dtypes[0]),
+                col: _pd.array(out_k, dtype=pd_dtypes[1]),
+            }
+        )
+
+    return gen
+
+
+def heavy_hitters_grouped(
+    df: DataFrame,
+    grp: str,
+    col: str,
+    schema: str,
+    pd_dtypes=("str", "str"),
+) -> DataFrame:
+    """Exact per-group heavy hitters: (grp, col, n) where n >= 1/HH_FRAC
+    of grp's TOTAL rows. Same two phases as :func:`heavy_hitters`; the
+    final threshold cross-multiplies against the per-group total (an
+    unhinted group-keyed count frame — groups are bounded by the group
+    domain, AQE broadcasts small ones)."""
+    keys = df.select(grp, col)
+    cands = keys.mapInPandas(
+        _make_grouped_candidates(HH_FRAC, grp, col, pd_dtypes), schema
+    ).distinct()
+    totals = keys.groupBy(grp).agg(F.count(F.lit(1)).alias("total"))
+    return (
+        keys.join(F.broadcast(cands), [grp, col], "left_semi")
+        .groupBy(grp, col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(totals, grp)  # unhinted: group-domain-bounded
+        .filter(F.col("n") * HH_FRAC >= F.col("total"))
+        .select(grp, col, "n")
+    )
+
+
+def q_heavy_hitters_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE vocabulary heavy hitters (>= 1% of that language's
+    token occurrences) — the per-group stop-list scan. Same tokenizer,
+    same pigeonhole, applied within each lang partition of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "lang",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).alias("term"),
+    ).filter(F.col("term").isNotNull() & F.col("lang").isNotNull())
+    return heavy_hitters_grouped(
+        terms, "lang", "term", "lang string, term string"
+    )
+
+
+ORACLE_HEAVY_HITTERS_GROUPED = f"""
+WITH terms AS (
+  SELECT lang, unnest(
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+  ) AS term
+  FROM documents
+), t AS (
+  SELECT lang, term FROM terms WHERE lang IS NOT NULL AND term IS NOT NULL
+), totals AS (
+  SELECT lang, COUNT(*) AS total FROM t GROUP BY lang
+)
+SELECT t.lang, t.term, COUNT(*) AS n
+FROM t JOIN totals USING (lang)
+GROUP BY t.lang, t.term, totals.total
+HAVING COUNT(*) * {HH_FRAC} >= totals.total
+"""
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary heavy hitters: terms carrying >= 1% of all token
     occurrences across the corpus, exactly — the pre-curation scan that
@@ -320,4 +415,8 @@ HAVING COUNT(*) * {HH_FRAC} >= (
 QUERIES = {
     "dist_quantile_hist": (q_quantile_hist, _oracle_quantile_hist()),
     "dist_heavy_hitters": (q_heavy_hitters, ORACLE_HEAVY_HITTERS),
+    "dist_heavy_hitters_grouped": (
+        q_heavy_hitters_grouped,
+        ORACLE_HEAVY_HITTERS_GROUPED,
+    ),
 }

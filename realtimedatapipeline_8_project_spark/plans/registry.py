@@ -116,7 +116,9 @@ _MODULES = (
 #   o_totalprice distribution with a mergeable sketch; the equi-width
 #   20-bin histogram's oracle semantics live on in the same module's
 #   tests) — the r13 builder decides with the rotation math in front
-#   of them.
+#   of them. The grouped variant (dist_heavy_hitters_grouped,
+#   per-language vocabulary) ships in the same module with its own
+#   oracle; register at most one of the two heavy-hitter forms.
 # - text_bm25_batch (operators/text_analysis.py bm25_batch_over_postings
 #   — fleet BM25 from the stored index, one plan for Q queries, the
 #   sim_knn_batch mirror; DuckDB oracle composed per qid from the

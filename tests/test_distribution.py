@@ -259,3 +259,54 @@ def test_qhist_sink_replay_equals_batch(spark, sf_small, tmp_path):
     assert sorted(map(qk, quantiles_from_hist(merged).collect())) == sorted(
         map(qk, quantiles_from_hist(want).collect())
     )
+
+
+# --- grouped heavy hitters ----------------------------------------------------
+
+
+def test_heavy_hitters_grouped_matches_duckdb_oracle(spark, sf_oracle):
+    from realtimedatapipeline_8_project_spark.operators.distribution import (
+        ORACLE_HEAVY_HITTERS_GROUPED,
+        q_heavy_hitters_grouped,
+    )
+
+    con = duck_connection(sf_oracle)
+    try:
+        df = q_heavy_hitters_grouped(spark, sf_oracle)
+        rows = df.collect()
+        assert len({r.lang for r in rows}) == 5  # every fixture language
+        assert not compare(
+            df, con, ORACLE_HEAVY_HITTERS_GROUPED, "dist_heavy_hitters_grouped"
+        )
+    finally:
+        con.close()
+
+
+def test_heavy_hitters_grouped_boundary_and_isolation(spark):
+    """Per-group pigeonhole: a key heavy in ONE group only surfaces for
+    that group (group totals don't bleed); a key at exactly its group's
+    threshold, spread evenly, is found; one below is not."""
+    from realtimedatapipeline_8_project_spark.operators.distribution import (
+        heavy_hitters_grouped,
+    )
+
+    rows = []
+    # group A: 500 rows, key 'hot' 5 times (exactly 1%), 'cold' 4 times
+    rows += [("A", "hot")] * 5 + [("A", "cold")] * 4
+    rows += [("A", f"fa{i}") for i in range(491)]
+    # group B: 100 rows; 'hot' once (1% of B) -> heavy IN B at exactly 1
+    rows += [("B", "hot")] * 1
+    rows += [("B", f"fb{i}") for i in range(99)]
+    ev = spark.createDataFrame(rows, "lang string, term string").repartition(5)
+    got = {
+        (r.lang, r.term): r.n
+        for r in heavy_hitters_grouped(
+            ev, "lang", "term", "lang string, term string"
+        ).collect()
+    }
+    assert got[("A", "hot")] == 5
+    assert ("A", "cold") not in got  # 4 * 100 < 500
+    assert got[("B", "hot")] == 1  # 1 * 100 >= 100: heavy within B
+    # every B filler is also 1% of B exactly — they all qualify (exact
+    # semantics, not a top-k heuristic)
+    assert got[("B", "fb0")] == 1
