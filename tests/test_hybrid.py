@@ -241,3 +241,102 @@ def test_hybrid_batch_empty_corpus_contract(spark, tmp_path):
     hb = q_hybrid_batch(spark, empty_sf)
     assert hb.columns == ["qid", "doc_id", "text_rank", "vec_rank", "rrf_micro"]
     assert hb.count() == 0
+
+
+def test_hybrid_batch_over_maintained_artifacts(spark, sf_small, tmp_path):
+    """The fleet hybrid serves from the STREAMING-MAINTAINED artifacts,
+    not just the one-pass builds: text = incremental index batches + a
+    GDPR tombstone delete + physical compaction; vectors = the ingest
+    loop across an auto-compaction fold and a drift-retrain. Per-qid
+    fusion must equal the single-query hybrid pipeline on the same
+    artifacts, and tombstoned docs must never surface a text
+    contribution."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from realtimedatapipeline_8_project_spark.operators.hybrid import (
+        HYBRID_FLEET,
+        rrf_fuse,
+        rrf_fuse_batch,
+    )
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        IVF_CODEBOOK,
+        _km_quantize,
+        ivf_probe,
+        ivf_probe_batch,
+        read_ivf_lists,
+    )
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        batch_postings,
+        bm25_batch_over_postings,
+        bm25_topk_over_postings,
+        compact_index,
+        delete_index_docs,
+        read_index,
+        write_index_batch,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+    from realtimedatapipeline_8_project_spark.streaming.vector_ingest import (
+        vector_ingest_batch,
+    )
+
+    # --- text: incremental batches -> tombstone delete -> compaction
+    troot = str(tmp_path / "text_idx")
+    docs = load_table(spark, sf_small, "documents")
+    for b in range(3):
+        write_index_batch(
+            batch_postings(docs.where(F2.col("doc_id") % 3 == b)), b, troot
+        )
+    victims = docs.where(F2.col("doc_id") % 11 == 5).select("doc_id")
+    victim_ids = {r.doc_id for r in victims.collect()}
+    assert victim_ids  # the delete is non-trivial
+    delete_index_docs(spark, troot, victims, 3)
+    assert compact_index(spark, troot) > 0  # physical purge happened
+    postings, stats = read_index(spark, troot)
+
+    # --- vectors: ingest loop with a fold and a drift retrain
+    vroot = str(tmp_path / "ivf")
+    emb = load_table(spark, sf_small, "embeddings")
+    for b in range(3):
+        vector_ingest_batch(
+            emb.where(F2.col("vec_id") % 3 == b),
+            b,
+            vroot,
+            compact_every=2,
+            retrain_on_drift=True,
+        )
+    lists = read_ivf_lists(spark, vroot)
+    cents = spark.read.parquet(os.path.join(vroot, IVF_CODEBOOK))
+
+    # --- fleet fusion over the maintained artifacts
+    qids = tuple(qid for qid, _ in HYBRID_FLEET)
+    qsrc = {
+        r.vec_id: list(r.qv)
+        for r in _km_quantize(emb).where(F2.col("vec_id").isin(*qids)).collect()
+    }
+    queries = spark.createDataFrame(
+        [(q, qsrc[q]) for q in qids], "qid long, qv array<bigint>"
+    )
+    fused = rrf_fuse_batch(
+        bm25_batch_over_postings(postings, stats, fleet=HYBRID_FLEET),
+        ivf_probe_batch(lists, cents, queries, exclude_self=True),
+    )
+    got = {}
+    for r in fused.collect():
+        assert not (r.text_rank > 0 and r.doc_id in victim_ids), r
+        got.setdefault(r.qid, set()).add(
+            (r.doc_id, r.text_rank, r.vec_rank, r.rrf_micro)
+        )
+
+    # --- per-qid single-query pipeline on the SAME artifacts
+    for qid, terms in HYBRID_FLEET:
+        single = rrf_fuse(
+            bm25_topk_over_postings(postings, stats, terms=terms),
+            ivf_probe(lists, cents, qsrc[qid], exclude_id=qid),
+        )
+        want = {
+            (r.doc_id, r.text_rank, r.vec_rank, r.rrf_micro)
+            for r in single.collect()
+        }
+        assert got[qid] == want, qid
