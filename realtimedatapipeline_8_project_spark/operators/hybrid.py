@@ -309,7 +309,91 @@ SELECT qid, doc_id, text_rank, vec_rank, rrf_micro FROM (
 """
 
 
+# --- filtered (policy-scoped) hybrid ----------------------------------------
+# The SAME caller-supplied document policy applied to BOTH legs before
+# their top-k (the doc_id == vec_id id-space invariant makes one allowed
+# frame serve both): the multi-tenant / split-scoped retrieval shape.
+# Filtering each leg BEFORE its top-k is load-bearing — filtering the
+# fused result would silently under-return exactly like a post-top-k
+# leg filter would. Ranking semantics inherit from the legs: global
+# corpus stats / unchanged distances, only candidates narrow.
+# r13+ earmark beside the other hybrid forms.
+
+
+def q_hybrid_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid top-10 over documents with lang == BM25_FILTER_LANG: the
+    filtered BM25 leg fused with the filtered ANN probe, one policy
+    frame driving both."""
+    from ..sources.tables import load_table
+    from .text_analysis import BM25_FILTER_LANG
+
+    troot = build_scored_index(spark, sf_dir)
+    postings = spark.read.parquet(os.path.join(troot, INDEX_POSTINGS))
+    stats = spark.read.parquet(os.path.join(troot, INDEX_STATS))
+    allowed = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("lang") == BM25_FILTER_LANG)
+        .select("doc_id")
+    )
+    text_top = bm25_topk_over_postings(
+        postings, stats, BOOL_QUERY_TERMS, allowed=allowed
+    )
+    vroot = build_ivf_grown(spark, sf_dir)
+    qv = quantized_probe_vector(spark, sf_dir)
+    if qv is None:  # empty corpus: an empty fused answer, not a raise
+        return rrf_fuse(text_top, _empty_vec_leg(spark))
+    vec_top = ivf_probe(
+        read_ivf_lists(spark, vroot),
+        spark.read.parquet(os.path.join(vroot, IVF_CODEBOOK)),
+        qv,
+        exclude_id=IVFT_PROBE_ID,
+        allowed=allowed.select(F.col("doc_id").alias("vec_id")),
+    )
+    return rrf_fuse(text_top, vec_top)
+
+
+def _oracle_hybrid_filtered() -> str:
+    """The unfiltered hybrid oracle with each leg's own filtered
+    predicate spliced in — the same strings the filtered leg paths are
+    checked against."""
+    from .text_analysis import _oracle_bm25_filtered
+
+    c = f"CAST(ROUND(1000000.0 / ({RRF_K} + rnk), 0) AS BIGINT)"
+    from .similarity import _oracle_knn_ivf_trained as _knn
+    from .text_analysis import BM25_FILTER_LANG
+
+    knn_filtered = _knn(
+        exclude=(
+            " AND a.vec_id IN (SELECT doc_id FROM documents"
+            f" WHERE lang = '{BM25_FILTER_LANG}')"
+        )
+    )
+    return f"""
+WITH text_leg AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rnk
+  FROM ({_oracle_bm25_filtered()}) bm
+), text_rrf AS (
+  SELECT doc_id, rnk AS text_rank, {c} AS c_text FROM text_leg
+), vec_leg AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY dist ASC, vec_id ASC) AS rnk
+  FROM ({knn_filtered}) knn
+), vec_rrf AS (
+  SELECT vec_id, rnk AS vec_rank, {c} AS c_vec FROM vec_leg
+)
+SELECT COALESCE(t.doc_id, v.vec_id) AS doc_id,
+       COALESCE(t.text_rank, 0) AS text_rank,
+       COALESCE(v.vec_rank, 0) AS vec_rank,
+       COALESCE(t.c_text, 0) + COALESCE(v.c_vec, 0) AS rrf_micro
+FROM text_rrf t FULL OUTER JOIN vec_rrf v ON t.doc_id = v.vec_id
+ORDER BY rrf_micro DESC, doc_id ASC
+LIMIT {RRF_TOP}
+"""
+
+
 QUERIES = {
     "hybrid_rrf_topk": (q_hybrid_rrf, _oracle_hybrid_rrf()),
     "hybrid_rrf_batch": (q_hybrid_batch, _oracle_hybrid_batch()),
+    "hybrid_rrf_filtered": (q_hybrid_filtered, _oracle_hybrid_filtered()),
 }

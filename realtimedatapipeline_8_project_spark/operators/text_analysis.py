@@ -1549,13 +1549,15 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_bm25(where: str = "", terms=None) -> str:
+def _oracle_bm25(where: str = "", terms=None, allowed_sql: str = "") -> str:
     """The corpus-scan BM25 spelling (DuckDB). ``where`` restricts the
     corpus (e.g. the delete query's surviving-docs predicate) — stats,
     df and the ranking all derive from the restricted corpus, exactly
     what a delete-aware index must serve. ``terms`` overrides the query
     (default = the registered fixture query) — the batch/fleet oracle
-    composes one instance per query."""
+    composes one instance per query. ``allowed_sql`` is a doc_id
+    predicate ANDed into the FINAL selection only — candidates narrow,
+    df/stats stay corpus-global (the filtered-serving semantics)."""
     terms = list(BOOL_QUERY_TERMS if terms is None else terms)
     tf_cols = ",\n         ".join(
         f"COUNT(*) FILTER (term = '{t}') AS tf_{i}"
@@ -1587,7 +1589,7 @@ WITH toks AS (
 )
 SELECT doc_id, {contribs} AS score_micro
 FROM per_doc CROSS JOIN stats
-WHERE {hit}
+WHERE ({hit}){" AND (" + allowed_sql + ")" if allowed_sql else ""}
 ORDER BY score_micro DESC, doc_id ASC
 LIMIT {BM25_TOPK}
 """
@@ -1698,15 +1700,30 @@ def build_scored_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def bm25_topk_over_postings(
-    postings: DataFrame, stats: DataFrame, terms=BOOL_QUERY_TERMS
+    postings: DataFrame,
+    stats: DataFrame,
+    terms=BOOL_QUERY_TERMS,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k of the query ``terms`` over (term, doc_id, tf, dl)
     posting rows + a 1-row (n_docs, total_dl) stats frame — the SINGLE
     serving path shared by the one-pass artifact and the incrementally
     maintained one. Requires (term, doc_id) unique across the postings
-    (df = the count of retrieved postings per term)."""
+    (df = the count of retrieved postings per term).
+
+    ``allowed`` (r12) optionally restricts CANDIDATES to a caller-
+    supplied (doc_id) frame — the policy/tenant/split-scoped serving
+    shape, mirroring ivf_probe's filtered probe: the filter applies
+    BEFORE the top-k (post-top-k filtering would silently under-return)
+    but AFTER df/stats derivation — ranking uses GLOBAL corpus
+    statistics, only the candidate set narrows (the semantics a tenant
+    filter wants: a doc's score must not change because a reader can
+    see fewer docs). Unhinted semi-join: AQE broadcasts a small policy
+    slice, shuffles a corpus-scale one."""
     idx = postings.where(F.col("term").isin(*terms))
     df_t = idx.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if allowed is not None:
+        idx = idx.join(allowed.select("doc_id"), "doc_id", "left_semi")
     return (
         idx.join(F.broadcast(df_t), "term")
         .crossJoin(F.broadcast(stats))  # 1-row scalar frame
@@ -1810,6 +1827,39 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = spark.read.parquet(os.path.join(root, "postings"))
     stats = spark.read.parquet(os.path.join(root, "stats"))
     return bm25_batch_over_postings(postings, stats)
+
+
+# --- filtered (policy-scoped) BM25 from the stored index --------------------
+# The text twin of the filtered vector probe (similarity.py
+# q_knn_filtered_label): candidates narrow to a caller-supplied doc set
+# BEFORE the top-k, ranking keeps GLOBAL corpus stats. r13+ earmark.
+
+BM25_FILTER_LANG = "en"  # ~40% of fixture docs at every sf
+
+
+def q_bm25_filtered_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k restricted to documents whose lang == 'en' — the
+    tenant/split-scoped retrieval shape over the stored index."""
+    import os
+
+    root = build_scored_index(spark, sf_dir)
+    postings = spark.read.parquet(os.path.join(root, INDEX_POSTINGS))
+    stats = spark.read.parquet(os.path.join(root, INDEX_STATS))
+    allowed = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("lang") == BM25_FILTER_LANG)
+        .select("doc_id")
+    )
+    return bm25_topk_over_postings(postings, stats, allowed=allowed)
+
+
+def _oracle_bm25_filtered() -> str:
+    return _oracle_bm25(
+        allowed_sql=(
+            "doc_id IN (SELECT doc_id FROM documents "
+            f"WHERE lang = '{BM25_FILTER_LANG}')"
+        )
+    )
 
 
 def _oracle_bm25_batch(fleet=BM25_FLEET) -> str:

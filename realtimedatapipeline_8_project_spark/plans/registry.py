@@ -134,6 +134,13 @@ _MODULES = (
 #   batch-ANN oracle; per-qid identity vs the single-query hybrid
 #   pinned in tests/test_hybrid.py; registers only alongside-or-after
 #   hybrid_rrf_topk per the capacity math).
+# - q_bm25_filtered_lang + hybrid_rrf_filtered (policy-scoped retrieval:
+#   the BM25 twin of the filtered vector probe — candidates narrow
+#   before top-k, df/stats stay corpus-global, planted semantics pin —
+#   and the hybrid with ONE policy frame scoping both legs; oracles in
+#   operators/text_analysis.py / operators/hybrid.py, tests in
+#   tests/test_filtered_retrieval.py; register at most one filtered
+#   representative, the vector one already being first in line).
 # Capacity math for r13 (decide BEFORE registering): the owed set is
 # flagship + 49 r10-latest = the full 50 budget, so every new
 # registration displaces an r10-latest row to r14 (a 4-round gap the
