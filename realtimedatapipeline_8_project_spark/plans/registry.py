@@ -141,6 +141,24 @@ _MODULES = (
 #   operators/text_analysis.py / operators/hybrid.py, tests in
 #   tests/test_filtered_retrieval.py; register at most one filtered
 #   representative, the vector one already being first in line).
+# R12 IDLE MEASUREMENTS for the earmark candidates (sf0.1, local[32],
+# quiet host, warm artifacts, 2 independent runs x 2 timed iterations,
+# 2026-08-16) — budget evidence for whichever r13 registers (policy:
+# budget = max x 1.4 + 0.15; re-measure once at registration if the
+# host differs):
+#   bm25_maxscore_incremental  [1.88,1.59]/[1.86,1.45] -> budget 2.78
+#   hybrid_rrf_topk            [1.44,1.19]/[1.53,1.43] -> budget 2.30
+#   hybrid_rrf_batch           [1.72,1.80]/[1.97,1.82] -> budget 2.91
+#   hybrid_rrf_filtered        [1.17,1.16]/[1.22,1.23] -> budget 1.87
+#   sim_knn_pq_adc             [0.14,0.13]/[0.15,0.16] -> budget 0.37
+#   sim_knn_pq_rerank          [0.30,0.27]/[0.35,0.33] -> budget 0.63
+#   sim_knn_ivfpq              [0.23,0.24]/[0.23,0.24] -> budget 0.49
+#   sim_knn_filtered           [0.26,0.26]/[0.24,0.28] -> budget 0.54
+#   text_bm25_batch            [1.05,0.92]/[1.27,1.28] -> budget 1.94
+#   text_bm25_filtered         [0.70,0.71]/[0.78,0.79] -> budget 1.26
+#   dist_quantile_hist         [0.66,0.68]/[0.77,0.79] -> budget 1.26
+#   dist_heavy_hitters         [0.50,0.50]/[0.63,0.55] -> budget 1.03
+#   dist_heavy_hitters_grouped [0.60,0.63]/[0.63,0.59] -> budget 1.04
 # Capacity math for r13 (decide BEFORE registering): the owed set is
 # flagship + 49 r10-latest = the full 50 budget, so every new
 # registration displaces an r10-latest row to r14 (a 4-round gap the
