@@ -1687,6 +1687,7 @@ def ivf_probe_batch(
     n_probe: int = IVFT_PROBE,
     top: int = IVFT_TOP,
     exclude_self: bool = False,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Batch ANN serving: top-``top`` neighbors for EVERY query vector
     in ``queries`` (qid bigint, qv array<bigint> — quantized) in ONE
@@ -1737,6 +1738,11 @@ def ivf_probe_batch(
     cand = lists.join(plists, "k")
     if exclude_self:
         cand = cand.where(F.col("vec_id") != F.col("qid"))
+    if allowed is not None:
+        # the fleet form of the filtered probe: ONE policy frame scopes
+        # every query's candidates BEFORE the per-qid top-k (after would
+        # under-return); unhinted like the single-probe spelling
+        cand = cand.join(allowed.select("vec_id"), "vec_id", "left_semi")
     wt = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
     return (
         cand.selectExpr("qid", "vec_id", sq("qv") + " AS dist")

@@ -1779,16 +1779,24 @@ BM25_FLEET = (
 
 
 def bm25_batch_over_postings(
-    postings: DataFrame, stats: DataFrame, fleet=BM25_FLEET
+    postings: DataFrame,
+    stats: DataFrame,
+    fleet=BM25_FLEET,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """(qid, doc_id, score_micro, rank): per-query BM25 top-k for every
     fleet query, one plan. Per-term df comes from the retrieved postings
     (term-level filter retrieves each query term's full postings, so df
-    is the corpus df — the same identity single-query serving uses)."""
+    is the corpus df — the same identity single-query serving uses).
+    ``allowed`` scopes every query's CANDIDATES to one (doc_id) policy
+    frame before the per-qid top-k, after df derivation — the fleet form
+    of the filtered serving semantics (global stats, narrowed set)."""
     spark = postings.sparkSession
     all_terms = sorted({t for _, ts in fleet for t in ts})
     idx = postings.where(F.col("term").isin(*all_terms))
     df_t = idx.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if allowed is not None:
+        idx = idx.join(allowed.select("doc_id"), "doc_id", "left_semi")
     qterms = spark.createDataFrame(
         [(qid, t) for qid, ts in fleet for t in ts], "qid long, term string"
     )

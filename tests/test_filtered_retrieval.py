@@ -105,3 +105,80 @@ def test_hybrid_filtered_matches_duckdb_oracle(spark, sf_oracle):
         )
     finally:
         con.close()
+
+
+def test_fleet_filtered_equals_per_query_filtered(spark, sf_small):
+    """One policy frame scoping a FLEET: batch BM25, batch ANN, and
+    their fusion under `allowed` must equal the per-query filtered
+    pipelines — the filtered x fleet cell of the serving matrix."""
+    import os
+
+    from realtimedatapipeline_8_project_spark.operators.hybrid import (
+        HYBRID_FLEET,
+        rrf_fuse,
+        rrf_fuse_batch,
+    )
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        IVF_CODEBOOK,
+        _km_quantize,
+        build_ivf_grown,
+        ivf_probe,
+        ivf_probe_batch,
+        read_ivf_lists,
+    )
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        INDEX_POSTINGS,
+        INDEX_STATS,
+        bm25_batch_over_postings,
+        build_scored_index,
+    )
+
+    troot = build_scored_index(spark, sf_small)
+    postings = spark.read.parquet(os.path.join(troot, INDEX_POSTINGS))
+    stats = spark.read.parquet(os.path.join(troot, INDEX_STATS))
+    vroot = build_ivf_grown(spark, sf_small)
+    lists = read_ivf_lists(spark, vroot)
+    cents = spark.read.parquet(os.path.join(vroot, IVF_CODEBOOK))
+
+    docs = load_table(spark, sf_small, "documents")
+    allowed = docs.where(F.col("lang") == BM25_FILTER_LANG).select("doc_id")
+    allowed_vec = allowed.select(F.col("doc_id").alias("vec_id"))
+    allowed_ids = {r.doc_id for r in allowed.collect()}
+
+    qids = tuple(qid for qid, _ in HYBRID_FLEET)
+    emb = _km_quantize(load_table(spark, sf_small, "embeddings"))
+    qsrc = {
+        r.vec_id: list(r.qv)
+        for r in emb.where(F.col("vec_id").isin(*qids)).collect()
+    }
+    queries = spark.createDataFrame(
+        [(q, qsrc[q]) for q in qids], "qid long, qv array<bigint>"
+    )
+
+    text_fleet = bm25_batch_over_postings(
+        postings, stats, fleet=HYBRID_FLEET, allowed=allowed
+    )
+    vec_fleet = ivf_probe_batch(
+        lists, cents, queries, exclude_self=True, allowed=allowed_vec
+    )
+    fused = rrf_fuse_batch(text_fleet, vec_fleet)
+    got = {}
+    for r in fused.collect():
+        assert r.doc_id in allowed_ids, r
+        got.setdefault(r.qid, set()).add(
+            (r.doc_id, r.text_rank, r.vec_rank, r.rrf_micro)
+        )
+    for qid, terms in HYBRID_FLEET:
+        single = rrf_fuse(
+            bm25_topk_over_postings(
+                postings, stats, terms=terms, allowed=allowed
+            ),
+            ivf_probe(
+                lists, cents, qsrc[qid], exclude_id=qid, allowed=allowed_vec
+            ),
+        )
+        want = {
+            (r.doc_id, r.text_rank, r.vec_rank, r.rrf_micro)
+            for r in single.collect()
+        }
+        assert got[qid] == want, qid
