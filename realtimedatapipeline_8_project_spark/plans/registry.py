@@ -141,6 +141,16 @@ _MODULES = (
 #   operators/text_analysis.py / operators/hybrid.py, tests in
 #   tests/test_filtered_retrieval.py; register at most one filtered
 #   representative, the vector one already being first in line).
+# - text_bpe_train + text_bpe_encode (operators/bpe.py — distributed
+#   BPE tokenizer training as an iterative DataFrame program over the
+#   vocab-sized word-freq table, self-delimiting symbol strings make
+#   replace() exact greedy BPE in both engines, unrolled-CTE oracle
+#   re-derives every merge; greedy-run/boundary/map-only-encode pins in
+#   tests/test_bpe.py, SCALE.md §BPE; candidate funding: one slot from
+#   retiring text_token_count — the BPE-ish regex count is subsumed by
+#   real learned-merge encoding, its ws/bpe-ish token columns staying
+#   oracle-shaped inside text_quality_score's family — the r13 builder
+#   decides with the rotation math in front of them).
 # R12 IDLE MEASUREMENTS for the earmark candidates (sf0.1, local[32],
 # quiet host, warm artifacts, 2 independent runs x 2 timed iterations,
 # 2026-08-16) — budget evidence for whichever r13 registers (policy:
