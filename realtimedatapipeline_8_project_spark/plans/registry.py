@@ -169,6 +169,10 @@ _MODULES = (
 #   dist_quantile_hist         [0.66,0.68]/[0.77,0.79] -> budget 1.26
 #   dist_heavy_hitters         [0.50,0.50]/[0.63,0.55] -> budget 1.03
 #   dist_heavy_hitters_grouped [0.60,0.63]/[0.63,0.59] -> budget 1.04
+#   text_bpe_train             [3.40,3.08]/[3.05,2.62] -> budget 4.91
+#   text_bpe_encode            [3.21,3.24]/[3.66,3.57] -> budget 5.28
+#   (the BPE pair is job-scheduling-dominated at fixture scale: 6
+#   sequential argmax rounds; the per-round work is vocab-sized)
 # Capacity math for r13 (decide BEFORE registering): the owed set is
 # flagship + 49 r10-latest = the full 50 budget, so every new
 # registration displaces an r10-latest row to r14 (a 4-round gap the
