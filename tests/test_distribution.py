@@ -310,3 +310,48 @@ def test_heavy_hitters_grouped_boundary_and_isolation(spark):
     # every B filler is also 1% of B exactly — they all qualify (exact
     # semantics, not a top-k heuristic)
     assert got[("B", "fb0")] == 1
+
+
+def test_qhist_foreachbatch_stream_end_to_end(spark, sf_small, tmp_path):
+    """The sink under a REAL availableNow stream: orders split into 3
+    files, a file-source stream with maxFilesPerTrigger=1 drives
+    write_qhist through foreachBatch, and the merged serving view must
+    equal the one-pass sketch (and serve identical percentiles)."""
+    import os
+
+    from realtimedatapipeline_8_project_spark.streaming.sinks import (
+        read_qhist,
+        write_qhist,
+    )
+
+    src = os.path.join(str(tmp_path), "src")
+    out = os.path.join(str(tmp_path), "out")
+    chk = os.path.join(str(tmp_path), "chk")
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet").selectExpr(
+        "o_orderpriority",
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents",
+    )
+    orders.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("o_orderpriority string, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", chk)
+        .foreachBatch(lambda df, bid: write_qhist(df, bid, out))
+        .start()
+    )
+    q.awaitTermination()
+    assert len(os.listdir(os.path.join(out, "qhist"))) >= 3  # real batches
+
+    key = lambda r: (r.grp, r.bucket_id, r.est_lo, r.est_hi, r.n)
+    want = quantile_hist(orders, "o_orderpriority", "cents")
+    got = read_qhist(spark, out)
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    qk = lambda r: (r.grp, r.q_pct, r.n_total, r.est_lo, r.est_hi)
+    assert sorted(map(qk, quantiles_from_hist(got).collect())) == sorted(
+        map(qk, quantiles_from_hist(want).collect())
+    )
