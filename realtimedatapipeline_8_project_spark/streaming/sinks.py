@@ -466,6 +466,45 @@ def read_qhist(spark: SparkSession, output_dir: str) -> DataFrame:
     )
 
 
+def compact_qhist(spark: SparkSession, output_dir: str) -> None:
+    """Collapse all histogram partials into one merged partition
+    (batch_id=-1) — the compact_rollup discipline verbatim: staged
+    install to _qhist_tmp, recover-at-entry, remove + rename; a crash
+    anywhere leaves either every partial or a complete staging."""
+    import shutil
+
+    recover_qhist(spark, output_dir)
+    qpath = os.path.join(output_dir, "qhist")
+    tmp_path = os.path.join(output_dir, "_qhist_tmp")
+    try:
+        read_qhist(spark, output_dir).withColumn(
+            "batch_id", F.lit(-1)
+        ).write.mode("overwrite").partitionBy("batch_id").parquet(tmp_path)
+    except Exception:
+        shutil.rmtree(tmp_path, ignore_errors=True)  # incomplete staging
+        raise
+    shutil.rmtree(qpath, ignore_errors=True)
+    shutil.move(tmp_path, qpath)
+
+
+def recover_qhist(spark: SparkSession, output_dir: str) -> bool:
+    """Finish a :func:`compact_qhist` install that crashed between the
+    remove and the rename (complete staging = _SUCCESS present);
+    discard an incomplete staging. Returns True if a recovery landed."""
+    import shutil
+
+    tmp_path = os.path.join(output_dir, "_qhist_tmp")
+    if not os.path.isdir(tmp_path):
+        return False
+    if not os.path.exists(os.path.join(tmp_path, "_SUCCESS")):
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        return False
+    qpath = os.path.join(output_dir, "qhist")
+    shutil.rmtree(qpath, ignore_errors=True)
+    shutil.move(tmp_path, qpath)
+    return True
+
+
 def write_moments(
     batch_df: DataFrame, batch_id: int, output_dir: str
 ) -> None:

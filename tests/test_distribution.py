@@ -355,3 +355,59 @@ def test_qhist_foreachbatch_stream_end_to_end(spark, sf_small, tmp_path):
     assert sorted(map(qk, quantiles_from_hist(got).collect())) == sorted(
         map(qk, quantiles_from_hist(want).collect())
     )
+
+
+def test_qhist_compaction_and_crash_recovery(spark, sf_small, tmp_path):
+    """compact_qhist folds the partials into one partition with the
+    serving view unchanged; a simulated crash between remove and rename
+    (live dir gone, complete staging present) is finished by
+    recover_qhist; an INCOMPLETE staging is discarded with the live dir
+    intact."""
+    import os
+    import shutil
+
+    from realtimedatapipeline_8_project_spark.streaming.sinks import (
+        compact_qhist,
+        read_qhist,
+        recover_qhist,
+        write_qhist,
+    )
+
+    out = os.path.join(str(tmp_path), "out")
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet").selectExpr(
+        "o_orderkey",
+        "o_orderpriority",
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents",
+    )
+    n = orders.count()
+    per = (n + 2) // 3
+    for i in range(3):
+        write_qhist(
+            orders.orderBy("o_orderkey").offset(i * per).limit(per), i, out
+        )
+    key = lambda r: (r.grp, r.bucket_id, r.est_lo, r.est_hi, r.n)
+    before = sorted(map(key, read_qhist(spark, out).collect()))
+
+    compact_qhist(spark, out)
+    qdir = os.path.join(out, "qhist")
+    assert os.listdir(qdir) != [] and any(
+        "batch_id=-1" in d for d in os.listdir(qdir)
+    )
+    assert sorted(map(key, read_qhist(spark, out).collect())) == before
+
+    # crash between remove and rename: stage a complete copy, drop live
+    tmp = os.path.join(out, "_qhist_tmp")
+    read_qhist(spark, out).withColumn("batch_id", F.lit(-1)).write.mode(
+        "overwrite"
+    ).partitionBy("batch_id").parquet(tmp)
+    shutil.rmtree(qdir)
+    assert recover_qhist(spark, out) is True
+    assert sorted(map(key, read_qhist(spark, out).collect())) == before
+
+    # incomplete staging (no _SUCCESS): discarded, live dir untouched
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-junk"), "w") as fh:
+        fh.write("x")
+    assert recover_qhist(spark, out) is False
+    assert not os.path.isdir(tmp)
+    assert sorted(map(key, read_qhist(spark, out).collect())) == before
