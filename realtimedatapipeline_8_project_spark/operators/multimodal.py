@@ -214,6 +214,101 @@ QUERIES = {
 }
 
 
+# --- resize stub (r12 — r13+ registration earmark, NOT in QUERIES: the
+# registry sits at rotation capacity; the hybrid.py earmark precedent) -------
+# The remaining named multimodal op: aspect-preserving resize planning +
+# the Arrow-batched "pixel work" stub. The Spark-side plumbing (schema
+# widening DECODED -> RESIZED, batch iteration, self-contained closure)
+# is real; the pixel transform is the documented deterministic fake
+# (digest of payload + target dims) exactly like fake_decode — swap the
+# inner function for PIL.Image.resize and nothing else changes. Output
+# dims are pure integer math (longest side -> RESIZE_TARGET, other side
+# floor-scaled), so the DuckDB oracle replays dims AND digest.
+
+RESIZE_TARGET = 224
+
+RESIZED = StructType(
+    DECODED.fields
+    + [
+        StructField("out_w", IntegerType(), True),
+        StructField("out_h", IntegerType(), True),
+        StructField("resized_sha256", StringType(), True),
+    ]
+)
+
+
+def resize_media(df: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """Arrow-batched resize over decoded frames (constant memory per
+    task; the closure ships by value — no package import on workers)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        def fake_resize(payload: bytes, w: int, h: int) -> tuple:
+            if w >= h:
+                ow, oh = target, (h * target) // w
+            else:
+                ow, oh = (w * target) // h, target
+            digest = _hl.sha256(
+                bytes(payload) + f":{ow}x{oh}".encode()
+            ).hexdigest()
+            return ow, oh, digest
+
+        for pdf in batches:
+            outs = [
+                fake_resize(p, w, h)
+                for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"])
+            ]
+            yield pdf.assign(
+                out_w=[o[0] for o in outs],
+                out_h=[o[1] for o in outs],
+                resized_sha256=[o[2] for o in outs],
+            )
+
+    return df.mapInPandas(_resize, schema=RESIZED)
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plan + stub digests for the image rows: decode (stub) ->
+    resize (stub), both Arrow passes value-checked by the SQL replay."""
+    decoded = decode_media(synthesize_media(spark, sf_dir))
+    return resize_media(decoded.where(F.col("kind") == "image")).select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("out_w").cast("long").alias("out_w"),
+        F.col("out_h").cast("long").alias("out_h"),
+        "resized_sha256",
+    )
+
+
+ORACLE_MEDIA_RESIZE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, text, sha256(text) AS hx
+  FROM documents
+  WHERE (['image','audio','video'])[CAST(doc_id % 3 AS INTEGER) + 1] = 'image'
+), d AS (
+  SELECT media_id, text,
+         64 + {_oracle_hex_byte(0)} % 192 AS width,
+         64 + {_oracle_hex_byte(1)} % 192 AS height
+  FROM m
+), r AS (
+  SELECT media_id, text, width, height,
+         CASE WHEN width >= height THEN {RESIZE_TARGET}
+              ELSE (width * {RESIZE_TARGET}) // height END AS out_w,
+         CASE WHEN width >= height
+              THEN (height * {RESIZE_TARGET}) // width
+              ELSE {RESIZE_TARGET} END AS out_h
+  FROM d
+)
+SELECT media_id, CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height,
+       CAST(out_w AS BIGINT) AS out_w, CAST(out_h AS BIGINT) AS out_h,
+       sha256(text || ':' || out_w || 'x' || out_h) AS resized_sha256
+FROM r
+"""
+
+
 # --- exact media dedup by content hash -------------------------------------
 # The binary-column twin of dedup_exact_fingerprint: identical payloads
 # collapse on their sha256 regardless of metadata/id. At 100 TB of media

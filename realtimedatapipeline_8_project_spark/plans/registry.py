@@ -151,6 +151,11 @@ _MODULES = (
 #   real learned-merge encoding, its ws/bpe-ish token columns staying
 #   oracle-shaped inside text_quality_score's family — the r13 builder
 #   decides with the rotation math in front of them).
+# - media_resize (operators/multimodal.py q_media_resize — the
+#   aspect-preserving resize plan + Arrow pixel-work stub, oracle
+#   replays dims AND digest; candidate funding: media_decode_stub's
+#   slot, whose decode replay is embedded verbatim inside the resize
+#   oracle's chain).
 # R12 IDLE MEASUREMENTS for the earmark candidates (sf0.1, local[32],
 # quiet host, warm artifacts, 2 independent runs x 2 timed iterations,
 # 2026-08-16) — budget evidence for whichever r13 registers (policy:

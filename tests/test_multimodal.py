@@ -51,3 +51,47 @@ def test_frame_sample_only_video_and_stride(spark, sf_small):
         frames.groupBy("media_id").count().where(F.col("count") >= 2).count()
     )
     assert multi == vids
+
+
+def test_media_resize_matches_sql_replay(spark, sf_oracle):
+    """The resize stub (r13+ earmark): dims and digest from the Arrow
+    mapInPandas pass must equal the DuckDB hex-arithmetic replay —
+    value-checking the whole decode->resize plumbing chain."""
+    from realtimedatapipeline_8_project_spark.operators.multimodal import (
+        ORACLE_MEDIA_RESIZE,
+        q_media_resize,
+    )
+
+    from .oracle_harness import compare, duck_connection
+
+    con = duck_connection(sf_oracle)
+    try:
+        df = q_media_resize(spark, sf_oracle)
+        assert df.count() > 0
+        assert not compare(df, con, ORACLE_MEDIA_RESIZE, "media_resize")
+    finally:
+        con.close()
+
+
+def test_media_resize_aspect_invariants(spark, sf_small):
+    """Longest side lands exactly on RESIZE_TARGET, the other never
+    exceeds it, and orientation is preserved."""
+    from realtimedatapipeline_8_project_spark.operators.multimodal import (
+        RESIZE_TARGET,
+        q_media_resize,
+    )
+
+    for r in q_media_resize(spark, sf_small).collect():
+        assert max(r.out_w, r.out_h) == RESIZE_TARGET
+        assert min(r.out_w, r.out_h) <= RESIZE_TARGET
+        assert (r.width >= r.height) == (r.out_w >= r.out_h)
+
+
+def test_media_resize_empty_input(spark):
+    from realtimedatapipeline_8_project_spark.operators.multimodal import (
+        DECODED,
+        resize_media,
+    )
+
+    empty = spark.createDataFrame([], DECODED)
+    assert resize_media(empty).count() == 0
