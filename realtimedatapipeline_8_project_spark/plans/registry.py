@@ -178,6 +178,7 @@ _MODULES = (
 #   text_bpe_encode            [3.21,3.24]/[3.66,3.57] -> budget 5.28
 #   (the BPE pair is job-scheduling-dominated at fixture scale: 6
 #   sequential argmax rounds; the per-round work is vocab-sized)
+#   media_resize               [0.73,0.77]/[0.72,0.61] -> budget 1.23
 # Capacity math for r13 (decide BEFORE registering): the owed set is
 # flagship + 49 r10-latest = the full 50 budget, so every new
 # registration displaces an r10-latest row to r14 (a 4-round gap the
