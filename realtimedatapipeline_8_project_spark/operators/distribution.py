@@ -29,10 +29,15 @@ raw value or key space:
   sum_p partial_p >= sum_p n_p / F then some partition has
   partial_p >= n_p / F, so every globally-frequent key is emitted by at
   least one partition (no false negatives), while each partition emits
-  at most HH_FRAC keys (at most HH_FRAC * P candidate rows cluster-wide
-  — broadcastable by construction). The rule is purely partition-local:
-  no driver read, no global count, no extra job. Phase 2 (verify): a
-  broadcast LEFT SEMI join keeps only candidate rows, one map-side-
+  at most HH_FRAC keys — at most HH_FRAC * P candidate rows cluster-wide,
+  where P is the number of input SPLITS: small in absolute terms at
+  fixture scale, but P-dependent (100 TB / 128 MB splits => P ~ 800k =>
+  worst case ~80M candidate rows), so NOT unconditionally broadcastable.
+  The rule is purely partition-local:
+  no driver read, no global count, no extra job. Phase 2 (verify): an
+  UNHINTED LEFT SEMI join keeps only candidate rows (AQE broadcasts the
+  candidate set at runtime when it is actually small, and falls back to
+  a shuffled semi-join when P makes it large), one map-side-
   combined groupBy produces exact counts, and the final filter
   cross-multiplies against an in-plan 1-row COUNT frame
   (``n * HH_FRAC >= total`` — exact integers, no ratio floats). The
@@ -260,7 +265,16 @@ def heavy_hitters(
     pd_dtype: str = "int64",
 ) -> DataFrame:
     """Exact keys with >= 1/HH_FRAC of df's rows; df = a single non-null
-    key column. Candidate-sized exchanges only (see module docstring)."""
+    key column. Candidate-sized exchanges only (see module docstring).
+
+    The candidate semi-join is deliberately UNHINTED: candidates are
+    bounded by HH_FRAC x P where P is the number of input SPLITS, and at
+    100 TB / 128 MB splits P ~ 800k, so the worst case is ~80M candidate
+    rows — a forced broadcast there would be a driver/executor OOM, the
+    exact MaxScore failure mode VERDICT r11 #4 named. AQE broadcasts the
+    distinct candidate set at runtime whenever it is ACTUALLY small
+    (the common case), and degrades to a graceful shuffled semi-join
+    when it is not. Only the 1-row total frame keeps its hint."""
     keys = df.select(col)
     cands = keys.mapInPandas(
         _make_partition_candidates(HH_FRAC, col, pd_dtype),
@@ -268,7 +282,7 @@ def heavy_hitters(
     ).distinct()
     total = keys.agg(F.count(F.lit(1)).alias("total"))
     return (
-        keys.join(F.broadcast(cands), col, "left_semi")
+        keys.join(cands, col, "left_semi")  # unhinted: AQE decides
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("n"))
         .crossJoin(F.broadcast(total))
@@ -320,14 +334,17 @@ def heavy_hitters_grouped(
     of grp's TOTAL rows. Same two phases as :func:`heavy_hitters`; the
     final threshold cross-multiplies against the per-group total (an
     unhinted group-keyed count frame — groups are bounded by the group
-    domain, AQE broadcasts small ones)."""
+    domain, AQE broadcasts small ones). The candidate semi-join is
+    unhinted for the same P-dependence reason as :func:`heavy_hitters`:
+    <= HH_FRAC keys per (group, partition) still scales with the split
+    count P, so AQE decides the join strategy at runtime."""
     keys = df.select(grp, col)
     cands = keys.mapInPandas(
         _make_grouped_candidates(HH_FRAC, grp, col, pd_dtypes), schema
     ).distinct()
     totals = keys.groupBy(grp).agg(F.count(F.lit(1)).alias("total"))
     return (
-        keys.join(F.broadcast(cands), [grp, col], "left_semi")
+        keys.join(cands, [grp, col], "left_semi")  # unhinted: AQE decides
         .groupBy(grp, col)
         .agg(F.count(F.lit(1)).alias("n"))
         .join(totals, grp)  # unhinted: group-domain-bounded

@@ -18,6 +18,7 @@ from realtimedatapipeline_8_project_spark.operators.distribution import (
     heavy_hitters,
     merge_hists,
     q_heavy_hitters,
+    q_heavy_hitters_grouped,
     q_quantile_hist,
     quantile_hist,
     quantiles_from_hist,
@@ -201,13 +202,29 @@ def test_partition_candidates_emit_bound():
 
 def test_heavy_hitters_plan_shape(spark, sf_small):
     """Scale pins: candidates come from an Arrow map pass (no exchange
-    below it), the verify join is a broadcast LEFT SEMI against the
-    candidate set, and the final threshold compares against a broadcast
-    1-row count frame — no full-key-space shuffle anywhere."""
-    p = plan_of_df(q_heavy_hitters(spark, sf_small))
+    below it), the verify join is an UNHINTED left semi against the
+    candidate set (VERDICT r12 #2: candidates are HH_FRAC x P rows — at
+    100 TB, P ~ 800k splits makes a forced broadcast an OOM; AQE decides
+    at runtime), and the final threshold compares against the 1-row
+    count frame, which is the ONLY explicit broadcast hint left."""
+    df = q_heavy_hitters(spark, sf_small)
+    p = plan_of_df(df)
     assert "MapInPandas" in p, p
     assert "LeftSemi" in p, p
-    assert p.count("BroadcastExchange") >= 2, p
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert logical.count("ResolvedHint") == 1, logical  # the 1-row total
+
+
+def test_heavy_hitters_grouped_semi_join_unhinted(spark, sf_small):
+    """Grouped form: same P-dependence, so BOTH its joins (candidate
+    semi-join and group-total verify) stay unhinted — zero ResolvedHint
+    in the analyzed plan."""
+    df = q_heavy_hitters_grouped(spark, sf_small)
+    p = plan_of_df(df)
+    assert "MapInPandas" in p, p
+    assert "LeftSemi" in p, p
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical, logical
 
 
 def test_heavy_hitters_empty_input(spark):
