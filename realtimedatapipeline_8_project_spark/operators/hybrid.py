@@ -242,8 +242,7 @@ def rrf_fuse_batch(
 def q_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fleet hybrid top-10 per query: the batch BM25 leg and the batch
     ANN leg, both from their STORED artifacts, fused in one plan."""
-    from ..sources.tables import load_table
-    from .similarity import _km_quantize, ivf_probe_batch
+    from .similarity import fleet_query_frame, ivf_probe_batch
     from .text_analysis import bm25_batch_over_postings
 
     troot = build_scored_index(spark, sf_dir)
@@ -253,11 +252,10 @@ def q_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     vroot = build_ivf_grown(spark, sf_dir)
     qids = tuple(qid for qid, _ in HYBRID_FLEET)
-    queries = (
-        _km_quantize(load_table(spark, sf_dir, "embeddings"))
-        .where(F.col("vec_id").isin(*qids))
-        .select(F.col("vec_id").alias("qid"), "qv")
-    )
+    # memoized fleet vectors (VERDICT r12 #3): the per-call re-read +
+    # re-quantize of the source table was the r11 breach pattern one
+    # level up; the Q-row query frame is now a local relation
+    queries = fleet_query_frame(spark, sf_dir, qids)
     vec = ivf_probe_batch(
         read_ivf_lists(spark, vroot),
         spark.read.parquet(os.path.join(vroot, IVF_CODEBOOK)),
@@ -392,8 +390,18 @@ LIMIT {RRF_TOP}
 """
 
 
+# Registered r13: hybrid_rrf_topk only (slot funded by retiring
+# text_bm25_from_index — its _oracle_bm25 ranking stays live under
+# text_bm25_maxscore, and the from-index BM25 read IS this query's text
+# leg). The fleet and filtered forms stay EARMARKED (oracle-gated by
+# tests/test_hybrid.py / tests/test_filtered_retrieval.py with the same
+# DuckDB harness) until the registry drain order funds them — see
+# plans/registry.py's capacity decision.
 QUERIES = {
     "hybrid_rrf_topk": (q_hybrid_rrf, _oracle_hybrid_rrf()),
+}
+
+EARMARKS = {
     "hybrid_rrf_batch": (q_hybrid_batch, _oracle_hybrid_batch()),
     "hybrid_rrf_filtered": (q_hybrid_filtered, _oracle_hybrid_filtered()),
 }

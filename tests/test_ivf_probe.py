@@ -284,6 +284,70 @@ def test_probe_vector_memoized_per_fixture_identity(
     assert calls["n"] == 2  # new identity: recomputed
 
 
+def test_fleet_vectors_memoized_and_serving_scans_no_source(
+    spark, sf_small, tmp_path, monkeypatch
+):
+    """VERDICT r12 #3: the fleet query frame is built from MEMOIZED
+    quantized vectors — a warm q_knn_batch serving call must not touch
+    the source embeddings table at all (the query frame is a local
+    relation), the memo must hand out copies, and a changed fixture
+    identity must recompute rather than serve stale (the
+    quantized_probe_vector discipline, fleet-shaped)."""
+    import shutil
+
+    import realtimedatapipeline_8_project_spark.operators.similarity as sim
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        BATCH_QIDS,
+        q_knn_batch,
+        quantized_fleet_vectors,
+    )
+
+    v1 = quantized_fleet_vectors(spark, sf_small, BATCH_QIDS)
+    assert [qid for qid, _ in v1] == sorted(BATCH_QIDS)
+    # per-id agreement with the single-probe memo (same quantization)
+    for qid, qv in v1:
+        assert qv == quantized_probe_vector(spark, sf_small, qid)
+
+    # warm the index artifacts once, then starve load_table: the warm
+    # serving call must not re-read ANY source table
+    q_knn_batch(spark, sf_small).collect()
+
+    def boom(*a, **k):
+        raise AssertionError("warm fleet serve re-read a source table")
+
+    monkeypatch.setattr(sim, "load_table", boom)
+    assert quantized_fleet_vectors(spark, sf_small, BATCH_QIDS) == v1
+    got = quantized_fleet_vectors(spark, sf_small, BATCH_QIDS)
+    got[0][1][0] += 999  # mutate the handed-out copy
+    assert quantized_fleet_vectors(spark, sf_small, BATCH_QIDS) == v1
+    assert len(q_knn_batch(spark, sf_small).collect()) > 0
+    monkeypatch.undo()
+
+    # identity invalidation: new mtime => recompute, not a stale serve
+    fx = tmp_path / "fx"
+    fx.mkdir()
+    shutil.copyfile(
+        os.path.join(sf_small, "embeddings.parquet"),
+        fx / "embeddings.parquet",
+    )
+    calls = {"n": 0}
+    real = sim.load_table
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(sim, "load_table", counting)
+    assert quantized_fleet_vectors(spark, str(fx), BATCH_QIDS) == v1
+    assert calls["n"] == 1
+    assert quantized_fleet_vectors(spark, str(fx), BATCH_QIDS) == v1
+    assert calls["n"] == 1  # memo hit
+    st = os.stat(fx / "embeddings.parquet")
+    os.utime(fx / "embeddings.parquet", ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    assert quantized_fleet_vectors(spark, str(fx), BATCH_QIDS) == v1
+    assert calls["n"] == 2  # new identity: recomputed
+
+
 def test_batch_probe_never_broadcasts_query_frame(spark, sf_small):
     """VERDICT r11 #2 'done' clause: Q is the scale-growing side of the
     fleet probe, so NO plan node may broadcast the query frame. The only
