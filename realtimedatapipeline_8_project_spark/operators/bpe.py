@@ -30,6 +30,18 @@ training:
 
 Everything is integer/string exact — no floats anywhere.
 
+ALPHABET PRECONDITION (enforced, not assumed): the symbol-string
+encoding reserves ``' '``/``';'`` as symbol delimiters and ``'|'`` as
+the encode-time word guard, and learned symbols are interpolated into
+``replace(...)`` SQL string literals in BOTH engines — so the token
+alphabet must be free of quotes and the three structural characters.
+The tokenizer therefore normalizes to ``[a-z0-9]`` words (lowercase +
+strip everything else) in the Spark AND DuckDB spellings identically,
+and :func:`bpe_train_merges` additionally raises if a learned symbol
+ever escapes that alphabet (defense in depth: a silent breach would
+miscount identically in both engines, which the oracle compare cannot
+catch — ADVICE r12).
+
 Registration: r13+ earmark (plans/registry.py capacity policy) — module
 NOT imported by the registry, the hybrid.py precedent. Oracle gate +
 pins in tests/test_bpe.py.
@@ -74,8 +86,22 @@ def _word_chars_duck(col: str) -> str:
     )
 
 
-_WORDS = r"filter(split(trim(regexp_replace(lower(text), '\\s+', ' ')), ' '), x -> x != '')"
-_D_WORDS = r"list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), x -> x <> '')"
+# tokenizer: lowercase, strip everything outside [a-z0-9\s] (the
+# alphabet precondition — see module docstring), collapse whitespace
+_WORDS = (
+    r"filter(split(trim(regexp_replace(regexp_replace(lower(text), "
+    r"'[^a-z0-9\\s]+', ''), '\\s+', ' ')), ' '), x -> x != '')"
+)
+_D_WORDS = (
+    r"list_filter(string_split(trim(regexp_replace(regexp_replace("
+    r"lower(text), '[^a-z0-9\s]+', '', 'g'), '\s+', ' ', 'g')), ' '), "
+    r"x -> x <> '')"
+)
+
+# learned symbols are concatenations of alphabet characters; anything
+# else means the precondition was breached upstream — raise loudly
+# rather than interpolate into SQL
+_SYM_ALPHABET = frozenset("abcdefghijklmnopqrstuvwxyz0123456789")
 
 
 def word_freq(docs: DataFrame) -> DataFrame:
@@ -106,6 +132,12 @@ def bpe_train_merges(w: DataFrame, n_merges: int = BPE_MERGES) -> list:
         if not top:  # degenerate vocab: nothing left to merge
             break
         l, r, cnt = top[0].l, top[0].r, top[0].cnt
+        if not (set(l) <= _SYM_ALPHABET and set(r) <= _SYM_ALPHABET):
+            raise ValueError(
+                f"BPE symbol escaped the [a-z0-9] alphabet: ({l!r}, {r!r})"
+                " — the tokenizer precondition is breached (module"
+                " docstring); refusing to interpolate into SQL"
+            )
         merges.append((k + 1, l, r, int(cnt)))
         w = w.selectExpr(
             f"replace(wstr, ' {l}; {r};', ' {l}{r};') AS wstr", "freq"
@@ -187,6 +219,89 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.selectExpr(
         "doc_id", f"{count(estr)} AS n_chars", f"{count(merged)} AS n_bpe"
+    )
+
+
+def bpe_encode_counts_arrow(docs: DataFrame, merges: list) -> DataFrame:
+    """Production-scale encode twin (the SCALE.md §BPE escape hatch,
+    landed r13 per VERDICT r12 #5): the chained-replace projection folds
+    K merges into a K-deep expression tree, which caps at the tens of
+    merges a fixture trains — a 32k-merge production vocabulary needs a
+    per-word algorithm whose cost is O(word symbols), independent of K.
+    This is that algorithm, as one Arrow-batched ``mapInPandas`` pass:
+    per word, repeatedly merge the PRESENT pair with the lowest learned
+    rank (leftmost-first within a pass) until no learned pair remains.
+
+    Equality with the chained-replace spelling: this is the standard
+    reference algorithm (Sennrich apply_bpe / HF tokenizers), and it
+    replays the chained passes exactly whenever no later merge can
+    re-create a lower-rank pair's adjacency — which holds unless the
+    trained list contains two rules whose outputs are the SAME string
+    via different splits (e.g. (a,bc) and (ab,c) both making 'abc'), a
+    degenerate corpus shape; the machine pin in tests/test_bpe.py
+    (fixture merges + a planted K=64 vocabulary) is the check that the
+    two spellings agree on the corpora we serve, not an assumption.
+    NOTE a longest-match-over-final-vocab tokenizer (the classic trie
+    spelling) would NOT be equivalent at all: with merges
+    [(b,c), (a,b)] the word 'abc' encodes as [a, bc] under BPE merge
+    order but [ab, c] under maximal munch — so the production twin
+    replays ranks, it does not munch.
+
+    The closure is self-contained (ships by value — the vanilla driver
+    session has no module sys.path; see .claude/skills/verify gotchas).
+    """
+    ranks = {(l, r): k for k, l, r, _c in merges}
+
+    def gen(batches):
+        import re as _re
+
+        import pandas as _pd
+
+        strip = _re.compile(r"[^a-z0-9\s]+")
+
+        def word_syms(w: str) -> int:
+            syms = list(w)
+            while len(syms) >= 2:
+                best_rank = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank = r
+                if best_rank is None:
+                    break
+                # one full left-to-right non-overlapping pass of the
+                # lowest-rank present pair — the replace() semantics
+                out = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and ranks.get((syms[i], syms[i + 1])) == best_rank
+                    ):
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return len(syms)
+
+        for pdf in batches:
+            n_chars, n_bpe = [], []
+            for text in pdf["text"]:
+                words = strip.sub("", str(text).lower()).split()
+                n_chars.append(sum(len(w) for w in words))
+                n_bpe.append(sum(word_syms(w) for w in words))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_chars": _pd.array(n_chars, dtype="int64"),
+                    "n_bpe": _pd.array(n_bpe, dtype="int64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, "doc_id bigint, n_chars bigint, n_bpe bigint"
     )
 
 

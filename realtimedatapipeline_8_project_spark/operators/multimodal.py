@@ -214,8 +214,8 @@ QUERIES = {
 }
 
 
-# --- resize stub (r12 — r13+ registration earmark, NOT in QUERIES: the
-# registry sits at rotation capacity; the hybrid.py earmark precedent) -------
+# --- resize stub (r12 earmark; REGISTERED r13 as media_resize, funded
+# by media_decode_stub's slot — see the QUERIES entry below) -----------------
 # The remaining named multimodal op: aspect-preserving resize planning +
 # the Arrow-batched "pixel work" stub. The Spark-side plumbing (schema
 # widening DECODED -> RESIZED, batch iteration, self-contained closure)
@@ -307,6 +307,12 @@ SELECT media_id, CAST(width AS BIGINT) AS width,
        sha256(text || ':' || out_w || 'x' || out_h) AS resized_sha256
 FROM r
 """
+
+# registered r13 (VERDICT r12 #6): slot funded by retiring
+# media_decode_stub, whose decode replay (payload digest + planned dims)
+# is embedded VERBATIM inside this oracle's chain — the decode stub's
+# semantics stay driver-verified through every media_resize row.
+QUERIES["media_resize"] = (q_media_resize, ORACLE_MEDIA_RESIZE)
 
 
 # --- exact media dedup by content hash -------------------------------------

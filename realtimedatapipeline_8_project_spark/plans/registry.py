@@ -20,6 +20,7 @@ from ..operators import (
     enrich,
     fuzzy,
     graph,
+    hybrid,
     multimodal,
     pandas_ops,
     range_join,
@@ -48,6 +49,7 @@ _MODULES = (
     dedup,
     text_analysis,
     similarity,
+    hybrid,
     multimodal,
     sql_surface,
     udtf_ops,
@@ -66,96 +68,93 @@ _MODULES = (
 
 # The driver's per-round CORRECTNESS check covers a prefix of the registry
 # (50 entries). Order is therefore a verification budget: queries named
-# here register FIRST. Round-12 budget (the rotation plan VERDICT r11 #2
-# ordered, executed verbatim): the flagship, the 3 queries NEW this
-# round, then the 46 surviving queries whose newest driver row is round
-# 9 — 1 + 3 + 46 = 50, the full budget. The additions are funded by
-# THREE retirements FROM the r09-latest set (see _RETIRED below), so
-# the registry stays at 148 = the 3-round cycle capacity and the 49
-# r10-latest rows rotate in round 13, the 49 r11-latest in round 14.
-# Names not listed keep module order.
+# here register FIRST. Round-13 budget (the registration plan VERDICT
+# r12 #1/#6 ordered, executed verbatim): the flagship, the FOUR queries
+# NEW this round (text_bm25_maxscore_incremental, hybrid_rrf_topk,
+# sim_knn_ivfpq, media_resize), then 45 of the 47 surviving queries
+# whose newest driver row is round 10 — 1 + 4 + 45 = 50, the full
+# budget. The additions are funded by FOUR retirements (see _RETIRED):
+# text_bm25_incremental, text_bm25_from_index, sim_knn_ivf,
+# media_decode_stub — each semantics-preserved through a live same-
+# oracle entry, so the registry stays at 148. Two of the retirees were
+# themselves r10-latest rows, shrinking the owed refresh set 49 -> 47;
+# the 4 new registrations displace TWO refresh rows to round 14 (a
+# 4-round freshness gap the capacity math names explicitly):
+# text_search_suffix_from_index and text_search_fuzzy_from_index —
+# chosen because their single-pattern machinery is exercised verbatim
+# inside the multi-term variants driver-checked in r12
+# (text_search_multi_{suffix,fuzzy}_from_index) and both stay
+# machine-pinned (plan + from-index == incremental identity) in
+# tests/test_plans.py and the incremental suites. Names not listed
+# keep module order.
 #
-# EARMARKED for r13: register bm25_maxscore_incremental (VERDICT r11
-# #6 — the max-score-pruned serving of the INCREMENTALLY maintained
-# index, operators/text_analysis.py; already tested for fold crash,
-# bounds-unavailable fallback, and through-delete-and-compaction in
-# tests/test_bm25_maxscore.py; oracle = the same _oracle_bm25 the
-# unpruned incremental path shares), slot funded per the retirement
-# policy — candidate retiree: text_bm25_incremental itself (the
-# UNPRUNED serving of the same artifacts; its oracle lives on under
-# the pruned entry, and the unpruned/pruned equality battery in
-# tests/test_bm25_maxscore.py machine-pins the pair every build).
-# Also earmarked r13 (r12 code + oracle + tests, slot-blocked by the
-# same capacity math):
-# - hybrid_rrf_topk (operators/hybrid.py — reciprocal-rank fusion of
-#   the stored-index BM25 leg and the stored-IVF ANN leg, DuckDB
-#   oracle composed from the two legs' own oracle strings,
-#   tests/test_hybrid.py; candidate retiree: text_bm25_from_index,
-#   whose _oracle_bm25 stays live under the registered
-#   text_bm25_maxscore);
-# - sim_knn_pq_adc + sim_knn_pq_rerank + sim_knn_ivfpq (the PQ/ADC
-#   memory-bounded ANN tier and its IVF composition, full
-#   train-encode-serve DuckDB oracles, tests/test_pq.py;
-#   funding: one slot from retiring sim_knn_ivf — the untrained
-#   sign-sketch IVF variant superseded by the trained/PQ family, its
-#   bucketed-probe plan property staying pinned in tests/test_plans.py
-#   — and the other per the "longer refresh cycle" clause if no
-#   second same-oracle retiree emerges; the r13 builder decides with
-#   the full rotation math in front of them.
-# - dist_quantile_hist + dist_heavy_hitters (operators/distribution.py
-#   — mergeable log-histogram percentile envelopes and exact two-phase
-#   heavy hitters, both with DuckDB oracles, merge-identity /
-#   pigeonhole-boundary / plan pins in tests/test_distribution.py and
-#   SCALE.md §Distribution-profiling arguments already written; module
-#   deliberately NOT imported here until slots open, the hybrid.py
-#   precedent; candidate funding: retire sketch_count_min_estimate
-#   (dist_heavy_hitters answers the same "who is frequent" question
-#   exactly, and the count-min build+probe semantics stay machine-
-#   checked by tests/test_properties.py's overcount-guarantee test)
-#   and hist_price_profile (dist_quantile_hist profiles the same
-#   o_totalprice distribution with a mergeable sketch; the equi-width
-#   20-bin histogram's oracle semantics live on in the same module's
-#   tests) — the r13 builder decides with the rotation math in front
-#   of them. The grouped variant (dist_heavy_hitters_grouped,
-#   per-language vocabulary) ships in the same module with its own
-#   oracle; register at most one of the two heavy-hitter forms.
-# - text_bm25_batch (operators/text_analysis.py bm25_batch_over_postings
-#   — fleet BM25 from the stored index, one plan for Q queries, the
-#   sim_knn_batch mirror; DuckDB oracle composed per qid from the
-#   single-query spelling, cross-path identity + dedup-pushed-In +
-#   absent-term pins in tests/test_bm25_batch.py, SCALE.md §Batch-BM25;
-#   candidate funding: text_bm25_from_index's slot once
-#   bm25_maxscore_incremental registers — its oracle already lives on
-#   under text_bm25_maxscore, and the batch path reads the same
-#   artifacts with a strictly larger serving surface).
-# - hybrid_rrf_batch (operators/hybrid.py — Q hybrid queries in one
-#   plan: the two fleet legs fused per qid, reusing leg ranks; oracle
-#   composes the per-qid BM25 spellings with the qid-parameterized
-#   batch-ANN oracle; per-qid identity vs the single-query hybrid
-#   pinned in tests/test_hybrid.py; registers only alongside-or-after
-#   hybrid_rrf_topk per the capacity math).
-# - q_bm25_filtered_lang + hybrid_rrf_filtered (policy-scoped retrieval:
-#   the BM25 twin of the filtered vector probe — candidates narrow
-#   before top-k, df/stats stay corpus-global, planted semantics pin —
-#   and the hybrid with ONE policy frame scoping both legs; oracles in
-#   operators/text_analysis.py / operators/hybrid.py, tests in
-#   tests/test_filtered_retrieval.py; register at most one filtered
-#   representative, the vector one already being first in line).
-# - text_bpe_train + text_bpe_encode (operators/bpe.py — distributed
-#   BPE tokenizer training as an iterative DataFrame program over the
-#   vocab-sized word-freq table, self-delimiting symbol strings make
-#   replace() exact greedy BPE in both engines, unrolled-CTE oracle
-#   re-derives every merge; greedy-run/boundary/map-only-encode pins in
-#   tests/test_bpe.py, SCALE.md §BPE; candidate funding: one slot from
-#   retiring text_token_count — the BPE-ish regex count is subsumed by
-#   real learned-merge encoding, its ws/bpe-ish token columns staying
-#   oracle-shaped inside text_quality_score's family — the r13 builder
-#   decides with the rotation math in front of them).
-# - media_resize (operators/multimodal.py q_media_resize — the
-#   aspect-preserving resize plan + Arrow pixel-work stub, oracle
-#   replays dims AND digest; candidate funding: media_decode_stub's
-#   slot, whose decode replay is embedded verbatim inside the resize
-#   oracle's chain).
+# CAPACITY DECISION (r13, VERDICT r12 #4 — the earmark backlog vs the
+# 50-row/round verification budget, in writing):
+#   The fixed budget supports a 3-round refresh cycle at 148 slots;
+#   same-oracle retirements fund 2-4 slots of churn per round, each
+#   displacing one refresh row to a 4-round gap. The backlog (~12
+#   code-complete earmarks after r13) cannot fully drain through that
+#   channel, so the drain is BY FAMILY REPRESENTATIVE, not by count:
+#   every earmark family gets exactly one driver-registered
+#   representative whose oracle chain exercises the family's shared
+#   machinery; the remaining members form a PERMANENT EARMARK TIER,
+#   oracle-gated every build by the local DuckDB harness (the same
+#   compare the driver runs — tests/test_pq.py, test_hybrid.py,
+#   test_bm25_batch.py, test_filtered_retrieval.py,
+#   test_distribution.py, test_bpe.py) and re-run independently by the
+#   judge. Named drain order:
+#   - r14: dist_quantile_hist (retire hist_price_profile — same
+#     o_totalprice distribution, equi-width oracle semantics live in
+#     tests/test_distribution.py), dist_heavy_hitters (retire
+#     sketch_count_min_estimate — exact answer to the same frequency
+#     question; count-min overcount bound stays machine-checked in
+#     tests/test_properties.py), text_bpe_train (retire
+#     text_token_count — subsumed by real learned-merge tokenization;
+#     its token columns stay oracle-shaped inside text_quality_score).
+#     3 registrations -> 3 displaced refresh rows, named at r14 time.
+#   - r15: hybrid_rrf_batch (retire hybrid_rrf_topk — the fleet form
+#     reads the same two leg artifacts with a strictly larger surface;
+#     per-qid identity vs the single-query hybrid is machine-pinned in
+#     tests/test_hybrid.py), text_bm25_batch (retire text_bm25_maxscore
+#     — same _oracle_bm25 ranking; the pruned scored-index serving
+#     stays pinned by the pruned==unpruned battery in
+#     tests/test_bm25_maxscore.py while the REGISTERED maxscore
+#     representative remains text_bm25_maxscore_incremental, the
+#     strictly-more-machinery spelling).
+#   - Permanent earmark tier (driver-verified through their family
+#     representative): sim_knn_pq_adc + sim_knn_pq_rerank (family rep
+#     sim_knn_ivfpq exercises both codebooks and the codes artifact),
+#     sim_knn_filtered + text_bm25_filtered + hybrid_rrf_filtered
+#     (filtered retrieval shares each leg's serving core; the vector
+#     rep's semi-join-before-top-k planted pin covers the shape),
+#     dist_heavy_hitters_grouped (same pigeonhole as the registered
+#     form, per-group), text_bpe_encode (its production-scale encode
+#     twin bpe_encode_counts_arrow landed r13 with the chained==twin
+#     equality pin at K=64 — see SCALE.md §BPE; registers only if a
+#     slot frees).
+#   This keeps the registry at 148 forever (no silent spill), bounds
+#   per-round displacement at <= 3 named rows, and leaves no earmark
+#   without a machine-checked gate.
+#
+# EARMARK INVENTORY after the r13 registrations (all code-complete,
+# oracle-gated by the local DuckDB harness; registration status per the
+# CAPACITY DECISION above):
+# - hybrid_rrf_batch + hybrid_rrf_filtered (operators/hybrid.py
+#   EARMARKS dict; fleet form registers r15 retiring hybrid_rrf_topk,
+#   filtered is permanent-tier)
+# - sim_knn_pq_adc + sim_knn_pq_rerank + sim_knn_filtered
+#   (operators/similarity.py; permanent tier — family rep sim_knn_ivfpq
+#   registered r13)
+# - text_bm25_batch + text_bm25_filtered (operators/text_analysis.py;
+#   batch registers r15 retiring text_bm25_maxscore, filtered is
+#   permanent-tier)
+# - dist_quantile_hist + dist_heavy_hitters (+ grouped)
+#   (operators/distribution.py, module NOT imported here until r14)
+# - text_bpe_train + text_bpe_encode (operators/bpe.py, module NOT
+#   imported until r14; train registers r14; encode's production-scale
+#   Arrow twin landed r13 with the K=64 equality pin, so encode is
+#   eligible when a slot frees)
+#
 # R12 IDLE MEASUREMENTS for the earmark candidates (sf0.1, local[32],
 # quiet host, warm artifacts, 2 independent runs x 2 timed iterations,
 # 2026-08-16) — budget evidence for whichever r13 registers (policy:
@@ -179,70 +178,66 @@ _MODULES = (
 #   (the BPE pair is job-scheduling-dominated at fixture scale: 6
 #   sequential argmax rounds; the per-round work is vocab-sized)
 #   media_resize               [0.73,0.77]/[0.72,0.61] -> budget 1.23
-# Capacity math for r13 (decide BEFORE registering): the owed set is
-# flagship + 49 r10-latest = the full 50 budget, so every new
-# registration displaces an r10-latest row to r14 (a 4-round gap the
-# freshness histogram will show). Register at most 2-3; priority:
-# (1) bm25_maxscore_incremental (VERDICT-ordered), (2) hybrid_rrf_topk,
-# (3) sim_knn_ivfpq (one representative of the PQ family — its oracle
-# chain exercises both codebooks and the codes artifact; the flat
-# adc/rerank pair stays locally gated by tests/test_pq.py until slots
-# free up).
+# (r13 note: the BPE idle numbers above predate the [a-z0-9]
+# alphabet normalization (ADVICE r12) — re-measure at r14 registration;
+# the plan shape is unchanged.)
 _PRIORITY = (
     # flagship stays verified every round
     "enrich_broadcast_left_join",
-    # --- new in round 12 (earmarked in r11, code + oracle + pins
-    # landed then; registration slots opened by the 3 retirements) ---
-    "text_search_multi_suffix_from_index",  # AND over suffix duals
-    "text_search_multi_fuzzy_from_index",  # AND over typo neighborhoods
-    "sim_knn_batch",  # fleet ANN probe: Q queries, one plan
-    # --- newest row is round 9: refresh all 46 surviving entries ---
-    "agg_disjunctive_revenue",
-    "agg_important_parts_1scan",
-    "agg_order_count_distribution",
-    "agg_profit_by_nation_1scan",
-    "agg_small_quantity_revenue",
-    "agg_top_supplier_revenue",
-    "curation_end_to_end",
-    "dedup_cluster_components",
-    "dedup_incremental",
-    "dedup_intra_batch",
-    "dedup_jaccard_vs_probe",
-    "dedup_minhash_portable",
-    "dedup_semantic_pairs",
-    "enum_validation_filter",
-    "fuzzy_name_match",
-    "interval_overlap_sessions",
-    "join_full_outer",
-    "json_decode",
-    "kafka_producer_projection",
-    "kv_projection",
-    "layout_zorder",
-    "media_frame_sample",
-    "merge_apply_changes",
-    "ordered_drain",
-    "pit_state_join",
-    "point_lookup_string_hash",
-    "range_join_bucketed",
-    "reference_engagement_metrics",
-    "sample_source_rebalance",
-    "sample_weighted_reservoir",
-    "sim_kmeans_train",
-    "sketch_hll_portable",
-    "snapshot_diff_cdc",
-    "sparse_doc_cosine",
-    "sql_exists_correlated",
-    "text_bm25_after_delete",
-    "text_inverted_index",
-    "text_phrase_from_index",
-    "text_search_prefix_from_index",
-    "topk_recent",
-    "uuid_repair",
-    "win_distribution_family",
-    "win_event_gaps",
-    "win_funnel_dropoff",
-    "win_latest_per_user",
-    "win_trailing_range_frame",
+    # --- new in round 13 (the VERDICT r12 #1/#6 registration plan,
+    # slots opened by the 4 retirements recorded in _RETIRED) ---
+    "text_bm25_maxscore_incremental",  # pruned serving, maintained index
+    "hybrid_rrf_topk",  # RRF fusion of the two stored-artifact legs
+    "sim_knn_ivfpq",  # PQ-family representative (IVF+PQ composition)
+    "media_resize",  # aspect-preserving resize plan + Arrow stub
+    # --- newest row is round 10: refresh 45 of the 47 survivors
+    # (text_search_suffix_from_index / text_search_fuzzy_from_index
+    # displaced to r14 — the two named rows in the header math) ---
+    "agg_approx_distinct",
+    "agg_excess_shipments_1scan",
+    "agg_waiting_suppliers_1scan",
+    "asof_last_purchase",
+    "contamination_ngram_overlap",
+    "curation_pii_redact",
+    "curation_source_mix",
+    "dedup_exact_fingerprint",
+    "dedup_minhash_neardup",
+    "dedup_simhash_neardup",
+    "dedup_simhash_portable",
+    "dq_outliers",
+    "hypertable_rollup",
+    "pandas_user_trend",
+    "pivot_event_types",
+    "sample_pack_sequences",
+    "sample_quality_gate",
+    "sample_shard_plan",
+    "sample_split_assign",
+    "sample_split_leakage_safe",
+    "sample_stratified",
+    "scale_bloom_semijoin",
+    "scale_salted_agg",
+    "scale_salted_join",
+    "scd2_user_state_history",
+    "sim_embedding_neardup",
+    "sim_embedding_quantize",
+    "sim_embedding_stats",
+    "sim_knn_after_delete",
+    "sim_knn_bruteforce",
+    "sim_knn_lsh",
+    "sketch_count_min_estimate",
+    "sql_dormant_customers",
+    "sql_grouping_sets",
+    "text_encode_ids",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_search_from_index",
+    "text_term_salience",
+    "text_token_count",
+    "text_winnow_fingerprint",
+    "ts_gapfill_forward_fill",
+    "win_running_spend",
+    "win_tumbling_hour",
 )
 
 # (The round-11 prefix lives in git history: the registry file as of
@@ -318,6 +313,26 @@ _PRIORITY = (
 #   incremental row-identity stays machine-pinned in tests/test_plans.py,
 #   and the per-batch index-maintenance machinery stays driver-checked
 #   via text_bm25_incremental on the same artifacts).
+# Round 13 applied the policy again, funding its four additions with
+# the four retirements VERDICT r12 #1/#6 named, same precedent:
+# - text_bm25_incremental retired for text_bm25_maxscore_incremental
+#   (the UNPRUNED serving of the SAME maintained artifacts and the
+#   SAME _oracle_bm25; unpruned==pruned row-identity stays machine-
+#   pinned by the equality battery in tests/test_bm25_maxscore.py,
+#   which now also exercises the unpruned path on every build);
+# - text_bm25_from_index retired for hybrid_rrf_topk (the from-index
+#   BM25 read IS the registered hybrid's text leg, executed inside
+#   every hybrid_rrf_topk row; its _oracle_bm25 ranking also stays
+#   live under text_bm25_maxscore, and the from-index serving plan
+#   stays pinned in tests/test_plans.py);
+# - sim_knn_ivf retired for sim_knn_ivfpq (the untrained sign-sketch
+#   IVF superseded by the trained/PQ family; its bucketed-probe plan
+#   property stays pinned in tests/test_plans.py and its recall
+#   property in tests/test_similarity_quality.py);
+# - media_decode_stub retired for media_resize (the decode replay —
+#   payload digest + planned dims — is embedded VERBATIM inside the
+#   resize oracle's CTE chain, so decode semantics are driver-checked
+#   through every media_resize row).
 _RETIRED = frozenset(
     {
         "dedup_simhash",
@@ -335,6 +350,10 @@ _RETIRED = frozenset(
         "sql_profit_by_nation",
         "sim_knn_ivf_grown",
         "text_phrase_incremental",
+        "text_bm25_incremental",
+        "text_bm25_from_index",
+        "sim_knn_ivf",
+        "media_decode_stub",
     }
 )
 

@@ -442,7 +442,11 @@ def write_qhist(
     batch; idempotent per batch id. Serving percentiles from the merged
     table (read_qhist + quantiles_from_hist) is bit-identical to the
     one-pass batch sketch — no re-scan of history to answer 'p99 so
-    far'."""
+    far'. Replay idempotence holds for partials still in their own
+    batch_id partition; after :func:`compact_qhist` folds a batch into
+    batch_id=-1 a replay of that id would double-count — which is why
+    compaction is restricted to checkpoint-committed batches (see
+    compact_qhist)."""
     from ..operators.distribution import quantile_hist
 
     (
@@ -470,7 +474,17 @@ def compact_qhist(spark: SparkSession, output_dir: str) -> None:
     """Collapse all histogram partials into one merged partition
     (batch_id=-1) — the compact_rollup discipline verbatim: staged
     install to _qhist_tmp, recover-at-entry, remove + rename; a crash
-    anywhere leaves either every partial or a complete staging."""
+    anywhere leaves either every partial or a complete staging.
+
+    Call only when every folded batch is CHECKPOINT-COMMITTED (the
+    compact_rollup caveat, ADVICE r12): write_qhist's replay idempotence
+    rests on a replayed batch overwriting its OWN batch_id partition —
+    once that partition has been folded into batch_id=-1 and removed, a
+    foreachBatch replay of the same batch id re-creates it beside the
+    compacted row set and read_qhist double-counts. Batches the
+    checkpoint has committed are never replayed, so compacting only
+    those keeps the idempotence story intact (see the module note at
+    the rollup sink)."""
     import shutil
 
     recover_qhist(spark, output_dir)

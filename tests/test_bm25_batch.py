@@ -90,3 +90,65 @@ def test_bm25_batch_unmatched_query_absent(spark, sf_small):
     rows = bm25_batch_over_postings(postings, stats, fleet=fleet).collect()
     assert {r.qid for r in rows} == {8}
     assert all(r.rank <= BM25_TOPK for r in rows)
+
+
+def test_fleet_bm25_parity_across_delete_and_compaction(
+    spark, sf_small, tmp_path
+):
+    """VERDICT r12 #8 (stretch): the text twin of the vector side's
+    fleet-probe-through-maintenance pin — fleet serving over the
+    INCREMENTALLY maintained index must equal per-query serving on the
+    SAME stored artifacts at every maintenance state: fresh multi-batch
+    postings, after a GDPR tombstone delete (live tombstones + the
+    negative stats row), and after compact_index physically purges the
+    victims and folds the batch partitions. Both paths read through
+    read_index, so tombstone masking and partition-layout changes must
+    be invisible to the parity — the remaining untested fleet x
+    maintenance interaction."""
+    from pyspark.sql import functions as F
+
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        batch_postings,
+        compact_index,
+        delete_index_docs,
+        read_index,
+        write_index_batch,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    root = str(tmp_path / "incr")
+    for b in range(3):
+        write_index_batch(
+            batch_postings(docs.where(F.col("doc_id") % 3 == b)), b, root
+        )
+
+    def assert_parity():
+        postings, stats = read_index(spark, root)
+        got: dict[int, list] = {}
+        for r in bm25_batch_over_postings(postings, stats).collect():
+            got.setdefault(r.qid, []).append(
+                (r.rank, r.doc_id, r.score_micro)
+            )
+        assert set(got) == {qid for qid, _ in BM25_FLEET}
+        for qid, terms in BM25_FLEET:
+            single = [
+                (i + 1, r.doc_id, r.score_micro)
+                for i, r in enumerate(
+                    bm25_topk_over_postings(postings, stats, terms=terms)
+                    .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+                    .collect()
+                )
+            ]
+            assert sorted(got[qid]) == sorted(single), qid
+
+    assert_parity()  # fresh multi-batch artifacts
+    victims = docs.where(F.col("doc_id") % 7 == 3).select("doc_id")
+    delete_index_docs(spark, root, victims, 3)
+    postings, stats = read_index(spark, root)
+    assert (
+        postings.join(victims, "doc_id", "left_semi").count() == 0
+    )  # tombstones mask in both serving paths
+    assert_parity()  # live tombstones + negative stats row
+    assert compact_index(spark, root) > 0  # physical purge + fold
+    assert_parity()  # across the compaction boundary

@@ -141,15 +141,44 @@ def test_maxscore_absent_terms_and_empty_result(spark, tmp_path):
 
 def test_registered_maxscore_equals_from_index(spark, sf_small):
     """The registered query (fixture terms, fixture corpus) must equal
-    text_bm25_from_index row-for-row — they share the DuckDB oracle and
-    the driver proves both, but this is the fast local pin."""
+    text_bm25_from_index row-for-row — they share the DuckDB oracle.
+    from_index is registry-retired r13 (slot funds hybrid_rrf_topk), so
+    this pin via the module registry is part of what keeps its
+    retirement honest."""
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        QUERIES as _TAQ,
+    )
+
     a = [
         (r.doc_id, r.score_micro)
         for r in QUERIES["text_bm25_maxscore"](spark, sf_small).collect()
     ]
     b = [
         (r.doc_id, r.score_micro)
-        for r in QUERIES["text_bm25_from_index"](spark, sf_small).collect()
+        for r in _TAQ["text_bm25_from_index"][0](spark, sf_small).collect()
+    ]
+    assert a == b and len(a) == BM25_TOPK
+
+
+def test_registered_maxscore_incremental_equals_unpruned(spark, sf_small):
+    """The r13-registered text_bm25_maxscore_incremental must equal the
+    (registry-retired) unpruned incremental serving row-for-row on the
+    fixture artifacts — the equality battery that keeps
+    text_bm25_incremental's retirement honest, at the registered-query
+    level (the planted-fixture batteries above pin the pruning core)."""
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        QUERIES as _TAQ,
+    )
+
+    a = [
+        (r.doc_id, r.score_micro)
+        for r in QUERIES["text_bm25_maxscore_incremental"](
+            spark, sf_small
+        ).collect()
+    ]
+    b = [
+        (r.doc_id, r.score_micro)
+        for r in _TAQ["text_bm25_incremental"][0](spark, sf_small).collect()
     ]
     assert a == b and len(a) == BM25_TOPK
 

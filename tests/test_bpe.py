@@ -8,14 +8,41 @@ from realtimedatapipeline_8_project_spark.operators.bpe import (
     BPE_MERGES,
     _oracle_bpe_encode,
     _oracle_bpe_train,
+    bpe_encode_counts_arrow,
     bpe_train_merges,
     q_bpe_encode,
     q_bpe_train,
     word_freq,
 )
 
+import pytest
+
 from .oracle_harness import compare, duck_connection
 from .test_plans import plan_of_df
+
+
+def test_bpe_alphabet_precondition_enforced(spark):
+    """ADVICE r12: learned symbols are interpolated into SQL string
+    literals, so the token alphabet is restricted to [a-z0-9]. The
+    tokenizer strips quotes and the structural chars (' ; |) BEFORE
+    symbols form — a quoted/punctuated corpus trains cleanly — and the
+    train loop raises loudly if a symbol ever escapes the alphabet
+    (a hand-built wstr bypassing the tokenizer)."""
+    docs = spark.createDataFrame(
+        [(1, "don't don't b|b a;a")], "doc_id long, text string"
+    )
+    merges = bpe_train_merges(word_freq(docs), n_merges=2)
+    alphabet = set("abcdefghijklmnopqrstuvwxyz0123456789")
+    assert merges
+    assert all(set(l) <= alphabet and set(r) <= alphabet for _, l, r, _c in merges)
+    # "don't" tokenizes as "dont" (x2): its pairs dominate the argmax
+    assert (merges[0][1], merges[0][2]) in {("d", "o"), ("o", "n"), ("n", "t")}
+
+    bad = spark.createDataFrame(
+        [(" d; o; n; '; t;", 5)], "wstr string, freq long"
+    )
+    with pytest.raises(ValueError, match="alphabet"):
+        bpe_train_merges(bad, n_merges=1)
 
 
 def test_bpe_train_matches_duckdb_oracle(spark, sf_oracle):
@@ -119,6 +146,95 @@ def test_bpe_encode_plan_is_map_only(spark, sf_small):
     p = plan_of_df(q_bpe_encode(spark, sf_small))
     assert "Exchange" not in p, p
     assert p.count("Scan parquet  (") == 1, p  # tree form: one scan node
+
+
+def test_bpe_encode_arrow_twin_equals_chained_on_fixture(spark, sf_small):
+    """VERDICT r12 #5: the production-scale encode (per-word rank
+    replay in one Arrow mapInPandas pass, K-independent cost) must
+    equal the chained-replace projection row-for-row on the fixture
+    corpus and its trained merges."""
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    merges = bpe_train_merges(word_freq(docs))
+    chained = sorted(map(str, q_bpe_encode(spark, sf_small).collect()))
+    arrow = sorted(map(str, bpe_encode_counts_arrow(docs, merges).collect()))
+    assert chained == arrow and len(arrow) > 0
+
+
+def test_bpe_encode_arrow_twin_at_k64_planted_vocab(spark):
+    """The boundary the chained spelling documents (tens of merges) is
+    exactly where the Arrow twin must take over: train K=64 merges on a
+    planted vocabulary (64 distinct 2-symbol words with strictly
+    descending frequencies -> 64 deterministic single-pair merges),
+    then pin (a) the learned list is the planted one, (b) the Arrow
+    twin collapses every planted word to ONE symbol, and (c) the
+    chained projection — built at a depth the fixture path never
+    reaches — agrees with the twin row-for-row."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    pairs = [
+        (a, b) for a, b in itertools.product(alphabet, repeat=2) if a != b
+    ][:64]
+    rows = [
+        (i, " ".join([a + b] * (1000 - i)))
+        for i, (a, b) in enumerate(pairs)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train_merges(word_freq(docs), n_merges=64)
+    assert [(m[1], m[2]) for m in merges] == pairs  # freq-ordered plant
+    arrow = {
+        r.doc_id: (r.n_chars, r.n_bpe)
+        for r in bpe_encode_counts_arrow(docs, merges).collect()
+    }
+    # every planted word is exactly its own merge: 2 chars -> 1 symbol
+    assert arrow == {
+        i: (2 * (1000 - i), 1000 - i) for i in range(len(pairs))
+    }
+    # chained == twin at K=64 (the equality pin at production depth)
+    from realtimedatapipeline_8_project_spark.operators.bpe import _WORDS
+
+    estr = (
+        f"array_join(transform({_WORDS}, "
+        "w -> ' ' || array_join(filter(split(w, ''), c -> c != ''), '; ')"
+        " || ';'), '|')"
+    )
+    merged = estr
+    for _, l, r, _c in merges:
+        merged = f"replace({merged}, ' {l}; {r};', ' {l}{r};')"
+    count = (
+        "CAST(size(filter(split(replace(replace("
+        "{e}, ';', ''), '|', ' '), ' '), x -> x != '')) AS BIGINT)"
+    )
+    chained = {
+        r.doc_id: (r.n_chars, r.n_bpe)
+        for r in docs.selectExpr(
+            "doc_id",
+            f"{count.format(e=estr)} AS n_chars",
+            f"{count.format(e=merged)} AS n_bpe",
+        ).collect()
+    }
+    assert chained == arrow
+
+
+def test_bpe_encode_arrow_twin_rank_order_not_maximal_munch(spark):
+    """The counter-example from the module docstring, machine-checked:
+    merges [(b,c), (a,b)] encode 'abc' as [a, bc] (2 symbols) under BPE
+    rank order — a longest-match trie would say [ab, c] but ALSO 2
+    symbols, so pin the mid-state via a 3-rule list where munching
+    diverges in COUNT: merges [(b,c),(a,b),(ab,c)] on 'abc' give
+    a+bc -> no (ab) -> no (ab,c): 2 symbols; maximal munch over the
+    final vocab {bc,ab,abc} would match 'abc' whole: 1 symbol."""
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    merges = [(1, "b", "c", 1), (2, "a", "b", 1), (3, "ab", "c", 1)]
+    got = {
+        r.doc_id: (r.n_chars, r.n_bpe)
+        for r in bpe_encode_counts_arrow(docs, merges).collect()
+    }
+    assert got == {1: (3, 2)}  # [a, bc] — munch would report 1
 
 
 def test_bpe_empty_corpus_contract(spark, tmp_path):

@@ -828,7 +828,13 @@ def test_bm25_from_index_never_scans_corpus(spark, sf_small):
     stamp = os.path.getmtime(
         os.path.join(root, "postings", "_SUCCESS")
     )
-    p = plan_of(spark, sf_small, "text_bm25_from_index")
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        QUERIES as _TAQ,
+    )
+
+    # registry-retired r13 (slot funds hybrid_rrf_topk); the serving
+    # plan stays machine-pinned here via the module registry
+    p = plan_of_df(_TAQ["text_bm25_from_index"][0](spark, sf_small))
     assert "documents.parquet" not in p
     pushed = [
         l for l in p.splitlines() if "PushedFilters" in l and "In(term" in l
@@ -852,7 +858,7 @@ def test_bm25_spellings_agree(spark, sf_small):
     )
 
     a = _TA_QUERIES["text_bm25_topk"][0](spark, sf_small)
-    b = QUERIES["text_bm25_from_index"](spark, sf_small)
+    b = _TA_QUERIES["text_bm25_from_index"][0](spark, sf_small)
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
 
 
@@ -987,12 +993,18 @@ def test_bm25_incremental_equals_one_pass_artifact(spark, sf_small):
         map(str, one_postings.select(*cols).collect())
     )
     assert stats.collect() == one_stats.collect()
-    a = QUERIES["text_bm25_incremental"](spark, sf_small)
-    b = QUERIES["text_bm25_from_index"](spark, sf_small)
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        QUERIES as _TAQ,
+    )
+
+    # both spellings registry-retired (r12/r13) — identity + plan stay
+    # machine-pinned through the module registry
+    a = _TAQ["text_bm25_incremental"][0](spark, sf_small)
+    b = _TAQ["text_bm25_from_index"][0](spark, sf_small)
     assert sorted(map(str, a.collect())) == sorted(map(str, b.collect()))
     # the serving plan touches the batch partitions, never the corpus,
     # and the query terms push into the partitioned postings scan
-    p = plan_of(spark, sf_small, "text_bm25_incremental")
+    p = plan_of_df(_TAQ["text_bm25_incremental"][0](spark, sf_small))
     assert "documents.parquet" not in p
     assert INDEX_POSTINGS in p
     assert any(

@@ -11,8 +11,15 @@ from realtimedatapipeline_8_project_spark.plans.registry import QUERIES
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_small):
+    """sim_knn_ivf registry-retired r13 (slot funds sim_knn_ivfpq);
+    its recall property stays machine-pinned here via the module
+    registry — the retirement argument depends on this test."""
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        QUERIES as _SIMQ,
+    )
+
     exact = {r.vec_id for r in QUERIES["sim_knn_bruteforce"](spark, sf_small).collect()}
-    approx = {r.vec_id for r in QUERIES["sim_knn_ivf"](spark, sf_small).collect()}
+    approx = {r.vec_id for r in _SIMQ["sim_knn_ivf"][0](spark, sf_small).collect()}
     assert len(approx) > 0
     # probe-limited IVF over random vectors: require non-trivial overlap
     assert len(exact & approx) >= 3, (exact, approx)
