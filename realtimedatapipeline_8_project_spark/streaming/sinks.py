@@ -428,6 +428,19 @@ def read_hll(spark: SparkSession, output_dir: str) -> DataFrame:
     )
 
 
+def _qhist_compacted_through(output_dir: str) -> int:
+    """Highest batch_id ever folded into the compacted partition, or -1
+    if no compaction has run. The marker file travels inside the qhist
+    dir (installed atomically with the staged compaction — underscore
+    prefix keeps parquet readers blind to it)."""
+    marker = os.path.join(output_dir, "qhist", "_compacted_through")
+    try:
+        with open(marker) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
 def write_qhist(
     batch_df: DataFrame,
     batch_id: int,
@@ -442,13 +455,17 @@ def write_qhist(
     batch; idempotent per batch id. Serving percentiles from the merged
     table (read_qhist + quantiles_from_hist) is bit-identical to the
     one-pass batch sketch — no re-scan of history to answer 'p99 so
-    far'. Replay idempotence holds for partials still in their own
-    batch_id partition; after :func:`compact_qhist` folds a batch into
-    batch_id=-1 a replay of that id would double-count — which is why
-    compaction is restricted to checkpoint-committed batches (see
-    compact_qhist)."""
+    far'. Replay idempotence is UNCONDITIONAL (ADVICE r12, mechanical
+    guard): a replay of a batch still in its own partition
+    dynamic-overwrites it, and a replay of a batch already folded into
+    the compacted partition (batch_id <= the _compacted_through marker
+    compact_qhist installs) is a NO-OP instead of a double-count —
+    checkpoint recovery can therefore replay any prefix safely even
+    around a compaction."""
     from ..operators.distribution import quantile_hist
 
+    if batch_id <= _qhist_compacted_through(output_dir):
+        return  # already folded into batch_id=-1: replay is a no-op
     (
         quantile_hist(batch_df, grp, x)
         .withColumn("batch_id", F.lit(batch_id))
@@ -476,24 +493,34 @@ def compact_qhist(spark: SparkSession, output_dir: str) -> None:
     install to _qhist_tmp, recover-at-entry, remove + rename; a crash
     anywhere leaves either every partial or a complete staging.
 
-    Call only when every folded batch is CHECKPOINT-COMMITTED (the
-    compact_rollup caveat, ADVICE r12): write_qhist's replay idempotence
-    rests on a replayed batch overwriting its OWN batch_id partition —
-    once that partition has been folded into batch_id=-1 and removed, a
-    foreachBatch replay of the same batch id re-creates it beside the
-    compacted row set and read_qhist double-counts. Batches the
-    checkpoint has committed are never replayed, so compacting only
-    those keeps the idempotence story intact (see the module note at
-    the rollup sink)."""
+    Replays around compaction are safe MECHANICALLY (ADVICE r12,
+    upgraded from the compact_rollup prose caveat): the staged install
+    carries a ``_compacted_through`` marker = the highest batch_id
+    folded, and :func:`write_qhist` turns a replay of any batch at or
+    below it into a no-op — without the marker, a foreachBatch replay
+    of a folded batch would re-create its partition beside the
+    compacted rows and read_qhist would double-count. The marker
+    installs atomically with the fold (same remove + rename), so a
+    crash leaves either the old partials + old marker or the compacted
+    set + new marker, never a mix."""
     import shutil
 
     recover_qhist(spark, output_dir)
     qpath = os.path.join(output_dir, "qhist")
     tmp_path = os.path.join(output_dir, "_qhist_tmp")
+    folded_through = _qhist_compacted_through(output_dir)
+    if os.path.isdir(qpath):
+        for d in os.listdir(qpath):
+            if d.startswith("batch_id=") and not d.endswith("=-1"):
+                folded_through = max(folded_through, int(d.split("=")[1]))
     try:
         read_qhist(spark, output_dir).withColumn(
             "batch_id", F.lit(-1)
         ).write.mode("overwrite").partitionBy("batch_id").parquet(tmp_path)
+        with open(
+            os.path.join(tmp_path, "_compacted_through"), "w"
+        ) as fh:
+            fh.write(str(folded_through))
     except Exception:
         shutil.rmtree(tmp_path, ignore_errors=True)  # incomplete staging
         raise
@@ -503,14 +530,21 @@ def compact_qhist(spark: SparkSession, output_dir: str) -> None:
 
 def recover_qhist(spark: SparkSession, output_dir: str) -> bool:
     """Finish a :func:`compact_qhist` install that crashed between the
-    remove and the rename (complete staging = _SUCCESS present);
-    discard an incomplete staging. Returns True if a recovery landed."""
+    remove and the rename (complete staging = _SUCCESS AND the
+    _compacted_through marker present — the marker is written after the
+    parquet job, so requiring both means a recovered install can never
+    serve folded rows without the replay guard); discard an incomplete
+    staging (the live dir is untouched until the staging is complete,
+    so discarding loses nothing). Returns True if a recovery landed."""
     import shutil
 
     tmp_path = os.path.join(output_dir, "_qhist_tmp")
     if not os.path.isdir(tmp_path):
         return False
-    if not os.path.exists(os.path.join(tmp_path, "_SUCCESS")):
+    if not (
+        os.path.exists(os.path.join(tmp_path, "_SUCCESS"))
+        and os.path.exists(os.path.join(tmp_path, "_compacted_through"))
+    ):
         shutil.rmtree(tmp_path, ignore_errors=True)
         return False
     qpath = os.path.join(output_dir, "qhist")

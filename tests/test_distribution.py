@@ -412,11 +412,14 @@ def test_qhist_compaction_and_crash_recovery(spark, sf_small, tmp_path):
     )
     assert sorted(map(key, read_qhist(spark, out).collect())) == before
 
-    # crash between remove and rename: stage a complete copy, drop live
+    # crash between remove and rename: stage a complete copy (parquet +
+    # the _compacted_through marker compact_qhist writes), drop live
     tmp = os.path.join(out, "_qhist_tmp")
     read_qhist(spark, out).withColumn("batch_id", F.lit(-1)).write.mode(
         "overwrite"
     ).partitionBy("batch_id").parquet(tmp)
+    with open(os.path.join(tmp, "_compacted_through"), "w") as fh:
+        fh.write("2")
     shutil.rmtree(qdir)
     assert recover_qhist(spark, out) is True
     assert sorted(map(key, read_qhist(spark, out).collect())) == before
@@ -428,3 +431,75 @@ def test_qhist_compaction_and_crash_recovery(spark, sf_small, tmp_path):
     assert recover_qhist(spark, out) is False
     assert not os.path.isdir(tmp)
     assert sorted(map(key, read_qhist(spark, out).collect())) == before
+
+    # a staging with _SUCCESS but NO marker is also incomplete (crash
+    # between the parquet job and the marker write): discarded, live
+    # dir untouched — a recovered install may never serve folded rows
+    # without the replay guard
+    read_qhist(spark, out).withColumn("batch_id", F.lit(-1)).write.mode(
+        "overwrite"
+    ).partitionBy("batch_id").parquet(tmp)  # fresh staging: no marker
+    assert recover_qhist(spark, out) is False
+    assert not os.path.isdir(tmp)
+    assert sorted(map(key, read_qhist(spark, out).collect())) == before
+
+
+def test_qhist_replay_of_folded_batch_is_noop(spark, sf_small, tmp_path):
+    """ADVICE r12, mechanical guard: after compact_qhist folds batches
+    0..2, a foreachBatch replay of batch 1 must NOT re-create its
+    partition beside the compacted rows (the double-count the prose
+    caveat used to merely warn about); a genuinely NEW batch above the
+    marker still lands, and a second compaction folds it."""
+    import os
+
+    from realtimedatapipeline_8_project_spark.streaming.sinks import (
+        _qhist_compacted_through,
+        compact_qhist,
+        read_qhist,
+        write_qhist,
+    )
+
+    out = os.path.join(str(tmp_path), "out")
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet").selectExpr(
+        "o_orderkey",
+        "o_orderpriority",
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents",
+    )
+    n = orders.count()
+    per = (n + 2) // 3
+    batches = [
+        orders.orderBy("o_orderkey").offset(i * per).limit(per)
+        for i in range(3)
+    ]
+    for i in range(2):
+        write_qhist(batches[i], i, out)
+    compact_qhist(spark, out)
+    assert _qhist_compacted_through(out) == 1
+    key = lambda r: (r.grp, r.bucket_id, r.est_lo, r.est_hi, r.n)
+    folded = sorted(map(key, read_qhist(spark, out).collect()))
+
+    # checkpoint-recovery replay of an already-folded batch: no-op
+    write_qhist(batches[1], 1, out)
+    assert sorted(map(key, read_qhist(spark, out).collect())) == folded
+    qdir = os.path.join(out, "qhist")
+    assert {d for d in os.listdir(qdir) if d.startswith("batch_id=")} == {
+        "batch_id=-1"
+    }
+
+    # a new batch above the marker lands and serves
+    write_qhist(batches[2], 2, out)
+    with_new = sorted(map(key, read_qhist(spark, out).collect()))
+    assert with_new != folded
+    # one-pass reference over all three thirds == the merged serving
+    from realtimedatapipeline_8_project_spark.operators.distribution import (
+        quantile_hist,
+    )
+
+    want = sorted(map(key, quantile_hist(orders, "o_orderpriority", "cents").collect()))
+    assert with_new == want
+    # second compaction folds the new batch and advances the marker;
+    # replaying it afterwards is again a no-op
+    compact_qhist(spark, out)
+    assert _qhist_compacted_through(out) == 2
+    write_qhist(batches[2], 2, out)
+    assert sorted(map(key, read_qhist(spark, out).collect())) == want
