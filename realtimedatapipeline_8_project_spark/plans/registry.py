@@ -178,6 +178,14 @@ _MODULES = (
 #   (the BPE pair is job-scheduling-dominated at fixture scale: 6
 #   sequential argmax rounds; the per-round work is vocab-sized)
 #   media_resize               [0.73,0.77]/[0.72,0.61] -> budget 1.23
+# R13 REGISTRATION-TIME CHECK (driver-bench steady state, 2026-08-16,
+# same host): the four registered queries measured 1.29 / 1.19 / 0.27 /
+# 0.47 s (maxscore_incremental / hybrid_rrf_topk / ivfpq / media_resize)
+# against budgets 2.78 / 2.30 / 0.49 / 1.23 — all comfortably inside;
+# hybrid_rrf_topk is FASTER than its r12 earmark measurement because the
+# r13 fleet-frame memo and the collect-posexplode leg ranks removed a
+# source-table job from the serving call. Budgets kept at the recorded
+# r12 proposals (never re-baselined downward mid-round).
 # (r13 note: the BPE idle numbers above predate the [a-z0-9]
 # alphabet normalization (ADVICE r12) — re-measure at r14 registration;
 # the plan shape is unchanged.)
