@@ -257,7 +257,13 @@ def bpe_encode_counts_arrow(docs: DataFrame, merges: list) -> DataFrame:
 
         import pandas as _pd
 
-        strip = _re.compile(r"[^a-z0-9\s]+")
+        # ASCII classes, NOT \s: Python's \s is unicode-aware while
+        # Java (Spark) and RE2 (DuckDB) \s are ASCII-only — a U+00A0 in
+        # the corpus would make the engines tokenize 'a b' as one
+        # word 'ab' while Python split two, breaking the pinned
+        # chained==twin equality (review r13, verified by execution)
+        strip = _re.compile(r"[^a-z0-9 \t\n\x0b\f\r]+")
+        ws = _re.compile(r"[ \t\n\x0b\f\r]+")
 
         def word_syms(w: str) -> int:
             syms = list(w)
@@ -286,12 +292,40 @@ def bpe_encode_counts_arrow(docs: DataFrame, merges: list) -> DataFrame:
                 syms = out
             return len(syms)
 
+        # Zipf cache (the standard HF-tokenizers word cache): the same
+        # few thousand vocabulary words recur across a corpus, so the
+        # merge replay runs once per DISTINCT word per partition, not
+        # once per occurrence
+        syms_cache: dict[str, int] = {}
+
         for pdf in batches:
             n_chars, n_bpe = [], []
             for text in pdf["text"]:
-                words = strip.sub("", str(text).lower()).split()
+                if text is None or (
+                    isinstance(text, float) and _pd.isna(text)
+                ):
+                    # null text counts as an empty document — NEVER the
+                    # literal words 'none'/'nan' str() would fabricate
+                    # (review r13). Known divergence, by construction:
+                    # the chained SQL spelling null-PROPAGATES (size of
+                    # split(NULL) is NULL) while this Arrow schema is
+                    # non-null bigint, so the machine-pinned equality
+                    # applies to non-null-text corpora (the fixture and
+                    # every registered table guarantee that).
+                    words = []
+                else:
+                    words = [
+                        w
+                        for w in ws.split(strip.sub("", str(text).lower()))
+                        if w
+                    ]
                 n_chars.append(sum(len(w) for w in words))
-                n_bpe.append(sum(word_syms(w) for w in words))
+                n_bpe.append(
+                    sum(
+                        syms_cache.setdefault(w, word_syms(w))
+                        for w in words
+                    )
+                )
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -1566,6 +1566,23 @@ def build_ivf_grown(spark: SparkSession, sf_dir: str) -> str:
 # serving call is what cost sim_knn_ivf_grown its bench budget in r11
 # (0.47 -> 0.71 s idle; VERDICT r11 #1) — the per-fixture cost belongs
 # with the (already memoized) index build, not the probe.
+def _fixture_identity(sf_dir: str) -> tuple:
+    """The memo-key prefix every serving-side memo shares (probe vector,
+    fleet vectors): path + size + mtime_ns of the source
+    embeddings.parquet, so a regenerated fixture is a NEW identity and a
+    stale value can never be served. One helper, not per-memo copies —
+    if the identity discipline ever changes (directory-shaped parquet,
+    content hash), every memo changes with it (review r13)."""
+    import os
+
+    base = os.path.abspath(sf_dir.rstrip("/"))
+    try:
+        st = os.stat(os.path.join(base, "embeddings.parquet"))
+        return (base, st.st_size, st.st_mtime_ns)
+    except OSError:
+        return (base, "absent", 0)
+
+
 _PROBE_VEC_MEMO: dict[tuple, tuple[int, ...] | None] = {}
 
 
@@ -1582,14 +1599,7 @@ def quantized_probe_vector(
     an empty answer, not a raise — callers return an empty frame).
 
     Memoized per (fixture identity, vec_id) — see _PROBE_VEC_MEMO."""
-    import os
-
-    base = os.path.abspath(sf_dir.rstrip("/"))
-    try:
-        st = os.stat(os.path.join(base, "embeddings.parquet"))
-        key = (base, st.st_size, st.st_mtime_ns, int(vec_id))
-    except OSError:
-        key = (base, "absent", 0, int(vec_id))
+    key = (*_fixture_identity(sf_dir), int(vec_id))
     if key in _PROBE_VEC_MEMO:
         hit = _PROBE_VEC_MEMO[key]
         return None if hit is None else list(hit)
@@ -1625,15 +1635,8 @@ def quantized_fleet_vectors(
     fleet spelling of :func:`quantized_probe_vector`. Absent ids are
     simply missing from the result (the empty-corpus contract). Memoized
     per (fixture identity, qid-set); see _FLEET_VEC_MEMO."""
-    import os
-
     qt = tuple(sorted(int(q) for q in qids))
-    base = os.path.abspath(sf_dir.rstrip("/"))
-    try:
-        st = os.stat(os.path.join(base, "embeddings.parquet"))
-        key = (base, st.st_size, st.st_mtime_ns, qt)
-    except OSError:
-        key = (base, "absent", 0, qt)
+    key = (*_fixture_identity(sf_dir), qt)
     if key in _FLEET_VEC_MEMO:
         return [(qid, list(qv)) for qid, qv in _FLEET_VEC_MEMO[key]]
     rows = (

@@ -225,8 +225,10 @@ def write_latest(batch_df: DataFrame, batch_id: int, output_dir: str) -> None:
 # (count/sum are associative, so partials merge exactly); the serving view
 # merges partials on read; compaction collapses them. Same idempotency
 # story as the history sink — re-running batch N dynamic-overwrites only
-# partition N. Run compaction only for batches the checkpoint has
-# committed (a replayed batch that was already folded would double-count).
+# partition N, and a replay of a batch ALREADY FOLDED by compaction is a
+# mechanical no-op (the shared _compacted_through discipline below), so
+# the old "compact only checkpoint-committed batches" caveat is enforced
+# rather than trusted.
 
 ROLLUP_WINDOW = "1 hour"
 
@@ -258,8 +260,110 @@ def _merge_rollup(partials: DataFrame) -> DataFrame:
     )
 
 
+# --- shared staged-compaction discipline ------------------------------------
+# One crash contract for every partial-partition sink that folds
+# batch_id=N partitions into batch_id=-1 (rollup, qhist): stage to
+# _<subdir>_tmp, install by remove + rename, and carry a
+# _compacted_through marker (the highest folded batch id) INSIDE the
+# staged dir so the replay guard installs atomically with the fold.
+# Review r13 hardened two crash windows the first (qhist-only) spelling
+# left open: the marker is written via temp + fsync + rename (a torn
+# zero-byte marker can never be installed and silently disable the
+# guard), and every WRITER recovers-at-entry (a batch written between a
+# crashed install and the next recovery used to be destroyed by that
+# recovery's rmtree of the live dir).
+
+
+def _compacted_through(output_dir: str, subdir: str) -> int:
+    """Highest batch_id ever folded into ``subdir``'s compacted
+    partition, or -1 if no compaction has run. Underscore prefix keeps
+    parquet readers blind to the marker file."""
+    marker = os.path.join(output_dir, subdir, "_compacted_through")
+    try:
+        with open(marker) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def _staging_complete(tmp_path: str) -> bool:
+    """A staging is complete only with Spark's _SUCCESS AND a PARSEABLE
+    marker — requiring the parse closes the crash window between the
+    parquet job and the marker install (a staging with _SUCCESS but a
+    missing/torn marker must be discarded, never installed: installed
+    folded rows without a working replay guard would double-count on
+    the next checkpoint replay)."""
+    if not os.path.exists(os.path.join(tmp_path, "_SUCCESS")):
+        return False
+    try:
+        with open(os.path.join(tmp_path, "_compacted_through")) as fh:
+            int(fh.read().strip())
+        return True
+    except (OSError, ValueError):
+        return False
+
+
+def _recover_compaction(output_dir: str, subdir: str) -> bool:
+    """Finish a compaction install that crashed between the remove and
+    the rename; discard an incomplete staging (the live dir is
+    untouched until a staging is complete, so discarding loses
+    nothing). Returns True if a recovery landed."""
+    import shutil
+
+    tmp_path = os.path.join(output_dir, f"_{subdir}_tmp")
+    if not os.path.isdir(tmp_path):
+        return False
+    if not _staging_complete(tmp_path):
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        return False
+    live = os.path.join(output_dir, subdir)
+    shutil.rmtree(live, ignore_errors=True)
+    shutil.move(tmp_path, live)
+    return True
+
+
+def _compact_partitions(spark, output_dir: str, subdir: str, read_fn) -> None:
+    """Fold every batch partition of ``subdir`` into batch_id=-1 via
+    ``read_fn(spark, output_dir)`` (the sink's merge-on-read view), with
+    recover-at-entry and the atomic marker install described above."""
+    import shutil
+
+    _recover_compaction(output_dir, subdir)
+    live = os.path.join(output_dir, subdir)
+    tmp_path = os.path.join(output_dir, f"_{subdir}_tmp")
+    folded = _compacted_through(output_dir, subdir)
+    if os.path.isdir(live):
+        for d in os.listdir(live):
+            if d.startswith("batch_id=") and not d.endswith("=-1"):
+                folded = max(folded, int(d.split("=")[1]))
+    try:
+        read_fn(spark, output_dir).withColumn(
+            "batch_id", F.lit(-1)
+        ).write.mode("overwrite").partitionBy("batch_id").parquet(tmp_path)
+        mtmp = os.path.join(tmp_path, "_compacted_through.tmp")
+        with open(mtmp, "w") as fh:
+            fh.write(str(folded))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(mtmp, os.path.join(tmp_path, "_compacted_through"))
+    except Exception:
+        shutil.rmtree(tmp_path, ignore_errors=True)  # incomplete staging
+        raise
+    shutil.rmtree(live, ignore_errors=True)
+    shutil.move(tmp_path, live)
+
+
 def write_rollup(batch_df: DataFrame, batch_id: int, output_dir: str) -> None:
-    """O(batch) incremental rollup contribution, idempotent per batch id."""
+    """O(batch) incremental rollup contribution, idempotent per batch
+    id — UNCONDITIONALLY (r13): recover-at-entry lands a crash-pending
+    compaction before this batch's partition is written (otherwise that
+    recovery's rmtree would later destroy the only copy of a batch
+    written into the half-installed dir), and a replay of a batch
+    already folded into the compacted partition is a no-op instead of a
+    double-count."""
+    _recover_compaction(output_dir, "rollup")
+    if batch_id <= _compacted_through(output_dir, "rollup"):
+        return  # already folded into batch_id=-1: replay is a no-op
     (
         _rollup_partial(batch_df)
         .withColumn("batch_id", F.lit(batch_id))
@@ -278,56 +382,25 @@ def read_rollup(spark: SparkSession, output_dir: str) -> DataFrame:
 
 def compact_rollup(spark: SparkSession, output_dir: str) -> None:
     """Collapse all partials into one merged partition (batch_id=-1).
-    Amortized O(distinct keys); call only when every folded batch is
-    checkpoint-committed (see module note).
+    Amortized O(distinct keys). Replays around compaction are safe
+    mechanically (the shared _compacted_through discipline above) —
+    the old "call only when every folded batch is checkpoint-committed"
+    caveat is now enforced by write_rollup's folded-batch no-op guard
+    rather than trusted.
 
-    Staged install (the _swap_latest discipline): the old spelling
-    re-wrote the WHOLE rollup dir through a second Spark overwrite —
-    a crash inside it destroyed every partial with the only complete
-    copy stranded in a staging dir nothing consulted (and the staging
-    dir leaked even on success). Now: stage to _rollup_tmp, then
-    remove + rename; :func:`recover_rollup` finishes a crashed
-    install from a COMPLETE staging (_SUCCESS present), and an
-    incomplete staging is discarded with the live dir untouched."""
-    import shutil
-
-    # recover-at-entry (the write_ivf_batch discipline): if a prior
-    # compaction crashed between the remove and the rename, the ONLY
-    # complete copy of all partials sits in _rollup_tmp — without this,
-    # the read below raises PATH_NOT_FOUND inside the try and the
-    # except handler would delete the staging it exists to protect.
-    recover_rollup(spark, output_dir)
-    rollup_path = os.path.join(output_dir, "rollup")
-    tmp_path = os.path.join(output_dir, "_rollup_tmp")
-    try:
-        read_rollup(spark, output_dir).withColumn(
-            "batch_id", F.lit(-1)
-        ).write.mode("overwrite").partitionBy("batch_id").parquet(tmp_path)
-    except Exception:
-        shutil.rmtree(tmp_path, ignore_errors=True)  # incomplete staging
-        raise
-    shutil.rmtree(rollup_path, ignore_errors=True)
-    shutil.move(tmp_path, rollup_path)
+    Staged install (the _swap_latest discipline): stage to
+    _rollup_tmp, then remove + rename; :func:`recover_rollup` finishes
+    a crashed install from a COMPLETE staging and discards an
+    incomplete one with the live dir untouched."""
+    _compact_partitions(spark, output_dir, "rollup", read_rollup)
 
 
 def recover_rollup(spark: SparkSession, output_dir: str) -> bool:
     """Finish a :func:`compact_rollup` install that crashed between the
-    remove and the rename (COMPLETE staging present — Spark's _SUCCESS);
-    discard an incomplete staging. Returns True if a recovery landed.
-    Call before serving from a rollup dir that may have crashed
-    mid-compaction (the recover_latest twin)."""
-    import shutil
-
-    tmp_path = os.path.join(output_dir, "_rollup_tmp")
-    if not os.path.isdir(tmp_path):
-        return False
-    if not os.path.exists(os.path.join(tmp_path, "_SUCCESS")):
-        shutil.rmtree(tmp_path, ignore_errors=True)
-        return False
-    rollup_path = os.path.join(output_dir, "rollup")
-    shutil.rmtree(rollup_path, ignore_errors=True)
-    shutil.move(tmp_path, rollup_path)
-    return True
+    remove and the rename; discard an incomplete staging. Returns True
+    if a recovery landed. Call before serving from a rollup dir that
+    may have crashed mid-compaction (the recover_latest twin)."""
+    return _recover_compaction(output_dir, "rollup")
 
 
 # --- incremental count-min sketch (mergeable-sketch sink) ------------------
@@ -429,16 +502,9 @@ def read_hll(spark: SparkSession, output_dir: str) -> DataFrame:
 
 
 def _qhist_compacted_through(output_dir: str) -> int:
-    """Highest batch_id ever folded into the compacted partition, or -1
-    if no compaction has run. The marker file travels inside the qhist
-    dir (installed atomically with the staged compaction — underscore
-    prefix keeps parquet readers blind to it)."""
-    marker = os.path.join(output_dir, "qhist", "_compacted_through")
-    try:
-        with open(marker) as fh:
-            return int(fh.read().strip())
-    except (OSError, ValueError):
-        return -1
+    """Highest batch_id ever folded into the qhist compacted partition
+    (the shared _compacted_through discipline at the rollup sink)."""
+    return _compacted_through(output_dir, "qhist")
 
 
 def write_qhist(
@@ -456,14 +522,17 @@ def write_qhist(
     table (read_qhist + quantiles_from_hist) is bit-identical to the
     one-pass batch sketch — no re-scan of history to answer 'p99 so
     far'. Replay idempotence is UNCONDITIONAL (ADVICE r12, mechanical
-    guard): a replay of a batch still in its own partition
-    dynamic-overwrites it, and a replay of a batch already folded into
-    the compacted partition (batch_id <= the _compacted_through marker
-    compact_qhist installs) is a NO-OP instead of a double-count —
-    checkpoint recovery can therefore replay any prefix safely even
-    around a compaction."""
+    guard — shared with the rollup sink): recover-at-entry lands a
+    crash-pending compaction before this batch's partition is written,
+    a replay of a batch still in its own partition dynamic-overwrites
+    it, and a replay of a batch already folded into the compacted
+    partition (batch_id <= the _compacted_through marker compact_qhist
+    installs) is a NO-OP instead of a double-count — checkpoint
+    recovery can therefore replay any prefix safely even around a
+    compaction."""
     from ..operators.distribution import quantile_hist
 
+    _recover_compaction(output_dir, "qhist")
     if batch_id <= _qhist_compacted_through(output_dir):
         return  # already folded into batch_id=-1: replay is a no-op
     (
@@ -493,64 +562,20 @@ def compact_qhist(spark: SparkSession, output_dir: str) -> None:
     install to _qhist_tmp, recover-at-entry, remove + rename; a crash
     anywhere leaves either every partial or a complete staging.
 
-    Replays around compaction are safe MECHANICALLY (ADVICE r12,
-    upgraded from the compact_rollup prose caveat): the staged install
-    carries a ``_compacted_through`` marker = the highest batch_id
-    folded, and :func:`write_qhist` turns a replay of any batch at or
-    below it into a no-op — without the marker, a foreachBatch replay
-    of a folded batch would re-create its partition beside the
-    compacted rows and read_qhist would double-count. The marker
-    installs atomically with the fold (same remove + rename), so a
-    crash leaves either the old partials + old marker or the compacted
-    set + new marker, never a mix."""
-    import shutil
-
-    recover_qhist(spark, output_dir)
-    qpath = os.path.join(output_dir, "qhist")
-    tmp_path = os.path.join(output_dir, "_qhist_tmp")
-    folded_through = _qhist_compacted_through(output_dir)
-    if os.path.isdir(qpath):
-        for d in os.listdir(qpath):
-            if d.startswith("batch_id=") and not d.endswith("=-1"):
-                folded_through = max(folded_through, int(d.split("=")[1]))
-    try:
-        read_qhist(spark, output_dir).withColumn(
-            "batch_id", F.lit(-1)
-        ).write.mode("overwrite").partitionBy("batch_id").parquet(tmp_path)
-        with open(
-            os.path.join(tmp_path, "_compacted_through"), "w"
-        ) as fh:
-            fh.write(str(folded_through))
-    except Exception:
-        shutil.rmtree(tmp_path, ignore_errors=True)  # incomplete staging
-        raise
-    shutil.rmtree(qpath, ignore_errors=True)
-    shutil.move(tmp_path, qpath)
+    Replays around compaction are safe MECHANICALLY (ADVICE r12): the
+    shared _compacted_through discipline documented at the rollup
+    sink — staged install carrying the marker, atomic marker write,
+    writer-side recover-at-entry and folded-batch no-op."""
+    _compact_partitions(spark, output_dir, "qhist", read_qhist)
 
 
 def recover_qhist(spark: SparkSession, output_dir: str) -> bool:
     """Finish a :func:`compact_qhist` install that crashed between the
-    remove and the rename (complete staging = _SUCCESS AND the
-    _compacted_through marker present — the marker is written after the
-    parquet job, so requiring both means a recovered install can never
-    serve folded rows without the replay guard); discard an incomplete
-    staging (the live dir is untouched until the staging is complete,
-    so discarding loses nothing). Returns True if a recovery landed."""
-    import shutil
-
-    tmp_path = os.path.join(output_dir, "_qhist_tmp")
-    if not os.path.isdir(tmp_path):
-        return False
-    if not (
-        os.path.exists(os.path.join(tmp_path, "_SUCCESS"))
-        and os.path.exists(os.path.join(tmp_path, "_compacted_through"))
-    ):
-        shutil.rmtree(tmp_path, ignore_errors=True)
-        return False
-    qpath = os.path.join(output_dir, "qhist")
-    shutil.rmtree(qpath, ignore_errors=True)
-    shutil.move(tmp_path, qpath)
-    return True
+    remove and the rename (complete staging = _SUCCESS AND a parseable
+    _compacted_through marker — a recovered install can never serve
+    folded rows without the replay guard); discard an incomplete
+    staging. Returns True if a recovery landed."""
+    return _recover_compaction(output_dir, "qhist")
 
 
 def write_moments(

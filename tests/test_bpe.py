@@ -220,6 +220,46 @@ def test_bpe_encode_arrow_twin_at_k64_planted_vocab(spark):
     assert chained == arrow
 
 
+def test_bpe_arrow_twin_ascii_whitespace_and_null_parity(spark):
+    """Review r13 (verified-by-execution finding): Python's \\s is
+    unicode-aware while Spark(Java)/DuckDB(RE2) \\s are ASCII-only, so
+    the Arrow twin must tokenize with explicit ASCII classes — a U+00A0
+    joins its neighbors into ONE word in every engine. And a NULL text
+    must count as an empty document, never the literal str() words
+    'none'/'nan'."""
+    docs = spark.createDataFrame(
+        [(1, "a\u00a0b a b"), (2, None)], "doc_id long, text string"
+    )
+    merges = [(1, "a", "b", 2)]
+    got = {
+        r.doc_id: (r.n_chars, r.n_bpe)
+        for r in bpe_encode_counts_arrow(docs, merges).collect()
+    }
+    # 'a b' -> one word 'ab' (merges to 1 symbol); then 'a', 'b'
+    assert got[1] == (4, 3)
+    assert got[2] == (0, 0)
+    # engine agreement on the U+00A0 row: the chained projection over
+    # the same planted merge tokenizes identically
+    from realtimedatapipeline_8_project_spark.operators.bpe import _WORDS
+
+    estr = (
+        f"array_join(transform({_WORDS}, "
+        "w -> ' ' || array_join(filter(split(w, ''), c -> c != ''), '; ')"
+        " || ';'), '|')"
+    )
+    merged = f"replace({estr}, ' a; b;', ' ab;')"
+    count = (
+        "CAST(size(filter(split(replace(replace("
+        "{e}, ';', ''), '|', ' '), ' '), x -> x != '')) AS BIGINT)"
+    )
+    chained = docs.where("doc_id = 1").selectExpr(
+        "doc_id",
+        f"{count.format(e=estr)} AS n_chars",
+        f"{count.format(e=merged)} AS n_bpe",
+    ).collect()[0]
+    assert (chained.n_chars, chained.n_bpe) == got[1]
+
+
 def test_bpe_encode_arrow_twin_rank_order_not_maximal_munch(spark):
     """The counter-example from the module docstring, machine-checked:
     merges [(b,c), (a,b)] encode 'abc' as [a, bc] (2 symbols) under BPE

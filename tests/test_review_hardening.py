@@ -104,6 +104,101 @@ def test_compact_rollup_is_staged_and_recoverable(spark, tmp_path):
     assert not os.path.isdir(os.path.join(out, "_rollup_tmp"))
 
 
+def _rollup_events(spark, n=30):
+    return spark.createDataFrame(
+        [(i, "watch" if i % 2 else "click", 10 * i, 2 * i) for i in range(n)],
+        "event_id long, event_type string, duration long, "
+        "engagement_seconds long",
+    ).withColumn(
+        "event_time", F.timestamp_seconds(F.col("event_id") * 600 + 1)
+    )
+
+
+def test_rollup_replay_of_folded_batch_is_noop(spark, tmp_path):
+    """Review r13 (the qhist guard, extended to its named precedent):
+    after compact_rollup folds batches 0..1, a foreachBatch replay of
+    batch 1 must NOT re-create its partition beside the compacted rows;
+    a new batch above the marker still lands and a second compaction
+    folds it."""
+    import realtimedatapipeline_8_project_spark.streaming.sinks as SK
+
+    events = _rollup_events(spark)
+    out = str(tmp_path / "sink")
+    thirds = [events.where(F.col("event_id") % 3 == i) for i in range(3)]
+    SK.write_rollup(thirds[0], 0, out)
+    SK.write_rollup(thirds[1], 1, out)
+    SK.compact_rollup(spark, out)
+    folded = sorted(map(str, SK.read_rollup(spark, out).collect()))
+
+    SK.write_rollup(thirds[1], 1, out)  # checkpoint replay: no-op
+    assert sorted(map(str, SK.read_rollup(spark, out).collect())) == folded
+    assert {
+        d
+        for d in os.listdir(os.path.join(out, "rollup"))
+        if d.startswith("batch_id=")
+    } == {"batch_id=-1"}
+
+    SK.write_rollup(thirds[2], 2, out)  # genuinely new batch lands
+    import realtimedatapipeline_8_project_spark.streaming.sinks as _sk
+
+    want = sorted(
+        map(str, _sk._merge_rollup(_sk._rollup_partial(events)).collect())
+    )
+    assert sorted(map(str, SK.read_rollup(spark, out).collect())) == want
+    SK.compact_rollup(spark, out)
+    SK.write_rollup(thirds[2], 2, out)  # replay after the second fold
+    assert sorted(map(str, SK.read_rollup(spark, out).collect())) == want
+
+
+def test_compaction_guard_crash_windows(spark, tmp_path):
+    """Review r13, the two crash windows the first (qhist-only) guard
+    left open — pinned on the shared discipline via the rollup sink:
+
+    (a) a batch written BETWEEN a crashed install (live dir gone,
+        complete staging holding the only copy) and the next recovery
+        must survive that recovery — the writer recovers at entry, so
+        the batch lands in the recovered dir instead of a doomed fresh
+        one that recovery's rmtree would destroy;
+    (b) a staging with _SUCCESS but a TORN (zero-byte) marker is
+        incomplete: discarded with the live dir untouched — installing
+        it would silently disable the replay guard (int('') -> -1)."""
+    import shutil
+
+    import realtimedatapipeline_8_project_spark.streaming.sinks as SK
+
+    events = _rollup_events(spark)
+    out = str(tmp_path / "sink")
+    thirds = [events.where(F.col("event_id") % 3 == i) for i in range(3)]
+    SK.write_rollup(thirds[0], 0, out)
+    SK.write_rollup(thirds[1], 1, out)
+    SK.compact_rollup(spark, out)
+
+    # (a) crash between remove and rename: live gone, staging complete
+    shutil.move(
+        os.path.join(out, "rollup"), os.path.join(out, "_rollup_tmp")
+    )
+    SK.write_rollup(thirds[2], 2, out)  # recovers at entry, then writes
+    assert not os.path.isdir(os.path.join(out, "_rollup_tmp"))
+    want = sorted(
+        map(str, SK._merge_rollup(SK._rollup_partial(events)).collect())
+    )
+    # batch 2 AND the recovered folded batches all serve
+    assert sorted(map(str, SK.read_rollup(spark, out).collect())) == want
+
+    # (b) torn marker: copy live to staging, truncate the marker — the
+    # staging must be discarded and the intact live dir keeps serving
+    shutil.copytree(
+        os.path.join(out, "rollup"), os.path.join(out, "_rollup_tmp")
+    )
+    with open(
+        os.path.join(out, "_rollup_tmp", "_compacted_through"), "w"
+    ) as fh:
+        pass  # zero-byte: the torn-write shape
+    assert SK.recover_rollup(spark, out) is False
+    assert not os.path.isdir(os.path.join(out, "_rollup_tmp"))
+    assert sorted(map(str, SK.read_rollup(spark, out).collect())) == want
+
+
 def test_outbox_batch_read_reports_garbage_as_garbage(spark, tmp_path):
     """A malformed producer line in a plain batch read must surface the
     raw parse error — not the 'file appears recreated' diagnosis, which
