@@ -178,6 +178,18 @@ _MODULES = (
 #   (the BPE pair is job-scheduling-dominated at fixture scale: 6
 #   sequential argmax rounds; the per-round work is vocab-sized)
 #   media_resize               [0.73,0.77]/[0.72,0.61] -> budget 1.23
+# R13 IDLE RE-MEASUREMENTS for the r14 drain candidates (sf0.1,
+# local[32], quiet host after the full suite, 2 independent runs x 2
+# timed iterations, 2026-08-16) — these SUPERSEDE the r12 numbers above
+# for the r14 registrations because the r13 tree changed both paths:
+# the heavy-hitters verify semi-join lost its forced broadcast (AQE
+# decides now) and the BPE tokenizer gained the [a-z0-9] alphabet
+# normalization (one extra regexp_replace per corpus pass):
+#   dist_quantile_hist         [1.33,1.07]/[1.21,1.04] -> budget 2.01
+#   dist_heavy_hitters         [0.81,0.79]/[0.77,0.79] -> budget 1.28
+#   dist_heavy_hitters_grouped [0.88,0.87]/[0.83,0.74] -> budget 1.38
+#   text_bpe_train             [3.22,3.24]/[3.11,2.93] -> budget 4.69
+#   text_bpe_encode            [3.94,4.37]/[3.65,3.89] -> budget 6.27
 # R13 REGISTRATION-TIME CHECK (driver-bench steady state, 2026-08-16,
 # same host): the four registered queries measured 1.29 / 1.19 / 0.27 /
 # 0.47 s (maxscore_incremental / hybrid_rrf_topk / ivfpq / media_resize)
