@@ -535,3 +535,65 @@ def test_heavy_hitter_candidates_superset_property(data):
     for k, n in Counter(keys).items():
         if n * HH_FRAC >= total:
             assert k in union, (k, n, total, nparts)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.data())
+def test_bpe_arrow_twin_equals_chained_on_random_corpora(spark, data):
+    """Property pin for the r13 production-encode twin: on RANDOM small
+    [ab]-alphabet corpora (the densest merge-interaction space — runs,
+    straddles, duplicate-string derivations all live here), the
+    chained-replace projection and the Arrow rank-replay twin agree
+    row-for-row after training K=3 merges on the same corpus. This is
+    the empirical check behind the docstring's duplicate-string caveat:
+    equality is machine-verified across arbitrary corpora, not assumed
+    from the common case."""
+    from realtimedatapipeline_8_project_spark.operators.bpe import (
+        _WORDS,
+        bpe_encode_counts_arrow,
+        bpe_train_merges,
+        word_freq,
+    )
+
+    docs_rows = data.draw(
+        st.lists(
+            st.lists(
+                st.text(alphabet="ab", min_size=1, max_size=6),
+                min_size=1,
+                max_size=4,
+            ),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    docs = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs_rows)],
+        "doc_id long, text string",
+    )
+    merges = bpe_train_merges(word_freq(docs), n_merges=3)
+
+    estr = (
+        f"array_join(transform({_WORDS}, "
+        "w -> ' ' || array_join(filter(split(w, ''), c -> c != ''), '; ')"
+        " || ';'), '|')"
+    )
+    merged = estr
+    for _, l, r, _c in merges:
+        merged = f"replace({merged}, ' {l}; {r};', ' {l}{r};')"
+    count = (
+        "CAST(size(filter(split(replace(replace("
+        "{e}, ';', ''), '|', ' '), ' '), x -> x != '')) AS BIGINT)"
+    )
+    chained = {
+        r.doc_id: (r.n_chars, r.n_bpe)
+        for r in docs.selectExpr(
+            "doc_id",
+            f"{count.format(e=estr)} AS n_chars",
+            f"{count.format(e=merged)} AS n_bpe",
+        ).collect()
+    }
+    arrow = {
+        r.doc_id: (r.n_chars, r.n_bpe)
+        for r in bpe_encode_counts_arrow(docs, merges).collect()
+    }
+    assert arrow == chained
