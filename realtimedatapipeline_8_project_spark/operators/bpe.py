@@ -118,7 +118,16 @@ def word_freq(docs: DataFrame) -> DataFrame:
 
 def bpe_train_merges(w: DataFrame, n_merges: int = BPE_MERGES) -> list:
     """Run the merge rounds; returns [(rank, left, right, pair_freq)].
-    One aggregation + one 1-row driver read per round."""
+    One aggregation + one 1-row driver read per round.
+
+    The word-freq state is localCheckpoint()ed at entry and after every
+    merge (review r13, the kmeans/PageRank iteration discipline —
+    similarity.py does the same for its centroid loop): each round's
+    collect() is a separate action, so without the checkpoint round k
+    re-executes the FULL lineage — corpus scan, word_freq shuffle, and
+    k-1 chained projections — making training O(K) corpus scans instead
+    of the ONE pass the module contract promises."""
+    w = w.localCheckpoint()
     merges = []
     for k in range(n_merges):
         top = (
@@ -141,7 +150,7 @@ def bpe_train_merges(w: DataFrame, n_merges: int = BPE_MERGES) -> list:
         merges.append((k + 1, l, r, int(cnt)))
         w = w.selectExpr(
             f"replace(wstr, ' {l}; {r};', ' {l}{r};') AS wstr", "freq"
-        )
+        ).localCheckpoint()
     return merges
 
 
@@ -320,12 +329,16 @@ def bpe_encode_counts_arrow(docs: DataFrame, merges: list) -> DataFrame:
                         if w
                     ]
                 n_chars.append(sum(len(w) for w in words))
-                n_bpe.append(
-                    sum(
-                        syms_cache.setdefault(w, word_syms(w))
-                        for w in words
-                    )
-                )
+                # NOT setdefault(w, word_syms(w)): Python evaluates the
+                # default eagerly, which would run the replay once per
+                # OCCURRENCE and make the cache decorative (review r13)
+                total = 0
+                for w in words:
+                    n = syms_cache.get(w)
+                    if n is None:
+                        n = syms_cache[w] = word_syms(w)
+                    total += n
+                n_bpe.append(total)
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -345,14 +358,20 @@ def _oracle_bpe_encode(n_merges: int = BPE_MERGES) -> str:
         "w -> ' ' || array_to_string(list_filter(string_split(w, ''), "
         "c -> c <> ''), '; ') || ';'), '|')"
     )
-    # chain the merges through the doc string via the 1-row t_k CTEs
+    # chain the merges through the doc string via the t_k CTEs. LEFT
+    # JOIN ON TRUE, not CROSS JOIN (review r13): when the vocabulary
+    # runs dry before n_merges rounds, t_k is EMPTY and a cross join
+    # would annihilate the whole doc chain to zero rows — the Spark
+    # side keeps serving one row per document with the merges it DID
+    # learn, so the oracle must no-op the dry rounds instead.
     chain = [f"d0 AS (SELECT doc_id, {estr} AS estr FROM documents)"]
     for k in range(1, n_merges + 1):
         chain.append(
             f"""d{k} AS (
-  SELECT doc_id, replace(estr, ' ' || l || '; ' || r || ';',
-                 ' ' || l || r || ';') AS estr
-  FROM d{k - 1} CROSS JOIN t{k}
+  SELECT doc_id, CASE WHEN l IS NULL THEN estr
+                 ELSE replace(estr, ' ' || l || '; ' || r || ';',
+                              ' ' || l || r || ';') END AS estr
+  FROM d{k - 1} LEFT JOIN t{k} ON TRUE
 )"""
         )
 

@@ -67,6 +67,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
+from .text_analysis import _O_TOKS, normalized_text, words
 
 # --- mergeable log-histogram quantiles --------------------------------------
 
@@ -76,10 +77,14 @@ QH_PCTS = (50, 90, 99)  # percentiles served by the registered query
 
 def _bucket_exprs(x: str) -> dict[str, str]:
     """Shared integer bucket math, Spark SQL spelling. x must be a
-    non-negative BIGINT expression. Octave = bit length of x (exact via
-    the length of the minimal binary string); values < QH_SUB are their
-    own singleton bucket (ids 0..QH_SUB-1, disjoint from octave ids
-    which start at 5*QH_SUB)."""
+    non-negative BIGINT expression — ENFORCED, not assumed (review r13,
+    the m4-order-key discipline): a negative value would silently fall
+    into the singleton branch and give every distinct negative its own
+    bucket, degrading the bounded sketch to per-value cardinality with
+    no error; the engine raises instead. Octave = bit length of x
+    (exact via the length of the minimal binary string); values
+    < QH_SUB are their own singleton bucket (ids 0..QH_SUB-1, disjoint
+    from octave ids which start at 5*QH_SUB)."""
     bits = f"length(bin({x}))"
     base = f"shiftleft(CAST(1 AS BIGINT), {bits} - 1)"
     step = f"({base} div {QH_SUB})"
@@ -87,7 +92,10 @@ def _bucket_exprs(x: str) -> dict[str, str]:
     lo = f"({base} + {sub} * {step})"
     return {
         "bucket_id": (
-            f"CAST(CASE WHEN {x} < {QH_SUB} THEN {x} "
+            f"CAST(CASE WHEN {x} < 0 THEN CAST(raise_error(CONCAT("
+            f"'quantile_hist needs non-negative values, got ', "
+            f"CAST({x} AS STRING))) AS BIGINT) "
+            f"WHEN {x} < {QH_SUB} THEN {x} "
             f"ELSE CAST({bits} AS BIGINT) * {QH_SUB} + {sub} END AS BIGINT)"
         ),
         "est_lo": (
@@ -144,7 +152,11 @@ def quantile_hist(df: DataFrame, grp: str, x: str) -> DataFrame:
 
 def merge_hists(*hists: DataFrame) -> DataFrame:
     """Merge sketches from disjoint shards/micro-batches: counts add.
-    (est_lo/est_hi are functions of bucket_id, so they group through.)"""
+    (est_lo/est_hi are functions of bucket_id, so they group through.)
+    Requires at least one sketch — a shard discovery that found none is
+    a caller bug surfaced loudly, not an opaque IndexError."""
+    if not hists:
+        raise ValueError("merge_hists needs at least one histogram frame")
     u = hists[0]
     for h in hists[1:]:
         u = u.unionByName(h)
@@ -358,14 +370,18 @@ def q_heavy_hitters_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     token occurrences) — the per-group stop-list scan. Same tokenizer,
     same pigeonhole, applied within each lang partition of the corpus."""
     docs = load_table(spark, sf_dir, "documents")
+    # ONE tokenizer, imported from text_analysis (review r13: this was
+    # the 4th hand-inlined copy of the inverted-index tokenizer); the
+    # != '' filter drops the empty token a whitespace-only document
+    # splits to — both engines would otherwise count it IDENTICALLY, so
+    # the oracle gate could never catch '' surfacing as a heavy hitter
     terms = docs.select(
-        "lang",
-        F.explode(
-            F.split(
-                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
-            )
-        ).alias("term"),
-    ).filter(F.col("term").isNotNull() & F.col("lang").isNotNull())
+        "lang", F.explode(words(normalized_text("text"))).alias("term")
+    ).filter(
+        F.col("term").isNotNull()
+        & (F.col("term") != "")
+        & F.col("lang").isNotNull()
+    )
     return heavy_hitters_grouped(
         terms, "lang", "term", "lang string, term string"
     )
@@ -373,12 +389,11 @@ def q_heavy_hitters_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_HEAVY_HITTERS_GROUPED = f"""
 WITH terms AS (
-  SELECT lang, unnest(
-    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
-  ) AS term
+  SELECT lang, unnest({_O_TOKS}) AS term
   FROM documents
 ), t AS (
-  SELECT lang, term FROM terms WHERE lang IS NOT NULL AND term IS NOT NULL
+  SELECT lang, term FROM terms
+  WHERE lang IS NOT NULL AND term IS NOT NULL AND term <> ''
 ), totals AS (
   SELECT lang, COUNT(*) AS total FROM t GROUP BY lang
 )
@@ -402,18 +417,13 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-phi query over them goes empty at larger SFs."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(
-        F.explode(
-            F.split(
-                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
-            )
-        ).alias("term")
-    ).filter(F.col("term").isNotNull())
+        F.explode(words(normalized_text("text"))).alias("term")
+    ).filter(F.col("term").isNotNull() & (F.col("term") != ""))
     return heavy_hitters(terms, col="term", spark_type="string", pd_dtype="str")
 
 
-_O_TERMS = (
-    r"string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')"
-)
+# the DuckDB spelling of the same tokenizer, shared with text_analysis
+_O_TERMS = _O_TOKS
 
 ORACLE_HEAVY_HITTERS = f"""
 WITH terms AS (
@@ -421,10 +431,10 @@ WITH terms AS (
 )
 SELECT term, COUNT(*) AS n
 FROM terms
-WHERE term IS NOT NULL
+WHERE term IS NOT NULL AND term <> ''
 GROUP BY term
 HAVING COUNT(*) * {HH_FRAC} >= (
-  SELECT COUNT(*) FROM terms WHERE term IS NOT NULL
+  SELECT COUNT(*) FROM terms WHERE term IS NOT NULL AND term <> ''
 )
 """
 

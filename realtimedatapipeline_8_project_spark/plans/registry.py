@@ -179,17 +179,23 @@ _MODULES = (
 #   sequential argmax rounds; the per-round work is vocab-sized)
 #   media_resize               [0.73,0.77]/[0.72,0.61] -> budget 1.23
 # R13 IDLE RE-MEASUREMENTS for the r14 drain candidates (sf0.1,
-# local[32], quiet host after the full suite, 2 independent runs x 2
-# timed iterations, 2026-08-16) — these SUPERSEDE the r12 numbers above
-# for the r14 registrations because the r13 tree changed both paths:
-# the heavy-hitters verify semi-join lost its forced broadcast (AQE
-# decides now) and the BPE tokenizer gained the [a-z0-9] alphabet
-# normalization (one extra regexp_replace per corpus pass):
-#   dist_quantile_hist         [1.33,1.07]/[1.21,1.04] -> budget 2.01
-#   dist_heavy_hitters         [0.81,0.79]/[0.77,0.79] -> budget 1.28
-#   dist_heavy_hitters_grouped [0.88,0.87]/[0.83,0.74] -> budget 1.38
-#   text_bpe_train             [3.22,3.24]/[3.11,2.93] -> budget 4.69
-#   text_bpe_encode            [3.94,4.37]/[3.65,3.89] -> budget 6.27
+# local[32], 2 independent runs x 2 timed iterations, 2026-08-16,
+# END-OF-ROUND tree) — these SUPERSEDE the r12 numbers above for the
+# r14 registrations because r13 changed all five paths: the
+# heavy-hitters verify semi-join lost its forced broadcast (AQE decides
+# now) and gained the empty-token filter, quantile_hist gained the
+# negative-input raise guard, the BPE tokenizer gained the [a-z0-9]
+# alphabet normalization, and bpe_train_merges now localCheckpoints its
+# vocab state per round (review r13 — cut train ~3.2 -> ~2.0 s by
+# dropping the O(K) lineage replays):
+#   dist_quantile_hist         [1.57,1.34]/[1.46,1.02] -> budget 2.35
+#   dist_heavy_hitters         [1.16,0.99]/[0.94,0.91] -> budget 1.77
+#   dist_heavy_hitters_grouped [1.19,1.02]/[0.90,0.80] -> budget 1.82
+#   text_bpe_train             [2.15,2.23]/[2.01,1.95] -> budget 3.27
+#   text_bpe_encode            [3.11,2.87]/[2.75,2.58] -> budget 4.50
+# (host carried intermittent neighbor load this session — bench totals
+# varied 36-62 s on identical code; re-measure once at r14 registration
+# if the gap to these numbers looks noise-shaped)
 # R13 REGISTRATION-TIME CHECK (driver-bench steady state, 2026-08-16,
 # same host): the four registered queries measured 1.29 / 1.19 / 0.27 /
 # 0.47 s (maxscore_incremental / hybrid_rrf_topk / ivfpq / media_resize)

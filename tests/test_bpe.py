@@ -277,6 +277,65 @@ def test_bpe_encode_arrow_twin_rank_order_not_maximal_munch(spark):
     assert got == {1: (3, 2)}  # [a, bc] — munch would report 1
 
 
+def test_bpe_encode_oracle_survives_dry_vocab(spark, tmp_path):
+    """Review r13: when the vocabulary runs dry before BPE_MERGES
+    rounds, the encode oracle's per-round doc chain must NO-OP the dry
+    rounds (LEFT JOIN ON TRUE), not annihilate to zero rows via a cross
+    join against the empty t_k — the Spark side keeps serving one row
+    per document with the merges it did learn. Planted: a corpus whose
+    single word exhausts all pairs after 2 merges."""
+    import duckdb
+
+    docs = spark.createDataFrame(
+        [(1, "abab"), (2, "ab")], "doc_id long, text string"
+    )
+    # merges: (a,b) x3 -> 'ab'; then ('ab','ab') x1 in doc 1 -> 'abab';
+    # round 3+ find no pairs — vocabulary dry
+    merges = bpe_train_merges(word_freq(docs))
+    assert len(merges) == 2  # genuinely dry before BPE_MERGES=6
+    spark_rows = {
+        r.doc_id: (r.n_chars, r.n_bpe)
+        for r in q_bpe_encode_planted(spark, docs).collect()
+    }
+    assert spark_rows == {1: (4, 1), 2: (2, 1)}
+    con = duckdb.connect()
+    try:
+        con.register("documents_src", docs.toPandas())
+        con.execute("CREATE VIEW documents AS SELECT * FROM documents_src")
+        oracle = {
+            int(doc_id): (int(nc), int(nb))
+            for doc_id, nc, nb in con.execute(_oracle_bpe_encode()).fetchall()
+        }
+    finally:
+        con.close()
+    assert oracle == spark_rows
+
+
+def q_bpe_encode_planted(spark, docs):
+    """q_bpe_encode's body over a caller-supplied docs frame (the
+    registered query loads the fixture table; tests plant corpora)."""
+    from realtimedatapipeline_8_project_spark.operators.bpe import _WORDS
+
+    merges = bpe_train_merges(word_freq(docs))
+    estr = (
+        f"array_join(transform({_WORDS}, "
+        "w -> ' ' || array_join(filter(split(w, ''), c -> c != ''), '; ')"
+        " || ';'), '|')"
+    )
+    merged = estr
+    for _, l, r, _c in merges:
+        merged = f"replace({merged}, ' {l}; {r};', ' {l}{r};')"
+    count = (
+        "CAST(size(filter(split(replace(replace("
+        "{e}, ';', ''), '|', ' '), ' '), x -> x != '')) AS BIGINT)"
+    )
+    return docs.selectExpr(
+        "doc_id",
+        f"{count.format(e=estr)} AS n_chars",
+        f"{count.format(e=merged)} AS n_bpe",
+    )
+
+
 def test_bpe_empty_corpus_contract(spark, tmp_path):
     import os
 

@@ -237,6 +237,60 @@ def test_quantile_hist_empty_input(spark):
     assert quantiles_from_hist(quantile_hist(df, "grp", "x")).count() == 0
 
 
+def test_quantile_hist_raises_on_negative_values(spark):
+    """Review r13 (the m4-order-key discipline): a negative value would
+    silently become its own singleton bucket — per-value cardinality
+    instead of the bounded sketch — so the bucket expression raises;
+    non-negative inputs are untouched (same bits as before the guard)."""
+    import pytest as _pytest
+
+    ok = spark.createDataFrame([("a", 0), ("a", 15), ("a", 16)], "grp string, x long")
+    rows = {r.bucket_id for r in quantile_hist(ok, "grp", "x").collect()}
+    assert rows == {0, 15, 5 * QH_SUB}
+    bad = spark.createDataFrame([("a", -1)], "grp string, x long")
+    with _pytest.raises(Exception, match="non-negative"):
+        quantile_hist(bad, "grp", "x").collect()
+
+
+def test_merge_hists_zero_args_raises(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        merge_hists()
+
+
+def test_heavy_hitters_corpus_excludes_empty_token(spark, sf_small):
+    """Review r13: a whitespace-only document splits to [''] in BOTH
+    engines, so the oracle compare could never catch '' surfacing as a
+    heavy hitter — the tokenizer filter must drop it explicitly. Plant
+    a corpus where '' would dominate (many empty docs) and pin that it
+    never appears while real terms still qualify."""
+    from pyspark.sql import functions as F2
+
+    from realtimedatapipeline_8_project_spark.operators.distribution import (
+        heavy_hitters,
+    )
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        normalized_text,
+        words,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "   ") for i in range(50)] + [(100 + i, "tok") for i in range(50)],
+        "doc_id long, text string",
+    )
+    terms = docs.select(
+        F2.explode(words(normalized_text("text"))).alias("term")
+    ).filter(F2.col("term").isNotNull() & (F2.col("term") != ""))
+    got = {
+        r.term: r.n
+        for r in heavy_hitters(
+            terms, col="term", spark_type="string", pd_dtype="str"
+        ).collect()
+    }
+    assert got == {"tok": 50}  # '' carried half the raw splits; excluded
+
+
 # --- streaming mergeable sink -------------------------------------------------
 
 
