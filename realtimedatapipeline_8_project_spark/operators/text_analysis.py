@@ -1797,8 +1797,17 @@ def bm25_batch_over_postings(
     df_t = idx.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if allowed is not None:
         idx = idx.join(allowed.select("doc_id"), "doc_id", "left_semi")
+    # One slice, not defaultParallelism: the fleet term list is a few
+    # dozen rows; 32 near-empty slices would schedule 32 near-empty
+    # tasks in every stage above (VERDICT r13 #1, shared spelling with
+    # similarity.fleet_query_frame — parallelize(_, 1), NOT coalesce(1),
+    # which would propagate the 1-partition count up through the fused
+    # scoring stage; see fleet_query_frame's A/B note).
     qterms = spark.createDataFrame(
-        [(qid, t) for qid, ts in fleet for t in ts], "qid long, term string"
+        spark.sparkContext.parallelize(
+            [(qid, t) for qid, ts in fleet for t in ts], 1
+        ),
+        "qid long, term string",
     )
     scored = (
         idx.join(df_t, "term")  # unhinted: vocab-bounded, AQE decides

@@ -307,16 +307,40 @@ def _recover_compaction(output_dir: str, subdir: str) -> bool:
     """Finish a compaction install that crashed between the remove and
     the rename; discard an incomplete staging (the live dir is
     untouched until a staging is complete, so discarding loses
-    nothing). Returns True if a recovery landed."""
+    nothing). Returns True if a recovery landed.
+
+    Upgrade seam (ADVICE r13): a staging written by the PRE-marker
+    compaction code that crashed between remove and rename leaves
+    _SUCCESS but no _compacted_through, with the live dir already
+    deleted — that staging holds the ONLY complete copy of all
+    partials, so "discard incomplete" would destroy data the old
+    recover_* handled correctly. When the live dir is ABSENT, install
+    such a staging with a synthesized marker of -1 (reproducing the
+    old, merely guard-less behavior: replays may refold, never lose);
+    a marker-less staging is only discarded while the live dir still
+    exists (then the live copy is authoritative and loses nothing)."""
     import shutil
 
     tmp_path = os.path.join(output_dir, f"_{subdir}_tmp")
     if not os.path.isdir(tmp_path):
         return False
+    live = os.path.join(output_dir, subdir)
     if not _staging_complete(tmp_path):
+        if (
+            not os.path.isdir(live)
+            and os.path.exists(os.path.join(tmp_path, "_SUCCESS"))
+        ):
+            # Pre-upgrade crashed install: staging is the only copy.
+            mtmp = os.path.join(tmp_path, "_compacted_through.tmp")
+            with open(mtmp, "w") as fh:
+                fh.write("-1")
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(mtmp, os.path.join(tmp_path, "_compacted_through"))
+            shutil.move(tmp_path, live)
+            return True
         shutil.rmtree(tmp_path, ignore_errors=True)
         return False
-    live = os.path.join(output_dir, subdir)
     shutil.rmtree(live, ignore_errors=True)
     shutil.move(tmp_path, live)
     return True

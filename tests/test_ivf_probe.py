@@ -435,3 +435,24 @@ def test_filtered_probe_matches_oracle_and_rederivation(
         ).collect()
     ]
     assert got == want
+
+
+def test_fleet_query_frame_is_one_slice_and_empty_qids_short_circuit(
+    spark, sf_small
+):
+    """VERDICT r13 #1: createDataFrame on a Q-row Python list splits it
+    into defaultParallelism (32) near-empty slices, and every stage
+    above the fleet frame then schedules 32 near-empty tasks — a
+    measured ~2x serving regression at fixture scale. The frame must be
+    ONE partition. ADVICE r13: an empty qid set must return [] (the
+    documented absent-ids contract), not raise from isin()."""
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        BATCH_QIDS,
+        fleet_query_frame,
+        quantized_fleet_vectors,
+    )
+
+    frame = fleet_query_frame(spark, sf_small, BATCH_QIDS)
+    assert frame.rdd.getNumPartitions() == 1
+    assert frame.count() == len(BATCH_QIDS)
+    assert quantized_fleet_vectors(spark, sf_small, []) == []

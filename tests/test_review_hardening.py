@@ -460,3 +460,63 @@ def test_swap_family_recovers_pending_install_at_entry(spark, tmp_path):
     }
     assert got == {1, 3, 4}
     assert not os.path.exists(tmp_dir)
+
+
+def test_recovery_installs_premarker_staging_when_live_absent(
+    spark, tmp_path
+):
+    """ADVICE r13 (medium): a staging written by the PRE-marker
+    compaction code that crashed between remove and rename has _SUCCESS
+    but no _compacted_through, and the live dir is already gone — that
+    staging holds the ONLY complete copy of all partials. Recovery must
+    INSTALL it (with a synthesized -1 marker: the old guard-less
+    behavior, refold-safe never lossy), not rmtree it. A marker-less
+    staging with the live dir still PRESENT stays discard-on-sight
+    (the live copy is authoritative)."""
+    import shutil
+
+    import realtimedatapipeline_8_project_spark.streaming.sinks as SK
+
+    events = _rollup_events(spark)
+    out = str(tmp_path / "sink")
+    thirds = [events.where(F.col("event_id") % 3 == i) for i in range(3)]
+    SK.write_rollup(thirds[0], 0, out)
+    SK.write_rollup(thirds[1], 1, out)
+    SK.compact_rollup(spark, out)
+    part = sorted(
+        map(
+            str,
+            SK._merge_rollup(
+                SK._rollup_partial(events.where(F.col("event_id") % 3 != 2))
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(str, SK._merge_rollup(SK._rollup_partial(events)).collect())
+    )
+
+    # pre-upgrade crash shape: live moved to staging, marker removed
+    shutil.move(os.path.join(out, "rollup"), os.path.join(out, "_rollup_tmp"))
+    os.remove(os.path.join(out, "_rollup_tmp", "_compacted_through"))
+    assert SK.recover_rollup(spark, out) is True
+    assert not os.path.isdir(os.path.join(out, "_rollup_tmp"))
+    assert SK._compacted_through(out, "rollup") == -1
+    assert sorted(map(str, SK.read_rollup(spark, out).collect())) == part
+    # guard-less, not lossy: post-recovery life continues — a NEW batch
+    # lands, the next compaction folds it and rebuilds a REAL marker,
+    # and replays of that batch are no-ops again
+    SK.write_rollup(thirds[2], 2, out)
+    assert sorted(map(str, SK.read_rollup(spark, out).collect())) == want
+    SK.compact_rollup(spark, out)
+    assert SK._compacted_through(out, "rollup") >= 2
+    SK.write_rollup(thirds[2], 2, out)  # replay after refold: no-op
+    assert sorted(map(str, SK.read_rollup(spark, out).collect())) == want
+
+    # marker-less staging while live EXISTS: discarded, live untouched
+    shutil.copytree(
+        os.path.join(out, "rollup"), os.path.join(out, "_rollup_tmp")
+    )
+    os.remove(os.path.join(out, "_rollup_tmp", "_compacted_through"))
+    assert SK.recover_rollup(spark, out) is False
+    assert not os.path.isdir(os.path.join(out, "_rollup_tmp"))
+    assert sorted(map(str, SK.read_rollup(spark, out).collect())) == want
