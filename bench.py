@@ -149,6 +149,14 @@ HEADLINE = [
     "hybrid_rrf_topk",
     "sim_knn_ivfpq",
     "media_resize",
+    # round-14 additions (the recorded drain: budgets from the r13
+    # end-of-round idle re-measurements in plans/registry.py, confirmed
+    # by a registration-time idle measurement; the three r14 retirees
+    # hist_price_profile / sketch_count_min_estimate / text_token_count
+    # were never benched headline, so the gate only grows)
+    "dist_quantile_hist",
+    "dist_heavy_hitters",
+    "text_bpe_train",
 ]
 
 

@@ -402,5 +402,12 @@ FROM d0 a JOIN d{n_merges} b USING (doc_id)
 
 QUERIES = {
     "text_bpe_train": (q_bpe_train, _oracle_bpe_train()),
+}
+
+# Permanent earmark tier (plans/registry.py capacity decision): the
+# encode path's production-scale Arrow twin is pinned chained==twin at
+# K=64; oracle-gated every build by tests/test_bpe.py. Registers only
+# if a slot frees.
+EARMARKS = {
     "text_bpe_encode": (q_bpe_encode, _oracle_bpe_encode()),
 }

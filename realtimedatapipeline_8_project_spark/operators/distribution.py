@@ -442,6 +442,12 @@ HAVING COUNT(*) * {HH_FRAC} >= (
 QUERIES = {
     "dist_quantile_hist": (q_quantile_hist, _oracle_quantile_hist()),
     "dist_heavy_hitters": (q_heavy_hitters, ORACLE_HEAVY_HITTERS),
+}
+
+# Permanent earmark tier (plans/registry.py capacity decision): same
+# pigeonhole machinery as the registered dist_heavy_hitters, per-group —
+# oracle-gated every build by tests/test_distribution.py.
+EARMARKS = {
     "dist_heavy_hitters_grouped": (
         q_heavy_hitters_grouped,
         ORACLE_HEAVY_HITTERS_GROUPED,

@@ -259,8 +259,15 @@ def test_unpivot_is_expand_no_extra_shuffle(spark, sf_small):
 
 def test_histogram_bounds_broadcast_fact_not_shuffled(spark, sf_small):
     """The min/max pass reduces to ONE row broadcast over the fact scan;
-    the only hash exchange carries 20 bin groups."""
-    p = plan_of(spark, sf_small, "hist_price_profile")
+    the only hash exchange carries 20 bin groups. (hist_price_profile
+    retired its registry slot r14 for dist_quantile_hist — the equi-width
+    plan property stays pinned here via the module registry, the
+    retiree precedent.)"""
+    from realtimedatapipeline_8_project_spark.operators.reshape import (
+        QUERIES as _RS_QUERIES,
+    )
+
+    p = plan_of_df(_RS_QUERIES["hist_price_profile"][0](spark, sf_small))
     assert "BroadcastExchange" in p
     assert "SortMergeJoin" not in p
     assert "hashpartitioning(o_totalprice" not in p
