@@ -1,0 +1,245 @@
+"""Exact-substring (duplicated-span) dedup across documents.
+
+The remaining named public method in the training-data dedup family:
+Lee et al., "Deduplicating Training Data Makes Language Models Better"
+(ACL 2022) remove every substring of >= 50 tokens that appears in more
+than one document, reporting that exact-substring dedup beats
+whole-document near-dup on LM quality. The engine's existing family
+covers whole-document exact (``dedup_exact_fingerprint``), near-dup
+(MinHash/SimHash banding), semantic (codebook blocks) and train/test
+contamination (``contamination_ngram_overlap``, doc-pair overlap
+ratios); this module adds the SPAN-level operator: for every document,
+the maximal token ranges whose every K-gram also occurs in some OTHER
+document, plus the per-document duplication accounting a curation
+pipeline thresholds on.
+
+Pipeline (all DataFrame ops, one logical shape in Spark and DuckDB):
+
+1. tokenize — the shared engine tokenizer (lowercase, [a-z0-9] words,
+   the exact `_WORDS`/`_D_WORDS` spellings from ``operators/bpe.py``;
+   ASCII whitespace classes keep Java and RE2 agreeing).
+2. K-grams with positions — ``transform(sequence(1, n-K+1), i ->
+   array_join(slice(words, i, K), ' '))`` + ``posexplode``: one
+   map-side pass, no join, one row per (doc_id, start, gram).
+3. cross-document duplicates — ``GROUP BY gram HAVING
+   count(DISTINCT doc_id) >= 2``. Within-document repetition is
+   deliberately NOT flagged (that is ``text_repetition``'s job; the
+   dedup decision here is "this text exists elsewhere in the corpus").
+4. hit positions — left-semi join of the gram table against the
+   duplicated grams.
+5. island merge — per document, overlapping-or-adjacent hit spans
+   [start, start+K-1] fold into maximal spans via the classic
+   running-max window: a hit starts a new island iff
+   start > max(previous starts) + K (gap of at least one
+   non-duplicated token); island id = running sum of the flag.
+6. report — (doc_id, n_spans, dup_tokens, n_tokens) for documents
+   with at least one duplicated span. ``dup_tokens / n_tokens`` is the
+   removal ratio Lee et al. cut on; span boundaries themselves are
+   served by :func:`duplicated_spans` for the removal projection.
+
+Scale story (SCALE.md §Substring-dedup): the only corpus-sized
+exchange carries (gram-key, doc_id, start) rows. The oracle-checked
+spelling keeps the K-token STRING as the key (engine-portable, exactly
+reproducible in DuckDB); the production spelling
+(:func:`substring_spans_hashed`) replaces it with ``xxhash64`` — an
+8-byte key through the shuffle, the same hashed-twin discipline as
+``dedup_minhash_portable`` vs the portable-hash registered form — and
+is machine-pinned output-identical to the string spelling on the
+fixtures (tests/test_substring_dedup.py). A 64-bit collision at corpus
+scale can only ADD a false duplicated span (never lose one), the same
+one-sided error every hash-banded dedup in this engine carries.
+
+Reference parity: the reference engine has no dedup surface at all
+(its whole pipeline is stream-processor.py's enrich/aggregate loop);
+this is a SURVEY §2.13 extension operator from the LLM-pipeline
+mandate, so there is no reference file to cite — the cited public
+algorithm is the parity target.
+
+Earmark status: registry is at its 148-slot capacity (see
+plans/registry.py CAPACITY DECISION), so this lands as a
+permanent-tier earmark gated by the same DuckDB harness the driver
+runs (tests/test_substring_dedup.py), first in line for an r15+ slot
+if one frees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .bpe import _D_WORDS, _WORDS
+
+# K = 8 tokens at fixture scale (the synthetic docs average ~55 words;
+# Lee et al.'s production setting is 50 — the knob, not the shape).
+SUBDUP_K = 8
+
+
+def _gram_table(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, start, gram, n_tokens): every K-token window of every
+    document, 1-based start. One map-side pass (sequence + transform +
+    posexplode); documents shorter than K yield no rows. n_tokens rides
+    along so the final report never re-scans the corpus."""
+    words = docs.select("doc_id", F.expr(_WORDS).alias("words"))
+    return (
+        words.where(F.size("words") >= k)
+        .select(
+            "doc_id",
+            F.size("words").alias("n_tokens"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(words) - {k} + 1), "
+                    f"i -> array_join(slice(words, i, {k}), ' '))"
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("pos0") + 1).alias("start"),
+            "gram",
+        )
+    )
+
+
+def _spans_from_hits(hits: DataFrame, k: int) -> DataFrame:
+    """(doc_id, n_tokens, span_start, span_end): maximal
+    overlapping-or-adjacent merged spans from (doc_id, n_tokens, start)
+    hit rows — the island window described in the module docstring.
+    Both windows share ONE (doc_id, start) sort exchange."""
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    new_island = F.when(
+        F.col("start")
+        > F.coalesce(F.max("start").over(w_prev), F.lit(-k)) + k,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        hits.withColumn("new_island", new_island)
+        .withColumn("island", F.sum("new_island").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.min("start").alias("span_start"),
+            (F.max("start") + F.lit(k - 1)).alias("span_end"),
+        )
+        .drop("island")
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame, k: int = SUBDUP_K, hashed: bool = False
+) -> DataFrame:
+    """(doc_id, n_tokens, span_start, span_end): the maximal token
+    spans of each document whose every K-gram occurs in at least one
+    other document — the removal intervals of Lee et al.'s
+    exact-substring dedup. ``hashed=True`` swaps the K-token string
+    shuffle key for xxhash64 (the production spelling; 8 bytes through
+    the exchange, one-sided span-adding error on collision)."""
+    grams = _gram_table(docs, k)
+    if hashed:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    # unhinted: the duplicated-gram set is corpus-dependent — AQE
+    # decides broadcast-vs-shuffle at runtime (the heavy-hitters
+    # verify-join precedent, VERDICT r12 #2)
+    hits = grams.join(dup, "gram", "left_semi").select(
+        "doc_id", "n_tokens", "start"
+    )
+    return _spans_from_hits(hits, k)
+
+
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_spans, dup_tokens, n_tokens) for every document with
+    at least one cross-document duplicated K-token span — the
+    per-document accounting a curation threshold (e.g. "drop documents
+    more than half duplicated") consumes."""
+    spans = duplicated_spans(load_table(spark, sf_dir, "documents"))
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("dup_tokens"),
+        F.first("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def q_substring_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-key spelling of :func:`q_substring_spans`
+    (xxhash64 gram keys) — machine-pinned output-identical to the
+    string spelling on the fixtures."""
+    spans = duplicated_spans(
+        load_table(spark, sf_dir, "documents"), hashed=True
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("dup_tokens"),
+        F.first("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def _oracle_substring_spans(k: int = SUBDUP_K) -> str:
+    """DuckDB re-derivation: the same six stages over the same
+    tokenizer, K-grams via list_slice, the same island window."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_D_WORDS} AS words FROM documents
+), g AS (
+  SELECT doc_id, len(words) AS n_tokens, u.i AS start,
+         array_to_string(list_slice(words, u.i, u.i + {k} - 1), ' ') AS gram
+  FROM w, unnest(range(1, len(words) - {k} + 2)) u(i)
+  WHERE len(words) >= {k}
+), d AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT g.doc_id, g.n_tokens, g.start FROM g JOIN d USING (gram)
+), isl AS (
+  SELECT doc_id, n_tokens, start,
+         CASE WHEN start > coalesce(max(start) OVER (
+                  PARTITION BY doc_id ORDER BY start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -{k}) + {k}
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+), num AS (
+  SELECT doc_id, n_tokens, start,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, any_value(n_tokens) AS n_tokens, island,
+         min(start) AS span_start, max(start) + {k} - 1 AS span_end
+  FROM num GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+       CAST(any_value(n_tokens) AS BIGINT) AS n_tokens
+FROM spans GROUP BY doc_id
+"""
+
+
+QUERIES: dict = {}
+
+# Permanent earmark tier (plans/registry.py capacity decision): gated
+# every build by tests/test_substring_dedup.py's DuckDB compare — the
+# same harness the driver runs — plus the planted-corpus battery and
+# the hashed-twin pin. First in line for a freed r15+ slot.
+EARMARKS = {
+    "dedup_substring_spans": (q_substring_spans, _oracle_substring_spans()),
+}

@@ -1,0 +1,184 @@
+"""Exact-substring dedup (operators/substring_dedup.py) — the DuckDB
+oracle gate (the same compare the driver runs, both fixture scales),
+the planted-corpus semantics battery, the hashed production twin pin,
+and the plan shape. Permanent-tier earmark: this file IS its driver
+gate until a registry slot frees (plans/registry.py capacity
+decision)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtimedatapipeline_8_project_spark.operators.substring_dedup import (
+    SUBDUP_K,
+    EARMARKS,
+    duplicated_spans,
+    q_substring_spans,
+    q_substring_spans_hashed,
+    _oracle_substring_spans,
+)
+
+from .oracle_harness import compare, duck_connection
+
+
+def test_substring_spans_matches_duckdb_oracle_small(spark, sf_small):
+    con = duck_connection(sf_small)
+    try:
+        df = q_substring_spans(spark, sf_small)
+        assert not compare(
+            df, con, _oracle_substring_spans(), "dedup_substring_spans"
+        )
+    finally:
+        con.close()
+
+
+@pytest.mark.slow
+def test_substring_spans_matches_duckdb_oracle_driver_scale(
+    spark, sf_oracle
+):
+    con = duck_connection(sf_oracle)
+    try:
+        df = q_substring_spans(spark, sf_oracle)
+        assert not compare(
+            df, con, _oracle_substring_spans(), "dedup_substring_spans"
+        )
+    finally:
+        con.close()
+
+
+def test_earmark_entry_is_the_gated_pair():
+    fn, sql = EARMARKS["dedup_substring_spans"]
+    assert fn is q_substring_spans
+    assert "HAVING count(DISTINCT doc_id) >= 2" in sql
+
+
+# --- planted-corpus semantics -----------------------------------------------
+
+_SHARED_12 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu"
+_FILL_A = "one two three four five six seven eight nine ten"
+_FILL_B = "red orange yellow green blue indigo violet umber ochre teal"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _spans(docs, **kw):
+    return sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_spans(docs, **kw).collect()
+    )
+
+
+def test_planted_shared_passage_is_one_maximal_span(spark):
+    """A 12-token passage shared by two docs (K=8) merges its 5
+    overlapping duplicated 8-grams into ONE maximal span covering
+    exactly the passage — at the right offsets in each doc."""
+    docs = _docs(
+        spark,
+        [
+            (1, f"{_SHARED_12} {_FILL_A}"),  # passage at tokens 1..12
+            (2, f"{_FILL_B} {_SHARED_12}"),  # passage at tokens 11..22
+        ],
+    )
+    assert _spans(docs) == [(1, 1, 12), (2, 11, 22)]
+
+
+def test_planted_within_doc_repeat_not_flagged(spark):
+    """The SAME 8-gram twice inside one doc (absent elsewhere) is
+    text_repetition's business, not cross-document dedup — countDistinct
+    doc_id >= 2 must not fire."""
+    eight = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(
+        spark,
+        [(1, f"{eight} {_FILL_A} {eight}"), (2, _FILL_B)],
+    )
+    assert _spans(docs) == []
+
+
+def test_planted_sub_k_shared_span_not_flagged(spark):
+    """A shared 7-token span (< K = 8) has no shared K-gram."""
+    seven = "alpha beta gamma delta epsilon zeta eta"
+    docs = _docs(
+        spark,
+        [(1, f"{seven} {_FILL_A}"), (2, f"{seven} {_FILL_B}")],
+    )
+    assert _spans(docs) == []
+
+
+def test_planted_two_separated_passages_stay_two_spans(spark):
+    """Two shared 8-token passages with a non-duplicated gap between
+    them in doc 1 must NOT merge (gap > 0 tokens); doc 2 carries them
+    back to back, where overlap-or-adjacent merge folds them into one
+    22-token span (8 + 8 back-to-back = adjacent islands: the text
+    between the two is itself fully duplicated)."""
+    p1 = "alpha beta gamma delta epsilon zeta eta theta"
+    p2 = "north south east west up down left right"
+    docs = _docs(
+        spark,
+        [
+            (1, f"{p1} {_FILL_A} {p2}"),  # p1 at 1..8, p2 at 19..26
+            (2, f"{p1} {p2}"),  # adjacent: 1..8 and 9..16
+            (3, _FILL_B),  # unique filler: no hits
+        ],
+    )
+    got = _spans(docs)
+    assert (1, 1, 8) in got and (1, 19, 26) in got
+    assert (2, 1, 16) in got
+    assert len(got) == 3
+
+
+def test_empty_corpus_contract(spark):
+    docs = _docs(spark, [])
+    out = duplicated_spans(docs)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id",
+        "n_tokens",
+        "span_start",
+        "span_end",
+    ]
+
+
+def test_partitioning_invariance(spark, sf_small):
+    """The report is a pure function of the corpus — 1-partition and
+    13-partition inputs must agree row for row."""
+    from realtimedatapipeline_8_project_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+
+    def run(d):
+        spans = duplicated_spans(d)
+        return sorted(map(tuple, spans.collect()))
+
+    assert run(docs.repartition(13)) == run(docs.coalesce(1))
+
+
+def test_hashed_twin_output_identical(spark, sf_small):
+    """The xxhash64 production key (8 bytes through the gram exchange)
+    must reproduce the string-key spelling's output exactly on the
+    fixture — the dedup_minhash_portable twin discipline."""
+    a = sorted(map(tuple, q_substring_spans(spark, sf_small).collect()))
+    b = sorted(
+        map(tuple, q_substring_spans_hashed(spark, sf_small).collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_plan_no_cartesian_one_gram_exchange(spark, sf_small):
+    """Plan shape: left-semi join against the duplicated-gram set (AQE
+    decides the strategy), no cartesian product, and the documents
+    scan reads ONLY (doc_id, text)."""
+    from .test_plans import plan_of_df
+
+    p = plan_of_df(q_substring_spans(spark, sf_small))
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p
+    scans = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert scans, "no parquet scan in plan"
+    for l in scans:
+        assert "doc_id" in l and "text" in l
+        assert "lang" not in l and "n_chars" not in l
