@@ -193,6 +193,108 @@ def q_substring_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, kept_tokens, cleaned_sha) for EVERY document:
+    the removal projection — tokens inside any duplicated span are cut,
+    and the cleaned text is fingerprinted with the engine-portable
+    sha256 (the dedup_exact_fingerprint digest discipline) so the
+    oracle value-checks the RECONSTRUCTED text, not just counts. A
+    fully-duplicated document keeps 0 tokens and fingerprints the empty
+    string; documents without spans keep everything."""
+    k = SUBDUP_K
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(_WORDS).alias("words"),
+    )
+    spans = (
+        duplicated_spans(docs, k)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            ).alias("spans")
+        )
+    )
+    # left join: most docs have no spans; the spans side is the small,
+    # corpus-dependent one (unhinted — AQE decides, as in the gram join)
+    return (
+        words.join(spans, "doc_id", "left")
+        .withColumn(
+            "cleaned",
+            F.expr(
+                "filter(words, (w, i) -> spans IS NULL OR "
+                "NOT exists(spans, sp -> i + 1 >= sp.s AND i + 1 <= sp.e))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.size("words").cast("long").alias("n_tokens"),
+            F.size("cleaned").cast("long").alias("kept_tokens"),
+            F.sha2(F.array_join(F.col("cleaned"), " "), 256).alias(
+                "cleaned_sha"
+            ),
+        )
+    )
+
+
+def _oracle_substring_cut(k: int = SUBDUP_K) -> str:
+    """DuckDB re-derivation of the removal projection: the span
+    pipeline, then positional anti-join + ordered string_agg + sha256
+    of the reconstructed cleaned text."""
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_D_WORDS} AS words FROM documents
+), g AS (
+  SELECT doc_id, u.i AS start,
+         array_to_string(list_slice(words, u.i, u.i + {k} - 1), ' ') AS gram
+  FROM w, unnest(range(1, len(words) - {k} + 2)) u(i)
+  WHERE len(words) >= {k}
+), d AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT g.doc_id, g.start FROM g JOIN d USING (gram)
+), isl AS (
+  SELECT doc_id, start,
+         CASE WHEN start > coalesce(max(start) OVER (
+                  PARTITION BY doc_id ORDER BY start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -{k}) + {k}
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+), num AS (
+  SELECT doc_id, start,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, island, min(start) AS span_start,
+         max(start) + {k} - 1 AS span_end
+  FROM num GROUP BY doc_id, island
+), pos AS (
+  SELECT w.doc_id, u.i AS i, words[u.i] AS word
+  FROM w, unnest(range(1, len(words) + 1)) u(i)
+), cut AS (
+  SELECT p.doc_id, p.i, p.word
+  FROM pos p LEFT JOIN spans s
+    ON p.doc_id = s.doc_id AND p.i BETWEEN s.span_start AND s.span_end
+  WHERE s.doc_id IS NULL
+), agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+         string_agg(word, ' ' ORDER BY i) AS cleaned
+  FROM cut GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.words) AS BIGINT) AS n_tokens,
+       coalesce(a.kept_tokens, 0) AS kept_tokens,
+       sha256(coalesce(a.cleaned, '')) AS cleaned_sha
+FROM w LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _oracle_substring_spans(k: int = SUBDUP_K) -> str:
     """DuckDB re-derivation: the same six stages over the same
     tokenizer, K-grams via list_slice, the same island window."""
@@ -242,4 +344,5 @@ QUERIES: dict = {}
 # the hashed-twin pin. First in line for a freed r15+ slot.
 EARMARKS = {
     "dedup_substring_spans": (q_substring_spans, _oracle_substring_spans()),
+    "dedup_substring_cut": (q_substring_cut, _oracle_substring_cut()),
 }

@@ -159,12 +159,15 @@ _MODULES = (
 #   imported until r14; train registers r14; encode's production-scale
 #   Arrow twin landed r13 with the K=64 equality pin, so encode is
 #   eligible when a slot frees)
-# - dedup_substring_spans (operators/substring_dedup.py EARMARKS, NEW
-#   r14 — Lee et al. exact-substring dedup, the last named public
-#   method missing from the dedup family; oracle-gated at both fixture
-#   scales by tests/test_substring_dedup.py with the planted battery,
-#   hashed production twin, and plan pin; module not registry-imported
-#   — first in line with text_bpe_encode if an r15+ slot frees)
+# - dedup_substring_spans + dedup_substring_cut
+#   (operators/substring_dedup.py EARMARKS, NEW r14 — Lee et al.
+#   exact-substring dedup: the span report and the removal projection
+#   with the portable-sha256 cleaned-text oracle; oracle-gated at both
+#   fixture scales by tests/test_substring_dedup.py with the planted
+#   battery, hashed production twin, random island-merge sweep, and
+#   the kept==n-dup cross-operator identity; module not
+#   registry-imported — first in line with text_bpe_encode if an
+#   r15+ slot frees)
 #
 # R12 IDLE MEASUREMENTS for the earmark candidates (sf0.1, local[32],
 # quiet host, warm artifacts, 2 independent runs x 2 timed iterations,

@@ -182,3 +182,153 @@ def test_plan_no_cartesian_one_gram_exchange(spark, sf_small):
     for l in scans:
         assert "doc_id" in l and "text" in l
         assert "lang" not in l and "n_chars" not in l
+
+
+def test_island_merge_matches_python_reference_random_sweep(spark):
+    """The island window (running-max merge) against a pure-Python
+    interval-union reference over 200 seeded-random hit sets, all in
+    ONE Spark job (doc_id = case index). Catches off-by-ones at every
+    gap/adjacency/overlap boundary the planted cases can't enumerate."""
+    import random
+
+    from realtimedatapipeline_8_project_spark.operators.substring_dedup import (
+        _spans_from_hits,
+    )
+
+    rng = random.Random(0xD14)
+    k = SUBDUP_K
+    cases = {}
+    rows = []
+    for doc in range(200):
+        n = rng.randint(1, 30)
+        starts = sorted(rng.sample(range(1, 80), n))
+        cases[doc] = starts
+        rows.extend((doc, 999, s) for s in starts)
+
+    def py_merge(starts):
+        spans = []
+        for s in starts:
+            if spans and s <= spans[-1][1] + 1:  # overlap or adjacent
+                spans[-1][1] = max(spans[-1][1], s + k - 1)
+            else:
+                spans.append([s, s + k - 1])
+        return [tuple(x) for x in spans]
+
+    hits = spark.createDataFrame(
+        rows, "doc_id long, n_tokens long, start long"
+    )
+    got = {}
+    for r in _spans_from_hits(hits, k).collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for doc, starts in cases.items():
+        assert sorted(got.get(doc, [])) == py_merge(starts), (
+            doc,
+            starts,
+        )
+
+
+def test_substring_cut_matches_duckdb_oracle_small(spark, sf_small):
+    from realtimedatapipeline_8_project_spark.operators.substring_dedup import (
+        _oracle_substring_cut,
+        q_substring_cut,
+    )
+
+    con = duck_connection(sf_small)
+    try:
+        df = q_substring_cut(spark, sf_small)
+        assert not compare(
+            df, con, _oracle_substring_cut(), "dedup_substring_cut"
+        )
+    finally:
+        con.close()
+
+
+@pytest.mark.slow
+def test_substring_cut_matches_duckdb_oracle_driver_scale(spark, sf_oracle):
+    from realtimedatapipeline_8_project_spark.operators.substring_dedup import (
+        _oracle_substring_cut,
+        q_substring_cut,
+    )
+
+    con = duck_connection(sf_oracle)
+    try:
+        df = q_substring_cut(spark, sf_oracle)
+        assert not compare(
+            df, con, _oracle_substring_cut(), "dedup_substring_cut"
+        )
+    finally:
+        con.close()
+
+
+def test_cut_is_spans_complement(spark, sf_small):
+    """Cross-operator identity: for every document, kept_tokens ==
+    n_tokens - dup_tokens (docs without spans keep everything) — the
+    cut projection and the span report must agree exactly, or one of
+    them is lying about the intervals."""
+    from realtimedatapipeline_8_project_spark.operators.substring_dedup import (
+        q_substring_cut,
+    )
+
+    spans = {
+        r.doc_id: (r.dup_tokens, r.n_tokens)
+        for r in q_substring_spans(spark, sf_small).collect()
+    }
+    cut = q_substring_cut(spark, sf_small).collect()
+    assert len(cut) == 500  # every document reports
+    for r in cut:
+        dup, _ = spans.get(r.doc_id, (0, None))
+        assert r.kept_tokens == r.n_tokens - dup, r.doc_id
+
+
+def test_cut_planted_semantics(spark):
+    """A fully-duplicated doc keeps 0 tokens and fingerprints the empty
+    string; the partially-duplicated doc keeps exactly its unique
+    tokens in order; a unique doc keeps everything and its fingerprint
+    equals sha256 of the tokenized original."""
+    import hashlib
+
+    from realtimedatapipeline_8_project_spark.operators.substring_dedup import (
+        duplicated_spans,
+        q_substring_cut,
+    )
+
+    eight = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _docs(
+        spark,
+        [
+            (1, eight),  # fully duplicated vs doc 2
+            (2, f"{eight} {_FILL_A}"),  # prefix duplicated, fill kept
+            (3, _FILL_B),  # unique
+        ],
+    )
+    # reuse the operator internals on the planted frame: cut = words
+    # outside duplicated_spans — same join the table query performs
+    spans = duplicated_spans(docs)
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end) for r in spans.collect()
+    )
+    assert got == [(1, 1, 8), (2, 1, 8)]
+
+    # drive the full projection through a temp "documents" fixture
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.withColumn("lang", F.lit("en")).withColumn(
+            "source", F.lit("t")
+        ).withColumn("n_chars", F.length("text")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(td, "documents.parquet"))
+        out = {r.doc_id: r for r in q_substring_cut(spark, td).collect()}
+    assert out[1].kept_tokens == 0
+    assert out[1].cleaned_sha == hashlib.sha256(b"").hexdigest()
+    assert out[2].kept_tokens == 10
+    assert (
+        out[2].cleaned_sha
+        == hashlib.sha256(_FILL_A.encode()).hexdigest()
+    )
+    assert out[3].kept_tokens == 10
+    assert (
+        out[3].cleaned_sha
+        == hashlib.sha256(_FILL_B.encode()).hexdigest()
+    )
