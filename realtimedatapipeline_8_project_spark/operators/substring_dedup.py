@@ -336,6 +336,144 @@ FROM spans GROUP BY doc_id
 """
 
 
+# --- incremental (delta-vs-base) form ---------------------------------------
+# The crawl-snapshot question: classify a NEW batch of documents
+# against the existing corpus WITHOUT recomputing the corpus's own
+# spans. Exactly the dedup_incremental fixture discipline: the delta
+# is derived deterministically from the fixture (prefix-copies that
+# duplicate base passages + token-reversed fresh docs), so the DuckDB
+# oracle reproduces it verbatim.
+
+INC_SUB_COPY_EVERY = 7  # every 7th doc contributes a prefix copy
+INC_SUB_COPY_OFFSET = 1_000_000
+INC_SUB_FRESH_EVERY = 11  # every 11th doc contributes a reversed doc
+INC_SUB_FRESH_OFFSET = 2_000_000
+INC_SUB_PREFIX = 20  # the copied passage: the base doc's first 20 tokens
+
+
+def _sub_delta(docs: DataFrame) -> DataFrame:
+    """The deterministic incoming batch: (a) prefix copies — the first
+    INC_SUB_PREFIX tokens of every INC_SUB_COPY_EVERY-th document (a
+    passage that IS duplicated against base), (b) token-reversed copies
+    of every INC_SUB_FRESH_EVERY-th document (same vocabulary, but no
+    K-gram survives reversal — fresh text)."""
+    words = F.expr(_WORDS)
+    copies = docs.where(
+        F.col("doc_id") % INC_SUB_COPY_EVERY == 0
+    ).select(
+        (F.col("doc_id") + INC_SUB_COPY_OFFSET).alias("doc_id"),
+        F.array_join(F.slice(words, 1, INC_SUB_PREFIX), " ").alias("text"),
+    )
+    fresh = docs.where(
+        F.col("doc_id") % INC_SUB_FRESH_EVERY == 0
+    ).select(
+        (F.col("doc_id") + INC_SUB_FRESH_OFFSET).alias("doc_id"),
+        F.array_join(F.reverse(words), " ").alias("text"),
+    )
+    return copies.unionByName(fresh)
+
+
+def incremental_substring_spans(
+    base: DataFrame, delta: DataFrame, k: int = SUBDUP_K
+) -> DataFrame:
+    """Maximal duplicated spans of the DELTA documents against
+    (base ∪ delta): a delta K-gram is duplicated iff it occurs in the
+    base gram set OR in >= 2 delta documents. Machine-pinned identical
+    to the full-corpus operator restricted to delta ids
+    (tests/test_substring_dedup.py) — the scoping is the report, not
+    the semantics. The base side contributes ONLY its distinct gram
+    set (at scale: the maintained gram artifact — base text is never
+    re-scanned per batch once that set is stored); base documents'
+    own span reports are the FULL operator's business."""
+    gb = _gram_table(base, k).select("gram").distinct()
+    gd = _gram_table(delta, k)
+    dup_delta = (
+        gd.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    dup = gb.unionByName(dup_delta)
+    # unhinted semi join, the full operator's discipline (AQE decides)
+    hits = gd.join(dup, "gram", "left_semi").select(
+        "doc_id", "n_tokens", "start"
+    )
+    return _spans_from_hits(hits, k)
+
+
+def q_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_spans, dup_tokens, n_tokens) for the delta documents
+    with at least one span duplicated against (corpus ∪ batch) — the
+    per-batch curation report for incoming crawl data."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = incremental_substring_spans(docs, _sub_delta(docs))
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("dup_tokens"),
+        F.first("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def _oracle_substring_incremental(k: int = SUBDUP_K) -> str:
+    """DuckDB re-derivation via the IDENTITY the incremental spelling
+    is pinned to: the full span pipeline over (base ∪ delta),
+    restricted to delta doc_ids."""
+    dw_text = _D_WORDS
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+), bw AS (
+  SELECT doc_id, {dw_text} AS words FROM base
+), delta AS (
+  SELECT doc_id + {INC_SUB_COPY_OFFSET} AS doc_id,
+         array_to_string(list_slice(words, 1, {INC_SUB_PREFIX}), ' ') AS text
+  FROM bw WHERE doc_id % {INC_SUB_COPY_EVERY} = 0
+  UNION ALL
+  SELECT doc_id + {INC_SUB_FRESH_OFFSET},
+         array_to_string(list_reverse(words), ' ')
+  FROM bw WHERE doc_id % {INC_SUB_FRESH_EVERY} = 0
+), everything AS (
+  SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM delta
+), w AS (
+  SELECT doc_id, {dw_text} AS words FROM everything
+), g AS (
+  SELECT doc_id, len(words) AS n_tokens, u.i AS start,
+         array_to_string(list_slice(words, u.i, u.i + {k} - 1), ' ') AS gram
+  FROM w, unnest(range(1, len(words) - {k} + 2)) u(i)
+  WHERE len(words) >= {k}
+), d AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT g.doc_id, g.n_tokens, g.start FROM g JOIN d USING (gram)
+  WHERE g.doc_id >= {INC_SUB_COPY_OFFSET}
+), isl AS (
+  SELECT doc_id, n_tokens, start,
+         CASE WHEN start > coalesce(max(start) OVER (
+                  PARTITION BY doc_id ORDER BY start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -{k}) + {k}
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+), num AS (
+  SELECT doc_id, n_tokens, start,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, any_value(n_tokens) AS n_tokens, island,
+         min(start) AS span_start, max(start) + {k} - 1 AS span_end
+  FROM num GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+       CAST(any_value(n_tokens) AS BIGINT) AS n_tokens
+FROM spans GROUP BY doc_id
+"""
+
+
 QUERIES: dict = {}
 
 # Permanent earmark tier (plans/registry.py capacity decision): gated
@@ -345,4 +483,8 @@ QUERIES: dict = {}
 EARMARKS = {
     "dedup_substring_spans": (q_substring_spans, _oracle_substring_spans()),
     "dedup_substring_cut": (q_substring_cut, _oracle_substring_cut()),
+    "dedup_substring_incremental": (
+        q_substring_incremental,
+        _oracle_substring_incremental(),
+    ),
 }

@@ -159,10 +159,13 @@ _MODULES = (
 #   imported until r14; train registers r14; encode's production-scale
 #   Arrow twin landed r13 with the K=64 equality pin, so encode is
 #   eligible when a slot frees)
-# - dedup_substring_spans + dedup_substring_cut
+# - dedup_substring_spans + dedup_substring_cut +
+#   dedup_substring_incremental
 #   (operators/substring_dedup.py EARMARKS, NEW r14 — Lee et al.
-#   exact-substring dedup: the span report and the removal projection
-#   with the portable-sha256 cleaned-text oracle; oracle-gated at both
+#   exact-substring dedup: the span report, the removal projection
+#   with the portable-sha256 cleaned-text oracle, and the
+#   delta-vs-base batch form pinned to the full-union identity;
+#   oracle-gated at both
 #   fixture scales by tests/test_substring_dedup.py with the planted
 #   battery, hashed production twin, random island-merge sweep, and
 #   the kept==n-dup cross-operator identity; module not

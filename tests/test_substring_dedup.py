@@ -332,3 +332,99 @@ def test_cut_planted_semantics(spark):
         out[3].cleaned_sha
         == hashlib.sha256(_FILL_B.encode()).hexdigest()
     )
+
+
+def test_substring_incremental_matches_duckdb_oracle_small(spark, sf_small):
+    from realtimedatapipeline_8_project_spark.operators.substring_dedup import (
+        _oracle_substring_incremental,
+        q_substring_incremental,
+    )
+
+    con = duck_connection(sf_small)
+    try:
+        df = q_substring_incremental(spark, sf_small)
+        assert not compare(
+            df,
+            con,
+            _oracle_substring_incremental(),
+            "dedup_substring_incremental",
+        )
+    finally:
+        con.close()
+
+
+@pytest.mark.slow
+def test_substring_incremental_matches_duckdb_oracle_driver_scale(
+    spark, sf_oracle
+):
+    from realtimedatapipeline_8_project_spark.operators.substring_dedup import (
+        _oracle_substring_incremental,
+        q_substring_incremental,
+    )
+
+    con = duck_connection(sf_oracle)
+    try:
+        df = q_substring_incremental(spark, sf_oracle)
+        assert not compare(
+            df,
+            con,
+            _oracle_substring_incremental(),
+            "dedup_substring_incremental",
+        )
+    finally:
+        con.close()
+
+
+def test_incremental_identity_vs_full_union(spark, sf_small):
+    """The scoping pin: incremental(base, delta) must equal the FULL
+    operator over (base ∪ delta) restricted to delta doc_ids — the
+    incremental spelling changes the plan (base contributes only its
+    distinct gram set), never the semantics."""
+    from realtimedatapipeline_8_project_spark.operators.substring_dedup import (
+        INC_SUB_COPY_OFFSET,
+        _sub_delta,
+        incremental_substring_spans,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    delta = _sub_delta(docs)
+    union = docs.select("doc_id", "text").unionByName(delta)
+    full = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_spans(union).collect()
+        if r.doc_id >= INC_SUB_COPY_OFFSET
+    )
+    inc = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in incremental_substring_spans(docs, delta).collect()
+    )
+    assert inc == full and len(inc) > 0
+
+
+def test_incremental_planted_semantics(spark):
+    """Copy-of-base passage flagged at full span; reversed text not
+    flagged; a passage shared by two DELTA docs (absent from base)
+    flagged in both — the within-batch leg of the dup test."""
+    from realtimedatapipeline_8_project_spark.operators.substring_dedup import (
+        incremental_substring_spans,
+    )
+
+    base = _docs(spark, [(1, f"{_SHARED_12} {_FILL_A}")])
+    p_new = "north south east west up down left right nine ten"
+    delta = _docs(
+        spark,
+        [
+            (101, _SHARED_12),  # copies a base passage: fully flagged
+            (102, " ".join(reversed(_SHARED_12.split()))),  # fresh
+            (103, f"{p_new} {_FILL_B}"),  # shares p_new with 104 only
+            (104, p_new),
+        ],
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in incremental_substring_spans(base, delta).collect()
+    )
+    assert got == [(101, 1, 12), (103, 1, 10), (104, 1, 10)]
