@@ -1660,10 +1660,14 @@ def fleet_query_frame(
     spark: SparkSession, sf_dir: str, qids
 ) -> DataFrame:
     """The (qid, qv) query frame the batch probes consume, built from
-    the memoized fleet vectors as a LOCAL relation — zero table scans in
-    the serving call, and a local relation is exactly what
+    the memoized fleet vectors as a driver-local one-slice RDD scan —
+    zero table scans in the serving call, which is what
     :func:`ivf_probe_batch` wants on the Q side (the codebook broadcasts
-    INTO it; Q itself is never force-broadcast).
+    INTO it; Q itself is never force-broadcast). Note this plans as
+    Scan ExistingRDD, not LocalRelation — the optimizer sees no exact
+    pre-AQE size statistics for Q, which is fine because every join
+    against it is either unhinted (AQE measures at runtime) or
+    broadcasts the OTHER side.
 
     ONE slice, not defaultParallelism: ``createDataFrame`` on a Python
     list parallelizes into 32 near-empty slices on local[32], and every

@@ -9,8 +9,11 @@ covers whole-document exact (``dedup_exact_fingerprint``), near-dup
 (MinHash/SimHash banding), semantic (codebook blocks) and train/test
 contamination (``contamination_ngram_overlap``, doc-pair overlap
 ratios); this module adds the SPAN-level operator: for every document,
-the maximal token ranges whose every K-gram also occurs in some OTHER
-document, plus the per-document duplication accounting a curation
+the maximal token ranges in which EVERY TOKEN is covered by at least
+one K-gram that also occurs in some OTHER document (adjacent covered
+regions merge, so a merged span may contain straddling K-grams that
+are themselves unique — the invariant is token coverage, not per-gram
+duplication), plus the per-document duplication accounting a curation
 pipeline thresholds on.
 
 Pipeline (all DataFrame ops, one logical shape in Spark and DuckDB):
@@ -139,11 +142,13 @@ def duplicated_spans(
     docs: DataFrame, k: int = SUBDUP_K, hashed: bool = False
 ) -> DataFrame:
     """(doc_id, n_tokens, span_start, span_end): the maximal token
-    spans of each document whose every K-gram occurs in at least one
-    other document — the removal intervals of Lee et al.'s
-    exact-substring dedup. ``hashed=True`` swaps the K-token string
-    shuffle key for xxhash64 (the production spelling; 8 bytes through
-    the exchange, one-sided span-adding error on collision)."""
+    spans of each document in which every token is covered by a
+    K-gram that occurs in at least one other document (see the module
+    docstring's coverage-not-per-gram invariant) — the removal
+    intervals of Lee et al.'s exact-substring dedup. ``hashed=True``
+    swaps the K-token string shuffle key for xxhash64 (the production
+    spelling; 8 bytes through the exchange, one-sided span-adding
+    error on collision)."""
     grams = _gram_table(docs, k)
     if hashed:
         grams = grams.withColumn("gram", F.xxhash64("gram"))
@@ -162,18 +167,27 @@ def duplicated_spans(
     return _spans_from_hits(hits, k)
 
 
-def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_spans, dup_tokens, n_tokens) for every document with
-    at least one cross-document duplicated K-token span — the
-    per-document accounting a curation threshold (e.g. "drop documents
-    more than half duplicated") consumes."""
-    spans = duplicated_spans(load_table(spark, sf_dir, "documents"))
+def _span_report(spans: DataFrame) -> DataFrame:
+    """(doc_id, n_spans, dup_tokens, n_tokens): the per-document
+    accounting every query form serves — ONE spelling so the hashed
+    twin and the incremental form can never drift from the registered
+    report shape (review r14)."""
     return spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum(F.col("span_end") - F.col("span_start") + 1)
         .cast("long")
         .alias("dup_tokens"),
         F.first("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_spans, dup_tokens, n_tokens) for every document with
+    at least one cross-document duplicated K-token span — the
+    per-document accounting a curation threshold (e.g. "drop documents
+    more than half duplicated") consumes."""
+    return _span_report(
+        duplicated_spans(load_table(spark, sf_dir, "documents"))
     )
 
 
@@ -181,15 +195,8 @@ def q_substring_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production-key spelling of :func:`q_substring_spans`
     (xxhash64 gram keys) — machine-pinned output-identical to the
     string spelling on the fixtures."""
-    spans = duplicated_spans(
-        load_table(spark, sf_dir, "documents"), hashed=True
-    )
-    return spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_spans"),
-        F.sum(F.col("span_end") - F.col("span_start") + 1)
-        .cast("long")
-        .alias("dup_tokens"),
-        F.first("n_tokens").cast("long").alias("n_tokens"),
+    return _span_report(
+        duplicated_spans(load_table(spark, sf_dir, "documents"), hashed=True)
     )
 
 
@@ -203,10 +210,15 @@ def q_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     string; documents without spans keep everything."""
     k = SUBDUP_K
     docs = load_table(spark, sf_dir, "documents")
+    # NULL text tokenizes as the empty document (review r14): the
+    # DuckDB oracle's pos CTE yields zero rows for it and coalesces to
+    # (0, sha256('')), so the Spark side must not null-propagate
+    # through _WORDS -> filter -> sha2. (The span queries are immune:
+    # a NULL-words doc fails size >= K on both engines.)
     words = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.expr(_WORDS).alias("words"),
-    )
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    ).select("doc_id", F.expr(_WORDS).alias("words"))
     spans = (
         duplicated_spans(docs, k)
         .groupBy("doc_id")
@@ -244,10 +256,13 @@ def q_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_substring_cut(k: int = SUBDUP_K) -> str:
     """DuckDB re-derivation of the removal projection: the span
     pipeline, then positional anti-join + ordered string_agg + sha256
-    of the reconstructed cleaned text."""
+    of the reconstructed cleaned text. NULL text coalesces to the
+    empty document on BOTH engines (review r14)."""
     return f"""
-WITH w AS (
-  SELECT doc_id, {_D_WORDS} AS words FROM documents
+WITH t AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+), w AS (
+  SELECT doc_id, {_D_WORDS} AS words FROM t
 ), g AS (
   SELECT doc_id, u.i AS start,
          array_to_string(list_slice(words, u.i, u.i + {k} - 1), ' ') AS gram
@@ -406,14 +421,7 @@ def q_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     with at least one span duplicated against (corpus ∪ batch) — the
     per-batch curation report for incoming crawl data."""
     docs = load_table(spark, sf_dir, "documents")
-    spans = incremental_substring_spans(docs, _sub_delta(docs))
-    return spans.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_spans"),
-        F.sum(F.col("span_end") - F.col("span_start") + 1)
-        .cast("long")
-        .alias("dup_tokens"),
-        F.first("n_tokens").cast("long").alias("n_tokens"),
-    )
+    return _span_report(incremental_substring_spans(docs, _sub_delta(docs)))
 
 
 def _oracle_substring_incremental(k: int = SUBDUP_K) -> str:

@@ -113,7 +113,9 @@ _MODULES = (
 #     tests/test_distribution.py), dist_heavy_hitters (retire
 #     sketch_count_min_estimate — exact answer to the same frequency
 #     question; count-min overcount bound stays machine-checked in
-#     tests/test_properties.py), text_bpe_train (retire
+#     tests/test_functions.py:test_count_min_overcount_guarantee, and
+#     the estimate ORACLE stays value-checked in
+#     tests/test_distribution.py's retired-slot gate), text_bpe_train (retire
 #     text_token_count — subsumed by real learned-merge tokenization;
 #     its token columns stay oracle-shaped inside text_quality_score).
 #     3 registrations -> 3 displaced refresh rows, named at r14 time.
@@ -429,8 +431,11 @@ _PRIORITY = (
 #   scale-correct spelling);
 # - sketch_count_min_estimate retired for dist_heavy_hitters (the
 #   EXACT answer to the same frequency question via weighted
-#   pigeonhole; the count-min overcount bound stays machine-checked
-#   in tests/test_properties.py);
+#   pigeonhole; the count-min overcount bound stays machine-checked in
+#   tests/test_functions.py:test_count_min_overcount_guarantee, and
+#   the estimate oracle stays value-checked by the retired-slot gate
+#   in tests/test_distribution.py — review r14 closed both the wrong
+#   citation and the dead-oracle gap for all three retirees);
 # - text_token_count retired for text_bpe_train (subsumed by real
 #   learned-merge tokenization over the same corpus; its token
 #   columns stay oracle-shaped inside text_quality_score's registered

@@ -557,3 +557,52 @@ def test_qhist_replay_of_folded_batch_is_noop(spark, sf_small, tmp_path):
     assert _qhist_compacted_through(out) == 2
     write_qhist(batches[2], 2, out)
     assert sorted(map(key, read_qhist(spark, out).collect())) == want
+
+
+def test_retired_hist_price_profile_oracle_still_value_checked(
+    spark, sf_oracle
+):
+    """hist_price_profile retired its REGISTRY slot r14 for
+    dist_quantile_hist — the registration funds the slot, but the
+    retiree precedent requires its ORACLE to stay machine-checked, not
+    just its plan shape (review r14: the original retirement left
+    ORACLE_HIST dead). The full equi-width value gate lives here, next
+    to the successor it was retired for."""
+    from realtimedatapipeline_8_project_spark.operators.reshape import (
+        QUERIES as _RS_QUERIES,
+    )
+
+    fn, sql = _RS_QUERIES["hist_price_profile"]
+    con = duck_connection(sf_oracle)
+    try:
+        assert not compare(
+            fn(spark, sf_oracle), con, sql, "hist_price_profile"
+        )
+    finally:
+        con.close()
+
+
+def test_retired_r14_slot_oracles_still_value_checked(spark, sf_oracle):
+    """The other two r14 retirees, same discipline as the histogram
+    above: sketch_count_min_estimate (slot funded dist_heavy_hitters;
+    the overcount BOUND lives in tests/test_functions.py, but the
+    min-over-depths estimate oracle itself must stay value-checked)
+    and text_token_count (slot funded text_bpe_train; its token
+    columns are oracle-shaped inside text_quality_score, and the
+    standalone compare stays here)."""
+    from realtimedatapipeline_8_project_spark.operators.sketches import (
+        QUERIES as _SK_QUERIES,
+    )
+    from realtimedatapipeline_8_project_spark.operators.text_analysis import (
+        QUERIES as _TA_QUERIES,
+    )
+
+    con = duck_connection(sf_oracle)
+    try:
+        for name, (fn, sql) in (
+            ("sketch_count_min_estimate", _SK_QUERIES["sketch_count_min_estimate"]),
+            ("text_token_count", _TA_QUERIES["text_token_count"]),
+        ):
+            assert not compare(fn(spark, sf_oracle), con, sql, name)
+    finally:
+        con.close()

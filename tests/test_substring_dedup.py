@@ -428,3 +428,45 @@ def test_incremental_planted_semantics(spark):
         for r in incremental_substring_spans(base, delta).collect()
     )
     assert got == [(101, 1, 12), (103, 1, 10), (104, 1, 10)]
+
+
+def test_cut_null_text_is_empty_document(spark):
+    """NULL text must converge on both engines (review r14): Spark
+    would null-propagate through _WORDS -> filter -> sha2 while the
+    oracle's positional CTE just yields no rows — both sides now
+    coalesce to the empty document: n_tokens 0, kept 0, sha256('')."""
+    import hashlib
+    import os
+    import tempfile
+
+    from realtimedatapipeline_8_project_spark.operators.substring_dedup import (
+        _oracle_substring_cut,
+        q_substring_cut,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, _FILL_A)], "doc_id long, text string"
+    )
+    with tempfile.TemporaryDirectory() as td:
+        docs.withColumn("lang", F.lit("en")).withColumn(
+            "source", F.lit("t")
+        ).withColumn("n_chars", F.length("text")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(td, "documents.parquet"))
+        out = {r.doc_id: r for r in q_substring_cut(spark, td).collect()}
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{os.path.join(td, 'documents.parquet')}/*.parquet')"
+        )
+        oracle = {
+            row[0]: row
+            for row in con.execute(_oracle_substring_cut()).fetchall()
+        }
+        con.close()
+    assert out[1].n_tokens == 0 and out[1].kept_tokens == 0
+    assert out[1].cleaned_sha == hashlib.sha256(b"").hexdigest()
+    assert tuple(out[1]) == oracle[1]
+    assert tuple(out[2]) == oracle[2]
