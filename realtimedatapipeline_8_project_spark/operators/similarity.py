@@ -2745,3 +2745,14 @@ QUERIES = {
     "sim_embedding_neardup": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
     "sim_embedding_stats": (q_embedding_stats, ORACLE_EMBEDDING_STATS),
 }
+
+# Permanent earmark tier (plans/registry.py capacity decision): the
+# flat-PQ serving pair and the filtered probe — family rep
+# sim_knn_ivfpq is the registered representative; these stay gated by
+# tests/test_pq.py / test_filtered_retrieval.py AND the generic
+# earmark parity gate over this dict (r14).
+EARMARKS = {
+    "sim_knn_pq_adc": (q_knn_pq_adc, _oracle_knn_pq_adc()),
+    "sim_knn_pq_rerank": (q_knn_pq_rerank, _oracle_knn_pq_rerank()),
+    "sim_knn_filtered": (q_knn_filtered_label, _oracle_knn_filtered_label()),
+}

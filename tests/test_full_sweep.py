@@ -15,7 +15,7 @@ import os
 
 import pytest
 
-from realtimedatapipeline_8_project_spark.plans.registry import QUERIES
+from realtimedatapipeline_8_project_spark.plans.registry import EARMARKS, QUERIES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SWEEP_SF_DIR", "/root/testdata/sf0.1")
 
@@ -24,4 +24,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SWEEP_SF_DIR", "/root/testdata/sf0.1")
 @pytest.mark.parametrize("name", list(QUERIES))
 def test_query_runs_at_sweep_scale(spark, name):
     QUERIES[name](spark, SF_DIR).count()
+    spark.catalog.clearCache()
+
+
+@pytest.mark.sweep
+@pytest.mark.parametrize("name", sorted(EARMARKS))
+def test_earmark_runs_at_sweep_scale(spark, name):
+    """The permanent earmark tier sweeps at sf0.1 too (r14): scale-only
+    breakage in an unregistered operator is still breakage."""
+    EARMARKS[name][0](spark, SF_DIR).count()
     spark.catalog.clearCache()

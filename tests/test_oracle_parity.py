@@ -7,7 +7,11 @@ from __future__ import annotations
 
 import pytest
 
-from realtimedatapipeline_8_project_spark.plans.registry import ORACLES, QUERIES
+from realtimedatapipeline_8_project_spark.plans.registry import (
+    EARMARKS,
+    ORACLES,
+    QUERIES,
+)
 
 from .oracle_harness import compare, duck_connection
 
@@ -48,3 +52,28 @@ def test_rows_only_queries_run(spark, sf_small, name):
     df = QUERIES[name](spark, sf_small)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+# --- the permanent earmark tier, uniformly gated ---------------------------
+# Every module EARMARKS entry gets the SAME compare the driver runs on
+# registered queries (r14): the tier's contract is "oracle-gated every
+# build", and this generic gate makes that structural — an earmark can
+# never silently lose its value check by falling out of a hand-listed
+# battery. The per-family test files keep the planted/property pins.
+
+EARMARK_NAMES = sorted(EARMARKS)
+
+
+@pytest.mark.parametrize("name", EARMARK_NAMES)
+def test_earmark_oracle_parity_sf0001(spark, sf_small, duck_small, name):
+    fn, sql = EARMARKS[name]
+    problems = compare(fn(spark, sf_small), duck_small, sql, name)
+    assert not problems, "\n".join(problems)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", EARMARK_NAMES)
+def test_earmark_oracle_parity_sf001(spark, sf_oracle, duck_mid, name):
+    fn, sql = EARMARKS[name]
+    problems = compare(fn(spark, sf_oracle), duck_mid, sql, name)
+    assert not problems, "\n".join(problems)
