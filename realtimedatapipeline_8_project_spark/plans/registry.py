@@ -295,8 +295,27 @@ _MODULES = (
 # STRUCTURAL: registry.EARMARKS (12 entries, all oracle-backed) is
 # gated generically at sf0.001/sf0.01 (test_oracle_parity) and swept
 # at sf0.1 (test_full_sweep) — 12/12/12 green at all three scales on
-# the r14 tree. The full default-suite result for the round-end tree
-# is recorded below once measured.
+# the r14 tree. Full default suite on the post-review r14 tree
+# (013fc6f + comment-only note): 1137 passed / 1 documented env-skip /
+# 0 failed (29:58); the structural-gate commit's own additions ran
+# green separately (12/12/12 + registry build checks).
+# R14 IDLE MEASUREMENTS for the NEW substring-dedup earmarks (sf0.1 =
+# 5000 docs, local[32], 2 independent sessions x 2 timed iterations,
+# 2026-08-16; stage-count-dominated at fixture scale — the gram table
+# is ~240k rows):
+#   dedup_substring_spans        [3.98,3.40]/[3.17,2.57] -> proposal 5.72
+#   (hashed production twin       [2.69,2.48]/[2.49,2.53] — the 8-byte
+#    key is already ~25% faster at fixture scale)
+#   dedup_substring_cut          [4.00,3.85]/[3.61,3.34] -> proposal 5.74
+#   dedup_substring_incremental  [3.36,2.95]/[2.19,2.16] -> proposal 4.85
+# R14 BENCH FLOOR: BENCH_LATEST.json holds the round-end idle run
+# (49.90 s warm / 55.17 cold over 81 queries, over_budget = {}).
+# Identical benched code measured 44.77 / 51.87 / 58.05 / 49.90 s
+# across four load-checked runs this session — the host carries
+# intermittent neighbor waves (confirmed 100%-idle vmstat minutes
+# before the 58 s run); the 44.77 run is the session-best honest
+# floor, keep the check-uptime-first discipline and treat anything
+# within that spread as host noise at r15.
 _PRIORITY = (
     # flagship stays verified every round
     "enrich_broadcast_left_join",
