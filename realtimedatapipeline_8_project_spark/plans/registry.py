@@ -156,7 +156,20 @@ _MODULES = (
 #     stays pinned by the pruned==unpruned battery in
 #     tests/test_bm25_maxscore.py while the REGISTERED maxscore
 #     representative remains text_bm25_maxscore_incremental, the
-#     strictly-more-machinery spelling).
+#     strictly-more-machinery spelling). Budget math, assuming the
+#     r14 driver rows land green (recomputed from CORRECTNESS_r01-r13
+#     + this prefix): post-r14 freshness is 50 r14 / 47 r13 / 49 r12 /
+#     2 r11 (the displaced pair). The r15 retirements take one r13 row
+#     (hybrid_rrf_topk) and one of the two r11 rows
+#     (text_bm25_maxscore), leaving owed = 1 r11
+#     (text_search_any_from_index, at the 4-round limit — FIRST) + 49
+#     r12 = 50; budget 50 - 1 flagship - 2 new = 47 refresh slots ->
+#     THREE r12 rows displace to r16, to be named at r15 time by the
+#     covered-by-fresher-machinery rule. Both EARMARKS entries must
+#     MOVE out of their module dicts at registration (the
+#     registry/earmark collision check fails the build otherwise);
+#     budget proposals 2.69 / 1.79 from the r14 post-fix idle
+#     re-measurements above, re-confirm once on a load-checked host.
 #   - Permanent earmark tier (driver-verified through their family
 #     representative): sim_knn_pq_adc + sim_knn_pq_rerank (family rep
 #     sim_knn_ivfpq exercises both codebooks and the codes artifact),
