@@ -212,9 +212,11 @@ _MODULES = (
 #   oracle-gated at both
 #   fixture scales by tests/test_substring_dedup.py with the planted
 #   battery, hashed production twin, random island-merge sweep, and
-#   the kept==n-dup cross-operator identity; module not
-#   registry-imported — first in line with text_bpe_encode if an
-#   r15+ slot frees)
+#   the kept==n-dup cross-operator identity; streaming/gram_ingest.py
+#   runs the incremental loop as a maintained-artifact stream with the
+#   shared compaction crash contract, pinned stream==batch-operator in
+#   tests/test_gram_ingest.py; first in line with text_bpe_encode if
+#   an r15+ slot frees)
 #
 # R12 IDLE MEASUREMENTS for the earmark candidates (sf0.1, local[32],
 # quiet host, warm artifacts, 2 independent runs x 2 timed iterations,

@@ -1,0 +1,188 @@
+"""Streaming substring-dedup ingestion — the crawl-snapshot loop as a
+maintained-artifact stream (the T7 discipline the text-postings and
+IVF ingests follow): documents arrive as micro-batches, each batch is
+classified for duplicated K-token spans against the GRAM SET of every
+committed prior batch plus the batch's own cross-document duplicates
+(``operators/substring_dedup.incremental_substring_spans`` semantics,
+batch == delta, corpus-so-far == base), and the batch's distinct grams
+are appended to the artifact so the next batch classifies against
+them.
+
+Per-batch cost scales in the BATCH: the stored gram set is read as a
+parquet scan (never re-derived from document text), the batch-internal
+dup aggregate runs over batch grams, and the report/island machinery
+is the batch operator's. Append-only by contract (a document is
+admitted once; retraction would need gram refcounts — documented
+non-goal, the dedup-ingest composition admits each doc once upstream).
+
+Replay safety (the write_rollup/qhist discipline, shared machinery):
+
+* The base read filters ``batch_id < N`` — a crashed batch N whose
+  gram partition half-landed still classifies its replay against
+  exactly the committed frontier, never against its own grams.
+* Both writes are per-batch dynamic partition overwrites (idempotent).
+* ``compact_grams`` folds old gram partitions into ``batch_id = -1``
+  through the SHARED staged-install helpers in :mod:`sinks`
+  (_compact_partitions: _SUCCESS + atomic _compacted_through marker,
+  recover-at-entry, pre-marker upgrade seam), and the ingest body
+  no-ops a replay of any batch already folded (its report partition
+  is already on disk) — the folded partition carries only committed
+  batches, so including it in the ``< N`` base filter stays exact.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.substring_dedup import (
+    SUBDUP_K,
+    _gram_table,
+    _span_report,
+    _spans_from_hits,
+)
+from .sinks import _compact_partitions, _compacted_through, _recover_compaction
+
+GRAMS_SUBDIR = "grams"
+REPORTS_SUBDIR = "subdup_reports"
+
+
+def _read_base_grams(
+    spark: SparkSession, output_dir: str, before_batch: int
+) -> DataFrame | None:
+    """The committed gram frontier: every stored gram partition with
+    batch_id < ``before_batch`` (the folded ``batch_id = -1`` partition
+    qualifies — it only ever contains batches below the compaction
+    marker, which is below any batch this guard lets through). None on
+    a cold artifact."""
+    path = os.path.join(output_dir, GRAMS_SUBDIR)
+    if not os.path.isdir(path):
+        return None
+    try:
+        grams = spark.read.parquet(path)
+    except AnalysisException:
+        # dir exists but holds no partitions yet (every committed batch
+        # was all-short documents): same as a cold artifact
+        return None
+    return grams.where(F.col("batch_id") < before_batch).select("gram")
+
+
+def gram_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    output_dir: str,
+    k: int = SUBDUP_K,
+    compact_every: int | None = None,
+) -> None:
+    """foreachBatch body: recover -> replay guard -> classify against
+    the committed gram frontier + batch-internal dups -> write the
+    batch's span report -> append the batch's distinct grams ->
+    optionally fold old gram partitions."""
+    spark = batch_df.sparkSession
+    docs = batch_df.select("doc_id", "text").where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    if docs.isEmpty():
+        return
+    # finish anything a crash left half-landed BEFORE touching the tree
+    _recover_compaction(output_dir, GRAMS_SUBDIR)
+    if batch_id <= _compacted_through(output_dir, GRAMS_SUBDIR):
+        return  # already folded into batch_id=-1: replay is a no-op
+    grams = _gram_table(docs, k)
+    dup_delta = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    base = _read_base_grams(spark, output_dir, batch_id)
+    dup = dup_delta if base is None else base.unionByName(dup_delta)
+    hits = grams.join(dup, "gram", "left_semi").select(
+        "doc_id", "n_tokens", "start"
+    )
+    (
+        _span_report(_spans_from_hits(hits, k))
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(output_dir, REPORTS_SUBDIR))
+    )
+    (
+        grams.select("gram")
+        .distinct()
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(output_dir, GRAMS_SUBDIR))
+    )
+    if compact_every and (batch_id + 1) % compact_every == 0:
+        compact_grams(spark, output_dir)
+
+
+def read_gram_set(spark: SparkSession, output_dir: str) -> DataFrame:
+    """The maintained artifact's distinct gram set (serving view)."""
+    return (
+        spark.read.parquet(os.path.join(output_dir, GRAMS_SUBDIR))
+        .select("gram")
+        .distinct()
+    )
+
+
+def read_subdup_reports(spark: SparkSession, output_dir: str) -> DataFrame:
+    """(doc_id, n_spans, dup_tokens, n_tokens, batch_id): every
+    micro-batch's span report, the stream's classification history. A
+    stream that has not yet seen a duplicated span serves the typed
+    empty frame — a legitimate state, not an error."""
+    try:
+        return spark.read.parquet(os.path.join(output_dir, REPORTS_SUBDIR))
+    except AnalysisException:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_spans long, dup_tokens long, n_tokens long, "
+            "batch_id int",
+        )
+
+
+def compact_grams(spark: SparkSession, output_dir: str) -> None:
+    """Fold every gram batch partition into one distinct batch_id=-1
+    partition — the artifact's size becomes O(distinct grams) instead
+    of O(sum of batch gram sets). Shared staged-install crash contract
+    with the rollup/qhist sinks; replays of folded batches are no-ops
+    via the ingest body's marker guard."""
+    _compact_partitions(spark, output_dir, GRAMS_SUBDIR, read_gram_set)
+
+
+def recover_grams(spark: SparkSession, output_dir: str) -> bool:
+    """Finish a :func:`compact_grams` install that crashed between the
+    remove and the rename; discard an incomplete staging."""
+    return _recover_compaction(output_dir, GRAMS_SUBDIR)
+
+
+def run_gram_ingest(
+    doc_stream: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    k: int = SUBDUP_K,
+    compact_every: int | None = None,
+) -> StreamingQuery:
+    """Drain ``doc_stream`` (doc_id, text) through the substring-dedup
+    classification loop with availableNow semantics (process what has
+    arrived, then stop; a production run swaps in a processing-time
+    trigger, nothing else changes)."""
+    return (
+        doc_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda df, bid: gram_ingest_batch(
+                df, bid, output_dir, k=k, compact_every=compact_every
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,164 @@
+"""Streaming substring-dedup ingestion (streaming/gram_ingest.py):
+per-batch classification == the batch incremental operator with
+base = union of committed prior batches; the maintained gram artifact
+equals the full-corpus gram set; replays are no-ops before AND after
+compaction (the shared staged-install crash contract); malformed rows
+are gated."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from realtimedatapipeline_8_project_spark.operators.substring_dedup import (
+    SUBDUP_K,
+    _gram_table,
+    _span_report,
+    incremental_substring_spans,
+)
+from realtimedatapipeline_8_project_spark.streaming.gram_ingest import (
+    compact_grams,
+    gram_ingest_batch,
+    read_gram_set,
+    read_subdup_reports,
+    run_gram_ingest,
+)
+from realtimedatapipeline_8_project_spark.streaming.sinks import (
+    _compacted_through,
+)
+
+# planted corpus: K=8; passages are 10-12 tokens so spans are maximal
+_P1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+_P2 = "north south east west up down left right above below"
+_U0 = "one two three four five six seven eight nine ten"
+_U1 = "red orange yellow green blue indigo violet umber ochre teal"
+_U2 = "wolf bear lynx otter marten badger stoat weasel vole shrew"
+
+BATCHES = [
+    # batch 0: 11/12 share _P1 (batch-internal dup); 10 unique
+    [(10, f"{_U0}"), (11, f"{_P1} {_U1}"), (12, _P1)],
+    # batch 1: 20 copies _U0 from batch 0 (cross-batch dup); 21 fresh
+    [(20, _U0), (21, f"{_P2} {_U2}")],
+    # batch 2: 30 copies batch 1's _P2 passage; 31 fresh
+    [(30, _P2), (31, "ash elm oak yew fir pine cedar birch rowan hazel")],
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _report_rows(spark, out):
+    return sorted(
+        map(tuple, read_subdup_reports(spark, out).collect())
+    )
+
+
+def _expected_batch_report(spark, prior_rows, batch_rows, batch_id):
+    """The batch operator's answer: incremental spans with base = the
+    union of committed prior batches."""
+    base = _df(spark, prior_rows)
+    delta = _df(spark, batch_rows)
+    rep = _span_report(incremental_substring_spans(base, delta))
+    return sorted(
+        (*t, batch_id) for t in map(tuple, rep.collect())
+    )
+
+
+def test_streamed_batches_equal_incremental_operator(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, rows in enumerate(BATCHES):
+        with open(os.path.join(src, f"b{i}.jsonl"), "w") as fh:
+            for doc_id, text in rows:
+                fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+            if i == 1:  # malformed arrivals: gated, never classified
+                fh.write(json.dumps({"doc_id": None, "text": "x y z"}) + "\n")
+                fh.write(json.dumps({"doc_id": 777, "text": None}) + "\n")
+        time.sleep(1.1)  # distinct mtimes -> deterministic arrival order
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    docs = raw.select(
+        F.get_json_object("value", "$.doc_id").cast("long").alias("doc_id"),
+        F.get_json_object("value", "$.text").alias("text"),
+    )
+    out = str(tmp_path / "subdup")
+    run_gram_ingest(docs, out, str(tmp_path / "chk")).awaitTermination()
+
+    # per-batch reports == the batch incremental operator, batch by batch
+    want = []
+    for i, rows in enumerate(BATCHES):
+        prior = [r for b in BATCHES[:i] for r in b]
+        want.extend(_expected_batch_report(spark, prior, rows, i))
+    got = _report_rows(spark, out)
+    assert got == sorted(want)
+    # the planted shape actually exercised every leg: batch-internal
+    # dup (11, 12), cross-batch copies (20, 30), fresh docs absent
+    flagged = {r[0] for r in got}
+    assert flagged == {11, 12, 20, 30}
+    assert 777 not in flagged and None not in flagged
+
+    # the maintained artifact == the full-corpus distinct gram set
+    all_docs = _df(spark, [r for b in BATCHES for r in b])
+    want_grams = sorted(
+        r.gram
+        for r in _gram_table(all_docs, SUBDUP_K)
+        .select("gram")
+        .distinct()
+        .collect()
+    )
+    got_grams = sorted(r.gram for r in read_gram_set(spark, out).collect())
+    assert got_grams == want_grams
+
+    # replay of a committed batch: byte-identical serving state
+    gram_ingest_batch(_df(spark, BATCHES[2]), 2, out)
+    assert _report_rows(spark, out) == got
+    assert sorted(
+        r.gram for r in read_gram_set(spark, out).collect()
+    ) == want_grams
+
+    # compaction folds the artifact, serving state unchanged; a replay
+    # of a folded batch is a no-op through the marker guard
+    compact_grams(spark, out)
+    assert _compacted_through(out, "grams") >= 2
+    assert sorted(
+        r.gram for r in read_gram_set(spark, out).collect()
+    ) == want_grams
+    gram_ingest_batch(_df(spark, BATCHES[1]), 1, out)  # folded: no-op
+    assert _report_rows(spark, out) == got
+    assert sorted(
+        r.gram for r in read_gram_set(spark, out).collect()
+    ) == want_grams
+
+    # a NEW batch after compaction classifies against the folded base:
+    # a doc copying batch-0 text is flagged, a fresh doc is not
+    gram_ingest_batch(
+        _df(spark, [(40, _P1), (41, "quark lepton boson gluon photon muon tau pion kaon eta2")]),
+        3,
+        out,
+    )
+    got3 = _report_rows(spark, out)
+    flagged3 = {r[0] for r in got3}
+    assert 40 in flagged3 and 41 not in flagged3
+
+
+def test_cold_artifact_reads_and_empty_batch(spark, tmp_path):
+    """A cold output dir serves the typed empty report; an all-short
+    or all-malformed batch writes nothing and classifies nothing."""
+    out = str(tmp_path / "subdup")
+    rep = read_subdup_reports(spark, out)
+    assert rep.count() == 0
+    assert "dup_tokens" in rep.columns
+    gram_ingest_batch(
+        _df(spark, [(1, "too short"), (2, None)]), 0, out
+    )
+    # short docs produce no grams and no spans; the report write is an
+    # empty frame (dir may exist, zero partitions) — reads stay typed
+    assert read_subdup_reports(spark, out).count() == 0
