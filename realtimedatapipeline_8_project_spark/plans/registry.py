@@ -47,23 +47,32 @@ from ..operators import (
 # (tests/test_oracle_parity.py) and the sf0.1 robustness sweep
 # (tests/test_full_sweep.py) run over THIS dict, so an earmark can
 # never silently lose its oracle gate by falling out of a hand-listed
-# test file. Aggregation only: EARMARKS never enter QUERIES/ORACLES
+# test file. GENUINELY structural (review r14): the tier is discovered
+# by walking the operators package for EARMARKS dicts — not a
+# hand-maintained module tuple, which would have re-opened the exact
+# seam this closes (a new module's earmarks silently escaping the
+# gates). Aggregation only: EARMARKS never enter QUERIES/ORACLES
 # (the registry stays at its 148-slot capacity).
-_EARMARK_MODULES = (
-    hybrid,
-    similarity,
-    text_analysis,
-    distribution,
-    bpe,
-    substring_dedup,
-)
-
 EARMARKS: dict[str, tuple] = {}
-for _em in _EARMARK_MODULES:
-    for _name, _entry in _em.EARMARKS.items():
-        if _name in EARMARKS:
-            raise ValueError(f"duplicate earmark name: {_name}")
-        EARMARKS[_name] = _entry
+
+
+def _discover_earmarks() -> None:
+    import importlib
+    import pkgutil
+
+    from .. import operators as _ops_pkg
+
+    for _mi in pkgutil.iter_modules(_ops_pkg.__path__):
+        _mod = importlib.import_module(
+            f"{_ops_pkg.__name__}.{_mi.name}"
+        )
+        for _name, _entry in getattr(_mod, "EARMARKS", {}).items():
+            if _name in EARMARKS:
+                raise ValueError(f"duplicate earmark name: {_name}")
+            EARMARKS[_name] = _entry
+
+
+_discover_earmarks()
 
 _MODULES = (
     enrich,

@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import os
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -49,6 +48,51 @@ from .sinks import _compact_partitions, _compacted_through, _recover_compaction
 
 GRAMS_SUBDIR = "grams"
 REPORTS_SUBDIR = "subdup_reports"
+_K_MARKER = "_gram_k"
+
+
+def _check_gram_k(output_dir: str, k: int) -> None:
+    """Stamp K into the artifact root on first contact and fail loud on
+    any later mismatch (review r14): an artifact built at one K can
+    never string-match grams built at another, so a restart with a
+    different K would silently classify every duplicated doc as clean.
+    The marker lives NEXT TO the grams dir (compaction replaces the
+    dir, never the root) and installs atomically (tmp + rename)."""
+    marker = os.path.join(output_dir, _K_MARKER)
+    try:
+        with open(marker) as fh:
+            stored = int(fh.read().strip())
+    except FileNotFoundError:
+        os.makedirs(output_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(k))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, marker)
+        return
+    if stored != k:
+        raise ValueError(
+            f"gram artifact at {output_dir} was built with k={stored}; "
+            f"this stream is configured with k={k} — grams of different "
+            "lengths never match, so continuing would silently classify "
+            "every duplicated document as clean. Rebuild the artifact "
+            "or restore the original k."
+        )
+
+
+# explicit read schema everywhere (the ingest.py _read_prior
+# discipline): a zero-partition dir (every committed batch was
+# all-short documents) reads as the typed empty frame instead of
+# raising UNABLE_TO_INFER_SCHEMA, and a genuinely corrupt artifact
+# still fails the job at execution — it is never mistaken for "cold"
+# (review r14: swallowing AnalysisException here would silently
+# disable cross-batch dedup on real read failures).
+_GRAMS_SCHEMA = "gram string, batch_id int"
+_REPORTS_SCHEMA = (
+    "doc_id long, n_spans long, dup_tokens long, n_tokens long, "
+    "batch_id int"
+)
 
 
 def _read_base_grams(
@@ -58,16 +102,12 @@ def _read_base_grams(
     batch_id < ``before_batch`` (the folded ``batch_id = -1`` partition
     qualifies — it only ever contains batches below the compaction
     marker, which is below any batch this guard lets through). None on
-    a cold artifact."""
+    a cold artifact; every other read failure raises and fails (then
+    replays) the micro-batch."""
     path = os.path.join(output_dir, GRAMS_SUBDIR)
     if not os.path.isdir(path):
         return None
-    try:
-        grams = spark.read.parquet(path)
-    except AnalysisException:
-        # dir exists but holds no partitions yet (every committed batch
-        # was all-short documents): same as a cold artifact
-        return None
+    grams = spark.read.schema(_GRAMS_SCHEMA).parquet(path)
     return grams.where(F.col("batch_id") < before_batch).select("gram")
 
 
@@ -83,52 +123,68 @@ def gram_ingest_batch(
     batch's span report -> append the batch's distinct grams ->
     optionally fold old gram partitions."""
     spark = batch_df.sparkSession
+    # finish anything a crash left half-landed BEFORE anything else —
+    # including before the empty-batch gate (review r14: a crashed
+    # compaction followed by a run of all-malformed batches must not
+    # leave the grams dir absent until a non-empty batch happens by)
+    _recover_compaction(output_dir, GRAMS_SUBDIR)
+    _check_gram_k(output_dir, k)
+    if batch_id <= _compacted_through(output_dir, GRAMS_SUBDIR):
+        return  # already folded into batch_id=-1: replay is a no-op
     docs = batch_df.select("doc_id", "text").where(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
     if docs.isEmpty():
         return
-    # finish anything a crash left half-landed BEFORE touching the tree
-    _recover_compaction(output_dir, GRAMS_SUBDIR)
-    if batch_id <= _compacted_through(output_dir, GRAMS_SUBDIR):
-        return  # already folded into batch_id=-1: replay is a no-op
-    grams = _gram_table(docs, k)
-    dup_delta = (
-        grams.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("gram")
-    )
-    base = _read_base_grams(spark, output_dir, batch_id)
-    dup = dup_delta if base is None else base.unionByName(dup_delta)
-    hits = grams.join(dup, "gram", "left_semi").select(
-        "doc_id", "n_tokens", "start"
-    )
-    (
-        _span_report(_spans_from_hits(hits, k))
-        .withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(os.path.join(output_dir, REPORTS_SUBDIR))
-    )
-    (
-        grams.select("gram")
-        .distinct()
-        .withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .partitionBy("batch_id")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(os.path.join(output_dir, GRAMS_SUBDIR))
-    )
+    # persisted: the gram table feeds BOTH writes (report + gram set)
+    # and the dup aggregate — without it the tokenize + K-gram explode
+    # pass (the expensive map-side work) runs once per consumer over a
+    # re-read source batch (the write_batch_fanout discipline)
+    grams = _gram_table(docs, k).persist()
+    try:
+        dup_delta = (
+            grams.groupBy("gram")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .where(F.col("nd") >= 2)
+            .select("gram")
+        )
+        base = _read_base_grams(spark, output_dir, batch_id)
+        dup = dup_delta if base is None else base.unionByName(dup_delta)
+        hits = grams.join(dup, "gram", "left_semi").select(
+            "doc_id", "n_tokens", "start"
+        )
+        (
+            _span_report(_spans_from_hits(hits, k))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(os.path.join(output_dir, REPORTS_SUBDIR))
+        )
+        (
+            grams.select("gram")
+            .distinct()
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(os.path.join(output_dir, GRAMS_SUBDIR))
+        )
+    finally:
+        grams.unpersist()
     if compact_every and (batch_id + 1) % compact_every == 0:
         compact_grams(spark, output_dir)
 
 
 def read_gram_set(spark: SparkSession, output_dir: str) -> DataFrame:
-    """The maintained artifact's distinct gram set (serving view)."""
+    """The maintained artifact's distinct gram set (serving view).
+    Explicit schema: a zero-partition artifact is the typed empty set
+    (this is also what lets compact_grams fold an all-short-docs
+    artifact instead of raising); a MISSING artifact still fails loud
+    at execution (PATH_NOT_FOUND)."""
     return (
-        spark.read.parquet(os.path.join(output_dir, GRAMS_SUBDIR))
+        spark.read.schema(_GRAMS_SCHEMA)
+        .parquet(os.path.join(output_dir, GRAMS_SUBDIR))
         .select("gram")
         .distinct()
     )
@@ -137,16 +193,16 @@ def read_gram_set(spark: SparkSession, output_dir: str) -> DataFrame:
 def read_subdup_reports(spark: SparkSession, output_dir: str) -> DataFrame:
     """(doc_id, n_spans, dup_tokens, n_tokens, batch_id): every
     micro-batch's span report, the stream's classification history. A
-    stream that has not yet seen a duplicated span serves the typed
-    empty frame — a legitimate state, not an error."""
-    try:
-        return spark.read.parquet(os.path.join(output_dir, REPORTS_SUBDIR))
-    except AnalysisException:
-        return spark.createDataFrame(
-            [],
-            "doc_id long, n_spans long, dup_tokens long, n_tokens long, "
-            "batch_id int",
-        )
+    stream that has not yet seen a batch (dir absent) or a duplicated
+    span (dir empty) serves the typed empty frame — a legitimate
+    state. A CORRUPT reports dir still fails at execution: only
+    not-created-yet maps to empty (the sinks.read_latest discipline;
+    review r14 — "no duplicates ever found" must never be the silent
+    reading of an unreadable artifact)."""
+    path = os.path.join(output_dir, REPORTS_SUBDIR)
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], _REPORTS_SCHEMA)
+    return spark.read.schema(_REPORTS_SCHEMA).parquet(path)
 
 
 def compact_grams(spark: SparkSession, output_dir: str) -> None:

@@ -162,3 +162,37 @@ def test_cold_artifact_reads_and_empty_batch(spark, tmp_path):
     # short docs produce no grams and no spans; the report write is an
     # empty frame (dir may exist, zero partitions) — reads stay typed
     assert read_subdup_reports(spark, out).count() == 0
+
+
+def test_k_mismatch_fails_loud(spark, tmp_path):
+    """Review r14: an artifact built at one K can never string-match
+    grams built at another, so a restarted stream with a different K
+    must raise — not silently classify every duplicated doc clean."""
+    import pytest as _pytest
+
+    out = str(tmp_path / "subdup")
+    gram_ingest_batch(_df(spark, BATCHES[0]), 0, out)
+    with _pytest.raises(ValueError, match="k=8"):
+        gram_ingest_batch(_df(spark, BATCHES[1]), 1, out, k=10)
+    # the original k keeps working
+    gram_ingest_batch(_df(spark, BATCHES[1]), 1, out)
+    assert {r[0] for r in _report_rows(spark, out)} >= {11, 12, 20}
+
+
+def test_compaction_of_zero_partition_artifact(spark, tmp_path):
+    """Review r14: compact_every firing while the artifact holds zero
+    gram partitions (every batch so far was all-short documents) must
+    fold the empty set, not crash the micro-batch with an
+    unable-to-infer-schema read — a wedged checkpoint replays the
+    failure forever."""
+    out = str(tmp_path / "subdup")
+    gram_ingest_batch(
+        _df(spark, [(1, "too short"), (2, "also tiny")]),
+        0,
+        out,
+        compact_every=1,
+    )
+    # the stream survives and a later real batch classifies normally
+    gram_ingest_batch(_df(spark, BATCHES[0]), 1, out, compact_every=1)
+    assert {r[0] for r in _report_rows(spark, out)} == {11, 12}
+    assert read_gram_set(spark, out).count() > 0
