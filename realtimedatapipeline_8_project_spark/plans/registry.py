@@ -319,10 +319,11 @@ _MODULES = (
 # STRUCTURAL: registry.EARMARKS (12 entries, all oracle-backed) is
 # gated generically at sf0.001/sf0.01 (test_oracle_parity) and swept
 # at sf0.1 (test_full_sweep) — 12/12/12 green at all three scales on
-# the r14 tree. Full default suite on the post-review r14 tree
-# (013fc6f + comment-only note): 1137 passed / 1 documented env-skip /
-# 0 failed (29:58); the structural-gate commit's own additions ran
-# green separately (12/12/12 + registry build checks).
+# the r14 tree. Full default suite on the ROUND-END tree (fcf309b):
+# 1153 passed / 1 documented env-skip / 0 failed (29:57), and the
+# same tree's 50-prefix driver-sim (vanilla session, sf0.01 DuckDB
+# compares) is 50/50 green; an earlier full run on the post-review
+# mid-round tree was 1137/1/0.
 # R14 IDLE MEASUREMENTS for the NEW substring-dedup earmarks (sf0.1 =
 # 5000 docs, local[32], 2 independent sessions x 2 timed iterations,
 # 2026-08-16; stage-count-dominated at fixture scale — the gram table
