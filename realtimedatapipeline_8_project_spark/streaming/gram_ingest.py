@@ -51,34 +51,51 @@ REPORTS_SUBDIR = "subdup_reports"
 _K_MARKER = "_gram_k"
 
 
-def _check_gram_k(output_dir: str, k: int) -> None:
-    """Stamp K into the artifact root on first contact and fail loud on
-    any later mismatch (review r14): an artifact built at one K can
-    never string-match grams built at another, so a restart with a
-    different K would silently classify every duplicated doc as clean.
-    The marker lives NEXT TO the grams dir (compaction replaces the
-    dir, never the root) and installs atomically (tmp + rename)."""
+def _check_gram_meta(output_dir: str, k: int, hashed: bool) -> None:
+    """Stamp (K, key type) into the artifact root on first contact and
+    fail loud on any later mismatch (review r14): an artifact built at
+    one K can never match grams built at another, and a string-keyed
+    artifact can never match xxhash64 keys — either restart shape
+    would silently classify every duplicated doc as clean. The marker
+    lives NEXT TO the grams dir (compaction replaces the dir, never
+    the root) and installs atomically (tmp + rename)."""
+    key = "xxhash64" if hashed else "string"
     marker = os.path.join(output_dir, _K_MARKER)
     try:
         with open(marker) as fh:
-            stored = int(fh.read().strip())
+            parts = fh.read().split()
     except FileNotFoundError:
         os.makedirs(output_dir, exist_ok=True)
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:
-            fh.write(str(k))
+            fh.write(f"{k} {key}")
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, marker)
         return
-    if stored != k:
+    # pre-key-stamp markers (bare int) are string-keyed by construction
+    stored_k = int(parts[0])
+    stored_key = parts[1] if len(parts) > 1 else "string"
+    if stored_k != k or stored_key != key:
         raise ValueError(
-            f"gram artifact at {output_dir} was built with k={stored}; "
-            f"this stream is configured with k={k} — grams of different "
-            "lengths never match, so continuing would silently classify "
-            "every duplicated document as clean. Rebuild the artifact "
-            "or restore the original k."
+            f"gram artifact at {output_dir} was built with "
+            f"k={stored_k} key={stored_key}; this stream is configured "
+            f"with k={k} key={key} — mismatched grams never match, so "
+            "continuing would silently classify every duplicated "
+            "document as clean. Rebuild the artifact or restore the "
+            "original configuration."
         )
+
+
+def _stored_key_type(output_dir: str) -> str:
+    """The artifact's stamped gram key type ('string' | 'xxhash64');
+    'string' for a cold or pre-key-stamp artifact."""
+    try:
+        with open(os.path.join(output_dir, _K_MARKER)) as fh:
+            parts = fh.read().split()
+    except FileNotFoundError:
+        return "string"
+    return parts[1] if len(parts) > 1 else "string"
 
 
 # explicit read schema everywhere (the ingest.py _read_prior
@@ -88,7 +105,11 @@ def _check_gram_k(output_dir: str, k: int) -> None:
 # still fails the job at execution — it is never mistaken for "cold"
 # (review r14: swallowing AnalysisException here would silently
 # disable cross-batch dedup on real read failures).
-_GRAMS_SCHEMA = "gram string, batch_id int"
+def _grams_schema(output_dir: str) -> str:
+    gtype = "bigint" if _stored_key_type(output_dir) == "xxhash64" else "string"
+    return f"gram {gtype}, batch_id int"
+
+
 _REPORTS_SCHEMA = (
     "doc_id long, n_spans long, dup_tokens long, n_tokens long, "
     "batch_id int"
@@ -107,7 +128,7 @@ def _read_base_grams(
     path = os.path.join(output_dir, GRAMS_SUBDIR)
     if not os.path.isdir(path):
         return None
-    grams = spark.read.schema(_GRAMS_SCHEMA).parquet(path)
+    grams = spark.read.schema(_grams_schema(output_dir)).parquet(path)
     return grams.where(F.col("batch_id") < before_batch).select("gram")
 
 
@@ -117,18 +138,24 @@ def gram_ingest_batch(
     output_dir: str,
     k: int = SUBDUP_K,
     compact_every: int | None = None,
+    hashed: bool = False,
 ) -> None:
     """foreachBatch body: recover -> replay guard -> classify against
     the committed gram frontier + batch-internal dups -> write the
     batch's span report -> append the batch's distinct grams ->
-    optionally fold old gram partitions."""
+    optionally fold old gram partitions. ``hashed=True`` keys the
+    artifact by xxhash64 — 8 bytes per stored gram instead of a
+    K-token string, the production spelling (the batch operator's
+    hashed-twin discipline: one-sided span-adding error on a 64-bit
+    collision, machine-pinned report-identical on the planted
+    fixtures)."""
     spark = batch_df.sparkSession
     # finish anything a crash left half-landed BEFORE anything else —
     # including before the empty-batch gate (review r14: a crashed
     # compaction followed by a run of all-malformed batches must not
     # leave the grams dir absent until a non-empty batch happens by)
     _recover_compaction(output_dir, GRAMS_SUBDIR)
-    _check_gram_k(output_dir, k)
+    _check_gram_meta(output_dir, k, hashed)
     if batch_id <= _compacted_through(output_dir, GRAMS_SUBDIR):
         return  # already folded into batch_id=-1: replay is a no-op
     docs = batch_df.select("doc_id", "text").where(
@@ -140,7 +167,10 @@ def gram_ingest_batch(
     # and the dup aggregate — without it the tokenize + K-gram explode
     # pass (the expensive map-side work) runs once per consumer over a
     # re-read source batch (the write_batch_fanout discipline)
-    grams = _gram_table(docs, k).persist()
+    grams = _gram_table(docs, k)
+    if hashed:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
+    grams = grams.persist()
     try:
         dup_delta = (
             grams.groupBy("gram")
@@ -183,7 +213,7 @@ def read_gram_set(spark: SparkSession, output_dir: str) -> DataFrame:
     artifact instead of raising); a MISSING artifact still fails loud
     at execution (PATH_NOT_FOUND)."""
     return (
-        spark.read.schema(_GRAMS_SCHEMA)
+        spark.read.schema(_grams_schema(output_dir))
         .parquet(os.path.join(output_dir, GRAMS_SUBDIR))
         .select("gram")
         .distinct()
@@ -226,6 +256,7 @@ def run_gram_ingest(
     checkpoint_dir: str,
     k: int = SUBDUP_K,
     compact_every: int | None = None,
+    hashed: bool = False,
 ) -> StreamingQuery:
     """Drain ``doc_stream`` (doc_id, text) through the substring-dedup
     classification loop with availableNow semantics (process what has
@@ -236,7 +267,12 @@ def run_gram_ingest(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(
             lambda df, bid: gram_ingest_batch(
-                df, bid, output_dir, k=k, compact_every=compact_every
+                df,
+                bid,
+                output_dir,
+                k=k,
+                compact_every=compact_every,
+                hashed=hashed,
             )
         )
         .trigger(availableNow=True)

@@ -196,3 +196,27 @@ def test_compaction_of_zero_partition_artifact(spark, tmp_path):
     gram_ingest_batch(_df(spark, BATCHES[0]), 1, out, compact_every=1)
     assert {r[0] for r in _report_rows(spark, out)} == {11, 12}
     assert read_gram_set(spark, out).count() > 0
+
+
+def test_hashed_stream_reports_equal_string_stream(spark, tmp_path):
+    """The production key (xxhash64, 8 bytes per stored gram) must
+    reproduce the string-keyed stream's reports batch for batch, and a
+    key-type-mismatched restart fails loud (the stamped-meta guard)."""
+    import pytest as _pytest
+
+    out_s = str(tmp_path / "string")
+    out_h = str(tmp_path / "hashed")
+    for i, rows in enumerate(BATCHES):
+        gram_ingest_batch(_df(spark, rows), i, out_s)
+        gram_ingest_batch(_df(spark, rows), i, out_h, hashed=True)
+    assert _report_rows(spark, out_s) == _report_rows(spark, out_h)
+    # hashed artifact stores bigint keys and round-trips reads
+    g = read_gram_set(spark, out_h)
+    assert dict(g.dtypes)["gram"] == "bigint"
+    assert g.count() == read_gram_set(spark, out_s).count()
+    # compaction keeps the hashed serving state identical
+    compact_grams(spark, out_h)
+    assert _report_rows(spark, out_s) == _report_rows(spark, out_h)
+    # restarting the string artifact with hashed keys fails loud
+    with _pytest.raises(ValueError, match="key=string"):
+        gram_ingest_batch(_df(spark, BATCHES[0]), 3, out_s, hashed=True)
