@@ -319,11 +319,12 @@ _MODULES = (
 # STRUCTURAL: registry.EARMARKS (12 entries, all oracle-backed) is
 # gated generically at sf0.001/sf0.01 (test_oracle_parity) and swept
 # at sf0.1 (test_full_sweep) — 12/12/12 green at all three scales on
-# the r14 tree. Full default suite on the ROUND-END tree (fcf309b):
-# 1153 passed / 1 documented env-skip / 0 failed (29:57), and the
-# same tree's 50-prefix driver-sim (vanilla session, sf0.01 DuckDB
-# compares) is 50/50 green; an earlier full run on the post-review
-# mid-round tree was 1137/1/0.
+# the r14 tree. Full default suite on the FINAL round-end tree
+# (4067820, incl. the hashed-stream parity pin): 1154 passed / 1
+# documented env-skip / 0 failed (26:54); -m slow 160/160 and
+# -m sweep 160/160 on the same-day tree; the 50-prefix driver-sim
+# (vanilla session, sf0.01 DuckDB compares) is 50/50 green. Earlier
+# full runs this round: 1153/1/0 (fcf309b), 1137/1/0 (mid-round).
 # R14 IDLE MEASUREMENTS for the NEW substring-dedup earmarks (sf0.1 =
 # 5000 docs, local[32], 2 independent sessions x 2 timed iterations,
 # 2026-08-16; stage-count-dominated at fixture scale — the gram table
