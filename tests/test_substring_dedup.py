@@ -470,3 +470,46 @@ def test_cut_null_text_is_empty_document(spark):
     assert out[1].cleaned_sha == hashlib.sha256(b"").hexdigest()
     assert tuple(out[1]) == oracle[1]
     assert tuple(out[2]) == oracle[2]
+
+
+def test_incremental_empty_delta_and_plan_shape(spark, sf_small):
+    """An empty incoming batch classifies to the empty report (schema
+    intact — the streaming loop's empty-batch gate mirrors this), and
+    the incremental plan keeps the full operator's shape: left-semi
+    against the dup set, no cartesian product."""
+    from realtimedatapipeline_8_project_spark.operators.substring_dedup import (
+        _sub_delta,
+        incremental_substring_spans,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import (
+        load_table,
+    )
+
+    from .test_plans import plan_of_df
+
+    docs = load_table(spark, sf_small, "documents")
+    empty = _docs(spark, [])
+    out = incremental_substring_spans(docs, empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id",
+        "n_tokens",
+        "span_start",
+        "span_end",
+    ]
+    p = plan_of_df(incremental_substring_spans(docs, _sub_delta(docs)))
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p
+
+
+def test_hashed_empty_corpus_contract(spark):
+    """The hashed spelling honors the same empty-corpus contract as
+    the string spelling (schema intact, zero rows)."""
+    out = duplicated_spans(_docs(spark, []), hashed=True)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id",
+        "n_tokens",
+        "span_start",
+        "span_end",
+    ]
