@@ -174,7 +174,40 @@ _MODULES = (
 #     (text_search_any_from_index, at the 4-round limit — FIRST) + 49
 #     r12 = 50; budget 50 - 1 flagship - 2 new = 47 refresh slots ->
 #     THREE r12 rows displace to r16, to be named at r15 time by the
-#     covered-by-fresher-machinery rule. Both EARMARKS entries must
+#     covered-by-fresher-machinery rule. PROPOSED displacements (r15
+#     confirms against CORRECTNESS_r14): sim_knn_batch (its fleet
+#     probe machinery and oracle chain are embedded VERBATIM inside
+#     the r15 registration hybrid_rrf_batch's composed oracle — the
+#     new row re-verifies it every round) and the multi-term search
+#     pair text_search_multi_{suffix,fuzzy}_from_index (their
+#     single-pattern twins are r14-fresh and the multi layer is the
+#     distinct-count gate pinned in tests/test_multi_term_retrieval.py
+#     — the displacement roles of r13 reversed, which is the rotation
+#     working as designed). The 49-name r12-latest refresh pool,
+#     recomputed from CORRECTNESS_r01-r13 + the r14 prefix:
+#     agg_disjunctive_revenue, agg_important_parts_1scan,
+#     agg_order_count_distribution, agg_profit_by_nation_1scan,
+#     agg_small_quantity_revenue, agg_top_supplier_revenue,
+#     curation_end_to_end, dedup_cluster_components, dedup_incremental,
+#     dedup_intra_batch, dedup_jaccard_vs_probe, dedup_minhash_portable,
+#     dedup_semantic_pairs, enum_validation_filter, fuzzy_name_match,
+#     interval_overlap_sessions, join_full_outer, json_decode,
+#     kafka_producer_projection, kv_projection, layout_zorder,
+#     media_frame_sample, merge_apply_changes, ordered_drain,
+#     pit_state_join, point_lookup_string_hash, range_join_bucketed,
+#     reference_engagement_metrics, sample_source_rebalance,
+#     sample_weighted_reservoir, sim_kmeans_train, sim_knn_batch,
+#     sketch_hll_portable, snapshot_diff_cdc, sparse_doc_cosine,
+#     sql_exists_correlated, text_bm25_after_delete,
+#     text_inverted_index, text_phrase_from_index,
+#     text_search_multi_fuzzy_from_index,
+#     text_search_multi_suffix_from_index,
+#     text_search_prefix_from_index, topk_recent, uuid_repair,
+#     win_distribution_family, win_event_gaps, win_funnel_dropoff,
+#     win_latest_per_user, win_trailing_range_frame.
+#     _PRIORITY r15 = flagship + hybrid_rrf_batch + text_bm25_batch +
+#     text_search_any_from_index + (pool minus the 3 confirmed
+#     displacements) = 1 + 2 + 1 + 46 = 50. Both EARMARKS entries must
 #     MOVE out of their module dicts at registration (the
 #     registry/earmark collision check fails the build otherwise);
 #     budget proposals 2.69 / 1.79 from the r14 post-fix idle
