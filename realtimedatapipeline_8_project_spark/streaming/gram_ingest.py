@@ -74,8 +74,21 @@ def _check_gram_meta(output_dir: str, k: int, hashed: bool) -> None:
         os.replace(tmp, marker)
         return
     # pre-key-stamp markers (bare int) are string-keyed by construction
-    stored_k = int(parts[0])
-    stored_key = parts[1] if len(parts) > 1 else "string"
+    try:
+        stored_k = int(parts[0])
+        stored_key = parts[1] if len(parts) > 1 else "string"
+    except (IndexError, ValueError) as exc:
+        # an empty or torn marker is still a loud stop, but with a
+        # diagnosable message instead of a bare parse error (ADVICE
+        # r14): the artifact's provenance is unknowable, so it must be
+        # rebuilt — guessing a K here would be the silent-clean bug
+        # this marker exists to prevent.
+        raise ValueError(
+            f"gram artifact marker {marker} is corrupt "
+            f"(contents {parts!r}): the artifact's K/key provenance "
+            "cannot be verified — rebuild the artifact (delete "
+            f"{output_dir}) or restore the marker from a backup."
+        ) from exc
     if stored_k != k or stored_key != key:
         raise ValueError(
             f"gram artifact at {output_dir} was built with "
@@ -162,6 +175,14 @@ def gram_ingest_batch(
         F.col("doc_id").isNotNull() & F.col("text").isNotNull()
     )
     if docs.isEmpty():
+        # an all-malformed batch still honors the compaction boundary
+        # (ADVICE r14: returning before the check deferred compaction
+        # a full compact_every cycle, loosening the artifact growth
+        # bound). There is nothing of this batch to write, so folding
+        # prior partitions and returning is safe: a later replay of
+        # this batch re-derives the same empty docs frame.
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_grams(spark, output_dir)
         return
     # persisted: the gram table feeds BOTH writes (report + gram set)
     # and the dup aggregate — without it the tokenize + K-gram explode

@@ -315,10 +315,24 @@ def _recover_compaction(output_dir: str, subdir: str) -> bool:
     deleted — that staging holds the ONLY complete copy of all
     partials, so "discard incomplete" would destroy data the old
     recover_* handled correctly. When the live dir is ABSENT, install
-    such a staging with a synthesized marker of -1 (reproducing the
-    old, merely guard-less behavior: replays may refold, never lose);
-    a marker-less staging is only discarded while the live dir still
-    exists (then the live copy is authoritative and loses nothing)."""
+    such a staging with a synthesized marker: the max batch_id among
+    its partition dirs if any real (non-folded) partitions are
+    present, else -1. A pre-marker staging written by THIS codebase
+    holds only batch_id=-1 (compaction rewrites every partial with
+    lit(-1)), so the folded batch ids are unrecoverable and -1 is the
+    only honest value — which reproduces the old guard-less behavior
+    exactly, RESIDUAL DOUBLE-COUNT WINDOW INCLUDED (ADVICE r14): with
+    a -1 marker the folded-batch replay no-op guard is disabled for
+    every batch inside the folded partition, so if the stream replays
+    such a batch (possible only when the pre-marker compaction ran
+    over batches the checkpoint had NOT committed), an aggregate sink
+    like rollup writes that partial alongside the folded copy and
+    read_rollup double-counts it. That is precisely the old code's
+    "compact only checkpoint-committed batches" caveat — the seam
+    never loses data but inherits, for this one legacy staging, the
+    old caveat instead of upgrading past it. A marker-less staging is
+    only discarded while the live dir still exists (then the live
+    copy is authoritative and loses nothing)."""
     import shutil
 
     tmp_path = os.path.join(output_dir, f"_{subdir}_tmp")
@@ -331,9 +345,17 @@ def _recover_compaction(output_dir: str, subdir: str) -> bool:
             and os.path.exists(os.path.join(tmp_path, "_SUCCESS"))
         ):
             # Pre-upgrade crashed install: staging is the only copy.
+            # Synthesize the strongest marker the staging supports:
+            # max real batch_id present (foreign/partially-folded
+            # layouts), else -1 (our pre-marker layout is all
+            # batch_id=-1 — see the docstring's residual window).
+            synth = -1
+            for d in os.listdir(tmp_path):
+                if d.startswith("batch_id=") and not d.endswith("=-1"):
+                    synth = max(synth, int(d.split("=")[1]))
             mtmp = os.path.join(tmp_path, "_compacted_through.tmp")
             with open(mtmp, "w") as fh:
-                fh.write("-1")
+                fh.write(str(synth))
                 fh.flush()
                 os.fsync(fh.fileno())
             os.replace(mtmp, os.path.join(tmp_path, "_compacted_through"))

@@ -220,3 +220,42 @@ def test_hashed_stream_reports_equal_string_stream(spark, tmp_path):
     # restarting the string artifact with hashed keys fails loud
     with _pytest.raises(ValueError, match="key=string"):
         gram_ingest_batch(_df(spark, BATCHES[0]), 3, out_s, hashed=True)
+
+
+def test_corrupt_k_marker_fails_diagnosable(spark, tmp_path):
+    """ADVICE r14: an empty or torn _gram_k marker must raise the
+    descriptive rebuild-the-artifact ValueError, not a bare
+    IndexError/ValueError from the parse — the stop was already loud,
+    but undiagnosable."""
+    import pytest as _pytest
+
+    out = str(tmp_path / "subdup")
+    gram_ingest_batch(_df(spark, BATCHES[0]), 0, out)
+    for garbage in ("", "not-a-number string"):
+        with open(os.path.join(out, "_gram_k"), "w") as fh:
+            fh.write(garbage)
+        with _pytest.raises(ValueError, match="corrupt"):
+            gram_ingest_batch(_df(spark, BATCHES[1]), 1, out)
+
+
+def test_all_malformed_batch_on_boundary_still_compacts(spark, tmp_path):
+    """ADVICE r14: an all-malformed batch landing on a compact_every
+    boundary must still fold the prior partitions — returning before
+    the boundary check deferred compaction a full cycle (growth-bound
+    loosening, no correctness impact)."""
+    from realtimedatapipeline_8_project_spark.streaming.gram_ingest import (
+        GRAMS_SUBDIR,
+    )
+
+    out = str(tmp_path / "subdup")
+    gram_ingest_batch(_df(spark, BATCHES[0]), 0, out, compact_every=2)
+    before = read_gram_set(spark, out).count()
+    # batch 1 is all-malformed AND lands on the boundary ((1+1)%2==0)
+    gram_ingest_batch(_df(spark, [(None, None)]), 1, out, compact_every=2)
+    assert _compacted_through(out, GRAMS_SUBDIR) >= 0  # batch 0 folded
+    assert read_gram_set(spark, out).count() == before
+    # a replay of the empty boundary batch is harmless and the stream
+    # keeps classifying normally afterwards
+    gram_ingest_batch(_df(spark, [(None, None)]), 1, out, compact_every=2)
+    gram_ingest_batch(_df(spark, BATCHES[1]), 2, out, compact_every=2)
+    assert {r[0] for r in _report_rows(spark, out)} >= {11, 12, 20}

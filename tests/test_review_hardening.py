@@ -520,3 +520,43 @@ def test_recovery_installs_premarker_staging_when_live_absent(
     assert SK.recover_rollup(spark, out) is False
     assert not os.path.isdir(os.path.join(out, "_rollup_tmp"))
     assert sorted(map(str, SK.read_rollup(spark, out).collect())) == want
+
+
+def test_recovery_synthesizes_marker_from_staging_partitions(
+    spark, tmp_path
+):
+    """ADVICE r14: a marker-less staging (live absent) that carries
+    REAL batch partitions — a foreign or partially-folded layout our
+    own pre-marker compaction never produces (it rewrites everything
+    to batch_id=-1) — gets its marker synthesized from the max visible
+    batch_id, so the replay no-op guard covers every batch the staging
+    demonstrably contains instead of being disabled outright."""
+    import shutil
+
+    import realtimedatapipeline_8_project_spark.streaming.sinks as SK
+
+    events = _rollup_events(spark)
+    out = str(tmp_path / "sink")
+    thirds = [events.where(F.col("event_id") % 3 == i) for i in range(3)]
+    SK.write_rollup(thirds[0], 0, out)
+    SK.write_rollup(thirds[1], 1, out)
+    want = sorted(
+        map(
+            str,
+            SK._merge_rollup(
+                SK._rollup_partial(events.where(F.col("event_id") % 3 != 2))
+            ).collect(),
+        )
+    )
+    # crash shape: live dir (real batch_id=0,1 partitions, never
+    # compacted so no marker) moved whole to the staging path
+    shutil.move(os.path.join(out, "rollup"), os.path.join(out, "_rollup_tmp"))
+    # dynamic-partition-overwrite writes leave no root _SUCCESS; plant
+    # one — the seam installs only _SUCCESS-bearing stagings
+    open(os.path.join(out, "_rollup_tmp", "_SUCCESS"), "w").close()
+    assert SK.recover_rollup(spark, out) is True
+    assert SK._compacted_through(out, "rollup") == 1
+    # the guard covers the contained batches: a replay is a no-op and
+    # the serving view is unchanged
+    SK.write_rollup(thirds[1], 1, out)
+    assert sorted(map(str, SK.read_rollup(spark, out).collect())) == want
