@@ -420,18 +420,20 @@ LIMIT {RRF_TOP}
 """
 
 
-# Registered r13: hybrid_rrf_topk only (slot funded by retiring
-# text_bm25_from_index — its _oracle_bm25 ranking stays live under
-# text_bm25_maxscore, and the from-index BM25 read IS this query's text
-# leg). The fleet and filtered forms stay EARMARKED (oracle-gated by
-# tests/test_hybrid.py / tests/test_filtered_retrieval.py with the same
-# DuckDB harness) until the registry drain order funds them — see
-# plans/registry.py's capacity decision.
+# Registered r13: hybrid_rrf_topk (slot funded by retiring
+# text_bm25_from_index). Registered r15 per the recorded drain: the
+# fleet form hybrid_rrf_batch, funded by retiring hybrid_rrf_topk —
+# the fleet form reads the SAME two leg artifacts with a strictly
+# larger surface, and per-qid identity vs the single-query hybrid is
+# machine-pinned in tests/test_hybrid.py (the retiree's entry stays
+# here for that pin; plans/registry.py filters it via _RETIRED). The
+# filtered form is permanent-tier (oracle-gated by
+# tests/test_filtered_retrieval.py + the generic earmark parity gate).
 QUERIES = {
     "hybrid_rrf_topk": (q_hybrid_rrf, _oracle_hybrid_rrf()),
+    "hybrid_rrf_batch": (q_hybrid_batch, _oracle_hybrid_batch()),
 }
 
 EARMARKS = {
-    "hybrid_rrf_batch": (q_hybrid_batch, _oracle_hybrid_batch()),
     "hybrid_rrf_filtered": (q_hybrid_filtered, _oracle_hybrid_filtered()),
 }

@@ -482,14 +482,23 @@ FROM spans GROUP BY doc_id
 """
 
 
-QUERIES: dict = {}
-
-# Permanent earmark tier (plans/registry.py capacity decision): gated
-# every build by tests/test_substring_dedup.py's DuckDB compare — the
-# same harness the driver runs — plus the planted-corpus battery and
-# the hashed-twin pin. First in line for a freed r15+ slot.
-EARMARKS = {
+# Registered r15 (VERDICT r14 #2 — fund a driver slot for the family
+# representative of the Lee et al. exact-substring dedup mandate):
+# dedup_substring_spans, funded by retiring dedup_jaccard_vs_probe by
+# the covered-by-fresher-machinery rule — see the r15 retirement block
+# in plans/registry.py for the named covering pins.
+QUERIES: dict = {
     "dedup_substring_spans": (q_substring_spans, _oracle_substring_spans()),
+}
+
+# Permanent earmark tier (plans/registry.py capacity decision): the
+# removal projection and the delta-vs-base batch form — gated every
+# build by tests/test_substring_dedup.py's DuckDB compare (the same
+# harness the driver runs) plus the planted-corpus battery, the
+# hashed-twin pin, and the generic earmark parity gate; their family
+# representative dedup_substring_spans is driver-registered (r15), so
+# the tier stays family-represented.
+EARMARKS = {
     "dedup_substring_cut": (q_substring_cut, _oracle_substring_cut()),
     "dedup_substring_incremental": (
         q_substring_incremental,

@@ -3566,12 +3566,18 @@ WHERE len(list_filter(range(1, len(t)),
 
 QUERIES["text_phrase_from_index"] = (q_phrase_from_index, ORACLE_PHRASE)
 QUERIES["text_phrase_incremental"] = (q_phrase_incremental, ORACLE_PHRASE)
+# Registered r15 per the recorded drain: the fleet BM25 form, funded
+# by retiring text_bm25_maxscore (same _oracle_bm25 ranking; the
+# pruned scored-index serving stays pinned by the pruned==unpruned
+# battery in tests/test_bm25_maxscore.py, and the REGISTERED MaxScore
+# representative remains text_bm25_maxscore_incremental — the
+# strictly-more-machinery spelling). The retiree's QUERIES entry stays
+# for those pins; plans/registry.py filters it via _RETIRED.
+QUERIES["text_bm25_batch"] = (q_bm25_batch, _oracle_bm25_batch())
+
 # Permanent earmark tier (plans/registry.py capacity decision): the
-# fleet BM25 form (registers r15 per the recorded drain, retiring
-# text_bm25_maxscore) and the filtered serving — gated by
-# tests/test_bm25_batch.py / test_filtered_retrieval.py AND the
+# filtered serving — gated by tests/test_filtered_retrieval.py AND the
 # generic earmark parity gate over this dict (r14).
 EARMARKS = {
-    "text_bm25_batch": (q_bm25_batch, _oracle_bm25_batch()),
     "text_bm25_filtered": (q_bm25_filtered_lang, _oracle_bm25_filtered()),
 }

@@ -140,18 +140,19 @@ def test_maxscore_absent_terms_and_empty_result(spark, tmp_path):
 
 
 def test_registered_maxscore_equals_from_index(spark, sf_small):
-    """The registered query (fixture terms, fixture corpus) must equal
+    """text_bm25_maxscore (fixture terms, fixture corpus) must equal
     text_bm25_from_index row-for-row — they share the DuckDB oracle.
-    from_index is registry-retired r13 (slot funds hybrid_rrf_topk), so
-    this pin via the module registry is part of what keeps its
-    retirement honest."""
+    from_index is registry-retired r13 (slot funded hybrid_rrf_topk)
+    and maxscore itself r15 (slot funds text_bm25_batch), so this pin
+    via the MODULE registry — which keeps retirees — is part of what
+    keeps both retirements honest."""
     from realtimedatapipeline_8_project_spark.operators.text_analysis import (
         QUERIES as _TAQ,
     )
 
     a = [
         (r.doc_id, r.score_micro)
-        for r in QUERIES["text_bm25_maxscore"](spark, sf_small).collect()
+        for r in _TAQ["text_bm25_maxscore"][0](spark, sf_small).collect()
     ]
     b = [
         (r.doc_id, r.score_micro)

@@ -225,3 +225,20 @@ def test_quality_survivor_keeps_original_where_min_id_would_not(
     assert singles and all(
         r.survivor_doc_id == r.cluster_id for r in singles
     )
+
+
+def test_retired_jaccard_vs_probe_oracle_gate(spark, sf_small):
+    """Retired-slot gate (r15): dedup_jaccard_vs_probe left the driver
+    registry to fund dedup_substring_spans (plans/registry.py r15
+    retirement block), but its full Spark-vs-DuckDB oracle compare
+    stays machine-checked here — the same-oracle retirement policy's
+    dead-oracle guard (review r14). Its shingle/verify core also stays
+    driver-verified through dedup_incremental's registered oracle
+    chain, which embeds the identical exact-Jaccard formula."""
+    from tests.oracle_harness import compare, duck_connection
+
+    df = dedup.QUERIES["dedup_jaccard_vs_probe"][0](spark, sf_small)
+    sql = dedup.QUERIES["dedup_jaccard_vs_probe"][1]
+    con = duck_connection(sf_small)
+    problems = compare(df, con, sql, "dedup_jaccard_vs_probe")
+    assert not problems, "\n".join(problems)

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from realtimedatapipeline_8_project_spark.operators.substring_dedup import (
     SUBDUP_K,
     EARMARKS,
+    QUERIES,
     duplicated_spans,
     q_substring_spans,
     q_substring_spans_hashed,
@@ -47,10 +48,15 @@ def test_substring_spans_matches_duckdb_oracle_driver_scale(
         con.close()
 
 
-def test_earmark_entry_is_the_gated_pair():
-    fn, sql = EARMARKS["dedup_substring_spans"]
+def test_registered_entry_is_the_gated_pair():
+    # spans registered r15 (QUERIES); cut/incremental stay earmarked
+    fn, sql = QUERIES["dedup_substring_spans"]
     assert fn is q_substring_spans
     assert "HAVING count(DISTINCT doc_id) >= 2" in sql
+    assert set(EARMARKS) == {
+        "dedup_substring_cut",
+        "dedup_substring_incremental",
+    }
 
 
 # --- planted-corpus semantics -----------------------------------------------
