@@ -11,6 +11,8 @@ import json
 import os
 import time
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from realtimedatapipeline_8_project_spark.operators.substring_dedup import (
@@ -259,3 +261,73 @@ def test_all_malformed_batch_on_boundary_still_compacts(spark, tmp_path):
     gram_ingest_batch(_df(spark, [(None, None)]), 1, out, compact_every=2)
     gram_ingest_batch(_df(spark, BATCHES[1]), 2, out, compact_every=2)
     assert {r[0] for r in _report_rows(spark, out)} >= {11, 12, 20}
+
+
+@pytest.mark.slow
+def test_hashed_stream_compaction_replay_at_scale(spark, tmp_path):
+    """VERDICT r14 #8: the PRODUCTION spelling (hashed=True, 8-byte
+    xxhash64 gram keys) driven through the full crash contract at
+    sf0.1 corpus scale — a real availableNow stream over three
+    fixture-corpus slices with compact_every on a batch boundary, then
+    replays before and after a further manual compaction. The string
+    spelling has this coverage via the planted-corpus stream test;
+    this gives the hashed loop the same, at the scale the driver
+    sweeps."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select("doc_id", "text")
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # three arrival slices with distinct mtimes -> deterministic order
+    for i in range(3):
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, f"b{i}"))
+        time.sleep(1.1)
+    raw = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b*")
+    )
+    out = str(tmp_path / "subdup")
+    run_gram_ingest(
+        raw,
+        out,
+        str(tmp_path / "chk"),
+        compact_every=2,  # boundary fires after batch 1, mid-stream
+        hashed=True,
+    ).awaitTermination()
+
+    # mid-stream compaction fired and batch 2 then classified against
+    # the FOLDED base
+    assert _compacted_through(out, "grams") >= 1
+    reports = _report_rows(spark, out)
+    assert {r[-1] for r in reports} <= {0, 1, 2}
+
+    # maintained artifact == the full-corpus distinct hashed gram set
+    want_grams = sorted(
+        r.g
+        for r in _gram_table(docs, SUBDUP_K)
+        .select(F.xxhash64("gram").alias("g"))
+        .distinct()
+        .collect()
+    )
+    got_grams = sorted(r.gram for r in read_gram_set(spark, out).collect())
+    assert got_grams == want_grams
+
+    # replay of a committed (unfolded) batch: serving state unchanged
+    gram_ingest_batch(
+        docs.where(F.col("doc_id") % 3 == 2), 2, out, hashed=True
+    )
+    assert _report_rows(spark, out) == reports
+    # fold everything; replay of a folded batch is a marker-guard no-op
+    compact_grams(spark, out)
+    assert _compacted_through(out, "grams") >= 2
+    gram_ingest_batch(
+        docs.where(F.col("doc_id") % 3 == 1), 1, out, hashed=True
+    )
+    assert _report_rows(spark, out) == reports
+    assert sorted(
+        r.gram for r in read_gram_set(spark, out).collect()
+    ) == want_grams
