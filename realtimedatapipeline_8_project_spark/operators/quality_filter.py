@@ -56,7 +56,12 @@ from ..sources.tables import load_table
 QF_FSCALE = 10_000  # ratio quantization + intercept value
 QF_STOP = ("a", "the")  # fixture stopwords
 QF_DEGRADE_EVERY = 3  # every 3rd doc gets a degraded copy
-QF_ID_OFFSET = 5_000_000  # degraded doc_id = original + offset
+# Degraded doc_id = -(doc_id) - 1: a bijective mirror into the
+# negative id space, collision-free for ANY non-negative corpus id
+# (review r15 — a fixed additive offset collides once real ids reach
+# it; at 100 TB they would). The corpus gate doc_id >= 0 IS the
+# contract that keeps the mirror injective, applied identically in
+# both engines.
 QF_W = 1 << 40  # weight scale: margin ~ QF_W means "label 1"
 # GD step = gradient >> QF_LR_SHIFT. Tuned once against the measured
 # spectrum (2026-08-16): lambda_max(A) = 1.7e8 at all three fixture
@@ -81,10 +86,12 @@ def _training_corpus(docs: DataFrame) -> DataFrame:
     """(doc_id, text, y): originals labeled 1 plus token-doubled
     degraded copies of every QF_DEGRADE_EVERY-th doc labeled 0."""
     base = docs.where(
-        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+        F.col("doc_id").isNotNull()
+        & (F.col("doc_id") >= 0)
+        & F.col("text").isNotNull()
     ).select("doc_id", "text")
     degraded = base.where(F.col("doc_id") % QF_DEGRADE_EVERY == 0).select(
-        (F.col("doc_id") + QF_ID_OFFSET).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         F.expr(
             "array_join(transform(split(text, ' '),"
             " t -> concat(t, ' ', t)), ' ')"
@@ -229,14 +236,14 @@ def q_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _O_CORPUS = f"""
   SELECT doc_id, text, CAST(1 AS BIGINT) AS y FROM documents
-  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+  WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL
   UNION ALL
-  SELECT doc_id + {QF_ID_OFFSET},
+  SELECT -doc_id - 1,
          array_to_string(list_transform(string_split(text, ' '),
                                         t -> t || ' ' || t), ' '),
          CAST(0 AS BIGINT)
   FROM documents
-  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+  WHERE doc_id IS NOT NULL AND doc_id >= 0 AND text IS NOT NULL
     AND doc_id % {QF_DEGRADE_EVERY} = 0
 """
 
@@ -276,12 +283,19 @@ def _o_stats_select() -> str:
 
 
 def _o_a_select() -> str:
+    # COALESCE(x // NULLIF(n, 0), 0): an empty corpus must yield the
+    # SAME all-zero weights the Spark n==0 short-circuit returns —
+    # without the guard, SUM-of-empty NULLs propagate through all GD
+    # CTEs and the oracle diverges exactly on the documented
+    # empty-corpus contract (review r15)
     terms = []
     for j in range(_D):
         for k in range(_D):
             jj, kk = min(j, k), max(j, k)
-            terms.append(f"s_{jj}_{kk} // n AS a_{j}_{k}")
-        terms.append(f"b_{j} // n AS c_{j}")
+            terms.append(
+                f"COALESCE(s_{jj}_{kk} // NULLIF(n, 0), 0) AS a_{j}_{k}"
+            )
+        terms.append(f"COALESCE(b_{j} // NULLIF(n, 0), 0) AS c_{j}")
     return ",\n         ".join(terms)
 
 

@@ -315,9 +315,11 @@ def _recover_compaction(output_dir: str, subdir: str) -> bool:
     deleted — that staging holds the ONLY complete copy of all
     partials, so "discard incomplete" would destroy data the old
     recover_* handled correctly. When the live dir is ABSENT, install
-    such a staging with a synthesized marker: the max batch_id among
-    its partition dirs if any real (non-folded) partitions are
-    present, else -1. A pre-marker staging written by THIS codebase
+    such a staging with a synthesized marker: the largest N whose
+    real partitions 0..N are ALL present in the staging (so the
+    replay guard only ever covers batches the staging demonstrably
+    contains — a gapped or torn staging synthesizes up to the gap,
+    never past it), else -1. A pre-marker staging written by THIS codebase
     holds only batch_id=-1 (compaction rewrites every partial with
     lit(-1)), so the folded batch ids are unrecoverable and -1 is the
     only honest value — which reproduces the old guard-less behavior
@@ -346,13 +348,27 @@ def _recover_compaction(output_dir: str, subdir: str) -> bool:
         ):
             # Pre-upgrade crashed install: staging is the only copy.
             # Synthesize the strongest marker the staging supports:
-            # max real batch_id present (foreign/partially-folded
-            # layouts), else -1 (our pre-marker layout is all
-            # batch_id=-1 — see the docstring's residual window).
-            synth = -1
+            # the largest N with real partitions 0..N ALL present
+            # (foreign/partially-folded layouts), else -1 (our
+            # pre-marker layout is all batch_id=-1 — see the
+            # docstring's residual window). Contiguous-prefix, NOT
+            # max (review r15): max would declare a GAPPED staging's
+            # absent batches already-folded and silently no-op their
+            # replays — a data loss the old -1 behavior never had,
+            # while prefix-synthesis only ever covers batches the
+            # staging demonstrably contains. Non-integer partition
+            # values (e.g. a foreign __HIVE_DEFAULT_PARTITION__) are
+            # skipped, never parsed into a crash (review r15).
+            present = set()
             for d in os.listdir(tmp_path):
-                if d.startswith("batch_id=") and not d.endswith("=-1"):
-                    synth = max(synth, int(d.split("=")[1]))
+                if d.startswith("batch_id="):
+                    try:
+                        present.add(int(d.split("=", 1)[1]))
+                    except ValueError:
+                        pass
+            synth = -1
+            while synth + 1 in present:
+                synth += 1
             mtmp = os.path.join(tmp_path, "_compacted_through.tmp")
             with open(mtmp, "w") as fh:
                 fh.write(str(synth))
@@ -376,12 +392,24 @@ def _compact_partitions(spark, output_dir: str, subdir: str, read_fn) -> None:
 
     _recover_compaction(output_dir, subdir)
     live = os.path.join(output_dir, subdir)
+    if not os.path.isdir(live):
+        # nothing has ever been written (e.g. a compaction boundary
+        # fired before the first non-empty batch): folding nothing is
+        # a no-op, not a PATH_NOT_FOUND crash that would wedge a
+        # foreachBatch checkpoint in a replay loop (review r15)
+        return
     tmp_path = os.path.join(output_dir, f"_{subdir}_tmp")
     folded = _compacted_through(output_dir, subdir)
     if os.path.isdir(live):
         for d in os.listdir(live):
             if d.startswith("batch_id=") and not d.endswith("=-1"):
-                folded = max(folded, int(d.split("=")[1]))
+                try:
+                    folded = max(folded, int(d.split("=", 1)[1]))
+                except ValueError:
+                    # a foreign non-integer partition value (the
+                    # recovery seam can install foreign stagings as
+                    # live) is not a batch to fold past
+                    pass
     try:
         read_fn(spark, output_dir).withColumn(
             "batch_id", F.lit(-1)

@@ -229,14 +229,12 @@ def test_corrupt_k_marker_fails_diagnosable(spark, tmp_path):
     descriptive rebuild-the-artifact ValueError, not a bare
     IndexError/ValueError from the parse — the stop was already loud,
     but undiagnosable."""
-    import pytest as _pytest
-
     out = str(tmp_path / "subdup")
     gram_ingest_batch(_df(spark, BATCHES[0]), 0, out)
     for garbage in ("", "not-a-number string"):
         with open(os.path.join(out, "_gram_k"), "w") as fh:
             fh.write(garbage)
-        with _pytest.raises(ValueError, match="corrupt"):
+        with pytest.raises(ValueError, match="corrupt"):
             gram_ingest_batch(_df(spark, BATCHES[1]), 1, out)
 
 
@@ -331,3 +329,17 @@ def test_hashed_stream_compaction_replay_at_scale(spark, tmp_path):
     assert sorted(
         r.gram for r in read_gram_set(spark, out).collect()
     ) == want_grams
+
+
+def test_boundary_compaction_on_cold_artifact_is_noop(spark, tmp_path):
+    """Review r15: an all-malformed FIRST batch landing on a
+    compact_every boundary must not crash on the not-yet-created grams
+    dir (PATH_NOT_FOUND there wedges the checkpoint in a replay loop);
+    folding nothing is a no-op and later real batches classify
+    normally."""
+    out = str(tmp_path / "subdup")
+    gram_ingest_batch(_df(spark, [(None, None)]), 0, out, compact_every=1)
+    assert not os.path.isdir(os.path.join(out, "grams"))
+    gram_ingest_batch(_df(spark, BATCHES[0]), 1, out, compact_every=1)
+    assert {r[0] for r in _report_rows(spark, out)} == {11, 12}
+    assert read_gram_set(spark, out).count() > 0

@@ -13,7 +13,6 @@ import os
 from pyspark.sql import functions as F
 
 from realtimedatapipeline_8_project_spark.operators.quality_filter import (
-    QF_ID_OFFSET,
     QF_ITERS,
     QF_W,
     q_quality_lr_score,
@@ -67,10 +66,21 @@ def test_train_output_shape_and_determinism(spark, sf_small):
     assert all(isinstance(w, int) for _, w in a)
 
 
-def test_degraded_ids_offset_do_not_collide(spark, sf_small):
-    ids = [r.doc_id for r in q_quality_lr_score(spark, sf_small).collect()]
+def test_degraded_ids_mirror_without_collision(spark, sf_small):
+    """Degraded ids are the negative mirror -(id)-1: injective for any
+    non-negative corpus id, so no additive-offset collision exists at
+    ANY scale (review r15)."""
+    rows = q_quality_lr_score(spark, sf_small).collect()
+    ids = [r.doc_id for r in rows]
     assert len(ids) == len(set(ids))
-    assert max(i for i in ids if i < QF_ID_OFFSET) < QF_ID_OFFSET
+    originals = {r.doc_id for r in rows if r.label == 1}
+    degraded = {r.doc_id for r in rows if r.label == 0}
+    assert all(i >= 0 for i in originals)
+    assert all(i < 0 for i in degraded)
+    # bijection back onto the every-3rd originals
+    assert {-i - 1 for i in degraded} == {
+        i for i in originals if i % 3 == 0
+    }
 
 
 def test_empty_corpus_contract(spark, tmp_path):
@@ -91,9 +101,11 @@ def test_empty_corpus_contract(spark, tmp_path):
     assert q_quality_lr_score(spark, empty_sf).count() == 0
 
 
-def test_null_rows_are_gated(spark, tmp_path):
-    """NULL doc_id / NULL text rows never reach the feature pass in
-    either engine (the corpus filter is part of the oracle too)."""
+def test_null_and_negative_rows_are_gated(spark, tmp_path):
+    """NULL doc_id / NULL text / negative doc_id rows never reach the
+    feature pass in either engine — the doc_id >= 0 gate is the
+    contract that keeps the negative-mirror degraded ids injective,
+    and it is part of the oracle too."""
     sf = str(tmp_path / "sf_nulls")
     os.makedirs(sf)
     spark.createDataFrame(
@@ -101,13 +113,15 @@ def test_null_rows_are_gated(spark, tmp_path):
             (0, "a a b c d", "en", "s", 9),
             (None, "x y z", "en", "s", 5),
             (3, None, "en", "s", 0),
+            (-1, "w w w w", "en", "s", 7),
         ],
         "doc_id long, text string, lang string, source string,"
         " n_chars long",
     ).write.parquet(os.path.join(sf, "documents.parquet"))
     rows = q_quality_lr_score(spark, sf).collect()
-    # doc 0 (label 1) + its degraded copy (0 % 3 == 0): two rows
-    assert sorted(r.doc_id for r in rows) == [0, QF_ID_OFFSET]
+    # doc 0 (label 1) + its degraded mirror -1 (0 % 3 == 0): two rows;
+    # the REAL doc_id=-1 row was gated, so the mirror id is free
+    assert sorted((r.doc_id, r.label) for r in rows) == [(-1, 0), (0, 1)]
 
 
 def test_scoring_plan_is_one_scan_with_literal_weights(spark, sf_small):

@@ -560,3 +560,47 @@ def test_recovery_synthesizes_marker_from_staging_partitions(
     # the serving view is unchanged
     SK.write_rollup(thirds[1], 1, out)
     assert sorted(map(str, SK.read_rollup(spark, out).collect())) == want
+
+
+def test_recovery_marker_synthesis_is_gap_and_garbage_safe(
+    spark, tmp_path
+):
+    """Review r15: the synthesized marker for a marker-less staging is
+    the CONTIGUOUS-prefix max — a gapped staging {0, 2} synthesizes 0
+    (batch 1's replay must land, not be declared already-folded: that
+    would be data loss, strictly worse than the old refold behavior) —
+    and a foreign non-integer partition value is skipped, never parsed
+    into a crash that wedges recovery."""
+    import shutil
+
+    import realtimedatapipeline_8_project_spark.streaming.sinks as SK
+
+    events = _rollup_events(spark)
+    out = str(tmp_path / "sink")
+    thirds = [events.where(F.col("event_id") % 3 == i) for i in range(3)]
+    SK.write_rollup(thirds[0], 0, out)
+    SK.write_rollup(thirds[2], 2, out)  # note: batch 1 never landed
+    want_all = sorted(
+        map(str, SK._merge_rollup(SK._rollup_partial(events)).collect())
+    )
+    shutil.move(os.path.join(out, "rollup"), os.path.join(out, "_rollup_tmp"))
+    open(os.path.join(out, "_rollup_tmp", "_SUCCESS"), "w").close()
+    # foreign junk partition: must be skipped by the parser
+    os.makedirs(
+        os.path.join(out, "_rollup_tmp", "batch_id=__HIVE_DEFAULT_PARTITION__")
+    )
+    assert SK.recover_rollup(spark, out) is True
+    # prefix stops at the gap: marker 0, NOT 2
+    assert SK._compacted_through(out, "rollup") == 0
+    # the gapped batch's replay LANDS (no silent loss)...
+    SK.write_rollup(thirds[1], 1, out)
+    got = {
+        str(r)
+        for r in SK.read_rollup(spark, out).collect()
+    }
+    assert sorted(got) == want_all
+    # ...and a replay of covered batch 0 stays a no-op
+    SK.write_rollup(thirds[0], 0, out)
+    assert sorted(
+        map(str, SK.read_rollup(spark, out).collect())
+    ) == want_all
