@@ -300,7 +300,10 @@ _MODULES = (
 #   integer-GD rounds, DuckDB oracle unrolling the identical updates,
 #   bit-exact at all three fixture scales via the generic gates;
 #   loss-descent/separation/empty/NULL battery in
-#   tests/test_quality_filter.py. No driver row yet — the train row
+#   tests/test_quality_filter.py; streaming/quality_ingest.py
+#   maintains the 28 additive sufficient statistics as a mergeable
+#   sink with train-from-artifact == batch pinned integer-exact
+#   (tests/test_quality_ingest.py). No driver row yet — the train row
 #   is the family representative when an r16 slot frees; see the r16
 #   drain plan above.)
 #
