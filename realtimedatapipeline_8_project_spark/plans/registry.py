@@ -432,6 +432,19 @@ _MODULES = (
 # vmstat minutes before the 58 s run); 44.77-45.40 is the honest
 # idle band, keep the check-uptime-first discipline and treat
 # anything within the recorded spread as host noise at r15.
+# R15 ROUND-END RECORD (the per-round contract): full default suite
+# on the round-end tree (059967e + this doc edit): 1172 passed / 1
+# documented env-skip / 0 failed (27:10); -m slow 160/160 (every
+# registered oracle at sf0.01 — the driver's scale — plus the 11
+# earmark-tier gates incl. the NEW quality_lr pair); -m sweep 159/159
+# (148 registered + 11 earmarks at sf0.1). The full 50-name r15
+# _PRIORITY prefix was additionally driven through the driver's exact
+# compare (vanilla session, sf0.01, bit-exact float normalization):
+# 50/50 MATCH. Bench floor: four load-checked runs of the 82-query
+# r15 set measured 51.99 / 52.39 / 57.68 / 52.36 s warm — all
+# over_budget = {}; BENCH_LATEST holds the 51.99 best (this session's
+# host runs ~15% above the 45.40 r14 best-idle floor, consistent with
+# the recorded 44.77-58 s neighbor-wave band; budgets untouched).
 # R15 REGISTRATION-TIME CHECK (VERDICT r14 #3 — 2026-08-16, four
 # independent sessions x 2 timed iterations, sf0.1, local[32];
 # vmstat ~100% idle, trailing load average 0.9-1.6 from the test
