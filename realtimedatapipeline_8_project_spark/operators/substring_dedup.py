@@ -200,41 +200,43 @@ def q_substring_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_tokens, kept_tokens, cleaned_sha) for EVERY document:
-    the removal projection — tokens inside any duplicated span are cut,
-    and the cleaned text is fingerprinted with the engine-portable
-    sha256 (the dedup_exact_fingerprint digest discipline) so the
-    oracle value-checks the RECONSTRUCTED text, not just counts. A
-    fully-duplicated document keeps 0 tokens and fingerprints the empty
-    string; documents without spans keep everything."""
-    k = SUBDUP_K
-    docs = load_table(spark, sf_dir, "documents")
-    # NULL text tokenizes as the empty document (review r14): the
-    # DuckDB oracle's pos CTE yields zero rows for it and coalesces to
-    # (0, sha256('')), so the Spark side must not null-propagate
-    # through _WORDS -> filter -> sha2. (The span queries are immune:
-    # a NULL-words doc fails size >= K on both engines.)
-    words = docs.select(
+def _words_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, words) for the cut projection. NULL text tokenizes as
+    the empty document (review r14): the DuckDB oracle's pos CTE
+    yields zero rows for it and coalesces to (0, sha256('')), so the
+    Spark side must not null-propagate through _WORDS -> filter ->
+    sha2. (The span queries are immune: a NULL-words doc fails
+    size >= K on both engines.)"""
+    return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.coalesce(F.col("text"), F.lit("")).alias("text"),
     ).select("doc_id", F.expr(_WORDS).alias("words"))
-    spans = (
-        duplicated_spans(docs, k)
-        .groupBy("doc_id")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col("span_start").alias("s"),
-                    F.col("span_end").alias("e"),
-                )
-            ).alias("spans")
-        )
+
+
+def cut_projection(words: DataFrame, spans: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, kept_tokens, cleaned_sha) from a
+    (doc_id, words) frame and RAW (doc_id, span_start, span_end) span
+    rows: the removal projection — tokens inside any duplicated span
+    are cut, and the cleaned text is fingerprinted with the
+    engine-portable sha256 (the dedup_exact_fingerprint digest
+    discipline) so an oracle value-checks the RECONSTRUCTED text, not
+    just counts. A fully-duplicated document keeps 0 tokens and
+    fingerprints the empty string; documents without spans keep
+    everything. ONE spelling shared by the full operator, the
+    incremental form, and the streaming loop, so they can never
+    drift."""
+    grouped = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                F.col("span_end").alias("e"),
+            )
+        ).alias("spans")
     )
     # left join: most docs have no spans; the spans side is the small,
     # corpus-dependent one (unhinted — AQE decides, as in the gram join)
     return (
-        words.join(spans, "doc_id", "left")
+        words.join(grouped, "doc_id", "left")
         .withColumn(
             "cleaned",
             F.expr(
@@ -250,6 +252,15 @@ def q_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cleaned_sha"
             ),
         )
+    )
+
+
+def q_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal projection for EVERY document (see
+    :func:`cut_projection` for the output contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cut_projection(
+        _words_of(docs), duplicated_spans(docs, SUBDUP_K)
     )
 
 
@@ -414,6 +425,22 @@ def incremental_substring_spans(
         "doc_id", "n_tokens", "start"
     )
     return _spans_from_hits(hits, k)
+
+
+def incremental_substring_cut(
+    base: DataFrame, delta: DataFrame, k: int = SUBDUP_K
+) -> DataFrame:
+    """The removal projection for the DELTA documents against
+    (base ∪ delta): :func:`cut_projection` over the incremental span
+    rows. Because the incremental spans are machine-pinned identical
+    to the full operator's spans restricted to delta ids, and the cut
+    is a deterministic per-document function of (words, spans), this
+    equals the full-union :func:`q_substring_cut` output restricted to
+    delta ids — the identity the streaming cleaned-output pin rides
+    (tests/test_gram_ingest.py)."""
+    return cut_projection(
+        _words_of(delta), incremental_substring_spans(base, delta, k)
+    )
 
 
 def q_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

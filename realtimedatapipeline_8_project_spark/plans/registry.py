@@ -293,7 +293,11 @@ _MODULES = (
 #   with the planted battery, hashed production twin, random
 #   island-merge sweep, and the kept==n-dup cross-operator identity;
 #   streaming/gram_ingest.py remains the maintained-artifact stream,
-#   pinned stream==batch-operator in tests/test_gram_ingest.py)
+#   pinned stream==batch-operator in tests/test_gram_ingest.py; r15
+#   adds emit_cleaned: the stream also maintains each batch's removal
+#   projection via the ONE shared cut_projection spelling, pinned
+#   equal to the new incremental_substring_cut and to the full-union
+#   cut restricted to batch ids)
 # - quality_lr_train + quality_lr_score (operators/quality_filter.py,
 #   NEW r15 — the GPT-3/CCNet-style LEARNED quality classifier:
 #   one-pass integer sufficient statistics + 48 driver-local

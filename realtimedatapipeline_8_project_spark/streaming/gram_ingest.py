@@ -43,11 +43,14 @@ from ..operators.substring_dedup import (
     _gram_table,
     _span_report,
     _spans_from_hits,
+    _words_of,
+    cut_projection,
 )
 from .sinks import _compact_partitions, _compacted_through, _recover_compaction
 
 GRAMS_SUBDIR = "grams"
 REPORTS_SUBDIR = "subdup_reports"
+CLEANED_SUBDIR = "cleaned"
 _K_MARKER = "_gram_k"
 
 
@@ -128,6 +131,11 @@ _REPORTS_SCHEMA = (
     "batch_id int"
 )
 
+_CLEANED_SCHEMA = (
+    "doc_id long, n_tokens long, kept_tokens long, cleaned_sha string, "
+    "batch_id int"
+)
+
 
 def _read_base_grams(
     spark: SparkSession, output_dir: str, before_batch: int
@@ -152,11 +160,15 @@ def gram_ingest_batch(
     k: int = SUBDUP_K,
     compact_every: int | None = None,
     hashed: bool = False,
+    emit_cleaned: bool = False,
 ) -> None:
     """foreachBatch body: recover -> replay guard -> classify against
     the committed gram frontier + batch-internal dups -> write the
-    batch's span report -> append the batch's distinct grams ->
-    optionally fold old gram partitions. ``hashed=True`` keys the
+    batch's span report (and, with ``emit_cleaned``, the batch's
+    CLEANED output — the removal projection of every batch document,
+    the stream a production curation pipeline actually consumes) ->
+    append the batch's distinct grams -> optionally fold old gram
+    partitions. ``hashed=True`` keys the
     artifact by xxhash64 — 8 bytes per stored gram instead of a
     K-token string, the production spelling (the batch operator's
     hashed-twin discipline: one-sided span-adding error on a 64-bit
@@ -204,14 +216,35 @@ def gram_ingest_batch(
         hits = grams.join(dup, "gram", "left_semi").select(
             "doc_id", "n_tokens", "start"
         )
-        (
-            _span_report(_spans_from_hits(hits, k))
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(os.path.join(output_dir, REPORTS_SUBDIR))
-        )
+        spans = _spans_from_hits(hits, k)
+        if emit_cleaned:
+            # spans feed both the report and the cut — persist so the
+            # island window runs once (the grams persist discipline)
+            spans = spans.persist()
+        try:
+            (
+                _span_report(spans)
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(os.path.join(output_dir, REPORTS_SUBDIR))
+            )
+            if emit_cleaned:
+                # the batch's removal projection — identical semantics
+                # to incremental_substring_cut(committed-frontier,
+                # batch): same hits, same shared cut_projection
+                (
+                    cut_projection(_words_of(docs), spans)
+                    .withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .parquet(os.path.join(output_dir, CLEANED_SUBDIR))
+                )
+        finally:
+            if emit_cleaned:
+                spans.unpersist()
         (
             grams.select("gram")
             .distinct()
@@ -256,6 +289,18 @@ def read_subdup_reports(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.schema(_REPORTS_SCHEMA).parquet(path)
 
 
+def read_cleaned(spark: SparkSession, output_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, kept_tokens, cleaned_sha, batch_id): every
+    micro-batch's removal projection — the cleaned corpus stream an
+    ``emit_cleaned=True`` ingest maintains. Same read discipline as
+    the reports: not-created-yet serves the typed empty frame, a
+    corrupt dir still fails at execution."""
+    path = os.path.join(output_dir, CLEANED_SUBDIR)
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], _CLEANED_SCHEMA)
+    return spark.read.schema(_CLEANED_SCHEMA).parquet(path)
+
+
 def compact_grams(spark: SparkSession, output_dir: str) -> None:
     """Fold every gram batch partition into one distinct batch_id=-1
     partition — the artifact's size becomes O(distinct grams) instead
@@ -278,11 +323,13 @@ def run_gram_ingest(
     k: int = SUBDUP_K,
     compact_every: int | None = None,
     hashed: bool = False,
+    emit_cleaned: bool = False,
 ) -> StreamingQuery:
     """Drain ``doc_stream`` (doc_id, text) through the substring-dedup
     classification loop with availableNow semantics (process what has
     arrived, then stop; a production run swaps in a processing-time
-    trigger, nothing else changes)."""
+    trigger, nothing else changes). ``emit_cleaned`` additionally
+    maintains the per-batch removal projection (read_cleaned)."""
     return (
         doc_stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
@@ -294,6 +341,7 @@ def run_gram_ingest(
                 k=k,
                 compact_every=compact_every,
                 hashed=hashed,
+                emit_cleaned=emit_cleaned,
             )
         )
         .trigger(availableNow=True)

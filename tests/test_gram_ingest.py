@@ -343,3 +343,52 @@ def test_boundary_compaction_on_cold_artifact_is_noop(spark, tmp_path):
     gram_ingest_batch(_df(spark, BATCHES[0]), 1, out, compact_every=1)
     assert {r[0] for r in _report_rows(spark, out)} == {11, 12}
     assert read_gram_set(spark, out).count() > 0
+
+
+def test_emit_cleaned_stream_equals_incremental_cut(spark, tmp_path):
+    """emit_cleaned=True maintains the per-batch removal projection:
+    batch for batch it equals incremental_substring_cut(committed
+    prior union, batch) — same hits, same shared cut_projection — and
+    replays are idempotent before and after compaction."""
+    import hashlib
+
+    from realtimedatapipeline_8_project_spark.operators.substring_dedup import (
+        incremental_substring_cut,
+    )
+    from realtimedatapipeline_8_project_spark.streaming.gram_ingest import (
+        read_cleaned,
+    )
+
+    out = str(tmp_path / "subdup")
+    for i, rows in enumerate(BATCHES):
+        gram_ingest_batch(_df(spark, rows), i, out, emit_cleaned=True)
+    got = sorted(map(tuple, read_cleaned(spark, out).collect()))
+    want = []
+    for i, rows in enumerate(BATCHES):
+        prior = [r for b in BATCHES[:i] for r in b]
+        cut = incremental_substring_cut(_df(spark, prior), _df(spark, rows))
+        want.extend((*t, i) for t in map(tuple, cut.collect()))
+    assert got == sorted(want)
+
+    # the projection is total: EVERY batch doc has a cleaned row
+    assert {r[0] for r in got} == {d for b in BATCHES for d, _ in b}
+    # doc 12 is a pure copy of batch-internal passage _P1: fully cut
+    (r12,) = [r for r in got if r[0] == 12]
+    assert r12[2] == 0
+    assert r12[3] == hashlib.sha256(b"").hexdigest()
+    # doc 31 is fresh: keeps everything, sha of its own normalized text
+    (r31,) = [r for r in got if r[0] == 31]
+    assert r31[1] == r31[2]
+
+    # unfolded replay: idempotent partition overwrite
+    gram_ingest_batch(_df(spark, BATCHES[2]), 2, out, emit_cleaned=True)
+    assert sorted(map(tuple, read_cleaned(spark, out).collect())) == got
+    # folded replay: the marker guard no-ops the whole batch body
+    compact_grams(spark, out)
+    gram_ingest_batch(_df(spark, BATCHES[1]), 1, out, emit_cleaned=True)
+    assert sorted(map(tuple, read_cleaned(spark, out).collect())) == got
+    # a report-only artifact (emit_cleaned never set) serves the typed
+    # empty cleaned frame
+    out2 = str(tmp_path / "reports_only")
+    gram_ingest_batch(_df(spark, BATCHES[0]), 0, out2)
+    assert read_cleaned(spark, out2).count() == 0

@@ -519,3 +519,49 @@ def test_hashed_empty_corpus_contract(spark):
         "span_start",
         "span_end",
     ]
+
+
+def test_incremental_cut_equals_full_union_restricted(spark):
+    """incremental_substring_cut(base, delta) == the full-union
+    q_substring_cut projection restricted to delta ids — the cut is a
+    deterministic per-document function of (words, spans), so the
+    existing incremental-spans identity carries over to the cleaned
+    text (and the sha fingerprints prove it value-for-value)."""
+    from realtimedatapipeline_8_project_spark.operators.substring_dedup import (
+        _words_of,
+        cut_projection,
+        incremental_substring_cut,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (0, f"{_SHARED_12} {_FILL_A}"),
+            (1, _FILL_B),
+        ],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, _SHARED_12),          # fully duplicated vs base
+            (11, f"{_FILL_A} extra1 extra2 extra3 extra4"),  # partial
+            (12, "k l m n o p q r s t"),  # fresh
+            (13, "k l m n o p q r s t"),  # delta-internal dup of 12
+        ],
+        "doc_id long, text string",
+    )
+    inc = sorted(
+        map(tuple, incremental_substring_cut(base, delta).collect())
+    )
+    union = base.unionByName(delta)
+    full = cut_projection(_words_of(union), duplicated_spans(union))
+    want = sorted(
+        tuple(r)
+        for r in full.collect()
+        if r.doc_id >= 10
+    )
+    assert inc == want
+    # and the plant exercised all three legs: full cut, partial, dup
+    by_id = {r[0]: r for r in inc}
+    assert by_id[10][2] == 0            # fully duplicated -> all cut
+    assert 0 < by_id[11][2] < by_id[11][1]  # partial
+    assert by_id[12][2] == 0 and by_id[13][2] == 0  # internal dups
