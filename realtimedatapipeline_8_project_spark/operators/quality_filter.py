@@ -140,22 +140,39 @@ def _with_features(corpus: DataFrame) -> DataFrame:
     )
 
 
-def _sufficient_stats(feats: DataFrame) -> tuple:
-    """ONE aggregation -> (n, A, c): A[j][k] = floor(sum f_j f_k / n),
-    c[j] = floor(sum f_j y / n). The exchange is a single combined row
-    (map-side partial aggregation); n never appears in a shuffle key."""
+def _stats_agg_exprs() -> list:
+    """The 28 sufficient-statistic aggregate expressions (n, the 6x6
+    Gram upper triangle s_j_k, X'y as b_j) — ONE spelling shared by
+    the batch operator and the streaming partial-stats sink
+    (streaming/quality_ingest.py), so the stream==batch integer
+    identity can never drift through two hand-maintained copies
+    (review r15, the cut_projection precedent). COALESCE(..., 0) makes
+    a zero-row frame aggregate to the all-zero identity row — harmless
+    for the batch path (n == 0 short-circuits before the sums are
+    read) and required for the stream's mergeable partials."""
     aggs = [F.count(F.lit(1)).alias("n")]
     for j in range(_D):
         for k in range(j, _D):
             aggs.append(
-                F.sum(
-                    F.col(QF_FEATURES[j]) * F.col(QF_FEATURES[k])
+                F.coalesce(
+                    F.sum(F.col(QF_FEATURES[j]) * F.col(QF_FEATURES[k])),
+                    F.lit(0),
                 ).alias(f"s_{j}_{k}")
             )
+    for j in range(_D):
         aggs.append(
-            F.sum(F.col(QF_FEATURES[j]) * F.col("y")).alias(f"b_{j}")
+            F.coalesce(
+                F.sum(F.col(QF_FEATURES[j]) * F.col("y")), F.lit(0)
+            ).alias(f"b_{j}")
         )
-    row = feats.agg(*aggs).collect()[0]  # bounded driver read: 1 row
+    return aggs
+
+
+def _stats_row_to_Ac(row) -> tuple:
+    """(n, A, c) from a combined stats row: A[j][k] = floor(s_j_k / n),
+    c[j] = floor(b_j / n). The reconstruction half of the shared
+    spelling — the stream's train-from-artifact path runs this exact
+    loop on its merged row."""
     n = row["n"]
     if n == 0:
         return 0, [[0] * _D for _ in range(_D)], [0] * _D
@@ -167,6 +184,15 @@ def _sufficient_stats(feats: DataFrame) -> tuple:
             A[j][k] = A[k][j] = row[f"s_{j}_{k}"] // n
         c[j] = row[f"b_{j}"] // n
     return n, A, c
+
+
+def _sufficient_stats(feats: DataFrame) -> tuple:
+    """ONE aggregation -> (n, A, c). The exchange is a single combined
+    row (map-side partial aggregation); n never appears in a shuffle
+    key."""
+    # bounded driver read: 1 row
+    row = feats.agg(*_stats_agg_exprs()).collect()[0]
+    return _stats_row_to_Ac(row)
 
 
 def _gd_weights(A, c) -> tuple[list[int], list[int]]:

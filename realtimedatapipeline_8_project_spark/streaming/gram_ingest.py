@@ -54,15 +54,26 @@ CLEANED_SUBDIR = "cleaned"
 _K_MARKER = "_gram_k"
 
 
-def _check_gram_meta(output_dir: str, k: int, hashed: bool) -> None:
-    """Stamp (K, key type) into the artifact root on first contact and
-    fail loud on any later mismatch (review r14): an artifact built at
-    one K can never match grams built at another, and a string-keyed
-    artifact can never match xxhash64 keys — either restart shape
-    would silently classify every duplicated doc as clean. The marker
-    lives NEXT TO the grams dir (compaction replaces the dir, never
-    the root) and installs atomically (tmp + rename)."""
+def _check_gram_meta(
+    output_dir: str, k: int, hashed: bool, emit_cleaned: bool
+) -> None:
+    """Stamp (K, key type, cleaned-projection mode) into the artifact
+    root on first contact and fail loud on any later mismatch (review
+    r14; cleaned mode review r15): an artifact built at one K can
+    never match grams built at another, and a string-keyed artifact
+    can never match xxhash64 keys — either restart shape would
+    silently classify every duplicated doc as clean. The cleaned mode
+    is stamped for the same reason in the other direction: flipping
+    ``emit_cleaned`` ON over an artifact whose earlier batches are
+    checkpoint-committed (or folded) would serve read_cleaned as "the
+    cleaned corpus" while silently missing every document from those
+    batches — they can never be re-cleaned without a rebuild; flipping
+    it OFF lets the cleaned dir go silently stale under its readers.
+    Either flip requires rebuilding the artifact. The marker lives
+    NEXT TO the grams dir (compaction replaces the dir, never the
+    root) and installs atomically (tmp + rename)."""
     key = "xxhash64" if hashed else "string"
+    cleaned = "cleaned" if emit_cleaned else "plain"
     marker = os.path.join(output_dir, _K_MARKER)
     try:
         with open(marker) as fh:
@@ -71,15 +82,18 @@ def _check_gram_meta(output_dir: str, k: int, hashed: bool) -> None:
         os.makedirs(output_dir, exist_ok=True)
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:
-            fh.write(f"{k} {key}")
+            fh.write(f"{k} {key} {cleaned}")
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, marker)
         return
-    # pre-key-stamp markers (bare int) are string-keyed by construction
+    # pre-key-stamp markers (bare int) are string-keyed by
+    # construction; pre-cleaned-stamp markers (two fields) predate
+    # emit_cleaned, so their committed batches have no cleaned output
     try:
         stored_k = int(parts[0])
         stored_key = parts[1] if len(parts) > 1 else "string"
+        stored_cleaned = parts[2] if len(parts) > 2 else "plain"
     except (IndexError, ValueError) as exc:
         # an empty or torn marker is still a loud stop, but with a
         # diagnosable message instead of a bare parse error (ADVICE
@@ -100,6 +114,17 @@ def _check_gram_meta(output_dir: str, k: int, hashed: bool) -> None:
             "continuing would silently classify every duplicated "
             "document as clean. Rebuild the artifact or restore the "
             "original configuration."
+        )
+    if stored_cleaned != cleaned:
+        raise ValueError(
+            f"gram artifact at {output_dir} was built with "
+            f"emit_cleaned={stored_cleaned == 'cleaned'}; this stream "
+            f"is configured with emit_cleaned={emit_cleaned}. Batches "
+            "already committed under the other mode can never be "
+            "re-processed (replays are checkpoint/fold no-ops), so "
+            "continuing would serve an incomplete or silently-stale "
+            "cleaned projection. Rebuild the artifact under the "
+            "desired mode or restore the original configuration."
         )
 
 
@@ -153,6 +178,23 @@ def _read_base_grams(
     return grams.where(F.col("batch_id") < before_batch).select("gram")
 
 
+def _write_cleaned(
+    admitted: DataFrame, spans: DataFrame, output_dir: str, batch_id: int
+) -> None:
+    """Write the batch's removal projection (ONE spelling for the
+    normal and all-NULL-text paths): cut_projection over every
+    admitted doc, keyed by batch_id with the idempotent dynamic
+    partition overwrite."""
+    (
+        cut_projection(_words_of(admitted), spans)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(os.path.join(output_dir, CLEANED_SUBDIR))
+    )
+
+
 def gram_ingest_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -180,19 +222,37 @@ def gram_ingest_batch(
     # compaction followed by a run of all-malformed batches must not
     # leave the grams dir absent until a non-empty batch happens by)
     _recover_compaction(output_dir, GRAMS_SUBDIR)
-    _check_gram_meta(output_dir, k, hashed)
+    _check_gram_meta(output_dir, k, hashed, emit_cleaned)
     if batch_id <= _compacted_through(output_dir, GRAMS_SUBDIR):
         return  # already folded into batch_id=-1: replay is a no-op
-    docs = batch_df.select("doc_id", "text").where(
-        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    # two admission tiers (review r15): a NULL doc_id row is malformed
+    # everywhere, but a NULL-TEXT row with a real doc_id is only
+    # excluded from the gram/report machinery — the cleaned projection
+    # must still carry it as the empty document (kept 0, sha256('')),
+    # exactly incremental_substring_cut's _words_of semantics, or the
+    # doc silently vanishes from the downstream corpus.
+    admitted = batch_df.select("doc_id", "text").where(
+        F.col("doc_id").isNotNull()
     )
+    docs = admitted.where(F.col("text").isNotNull())
     if docs.isEmpty():
+        if emit_cleaned and not admitted.isEmpty():
+            # an all-NULL-text batch has no grams or spans, but its
+            # admitted docs still clean to the empty document
+            _write_cleaned(
+                admitted,
+                spark.createDataFrame(
+                    [], "doc_id long, span_start int, span_end int"
+                ),
+                output_dir,
+                batch_id,
+            )
         # an all-malformed batch still honors the compaction boundary
         # (ADVICE r14: returning before the check deferred compaction
         # a full compact_every cycle, loosening the artifact growth
-        # bound). There is nothing of this batch to write, so folding
-        # prior partitions and returning is safe: a later replay of
-        # this batch re-derives the same empty docs frame.
+        # bound). There is nothing of this batch to write to the gram
+        # set, so folding prior partitions and returning is safe: a
+        # later replay of this batch re-derives the same frames.
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_grams(spark, output_dir)
         return
@@ -233,15 +293,10 @@ def gram_ingest_batch(
             if emit_cleaned:
                 # the batch's removal projection — identical semantics
                 # to incremental_substring_cut(committed-frontier,
-                # batch): same hits, same shared cut_projection
-                (
-                    cut_projection(_words_of(docs), spans)
-                    .withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .partitionBy("batch_id")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .parquet(os.path.join(output_dir, CLEANED_SUBDIR))
-                )
+                # batch): same hits, same shared cut_projection, and
+                # the ADMITTED frame (NULL-text docs included) so the
+                # empty-document rows match too (review r15)
+                _write_cleaned(admitted, spans, output_dir, batch_id)
         finally:
             if emit_cleaned:
                 spans.unpersist()

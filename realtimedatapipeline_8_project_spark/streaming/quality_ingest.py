@@ -35,8 +35,9 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.quality_filter import (
     _D,
-    QF_FEATURES,
     _gd_weights,
+    _stats_agg_exprs,
+    _stats_row_to_Ac,
     _training_corpus,
     _with_features,
 )
@@ -53,25 +54,12 @@ _STATS_SCHEMA = ", ".join(f"{c} bigint" for c in _STAT_COLS) + ", batch_id int"
 
 
 def _partial_stats(feats: DataFrame) -> DataFrame:
-    """One combined partial-stats row for a (featured, labeled) frame.
-    COALESCE(..., 0) so an all-filtered batch still writes a zero row
-    (n=0) — sums of zero rows merge as identity."""
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for j in range(_D):
-        for k in range(j, _D):
-            aggs.append(
-                F.coalesce(
-                    F.sum(F.col(QF_FEATURES[j]) * F.col(QF_FEATURES[k])),
-                    F.lit(0),
-                ).alias(f"s_{j}_{k}")
-            )
-    for j in range(_D):
-        aggs.append(
-            F.coalesce(
-                F.sum(F.col(QF_FEATURES[j]) * F.col("y")), F.lit(0)
-            ).alias(f"b_{j}")
-        )
-    return feats.agg(*aggs)
+    """One combined partial-stats row for a (featured, labeled) frame —
+    the operator's shared agg spelling verbatim (review r15: two
+    hand-maintained copies of the 28 expressions were the exact drift
+    hazard cut_projection was factored out to prevent). An all-filtered
+    batch still writes the all-zero identity row (n=0)."""
+    return feats.agg(*_stats_agg_exprs())
 
 
 def quality_stats_batch(
@@ -119,26 +107,16 @@ def train_from_stats_artifact(
     driver-local integer GD. A cold or all-empty artifact trains to
     the documented zero weights."""
     row = read_quality_stats(spark, output_dir).collect()[0]
-    n = row["n"]
+    n, A, c = _stats_row_to_Ac(row)
     if n == 0:
         return [0] * _D
-    A = [[0] * _D for _ in range(_D)]
-    c = [0] * _D
-    for j in range(_D):
-        for k in range(j, _D):
-            A[j][k] = A[k][j] = row[f"s_{min(j, k)}_{max(j, k)}"] // n
-        c[j] = row[f"b_{j}"] // n
     return _gd_weights(A, c)[0]
 
 
 def compact_quality_stats(spark: SparkSession, output_dir: str) -> None:
     """Fold all partial rows into one batch_id=-1 row (staged install +
     marker, the shared crash contract). Amortized O(1)."""
-
-    def _read_merged(spark_, output_dir_):
-        return read_quality_stats(spark_, output_dir_)
-
-    _compact_partitions(spark, output_dir, QSTATS_SUBDIR, _read_merged)
+    _compact_partitions(spark, output_dir, QSTATS_SUBDIR, read_quality_stats)
 
 
 def recover_quality_stats(spark: SparkSession, output_dir: str) -> bool:

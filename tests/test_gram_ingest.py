@@ -392,3 +392,79 @@ def test_emit_cleaned_stream_equals_incremental_cut(spark, tmp_path):
     out2 = str(tmp_path / "reports_only")
     gram_ingest_batch(_df(spark, BATCHES[0]), 0, out2)
     assert read_cleaned(spark, out2).count() == 0
+
+
+def test_emit_cleaned_null_text_docs_get_empty_rows(spark, tmp_path):
+    """Review r15: a NULL-text row with a real doc_id is excluded from
+    the gram/report machinery but must still land in the cleaned
+    projection as the empty document — incremental_substring_cut's
+    _words_of semantics — or the doc silently vanishes from the
+    downstream corpus."""
+    import hashlib
+
+    from realtimedatapipeline_8_project_spark.operators.substring_dedup import (
+        incremental_substring_cut,
+    )
+    from realtimedatapipeline_8_project_spark.streaming.gram_ingest import (
+        read_cleaned,
+    )
+
+    empty_sha = hashlib.sha256(b"").hexdigest()
+    out = str(tmp_path / "subdup")
+    # batch 0: two real docs + one NULL-text doc (doc_id 99)
+    b0 = BATCHES[0] + [(99, None)]
+    gram_ingest_batch(_df(spark, b0), 0, out, emit_cleaned=True)
+    got = sorted(map(tuple, read_cleaned(spark, out).collect()))
+    assert (99, 0, 0, empty_sha, 0) in got
+    # batch-for-batch identical to the batch operator on the same rows
+    want = sorted(
+        (*t, 0)
+        for t in map(
+            tuple,
+            incremental_substring_cut(
+                _df(spark, []), _df(spark, b0)
+            ).collect(),
+        )
+    )
+    assert got == want
+    # an ALL-NULL-text batch (no grams, no spans) still writes its
+    # cleaned rows — the early-return path must not skip them
+    gram_ingest_batch(
+        _df(spark, [(100, None), (101, None)]), 1, out, emit_cleaned=True
+    )
+    got1 = sorted(
+        map(
+            tuple,
+            read_cleaned(spark, out)
+            .where(F.col("batch_id") == 1)
+            .collect(),
+        )
+    )
+    assert got1 == [(100, 0, 0, empty_sha, 1), (101, 0, 0, empty_sha, 1)]
+    # ...and the stream keeps classifying normally afterwards
+    gram_ingest_batch(_df(spark, BATCHES[1]), 2, out, emit_cleaned=True)
+    assert {r[0] for r in _report_rows(spark, out)} >= {11, 12, 20}
+
+
+def test_emit_cleaned_mode_flip_fails_loud(spark, tmp_path):
+    """Review r15: emit_cleaned is stamped into the artifact marker —
+    flipping it ON over committed plain batches would serve an
+    incomplete cleaned corpus (those batches can never be re-cleaned);
+    flipping it OFF lets the cleaned dir go silently stale. Both
+    directions fail loud."""
+    out_plain = str(tmp_path / "plain")
+    gram_ingest_batch(_df(spark, BATCHES[0]), 0, out_plain)
+    with pytest.raises(ValueError, match="emit_cleaned"):
+        gram_ingest_batch(
+            _df(spark, BATCHES[1]), 1, out_plain, emit_cleaned=True
+        )
+    out_clean = str(tmp_path / "cleaned")
+    gram_ingest_batch(_df(spark, BATCHES[0]), 0, out_clean, emit_cleaned=True)
+    with pytest.raises(ValueError, match="emit_cleaned"):
+        gram_ingest_batch(_df(spark, BATCHES[1]), 1, out_clean)
+    # same mode continues fine after the rejected attempts
+    gram_ingest_batch(_df(spark, BATCHES[1]), 1, out_plain)
+    gram_ingest_batch(
+        _df(spark, BATCHES[1]), 1, out_clean, emit_cleaned=True
+    )
+    assert {r[0] for r in _report_rows(spark, out_plain)} >= {11, 12, 20}
