@@ -365,3 +365,241 @@ GROUP BY sha256
 """
 
 QUERIES["media_dedup_exact"] = (q_media_dedup_exact, ORACLE_MEDIA_DEDUP_EXACT)
+
+
+# --- perceptual near-dup: aHash + banded Hamming LSH (r15 earmark) ----------
+# The multimodal family's NEAR-dup member (exact dedup collapses only
+# byte-identical payloads; re-encoded / lightly-edited media needs a
+# perceptual hash). Classic average-hash shape: decode -> fixed 64-cell
+# downscale -> bit_j = (cell_j >= mean) -> 64-bit signature; near-dups =
+# pairs within Hamming distance PH_HAM_T, found by the simhash_neardup
+# banding discipline (4 x 16-bit bands; any pair with Hamming <= 3 must
+# agree on >= 1 band by pigeonhole, so recall is EXACT — never
+# all-pairs). The "downscale" is the documented deterministic stub
+# (64 contiguous byte-chunk sums of the payload — structurally a real
+# luma downscale: local edits move few cells); swap the inner function
+# for a real decode+resize+grayscale and nothing else changes. Unlike
+# SimHash (xxhash64, rows-only check), every stage here is integer math
+# DuckDB replays — the whole Arrow hash pass AND the banded join are
+# value-checked by the oracle.
+#
+# At 100 TB: payload bytes are read ONCE in the Arrow pass and never
+# shuffle — only (media_id, two int64 halves) leave the scan; the band
+# self-join keys on 4 x (band, 16-bit value) rows per item, and the
+# Hamming verify is two bit_counts per candidate. Banding selectivity
+# is corpus-dependent (low-entropy corpora co-band more — measured on
+# the worst-case synthetic fixture: top bucket 52 of 5417 items, 21k
+# candidates vs 14.7M all-pairs); AQE handles hot band values at scale.
+
+PH_EVERY = 12
+PH_OFFSET = 3_000_000
+PH_HAM_T = 3
+
+PHASHED = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash_lo", LongType(), True),
+        StructField("phash_hi", LongType(), True),
+    ]
+)
+
+
+def phash_media(df: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual hash over (media_id, payload): 64
+    chunk-sum cells -> average-hash bits -> two int64 halves (bits
+    0-31 in phash_lo, 32-63 in phash_hi — split so neither half
+    touches the sign bit). Self-contained closure (ships by value);
+    cell_j of byte position p is (p*64) DIV n, the exact formula the
+    DuckDB oracle replays. A NULL/empty payload hashes to all-ones
+    (zero cells, zero total: 64*0 >= 0) — identically in both
+    engines."""
+
+    def _phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        shifts = np.arange(32, dtype=np.int64)
+
+        def fake_phash(payload) -> tuple[int, int]:
+            b = np.frombuffer(
+                bytes(payload) if payload is not None else b"",
+                dtype=np.uint8,
+            ).astype(np.int64)
+            cells = np.zeros(64, dtype=np.int64)
+            if b.size:
+                idx = (np.arange(b.size, dtype=np.int64) * 64) // b.size
+                np.add.at(cells, idx, b)
+            total = int(cells.sum())
+            bits = (64 * cells >= total).astype(np.int64)
+            return (
+                int((bits[:32] << shifts).sum()),
+                int((bits[32:] << shifts).sum()),
+            )
+
+        for pdf in batches:
+            hs = [fake_phash(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash_lo": [h[0] for h in hs],
+                    "phash_hi": [h[1] for h in hs],
+                }
+            )
+
+    return df.mapInPandas(_phash, schema=PHASHED)
+
+
+def phash_neardup_pairs(corpus: DataFrame) -> DataFrame:
+    """(media_id, payload) -> (media_id_a, media_id_b, hamming) for
+    every pair within Hamming distance PH_HAM_T: Arrow hash pass, then
+    the simhash_neardup banding shape — explode 4 x 16-bit signature
+    bands, equi-join on (band, bits) with id-ordering, distinct,
+    verify exact Hamming via two bit_counts. Recall is exact for
+    Hamming <= 3 (pigeonhole over 4 bands); the join is always banded
+    equi (plan-pinned: no cartesian)."""
+    # NO pre-hash repartition (deliberate, unlike simhash_neardup's
+    # text pass): rebalancing here would shuffle the payload BYTES —
+    # the one thing this operator promises never moves. Measured at
+    # sf0.1: the rebalance does not help anyway (1.48 s -> 1.39 s best
+    # iteration, inside noise; the per-payload numpy hash is ~µs/doc,
+    # so the fixture's 2-slice scan is not the bottleneck).
+    hashed = phash_media(corpus)
+    bands = hashed.select(
+        "media_id",
+        "phash_lo",
+        "phash_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(
+                            F.col("phash_lo" if b < 2 else "phash_hi"),
+                            (b % 2) * 16,
+                        )
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bits"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("media_id", "phash_lo", "phash_hi", "bb.band", "bb.bits")
+    left, right = bands.alias("l"), bands.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bits") == F.col("r.bits"))
+            & (F.col("l.media_id") < F.col("r.media_id")),
+        )
+        .select(
+            F.col("l.media_id").alias("media_id_a"),
+            F.col("r.media_id").alias("media_id_b"),
+            F.col("l.phash_lo").alias("alo"),
+            F.col("l.phash_hi").alias("ahi"),
+            F.col("r.phash_lo").alias("blo"),
+            F.col("r.phash_hi").alias("bhi"),
+        )
+        .dropDuplicates(["media_id_a", "media_id_b"])
+    )
+    hamming = (
+        F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
+        + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi")))
+    ).cast("long")
+    return cand.select(
+        "media_id_a", "media_id_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= PH_HAM_T)
+
+
+def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs over the media corpus plus planted
+    lightly-edited copies (every PH_EVERY-th item re-ingested with ONE
+    byte changed — the re-encode/edit analog; a single-byte edit moves
+    one cell, so the planted pairs land at small Hamming and the
+    banding must recover them)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = docs.where(F.col("doc_id") % PH_EVERY == 0).select(
+        (F.col("doc_id") + PH_OFFSET).alias("doc_id"),
+        F.concat(
+            F.expr("substr(text, 1, length(text) DIV 2)"),
+            F.lit("~"),
+            F.expr("substr(text, length(text) DIV 2 + 2)"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(pert).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return phash_neardup_pairs(corpus)
+
+
+ORACLE_MEDIA_PHASH_NEARDUP = f"""
+WITH base AS (
+  SELECT doc_id AS media_id, text FROM documents
+), corpus AS (
+  SELECT media_id, text FROM base
+  UNION ALL
+  SELECT media_id + {PH_OFFSET},
+         substr(text, 1, length(text) // 2) || '~' ||
+         substr(text, length(text) // 2 + 2)
+  FROM base WHERE media_id % {PH_EVERY} = 0
+), pos AS (
+  SELECT media_id, text, length(text) AS n,
+         unnest(range(1, length(text) + 1)) AS i
+  FROM corpus
+), cellsum AS (
+  SELECT media_id, ((i - 1) * 64) // n AS cell,
+         SUM(ascii(substr(text, i, 1))) AS s
+  FROM pos GROUP BY 1, 2
+), cells AS (
+  SELECT c.media_id, g.cell, COALESCE(cs.s, 0) AS s
+  FROM corpus c
+  CROSS JOIN (SELECT unnest(range(64)) AS cell) g
+  LEFT JOIN cellsum cs ON cs.media_id = c.media_id AND cs.cell = g.cell
+), tot AS (
+  SELECT media_id, SUM(s) AS total FROM cells GROUP BY 1
+), bits AS (
+  SELECT c.media_id, c.cell,
+         CASE WHEN 64 * c.s >= t.total THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tot t USING (media_id)
+), hash AS (
+  SELECT media_id,
+         SUM(CASE WHEN cell < 32
+                  THEN bit * (CAST(1 AS BIGINT) << cell) ELSE 0 END) AS lo,
+         SUM(CASE WHEN cell >= 32
+                  THEN bit * (CAST(1 AS BIGINT) << (cell - 32))
+                  ELSE 0 END) AS hi
+  FROM bits GROUP BY 1
+), bx AS (
+  SELECT media_id, lo, hi, unnest(range(4)) AS band FROM hash
+), bands AS (
+  SELECT media_id, lo, hi, band,
+         CASE WHEN band = 0 THEN lo & 65535
+              WHEN band = 1 THEN (lo >> 16) & 65535
+              WHEN band = 2 THEN hi & 65535
+              ELSE (hi >> 16) & 65535 END AS bits
+  FROM bx
+), cand AS (
+  SELECT DISTINCT l.media_id AS media_id_a, r.media_id AS media_id_b,
+         l.lo AS alo, l.hi AS ahi, r.lo AS blo, r.hi AS bhi
+  FROM bands l
+  JOIN bands r
+    ON l.band = r.band AND l.bits = r.bits AND l.media_id < r.media_id
+)
+SELECT media_id_a, media_id_b,
+       CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi))
+            AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= {PH_HAM_T}
+"""
+
+
+# permanent-tier earmark (r15): oracle-gated every build by the generic
+# parity gate at sf0.001/sf0.01 and swept at sf0.1 via registry.EARMARKS
+# discovery; planted/exactness battery in tests/test_media_phash.py.
+EARMARKS = {
+    "media_phash_neardup": (
+        q_media_phash_neardup,
+        ORACLE_MEDIA_PHASH_NEARDUP,
+    ),
+}

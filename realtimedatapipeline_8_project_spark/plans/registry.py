@@ -264,12 +264,15 @@ _MODULES = (
 #
 # EARMARK INVENTORY after the r15 registrations (all code-complete,
 # oracle-gated by the local DuckDB harness; registration status per the
-# CAPACITY DECISION above). The tier is 11 entries: 9 permanent-tier
+# CAPACITY DECISION above). The tier is 12 entries: 9 permanent-tier
 # members whose R16 HORIZON CHECK (VERDICT r14 #9) holds — every one
 # has a named family representative with a LIVE driver row — plus the
 # NEW r15 quality-filter pair, which (like the substring trio at r14)
-# is a code-complete family WITHOUT a driver row yet: first in line
-# with text_bpe_encode for an r16 slot —
+# is a code-complete family WITHOUT a driver row yet (first in line
+# with text_bpe_encode for an r16 slot), plus the NEW late-r15
+# media_phash_neardup (family rep media_dedup_exact registered r14 —
+# the perceptual member extends the same content-addressed dedup
+# family, so the horizon check holds) —
 # - hybrid_rrf_filtered (operators/hybrid.py; family rep
 #   hybrid_rrf_batch REGISTERED r15 — the filtered form shares both
 #   serving legs)
@@ -298,6 +301,13 @@ _MODULES = (
 #   projection via the ONE shared cut_projection spelling, pinned
 #   equal to the new incremental_substring_cut and to the full-union
 #   cut restricted to batch ids)
+# - media_phash_neardup (operators/multimodal.py, NEW late r15 — the
+#   multimodal family's perceptual NEAR-dup member beside the
+#   registered media_dedup_exact: average-hash in the Arrow decode
+#   pass, 4 x 16-bit banded Hamming LSH with exact pigeonhole recall
+#   at T=3, FULL DuckDB oracle replaying cell sums/bands/verify;
+#   exactness-vs-brute-force pin + planted battery in
+#   tests/test_media_phash.py; payload bytes never shuffle)
 # - quality_lr_train + quality_lr_score (operators/quality_filter.py,
 #   NEW r15 — the GPT-3/CCNet-style LEARNED quality classifier:
 #   one-pass integer sufficient statistics + 48 driver-local
@@ -428,6 +438,13 @@ _MODULES = (
 #    key is already ~25% faster at fixture scale)
 #   dedup_substring_cut          [4.00,3.85]/[3.61,3.34] -> proposal 5.74
 #   dedup_substring_incremental  [3.36,2.95]/[2.19,2.16] -> proposal 4.85
+# R15 IDLE MEASUREMENT for the NEW media_phash_neardup earmark (sf0.1 =
+# 5000 docs + 417 planted copies, local[32], 2 independent sessions x 2
+# timed iterations, 2026-08-16, load-checked host ~0.5):
+#   media_phash_neardup  [1.88,1.48]/[1.33,1.48] -> proposal 2.78
+#   (1699 pairs; fixture cost is stage-scheduling-dominated — the
+#    Arrow hash is ~µs/payload and the band join carries 21k
+#    candidates)
 # R14 BENCH FLOOR: BENCH_LATEST.json holds the round-end idle run
 # (45.40 s warm / 50.85 cold over 81 queries, over_budget = {}).
 # Identical benched code measured 44.77 / 51.87 / 58.05 / 49.90 /

@@ -1,0 +1,195 @@
+"""Perceptual near-dup (operators/multimodal.py: phash_media +
+phash_neardup_pairs): the Arrow average-hash pass equals a pure-Python
+reference bit for bit; the banded pipeline's output is EXACTLY the
+brute-force all-pairs answer at Hamming <= PH_HAM_T (recall is the
+4-band pigeonhole guarantee, precision is the exact verify); planted
+single-byte edits are recovered; the plan is banded equi-join, never
+cartesian. Oracle parity at sf0.001/sf0.01 and the sf0.1 sweep run via
+the generic registry.EARMARKS gates."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from realtimedatapipeline_8_project_spark.operators.multimodal import (
+    PH_EVERY,
+    PH_HAM_T,
+    PH_OFFSET,
+    phash_media,
+    phash_neardup_pairs,
+    q_media_phash_neardup,
+)
+from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+CORPUS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def ref_phash(payload: bytes | None) -> tuple[int, int]:
+    """Pure-Python reference of the stub hash: 64 chunk-sum cells
+    (cell of byte p = (p*64)//n), average-hash bits, two int64
+    halves."""
+    b = payload or b""
+    n = len(b)
+    cells = [0] * 64
+    for p, byte in enumerate(b):
+        cells[(p * 64) // n] += byte
+    total = sum(cells)
+    bits = [1 if 64 * c >= total else 0 for c in cells]
+    lo = sum(bits[i] << i for i in range(32))
+    hi = sum(bits[32 + i] << i for i in range(32))
+    return lo, hi
+
+
+def ref_hamming(a: tuple[int, int], b: tuple[int, int]) -> int:
+    return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+
+def _corpus_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, p) for i, p in rows], CORPUS_SCHEMA
+    )
+
+
+def test_phash_matches_python_reference(spark):
+    """The Arrow pass reproduces the reference hash bit for bit,
+    including the degenerate shapes: empty payload and NULL payload
+    hash to all-ones (zero cells, zero total), short payloads leave
+    trailing cells empty."""
+    rows = [
+        (1, b"the quick brown fox jumps over the lazy dog " * 4),
+        (2, b"abc"),  # n < 64: most cells empty
+        (3, b""),  # all-ones hash
+        (4, None),  # NULL payload == empty
+        (5, bytes(range(256)) * 3),
+    ]
+    got = {
+        r["media_id"]: (r["phash_lo"], r["phash_hi"])
+        for r in phash_media(_corpus_df(spark, rows)).collect()
+    }
+    for mid, payload in rows:
+        assert got[mid] == ref_phash(payload), mid
+    all_ones = (2**32 - 1, 2**32 - 1)
+    assert got[3] == all_ones and got[4] == all_ones
+
+
+def test_neardup_exactly_bruteforce_at_threshold(spark, sf_small):
+    """THE exactness pin: on the registered query's own corpus
+    (fixture + planted edits) the banded pipeline emits EXACTLY the
+    pairs a brute-force all-pairs scan finds at Hamming <= PH_HAM_T —
+    recall (pigeonhole: 4 bands, T=3 < 4) AND precision (exact
+    verify), checked against the pure-Python reference."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_small, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    hashes = {did: ref_phash(t.encode()) for did, t in docs.items()}
+    for did, t in docs.items():
+        if did % PH_EVERY == 0:
+            p = len(t) // 2
+            edited = t[:p] + "~" + t[p + 1 :]
+            hashes[did + PH_OFFSET] = ref_phash(edited.encode())
+    want = {
+        (a, b, ref_hamming(hashes[a], hashes[b]))
+        for a, b in combinations(sorted(hashes), 2)
+        if ref_hamming(hashes[a], hashes[b]) <= PH_HAM_T
+    }
+    got = {
+        (r["media_id_a"], r["media_id_b"], r["hamming"])
+        for r in q_media_phash_neardup(spark, sf_small).collect()
+    }
+    assert got == want
+    # the planted single-byte edits land at small Hamming: every
+    # planted pair within the threshold is recovered, and there are
+    # enough of them for the check to mean something
+    planted = {
+        (d, d + PH_OFFSET)
+        for d in docs
+        if d % PH_EVERY == 0
+        and ref_hamming(hashes[d], hashes[d + PH_OFFSET]) <= PH_HAM_T
+    }
+    assert len(planted) >= 10
+    assert planted <= {(a, b) for a, b, _ in got}
+
+
+def test_identical_and_unrelated_payloads(spark):
+    """Byte-identical payloads pair at Hamming 0; structurally
+    different payloads (ascending vs descending byte ramps -> opposite
+    half-split hashes) never pair."""
+    same = b"x" * 40 + b"y" * 40
+    ramp_up = bytes(range(128))
+    ramp_dn = bytes(reversed(range(128)))
+    assert ref_hamming(ref_phash(ramp_up), ref_phash(ramp_dn)) > PH_HAM_T
+    rows = [(1, same), (2, same), (3, ramp_up), (4, ramp_dn)]
+    got = {
+        (r["media_id_a"], r["media_id_b"]): r["hamming"]
+        for r in phash_neardup_pairs(_corpus_df(spark, rows)).collect()
+    }
+    assert got.get((1, 2)) == 0
+    assert (3, 4) not in got
+
+
+def test_single_cell_edit_is_recovered(spark):
+    """A payload differing in one byte region (the re-encode/edit
+    analog) moves one cell and must be recovered by the banding —
+    the recall half of the pigeonhole contract on a constructed
+    case with a provable reference Hamming."""
+    base = bytes(range(64)) * 4  # 256 bytes, 4 per cell
+    edited = bytearray(base)
+    edited[130] = 255  # one cell perturbed
+    h = ref_hamming(ref_phash(base), ref_phash(bytes(edited)))
+    assert 1 <= h <= PH_HAM_T
+    got = {
+        (r["media_id_a"], r["media_id_b"]): r["hamming"]
+        for r in phash_neardup_pairs(
+            _corpus_df(spark, [(1, base), (2, bytes(edited))])
+        ).collect()
+    }
+    assert got == {(1, 2): h}
+
+
+def test_plan_is_banded_equi_join(spark, sf_small):
+    """The candidate join is a banded equi-join: no CartesianProduct /
+    BroadcastNestedLoopJoin anywhere in the physical plan."""
+    plan = q_media_phash_neardup(spark, sf_small)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_empty_corpus(spark):
+    """Zero rows in -> zero pairs out, typed schema intact."""
+    out = phash_neardup_pairs(_corpus_df(spark, []))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "media_id_a",
+        "media_id_b",
+        "hamming",
+    ]
+
+
+def test_hamming_symmetry_and_ordering(spark):
+    """Emitted pairs are id-ordered (a < b) and unique — the banding's
+    dropDuplicates over multi-band co-hits collapses to one row per
+    pair."""
+    same = b"q" * 100
+    rows = [(7, same), (3, same), (5, same)]
+    got = sorted(
+        (r["media_id_a"], r["media_id_b"])
+        for r in phash_neardup_pairs(_corpus_df(spark, rows)).collect()
+    )
+    assert got == [(3, 5), (3, 7), (5, 7)]
