@@ -462,28 +462,7 @@ def phash_neardup_pairs(corpus: DataFrame) -> DataFrame:
     # sf0.1: the rebalance does not help anyway (1.48 s -> 1.39 s best
     # iteration, inside noise; the per-payload numpy hash is ~µs/doc,
     # so the fixture's 2-slice scan is not the bottleneck).
-    hashed = phash_media(corpus)
-    bands = hashed.select(
-        "media_id",
-        "phash_lo",
-        "phash_hi",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(
-                            F.col("phash_lo" if b < 2 else "phash_hi"),
-                            (b % 2) * 16,
-                        )
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("bits"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bb"),
-    ).select("media_id", "phash_lo", "phash_hi", "bb.band", "bb.bits")
+    bands = _bands_of(phash_media(corpus))
     left, right = bands.alias("l"), bands.alias("r")
     cand = (
         left.join(
@@ -594,12 +573,213 @@ WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= {PH_HAM_T}
 """
 
 
-# permanent-tier earmark (r15): oracle-gated every build by the generic
-# parity gate at sf0.001/sf0.01 and swept at sf0.1 via registry.EARMARKS
-# discovery; planted/exactness battery in tests/test_media_phash.py.
+# --- incremental (delta-vs-base) perceptual near-dup ------------------------
+# The crawl-snapshot question for media: classify a NEW batch against
+# the existing corpus WITHOUT re-hashing the corpus — the base side
+# contributes only its stored 16-byte hash rows (at scale: the
+# maintained artifact streaming/phash_ingest.py appends), never its
+# payload bytes. Semantics = the full operator over (base ∪ delta)
+# restricted to pairs touching the delta (machine-pinned identity,
+# tests/test_media_phash.py). Fixture delta per the _sub_delta
+# discipline: single-byte-edited near-copies of every 7th item (land
+# at Hamming 0-3, measured) + heavily-mutated fresh items from every
+# 11th (replace 'a' -> '####': measured Hamming 23-38, never pair).
+
+INC_PH_COPY_EVERY = 7
+INC_PH_COPY_OFFSET = 4_000_000
+INC_PH_FRESH_EVERY = 11
+INC_PH_FRESH_OFFSET = 5_000_000
+
+
+def _bands_of(hashed: DataFrame) -> DataFrame:
+    """(media_id, phash_lo, phash_hi) -> exploded 4 x 16-bit band rows
+    (media_id, phash_lo, phash_hi, band, bits) — ONE spelling for the
+    full, incremental, and streaming pipelines."""
+    return hashed.select(
+        "media_id",
+        "phash_lo",
+        "phash_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(
+                            F.col("phash_lo" if b < 2 else "phash_hi"),
+                            (b % 2) * 16,
+                        )
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bits"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("media_id", "phash_lo", "phash_hi", "bb.band", "bb.bits")
+
+
+def incremental_phash_pairs(
+    base_hashes: DataFrame, delta_hashes: DataFrame
+) -> DataFrame:
+    """(media_id_a, media_id_b, hamming) for every near-dup pair
+    touching the DELTA: delta hashes band-join against (stored base
+    hashes ∪ delta hashes), so per-batch cost scales in the delta and
+    the base payloads are never re-read. Both inputs are
+    (media_id, phash_lo, phash_hi) frames — :func:`phash_media`
+    output, the full operator's hash pass, or the streaming artifact;
+    hashing stays the caller's ONE Arrow pass (the streaming loop
+    persists it and feeds both this classify and its artifact
+    append). Pairs are id-ordered (a < b) and unique, exactly the
+    full operator's convention, so incremental == full-over-union
+    restricted to delta-touching pairs."""
+    union_bands = _bands_of(
+        base_hashes.unionByName(delta_hashes)
+    ).alias("l")
+    delta_bands = _bands_of(delta_hashes).alias("r")
+    cand = (
+        union_bands.join(
+            delta_bands,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bits") == F.col("r.bits"))
+            & (F.col("l.media_id") != F.col("r.media_id")),
+        )
+        .select(
+            F.least(F.col("l.media_id"), F.col("r.media_id")).alias(
+                "media_id_a"
+            ),
+            F.greatest(F.col("l.media_id"), F.col("r.media_id")).alias(
+                "media_id_b"
+            ),
+            F.col("l.phash_lo").alias("alo"),
+            F.col("l.phash_hi").alias("ahi"),
+            F.col("r.phash_lo").alias("blo"),
+            F.col("r.phash_hi").alias("bhi"),
+        )
+        .dropDuplicates(["media_id_a", "media_id_b"])
+    )
+    hamming = (
+        F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
+        + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi")))
+    ).cast("long")
+    return cand.select(
+        "media_id_a", "media_id_b", hamming.alias("hamming")
+    ).where(F.col("hamming") <= PH_HAM_T)
+
+
+def _ph_delta(docs: DataFrame) -> DataFrame:
+    """The deterministic incoming batch (doc_id, text): near-copies +
+    heavily-mutated fresh items, replayed verbatim by the oracle."""
+    copies = docs.where(F.col("doc_id") % INC_PH_COPY_EVERY == 0).select(
+        (F.col("doc_id") + INC_PH_COPY_OFFSET).alias("doc_id"),
+        F.concat(
+            F.expr("substr(text, 1, length(text) DIV 2)"),
+            F.lit("~"),
+            F.expr("substr(text, length(text) DIV 2 + 2)"),
+        ).alias("text"),
+    )
+    fresh = docs.where(F.col("doc_id") % INC_PH_FRESH_EVERY == 0).select(
+        (F.col("doc_id") + INC_PH_FRESH_OFFSET).alias("doc_id"),
+        F.expr("replace(text, 'a', '####')").alias("text"),
+    )
+    return copies.unionByName(fresh)
+
+
+def q_media_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs of the incoming batch against (corpus ∪ batch):
+    the per-batch media curation report."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    delta = _ph_delta(docs).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return incremental_phash_pairs(phash_media(base), phash_media(delta))
+
+
+# DuckDB re-derivation via the pinned identity: the FULL pipeline over
+# (base ∪ delta), restricted to pairs touching the delta. Delta ids
+# all exceed the offsets while fixture ids never do, and pairs are
+# id-ordered, so "touching the delta" is exactly media_id_b >= the
+# smallest offset.
+ORACLE_MEDIA_PHASH_INCREMENTAL = f"""
+WITH base AS (
+  SELECT doc_id AS media_id, text FROM documents
+), corpus AS (
+  SELECT media_id, text FROM base
+  UNION ALL
+  SELECT media_id + {INC_PH_COPY_OFFSET},
+         substr(text, 1, length(text) // 2) || '~' ||
+         substr(text, length(text) // 2 + 2)
+  FROM base WHERE media_id % {INC_PH_COPY_EVERY} = 0
+  UNION ALL
+  SELECT media_id + {INC_PH_FRESH_OFFSET}, replace(text, 'a', '####')
+  FROM base WHERE media_id % {INC_PH_FRESH_EVERY} = 0
+), pos AS (
+  SELECT media_id, text, length(text) AS n,
+         unnest(range(1, length(text) + 1)) AS i
+  FROM corpus
+), cellsum AS (
+  SELECT media_id, ((i - 1) * 64) // n AS cell,
+         SUM(ascii(substr(text, i, 1))) AS s
+  FROM pos GROUP BY 1, 2
+), cells AS (
+  SELECT c.media_id, g.cell, COALESCE(cs.s, 0) AS s
+  FROM corpus c
+  CROSS JOIN (SELECT unnest(range(64)) AS cell) g
+  LEFT JOIN cellsum cs ON cs.media_id = c.media_id AND cs.cell = g.cell
+), tot AS (
+  SELECT media_id, SUM(s) AS total FROM cells GROUP BY 1
+), bits AS (
+  SELECT c.media_id, c.cell,
+         CASE WHEN 64 * c.s >= t.total THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN tot t USING (media_id)
+), hash AS (
+  SELECT media_id,
+         SUM(CASE WHEN cell < 32
+                  THEN bit * (CAST(1 AS BIGINT) << cell) ELSE 0 END) AS lo,
+         SUM(CASE WHEN cell >= 32
+                  THEN bit * (CAST(1 AS BIGINT) << (cell - 32))
+                  ELSE 0 END) AS hi
+  FROM bits GROUP BY 1
+), bx AS (
+  SELECT media_id, lo, hi, unnest(range(4)) AS band FROM hash
+), bands AS (
+  SELECT media_id, lo, hi, band,
+         CASE WHEN band = 0 THEN lo & 65535
+              WHEN band = 1 THEN (lo >> 16) & 65535
+              WHEN band = 2 THEN hi & 65535
+              ELSE (hi >> 16) & 65535 END AS bits
+  FROM bx
+), cand AS (
+  SELECT DISTINCT l.media_id AS media_id_a, r.media_id AS media_id_b,
+         l.lo AS alo, l.hi AS ahi, r.lo AS blo, r.hi AS bhi
+  FROM bands l
+  JOIN bands r
+    ON l.band = r.band AND l.bits = r.bits AND l.media_id < r.media_id
+)
+SELECT media_id_a, media_id_b,
+       CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi))
+            AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= {PH_HAM_T}
+  AND media_id_b >= {min(INC_PH_COPY_OFFSET, INC_PH_FRESH_OFFSET)}
+"""
+
+
+# permanent-tier earmarks (r15): oracle-gated every build by the
+# generic parity gate at sf0.001/sf0.01 and swept at sf0.1 via
+# registry.EARMARKS discovery; planted/exactness battery in
+# tests/test_media_phash.py.
 EARMARKS = {
     "media_phash_neardup": (
         q_media_phash_neardup,
         ORACLE_MEDIA_PHASH_NEARDUP,
+    ),
+    "media_phash_incremental": (
+        q_media_phash_incremental,
+        ORACLE_MEDIA_PHASH_INCREMENTAL,
     ),
 }

@@ -264,15 +264,16 @@ _MODULES = (
 #
 # EARMARK INVENTORY after the r15 registrations (all code-complete,
 # oracle-gated by the local DuckDB harness; registration status per the
-# CAPACITY DECISION above). The tier is 12 entries: 9 permanent-tier
+# CAPACITY DECISION above). The tier is 13 entries: 9 permanent-tier
 # members whose R16 HORIZON CHECK (VERDICT r14 #9) holds — every one
 # has a named family representative with a LIVE driver row — plus the
 # NEW r15 quality-filter pair, which (like the substring trio at r14)
 # is a code-complete family WITHOUT a driver row yet (first in line
 # with text_bpe_encode for an r16 slot), plus the NEW late-r15
-# media_phash_neardup (family rep media_dedup_exact registered r14 —
-# the perceptual member extends the same content-addressed dedup
-# family, so the horizon check holds) —
+# perceptual near-dup pair media_phash_neardup +
+# media_phash_incremental (family rep media_dedup_exact registered
+# r14 — the perceptual members extend the same content-addressed
+# dedup family, so the horizon check holds) —
 # - hybrid_rrf_filtered (operators/hybrid.py; family rep
 #   hybrid_rrf_batch REGISTERED r15 — the filtered form shares both
 #   serving legs)
@@ -301,13 +302,22 @@ _MODULES = (
 #   projection via the ONE shared cut_projection spelling, pinned
 #   equal to the new incremental_substring_cut and to the full-union
 #   cut restricted to batch ids)
-# - media_phash_neardup (operators/multimodal.py, NEW late r15 — the
-#   multimodal family's perceptual NEAR-dup member beside the
-#   registered media_dedup_exact: average-hash in the Arrow decode
-#   pass, 4 x 16-bit banded Hamming LSH with exact pigeonhole recall
-#   at T=3, FULL DuckDB oracle replaying cell sums/bands/verify;
+# - media_phash_neardup + media_phash_incremental
+#   (operators/multimodal.py, NEW late r15 — the multimodal family's
+#   perceptual NEAR-dup members beside the registered
+#   media_dedup_exact: average-hash in the Arrow decode pass, 4 x
+#   16-bit banded Hamming LSH with exact pigeonhole recall at T=3,
+#   FULL DuckDB oracles replaying cell sums/bands/verify; the
+#   incremental form classifies a delta against stored 16-byte hash
+#   rows — base payloads never re-read — machine-pinned ==
+#   full-over-union restricted to delta pairs;
 #   exactness-vs-brute-force pin + planted battery in
-#   tests/test_media_phash.py; payload bytes never shuffle)
+#   tests/test_media_phash.py; payload bytes never shuffle.
+#   streaming/phash_ingest.py is the maintained-artifact stream:
+#   per-batch hash-once classify-append with the shared
+#   staged-install compaction, Hamming-threshold marker stamp, and
+#   stream==incremental-operator pinned batch for batch in
+#   tests/test_phash_ingest.py)
 # - quality_lr_train + quality_lr_score (operators/quality_filter.py,
 #   NEW r15 — the GPT-3/CCNet-style LEARNED quality classifier:
 #   one-pass integer sufficient statistics + 48 driver-local
@@ -445,6 +455,9 @@ _MODULES = (
 #   (1699 pairs; fixture cost is stage-scheduling-dominated — the
 #    Arrow hash is ~µs/payload and the band join carries 21k
 #    candidates)
+#   media_phash_incremental [2.74,2.27]/[1.37,1.42] -> proposal 3.99
+#   (1024 pairs; first session ran under trailing load ~1.8 — the
+#    conservative-high max is kept per the r15 adjudication precedent)
 # R14 BENCH FLOOR: BENCH_LATEST.json holds the round-end idle run
 # (45.40 s warm / 50.85 cold over 81 queries, over_budget = {}).
 # Identical benched code measured 44.77 / 51.87 / 58.05 / 49.90 /

@@ -182,6 +182,62 @@ def test_empty_corpus(spark):
     ]
 
 
+def test_incremental_is_restricted_full(spark, sf_small):
+    """The pinned identity the streaming loop rides: incremental(base,
+    delta) == the FULL operator over (base ∪ delta) restricted to
+    pairs touching a delta id — and incremental(∅, corpus) == the full
+    operator exactly."""
+    from realtimedatapipeline_8_project_spark.operators.multimodal import (
+        _ph_delta,
+        incremental_phash_pairs,
+        phash_neardup_pairs,
+    )
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    base = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    delta = _ph_delta(docs).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    delta_ids = {r[0] for r in delta.select("media_id").collect()}
+    full_union = {
+        tuple(t)
+        for t in map(
+            tuple, phash_neardup_pairs(base.unionByName(delta)).collect()
+        )
+    }
+    want = {
+        t for t in full_union if t[0] in delta_ids or t[1] in delta_ids
+    }
+    got = {
+        tuple(t)
+        for t in map(
+            tuple,
+            incremental_phash_pairs(
+                phash_media(base), phash_media(delta)
+            ).collect(),
+        )
+    }
+    assert got == want
+    assert len(got) > 0
+    # empty base: incremental degenerates to the full operator
+    empty = phash_media(_corpus_df(spark, []))
+    got0 = {
+        tuple(t)
+        for t in map(
+            tuple,
+            incremental_phash_pairs(empty, phash_media(base)).collect(),
+        )
+    }
+    full_base = {
+        tuple(t) for t in map(tuple, phash_neardup_pairs(base).collect())
+    }
+    assert got0 == full_base
+
+
 def test_hamming_symmetry_and_ordering(spark):
     """Emitted pairs are id-ordered (a < b) and unique — the banding's
     dropDuplicates over multi-band co-hits collapses to one row per

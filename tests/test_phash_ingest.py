@@ -1,0 +1,216 @@
+"""Streaming perceptual near-dup ingestion (streaming/phash_ingest.py):
+per-batch classification == the incremental batch operator with base =
+union of committed prior batches; the maintained hash artifact equals
+the full-corpus hash set; replays are no-ops before AND after
+compaction (the shared staged-install crash contract); the Hamming
+threshold is stamped and mismatches fail loud."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from realtimedatapipeline_8_project_spark.operators.multimodal import (
+    PH_HAM_T,
+    incremental_phash_pairs,
+    phash_media,
+)
+from realtimedatapipeline_8_project_spark.streaming.phash_ingest import (
+    PHASHES_SUBDIR,
+    compact_phash,
+    phash_ingest_batch,
+    read_phash_pairs,
+    read_phash_set,
+    run_phash_ingest,
+)
+from realtimedatapipeline_8_project_spark.streaming.sinks import (
+    _compacted_through,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+# planted corpus: _X-alike payloads land at Hamming 0-1; ramps never
+# pair with anything (measured > PH_HAM_T against all others)
+_X = b"the quick brown fox jumps over the lazy dog " * 4
+_XE = bytearray(_X)
+_XE[90] = 126  # one-byte edit of _X
+_UP = bytes(range(200))
+_DN = bytes(reversed(range(200)))
+
+BATCHES = [
+    # batch 0: 10/11 are byte-identical (internal pair); 12 unrelated
+    [(10, _X), (11, _X), (12, _UP)],
+    # batch 1: 20 is a near-copy of _X (cross-batch); 21 fresh
+    [(20, bytes(_XE)), (21, _DN)],
+    # batch 2: 30 copies batch 1's ramp exactly; 31 NULL payload
+    [(30, _DN), (31, None)],
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _pair_rows(spark, out):
+    return sorted(map(tuple, read_phash_pairs(spark, out).collect()))
+
+
+def _expected_batch(spark, prior_rows, batch_rows, batch_id):
+    base = phash_media(_df(spark, prior_rows))
+    delta = phash_media(
+        _df(spark, batch_rows).where(F.col("media_id").isNotNull())
+    )
+    inc = incremental_phash_pairs(base, delta)
+    return sorted((*t, batch_id) for t in map(tuple, inc.collect()))
+
+
+def test_streamed_batches_equal_incremental_operator(spark, tmp_path):
+    out = str(tmp_path / "phash")
+    want = []
+    for i, rows in enumerate(BATCHES):
+        phash_ingest_batch(_df(spark, rows), i, out)
+        prior = [
+            r for b in BATCHES[:i] for r in b if r[0] is not None
+        ]
+        want.extend(_expected_batch(spark, prior, rows, i))
+    got = _pair_rows(spark, out)
+    assert got == sorted(want)
+    # the planted relationships all surfaced in their arrival batch
+    pairs = {(a, b): (h, bid) for a, b, h, bid in got}
+    assert pairs[(10, 11)][0] == 0 and pairs[(10, 11)][1] == 0
+    assert (10, 20) in pairs and (11, 20) in pairs  # cross-batch edit
+    assert pairs[(21, 30)] == (0, 2)  # exact cross-batch ramp copy
+    assert not any({12, 31} & {a, b} for a, b in pairs)
+    # the artifact is the full corpus hash set (NULL-id row gated out,
+    # NULL payload admitted with the all-ones empty hash)
+    all_rows = [r for b in BATCHES for r in b]
+    want_hashes = sorted(
+        map(tuple, phash_media(_df(spark, all_rows)).collect())
+    )
+    assert (
+        sorted(map(tuple, read_phash_set(spark, out).collect()))
+        == want_hashes
+    )
+
+
+def test_replay_and_compaction_contract(spark, tmp_path):
+    out = str(tmp_path / "phash")
+    for i, rows in enumerate(BATCHES):
+        phash_ingest_batch(_df(spark, rows), i, out)
+    got = _pair_rows(spark, out)
+    hashes = sorted(map(tuple, read_phash_set(spark, out).collect()))
+    # unfolded replay: idempotent dynamic partition overwrite
+    phash_ingest_batch(_df(spark, BATCHES[1]), 1, out)
+    assert _pair_rows(spark, out) == got
+    # compaction folds the hash partitions, serving state unchanged
+    compact_phash(spark, out)
+    assert _compacted_through(out, PHASHES_SUBDIR) >= 2
+    assert sorted(map(tuple, read_phash_set(spark, out).collect())) == hashes
+    # folded replay: the marker guard no-ops the whole body
+    phash_ingest_batch(_df(spark, BATCHES[0]), 0, out)
+    assert _pair_rows(spark, out) == got
+    # the stream keeps classifying against the folded frontier
+    phash_ingest_batch(_df(spark, [(40, _X)]), 3, out)
+    newp = {
+        (a, b)
+        for a, b, _, bid in _pair_rows(spark, out)
+        if bid == 3
+    }
+    assert newp == {(10, 40), (11, 40), (20, 40)}
+
+
+def test_threshold_stamp_fails_loud(spark, tmp_path):
+    out = str(tmp_path / "phash")
+    phash_ingest_batch(_df(spark, BATCHES[0]), 0, out)
+    # unsupported threshold: loud (the banding verifies at PH_HAM_T)
+    with pytest.raises(ValueError, match="unsupported"):
+        phash_ingest_batch(
+            _df(spark, BATCHES[1]), 1, out, ham_t=PH_HAM_T + 10
+        )
+    # stamped-threshold mismatch: rewrite the marker to simulate an
+    # artifact built under a different (hypothetical) threshold
+    with open(os.path.join(out, "_phash_t"), "w") as fh:
+        fh.write("2")
+    with pytest.raises(ValueError, match="threshold"):
+        phash_ingest_batch(_df(spark, BATCHES[1]), 1, out)
+    # corrupt marker: diagnosable rebuild-the-artifact error
+    for garbage in ("", "not-a-number"):
+        with open(os.path.join(out, "_phash_t"), "w") as fh:
+            fh.write(garbage)
+        with pytest.raises(ValueError, match="corrupt"):
+            phash_ingest_batch(_df(spark, BATCHES[1]), 1, out)
+
+
+def test_all_malformed_batch_on_boundary_still_compacts(spark, tmp_path):
+    out = str(tmp_path / "phash")
+    phash_ingest_batch(_df(spark, BATCHES[0]), 0, out, compact_every=2)
+    before = sorted(map(tuple, read_phash_set(spark, out).collect()))
+    # batch 1 is all-malformed AND lands on the boundary ((1+1)%2==0)
+    phash_ingest_batch(
+        _df(spark, [(None, None)]), 1, out, compact_every=2
+    )
+    assert _compacted_through(out, PHASHES_SUBDIR) >= 0
+    assert sorted(map(tuple, read_phash_set(spark, out).collect())) == before
+    # harmless replay, then normal classification continues
+    phash_ingest_batch(
+        _df(spark, [(None, None)]), 1, out, compact_every=2
+    )
+    phash_ingest_batch(_df(spark, BATCHES[1]), 2, out, compact_every=2)
+    assert (10, 20) in {(a, b) for a, b, _, _ in _pair_rows(spark, out)}
+
+
+def test_cold_artifact_reads(spark, tmp_path):
+    out = str(tmp_path / "never_written")
+    assert read_phash_pairs(spark, out).count() == 0
+    assert [f.name for f in read_phash_pairs(spark, out).schema.fields] == [
+        "media_id_a",
+        "media_id_b",
+        "hamming",
+        "batch_id",
+    ]
+
+
+def test_available_now_stream_end_to_end(spark, tmp_path):
+    """The real availableNow foreachBatch loop over a file stream
+    equals running the batches by hand."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    out = str(tmp_path / "phash")
+    ckpt = str(tmp_path / "ckpt")
+    all_rows = [r for b in BATCHES for r in b if r[0] is not None]
+    _df(spark, all_rows).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(src)
+    )
+    q = run_phash_ingest(stream, out, ckpt, compact_every=None)
+    q.awaitTermination(120)
+    got = {
+        (a, b, h) for a, b, h, _ in _pair_rows(spark, out)
+    }
+    # one-batch drain == incremental with empty base == full operator
+    want = {
+        tuple(t)
+        for t in map(
+            tuple,
+            incremental_phash_pairs(
+                phash_media(_df(spark, [])),
+                phash_media(_df(spark, all_rows)),
+            ).collect(),
+        )
+    }
+    assert got == want
