@@ -404,6 +404,18 @@ PHASHED = StructType(
 )
 
 
+def _pairing_admitted(corpus: DataFrame) -> DataFrame:
+    """The degenerate-payload gate, ONE spelling shared by the full,
+    incremental, and streaming pairing paths (review r15): NULL/empty
+    payloads are MISSING media, not near-duplicate media — they all
+    hash to the identical all-ones signature, so admitting k of them
+    (routine in a real crawl) would emit C(k,2) Hamming-0 "pairs" and
+    one maximally hot band."""
+    return corpus.where(
+        F.col("payload").isNotNull() & (F.length("payload") > 0)
+    )
+
+
 def phash_media(df: DataFrame) -> DataFrame:
     """Arrow-batched perceptual hash over (media_id, payload): 64
     chunk-sum cells -> average-hash bits -> two int64 halves (bits
@@ -455,7 +467,17 @@ def phash_neardup_pairs(corpus: DataFrame) -> DataFrame:
     bands, equi-join on (band, bits) with id-ordering, distinct,
     verify exact Hamming via two bit_counts. Recall is exact for
     Hamming <= 3 (pigeonhole over 4 bands); the join is always banded
-    equi (plan-pinned: no cartesian)."""
+    equi (plan-pinned: no cartesian).
+
+    NULL/EMPTY payloads are gated out of pairing (review r15): they
+    all hash to the identical all-ones signature, so k missing blobs
+    in a real crawl would otherwise emit C(k,2) Hamming-0 "pairs" and
+    one maximally hot band — and semantically they are MISSING media,
+    not near-duplicate media (the gram_ingest NULL-text discipline).
+    UNIFORM payloads also collide at all-ones; that one stays: a flat
+    image perceptually IS a duplicate of another flat image — the
+    known, documented aHash degeneracy."""
+    corpus = _pairing_admitted(corpus)
     # NO pre-hash repartition (deliberate, unlike simhash_neardup's
     # text pass): rebalancing here would shuffle the payload BYTES —
     # the one thing this operator promises never moves. Measured at
@@ -490,13 +512,52 @@ def phash_neardup_pairs(corpus: DataFrame) -> DataFrame:
     ).where(F.col("hamming") <= PH_HAM_T)
 
 
+# the fixture-only ASCII bridge (review r15): the OPERATOR is
+# byte-based (media payloads), but the oracle can only address text by
+# CHARACTER (ascii(substr(...)); DuckDB has no blob byte indexing), so
+# the q_ fixture constructions normalize the document text to ASCII in
+# BOTH engines — after stripping, byte position == char position and
+# byte value == code point by construction, instead of by the accident
+# of the current fixture being pure ASCII. Java and RE2 read the
+# class identically.
+_ASCII_RE = "[^\\x00-\\x7F]"
+
+
+def _ascii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized, gated fixture docs — the exact Spark twin of
+    _ORACLE_ASCII_BASE (NULL/empty gated HERE so planted copies derive
+    from the same population in both engines)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.regexp_replace("text", _ASCII_RE, "").alias("text"),
+        )
+        .where(F.length("text") > 0)
+    )
+
+
+# the oracle twin of _ascii_docs + _pairing_admitted: normalized text,
+# NULL/empty gated out (post-normalization char length == payload byte
+# length, so the length gates agree by construction)
+_ORACLE_ASCII_BASE = f"""base AS (
+  SELECT media_id, text FROM (
+    SELECT doc_id AS media_id,
+           regexp_replace(text, '{_ASCII_RE}', '', 'g') AS text
+    FROM documents
+    WHERE text IS NOT NULL
+  ) WHERE length(text) > 0
+)"""
+
+
 def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup pairs over the media corpus plus planted
     lightly-edited copies (every PH_EVERY-th item re-ingested with ONE
     byte changed — the re-encode/edit analog; a single-byte edit moves
     one cell, so the planted pairs land at small Hamming and the
     banding must recover them)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ascii_docs(spark, sf_dir)
     pert = docs.where(F.col("doc_id") % PH_EVERY == 0).select(
         (F.col("doc_id") + PH_OFFSET).alias("doc_id"),
         F.concat(
@@ -512,17 +573,16 @@ def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup_pairs(corpus)
 
 
-ORACLE_MEDIA_PHASH_NEARDUP = f"""
-WITH base AS (
-  SELECT doc_id AS media_id, text FROM documents
-), corpus AS (
-  SELECT media_id, text FROM base
-  UNION ALL
-  SELECT media_id + {PH_OFFSET},
-         substr(text, 1, length(text) // 2) || '~' ||
-         substr(text, length(text) // 2 + 2)
-  FROM base WHERE media_id % {PH_EVERY} = 0
-), pos AS (
+def _oracle_phash_pairs(corpus_cte: str, final_and: str = "") -> str:
+    """ONE spelling of the oracle hash->band->verify pipeline (review
+    r15: the full and incremental oracles differ only in their corpus
+    CTE and final restriction — duplicating the ~45-line pipeline body
+    would let a one-sided edit silently model two different hash
+    functions). ``corpus_cte`` must define corpus(media_id, text) on
+    top of the shared ASCII-normalized base; ``final_and`` is ANDed
+    onto the final selection."""
+    return f"""
+WITH {_ORACLE_ASCII_BASE}, {corpus_cte}, pos AS (
   SELECT media_id, text, length(text) AS n,
          unnest(range(1, length(text) + 1)) AS i
   FROM corpus
@@ -570,7 +630,20 @@ SELECT media_id_a, media_id_b,
             AS BIGINT) AS hamming
 FROM cand
 WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= {PH_HAM_T}
+  {final_and}
 """
+
+
+ORACLE_MEDIA_PHASH_NEARDUP = _oracle_phash_pairs(
+    f"""corpus AS (
+  SELECT media_id, text FROM base
+  UNION ALL
+  SELECT media_id + {PH_OFFSET},
+         substr(text, 1, length(text) // 2) || '~' ||
+         substr(text, length(text) // 2 + 2)
+  FROM base WHERE media_id % {PH_EVERY} = 0
+)"""
+)
 
 
 # --- incremental (delta-vs-base) perceptual near-dup ------------------------
@@ -687,14 +760,18 @@ def _ph_delta(docs: DataFrame) -> DataFrame:
 def q_media_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs of the incoming batch against (corpus ∪ batch):
     the per-batch media curation report."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    docs = _ascii_docs(spark, sf_dir)
+    base = _pairing_admitted(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
     )
-    delta = _ph_delta(docs).select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    delta = _pairing_admitted(
+        _ph_delta(docs).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
     )
     return incremental_phash_pairs(phash_media(base), phash_media(delta))
 
@@ -704,10 +781,8 @@ def q_media_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all exceed the offsets while fixture ids never do, and pairs are
 # id-ordered, so "touching the delta" is exactly media_id_b >= the
 # smallest offset.
-ORACLE_MEDIA_PHASH_INCREMENTAL = f"""
-WITH base AS (
-  SELECT doc_id AS media_id, text FROM documents
-), corpus AS (
+ORACLE_MEDIA_PHASH_INCREMENTAL = _oracle_phash_pairs(
+    f"""corpus AS (
   SELECT media_id, text FROM base
   UNION ALL
   SELECT media_id + {INC_PH_COPY_OFFSET},
@@ -717,56 +792,12 @@ WITH base AS (
   UNION ALL
   SELECT media_id + {INC_PH_FRESH_OFFSET}, replace(text, 'a', '####')
   FROM base WHERE media_id % {INC_PH_FRESH_EVERY} = 0
-), pos AS (
-  SELECT media_id, text, length(text) AS n,
-         unnest(range(1, length(text) + 1)) AS i
-  FROM corpus
-), cellsum AS (
-  SELECT media_id, ((i - 1) * 64) // n AS cell,
-         SUM(ascii(substr(text, i, 1))) AS s
-  FROM pos GROUP BY 1, 2
-), cells AS (
-  SELECT c.media_id, g.cell, COALESCE(cs.s, 0) AS s
-  FROM corpus c
-  CROSS JOIN (SELECT unnest(range(64)) AS cell) g
-  LEFT JOIN cellsum cs ON cs.media_id = c.media_id AND cs.cell = g.cell
-), tot AS (
-  SELECT media_id, SUM(s) AS total FROM cells GROUP BY 1
-), bits AS (
-  SELECT c.media_id, c.cell,
-         CASE WHEN 64 * c.s >= t.total THEN 1 ELSE 0 END AS bit
-  FROM cells c JOIN tot t USING (media_id)
-), hash AS (
-  SELECT media_id,
-         SUM(CASE WHEN cell < 32
-                  THEN bit * (CAST(1 AS BIGINT) << cell) ELSE 0 END) AS lo,
-         SUM(CASE WHEN cell >= 32
-                  THEN bit * (CAST(1 AS BIGINT) << (cell - 32))
-                  ELSE 0 END) AS hi
-  FROM bits GROUP BY 1
-), bx AS (
-  SELECT media_id, lo, hi, unnest(range(4)) AS band FROM hash
-), bands AS (
-  SELECT media_id, lo, hi, band,
-         CASE WHEN band = 0 THEN lo & 65535
-              WHEN band = 1 THEN (lo >> 16) & 65535
-              WHEN band = 2 THEN hi & 65535
-              ELSE (hi >> 16) & 65535 END AS bits
-  FROM bx
-), cand AS (
-  SELECT DISTINCT l.media_id AS media_id_a, r.media_id AS media_id_b,
-         l.lo AS alo, l.hi AS ahi, r.lo AS blo, r.hi AS bhi
-  FROM bands l
-  JOIN bands r
-    ON l.band = r.band AND l.bits = r.bits AND l.media_id < r.media_id
+)""",
+    final_and=(
+        "AND media_id_b >= "
+        f"{min(INC_PH_COPY_OFFSET, INC_PH_FRESH_OFFSET)}"
+    ),
 )
-SELECT media_id_a, media_id_b,
-       CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi))
-            AS BIGINT) AS hamming
-FROM cand
-WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= {PH_HAM_T}
-  AND media_id_b >= {min(INC_PH_COPY_OFFSET, INC_PH_FRESH_OFFSET)}
-"""
 
 
 # permanent-tier earmarks (r15): oracle-gated every build by the

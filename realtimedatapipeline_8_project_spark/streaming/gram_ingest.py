@@ -46,7 +46,12 @@ from ..operators.substring_dedup import (
     _words_of,
     cut_projection,
 )
-from .sinks import _compact_partitions, _compacted_through, _recover_compaction
+from .sinks import (
+    _compact_partitions,
+    _compacted_through,
+    _recover_compaction,
+    _stamp_or_read_marker,
+)
 
 GRAMS_SUBDIR = "grams"
 REPORTS_SUBDIR = "subdup_reports"
@@ -74,19 +79,12 @@ def _check_gram_meta(
     root) and installs atomically (tmp + rename)."""
     key = "xxhash64" if hashed else "string"
     cleaned = "cleaned" if emit_cleaned else "plain"
+    parts = _stamp_or_read_marker(
+        output_dir, _K_MARKER, f"{k} {key} {cleaned}"
+    )
+    if parts is None:
+        return  # freshly stamped: this call defines the artifact shape
     marker = os.path.join(output_dir, _K_MARKER)
-    try:
-        with open(marker) as fh:
-            parts = fh.read().split()
-    except FileNotFoundError:
-        os.makedirs(output_dir, exist_ok=True)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(f"{k} {key} {cleaned}")
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, marker)
-        return
     # pre-key-stamp markers (bare int) are string-keyed by
     # construction; pre-cleaned-stamp markers (two fields) predate
     # emit_cleaned, so their committed batches have no cleaned output

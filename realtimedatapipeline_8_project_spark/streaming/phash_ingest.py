@@ -40,10 +40,16 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.multimodal import (
     PH_HAM_T,
+    _pairing_admitted,
     incremental_phash_pairs,
     phash_media,
 )
-from .sinks import _compact_partitions, _compacted_through, _recover_compaction
+from .sinks import (
+    _compact_partitions,
+    _compacted_through,
+    _recover_compaction,
+    _stamp_or_read_marker,
+)
 
 PHASHES_SUBDIR = "phashes"
 PH_PAIRS_SUBDIR = "phash_pairs"
@@ -60,19 +66,10 @@ def _check_phash_meta(output_dir: str, ham_t: int) -> None:
     later mismatch (reports at mixed thresholds would silently answer
     different questions) or on a corrupt marker (provenance unknowable
     — rebuild). Atomic install: tmp + fsync + rename."""
+    raw = _stamp_or_read_marker(output_dir, _T_MARKER, str(ham_t))
+    if raw is None:
+        return  # freshly stamped: this call defines the artifact shape
     marker = os.path.join(output_dir, _T_MARKER)
-    try:
-        with open(marker) as fh:
-            raw = fh.read().split()
-    except FileNotFoundError:
-        os.makedirs(output_dir, exist_ok=True)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(ham_t))
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, marker)
-        return
     try:
         stored_t = int(raw[0])
     except (IndexError, ValueError) as exc:
@@ -140,10 +137,15 @@ def phash_ingest_batch(
     _check_phash_meta(output_dir, ham_t)
     if batch_id <= _compacted_through(output_dir, PHASHES_SUBDIR):
         return  # already folded into batch_id=-1: replay is a no-op
-    # NULL media_id rows are malformed; NULL payloads hash to the
-    # all-ones empty-payload hash (the batch operator's semantics)
-    admitted = batch_df.select("media_id", "payload").where(
-        F.col("media_id").isNotNull()
+    # NULL media_id rows are malformed; NULL/EMPTY payloads are
+    # MISSING media and are gated out of the artifact AND pairing by
+    # the operator's shared degenerate gate (review r15: k missing
+    # blobs would otherwise emit C(k,2) Hamming-0 "pairs" and one
+    # maximally hot band)
+    admitted = _pairing_admitted(
+        batch_df.select("media_id", "payload").where(
+            F.col("media_id").isNotNull()
+        )
     )
     if admitted.isEmpty():
         # an all-malformed batch still honors the compaction boundary

@@ -274,6 +274,35 @@ def _merge_rollup(partials: DataFrame) -> DataFrame:
 # recovery's rmtree of the live dir).
 
 
+def _stamp_or_read_marker(
+    output_dir: str, name: str, value: str
+) -> list[str] | None:
+    """The artifact-root configuration-marker skeleton, ONE spelling
+    for every maintained-artifact stream (review r15 — gram_ingest
+    stamps K/key-type/cleaned-mode, phash_ingest stamps the Hamming
+    threshold; a third copy of the stamp/read mechanics was the drift
+    risk): on first contact atomically stamp ``value`` (tmp + fsync +
+    rename, so a torn marker can never be installed) and return None;
+    on later contacts return the stored whitespace-split fields for
+    the CALLER's parse/compare/fail-loud semantics — what counts as a
+    mismatch is per-artifact, the mechanics are not. The marker lives
+    in the artifact ROOT, next to the compacted subdirs (compaction
+    replaces subdirs, never the root)."""
+    marker = os.path.join(output_dir, name)
+    try:
+        with open(marker) as fh:
+            return fh.read().split()
+    except FileNotFoundError:
+        os.makedirs(output_dir, exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(value)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, marker)
+        return None
+
+
 def _compacted_through(output_dir: str, subdir: str) -> int:
     """Highest batch_id ever folded into ``subdir``'s compacted
     partition, or -1 if no compaction has run. Underscore prefix keeps

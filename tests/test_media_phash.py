@@ -182,6 +182,33 @@ def test_empty_corpus(spark):
     ]
 
 
+def test_degenerate_payloads_never_pair(spark):
+    """Review r15: NULL and EMPTY payloads are MISSING media — they
+    all hash to the identical all-ones signature, so without the gate
+    k of them would emit C(k,2) Hamming-0 "pairs" and one maximally
+    hot band. They are excluded from pairing entirely; genuinely
+    UNIFORM payloads (the flat-image aHash degeneracy) still pair."""
+    # cell-uniform payloads (length a multiple of 64, so every cell
+    # gets the same sum) hash to all-ones, like the zero payload
+    flat_a, flat_b = b"\x00" * 80, b"z" * 128
+    rows = [
+        (1, None),
+        (2, b""),
+        (3, None),
+        (4, flat_a),
+        (5, flat_a),
+        (6, flat_b),
+    ]
+    got = {
+        (r["media_id_a"], r["media_id_b"])
+        for r in phash_neardup_pairs(_corpus_df(spark, rows)).collect()
+    }
+    assert not any({1, 2, 3} & {a, b} for a, b in got)
+    # the uniform-payload collision is kept, documented behavior:
+    # all three flat payloads share the all-ones hash
+    assert {(4, 5), (4, 6), (5, 6)} <= got
+
+
 def test_incremental_is_restricted_full(spark, sf_small):
     """The pinned identity the streaming loop rides: incremental(base,
     delta) == the FULL operator over (base ∪ delta) restricted to

@@ -69,11 +69,15 @@ def _pair_rows(spark, out):
     return sorted(map(tuple, read_phash_pairs(spark, out).collect()))
 
 
+def _admitted(rows):
+    """The stream's admission tiers, mirrored: NULL ids malformed,
+    NULL/empty payloads gated as missing media."""
+    return [(i, p) for i, p in rows if i is not None and p]
+
+
 def _expected_batch(spark, prior_rows, batch_rows, batch_id):
-    base = phash_media(_df(spark, prior_rows))
-    delta = phash_media(
-        _df(spark, batch_rows).where(F.col("media_id").isNotNull())
-    )
+    base = phash_media(_df(spark, _admitted(prior_rows)))
+    delta = phash_media(_df(spark, _admitted(batch_rows)))
     inc = incremental_phash_pairs(base, delta)
     return sorted((*t, batch_id) for t in map(tuple, inc.collect()))
 
@@ -83,9 +87,7 @@ def test_streamed_batches_equal_incremental_operator(spark, tmp_path):
     want = []
     for i, rows in enumerate(BATCHES):
         phash_ingest_batch(_df(spark, rows), i, out)
-        prior = [
-            r for b in BATCHES[:i] for r in b if r[0] is not None
-        ]
+        prior = [r for b in BATCHES[:i] for r in b]
         want.extend(_expected_batch(spark, prior, rows, i))
     got = _pair_rows(spark, out)
     assert got == sorted(want)
@@ -95,9 +97,10 @@ def test_streamed_batches_equal_incremental_operator(spark, tmp_path):
     assert (10, 20) in pairs and (11, 20) in pairs  # cross-batch edit
     assert pairs[(21, 30)] == (0, 2)  # exact cross-batch ramp copy
     assert not any({12, 31} & {a, b} for a, b in pairs)
-    # the artifact is the full corpus hash set (NULL-id row gated out,
-    # NULL payload admitted with the all-ones empty hash)
-    all_rows = [r for b in BATCHES for r in b]
+    # the artifact is the admitted corpus hash set (NULL-id rows
+    # malformed; NULL/empty payloads gated as MISSING media — review
+    # r15: they must reach neither the artifact nor the pairing)
+    all_rows = _admitted([r for b in BATCHES for r in b])
     want_hashes = sorted(
         map(tuple, phash_media(_df(spark, all_rows)).collect())
     )
@@ -105,6 +108,7 @@ def test_streamed_batches_equal_incremental_operator(spark, tmp_path):
         sorted(map(tuple, read_phash_set(spark, out).collect()))
         == want_hashes
     )
+    assert 31 not in {h[0] for h in want_hashes}
 
 
 def test_replay_and_compaction_contract(spark, tmp_path):
@@ -191,7 +195,7 @@ def test_available_now_stream_end_to_end(spark, tmp_path):
     os.makedirs(src)
     out = str(tmp_path / "phash")
     ckpt = str(tmp_path / "ckpt")
-    all_rows = [r for b in BATCHES for r in b if r[0] is not None]
+    all_rows = _admitted([r for b in BATCHES for r in b])
     _df(spark, all_rows).write.mode("overwrite").parquet(src)
     stream = (
         spark.readStream.schema(SCHEMA)
