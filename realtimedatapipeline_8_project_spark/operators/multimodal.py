@@ -804,6 +804,71 @@ ORACLE_MEDIA_PHASH_INCREMENTAL = _oracle_phash_pairs(
 # generic parity gate at sf0.001/sf0.01 and swept at sf0.1 via
 # registry.EARMARKS discovery; planted/exactness battery in
 # tests/test_media_phash.py.
+# --- cluster collapse: the dedup DECISION over the pair report --------------
+# Pairs are half of dedup (the dedup.py connected-components doctrine):
+# the pipeline-consumable answer is one survivor per near-dup CLUSTER.
+# Reuses the shared iterative min-label-propagation components operator
+# verbatim — the edge list here is the (tiny, corpus-dependent) pair
+# report, never the corpus — and keeps the lowest media_id per cluster,
+# the deterministic survivor rule every dedup family in this engine
+# uses. Oracle = the pair oracle composed with the same recursive-CTE
+# components the cluster_components oracle runs.
+
+
+def q_media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, cluster_id, n_members, keep) for every item in a
+    perceptual near-dup cluster: cluster_id = lowest reachable
+    media_id, keep = 1 exactly for the survivor. Items with no
+    near-dup pair are implicitly kept (absent here — the report lists
+    the items the dedup decision affects, the dedup_cluster_components
+    shape)."""
+    from .dedup import connected_components
+
+    pairs = q_media_phash_neardup(spark, sf_dir).select(
+        F.col("media_id_a").alias("src"),
+        F.col("media_id_b").alias("dst"),
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return comp.join(sizes, "comp").select(
+        F.col("id").alias("media_id"),
+        F.col("comp").alias("cluster_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.when(F.col("id") == F.col("comp"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+ORACLE_MEDIA_PHASH_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT media_id_a, media_id_b FROM ({ORACLE_MEDIA_PHASH_NEARDUP}) t
+), edges AS (
+  SELECT media_id_a AS a, media_id_b AS b FROM pairs
+  UNION ALL
+  SELECT media_id_b, media_id_a FROM pairs
+), reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+), comp AS (
+  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT c.id AS media_id, c.cluster_id,
+       s.n_members,
+       CAST(CASE WHEN c.id = c.cluster_id THEN 1 ELSE 0 END
+            AS BIGINT) AS keep
+FROM comp c
+JOIN (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM comp GROUP BY cluster_id
+) s USING (cluster_id)
+"""
+
+
 EARMARKS = {
     "media_phash_neardup": (
         q_media_phash_neardup,
@@ -812,5 +877,9 @@ EARMARKS = {
     "media_phash_incremental": (
         q_media_phash_incremental,
         ORACLE_MEDIA_PHASH_INCREMENTAL,
+    ),
+    "media_phash_clusters": (
+        q_media_phash_clusters,
+        ORACLE_MEDIA_PHASH_CLUSTERS,
     ),
 }

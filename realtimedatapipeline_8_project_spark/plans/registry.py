@@ -264,16 +264,17 @@ _MODULES = (
 #
 # EARMARK INVENTORY after the r15 registrations (all code-complete,
 # oracle-gated by the local DuckDB harness; registration status per the
-# CAPACITY DECISION above). The tier is 13 entries: 9 permanent-tier
+# CAPACITY DECISION above). The tier is 14 entries: 9 permanent-tier
 # members whose R16 HORIZON CHECK (VERDICT r14 #9) holds — every one
 # has a named family representative with a LIVE driver row — plus the
 # NEW r15 quality-filter pair, which (like the substring trio at r14)
 # is a code-complete family WITHOUT a driver row yet (first in line
 # with text_bpe_encode for an r16 slot), plus the NEW late-r15
-# perceptual near-dup pair media_phash_neardup +
-# media_phash_incremental (family rep media_dedup_exact registered
-# r14 — the perceptual members extend the same content-addressed
-# dedup family, so the horizon check holds) —
+# perceptual near-dup trio media_phash_neardup +
+# media_phash_incremental + media_phash_clusters (family rep
+# media_dedup_exact registered r14 — the perceptual members extend
+# the same content-addressed dedup family, so the horizon check
+# holds) —
 # - hybrid_rrf_filtered (operators/hybrid.py; family rep
 #   hybrid_rrf_batch REGISTERED r15 — the filtered form shares both
 #   serving legs)
@@ -302,7 +303,8 @@ _MODULES = (
 #   projection via the ONE shared cut_projection spelling, pinned
 #   equal to the new incremental_substring_cut and to the full-union
 #   cut restricted to batch ids)
-# - media_phash_neardup + media_phash_incremental
+# - media_phash_neardup + media_phash_incremental +
+#   media_phash_clusters
 #   (operators/multimodal.py, NEW late r15 — the multimodal family's
 #   perceptual NEAR-dup members beside the registered
 #   media_dedup_exact: average-hash in the Arrow decode pass, 4 x
@@ -312,7 +314,9 @@ _MODULES = (
 #   rows — base payloads never re-read — machine-pinned ==
 #   full-over-union restricted to delta pairs;
 #   exactness-vs-brute-force pin + planted battery in
-#   tests/test_media_phash.py; payload bytes never shuffle.
+#   tests/test_media_phash.py; payload bytes never shuffle; the
+#   clusters form is the dedup DECISION — shared connected-components
+#   over the pair report, lowest-id survivor, recursive-CTE oracle.
 #   streaming/phash_ingest.py is the maintained-artifact stream:
 #   per-batch hash-once classify-append with the shared
 #   staged-install compaction, Hamming-threshold marker stamp, and

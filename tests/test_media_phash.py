@@ -265,6 +265,84 @@ def test_incremental_is_restricted_full(spark, sf_small):
     assert got0 == full_base
 
 
+def test_clusters_collapse_transitively(spark):
+    """A -edit- B -edit- C chains into ONE cluster even when A and C
+    are individually outside the pair threshold — the pair report is
+    half of dedup; the cluster decision is what a pipeline consumes."""
+    from realtimedatapipeline_8_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    base = bytes(range(64)) * 4
+    b1 = bytearray(base)
+    b1[147] = 255
+    b2 = bytearray(b1)
+    b2[227] = 255
+    b2[46] = 255
+    hA, hB, hC = map(
+        ref_phash, (base, bytes(b1), bytes(b2))
+    )
+    assert ref_hamming(hA, hB) <= PH_HAM_T
+    assert ref_hamming(hB, hC) <= PH_HAM_T
+    assert ref_hamming(hA, hC) > PH_HAM_T  # only transitively linked
+    rows = [(1, base), (2, bytes(b1)), (3, bytes(b2)), (4, b"q" * 200)]
+    pairs = phash_neardup_pairs(_corpus_df(spark, rows)).select(
+        F.col("media_id_a").alias("src"), F.col("media_id_b").alias("dst")
+    )
+    comp = {
+        r["id"]: r["comp"] for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1}
+
+
+def test_clusters_match_python_union_find(spark, sf_small):
+    """The registered cluster report equals a pure-Python union-find
+    over the (already brute-force-validated) pair report: cluster_id =
+    min member, exactly one keep per cluster, sizes consistent."""
+    from realtimedatapipeline_8_project_spark.operators.multimodal import (
+        q_media_phash_clusters,
+        q_media_phash_neardup,
+    )
+
+    pairs = [
+        (r["media_id_a"], r["media_id_b"])
+        for r in q_media_phash_neardup(spark, sf_small).collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = {}
+    for x in parent:
+        members.setdefault(find(x), set()).add(x)
+    want = {
+        (m, root, len(ms), 1 if m == root else 0)
+        for root, ms in members.items()
+        for m in ms
+    }
+    got = {
+        tuple(t)
+        for t in map(
+            tuple, q_media_phash_clusters(spark, sf_small).collect()
+        )
+    }
+    assert got == want
+    # exactly one survivor per cluster
+    per_cluster = {}
+    for m, c, n, keep in got:
+        per_cluster[c] = per_cluster.get(c, 0) + keep
+    assert set(per_cluster.values()) == {1}
+
+
 def test_hamming_symmetry_and_ordering(spark):
     """Emitted pairs are id-ordered (a < b) and unique — the banding's
     dropDuplicates over multi-band co-hits collapses to one row per
