@@ -343,6 +343,50 @@ def test_clusters_match_python_union_find(spark, sf_small):
     assert set(per_cluster.values()) == {1}
 
 
+def test_property_pipeline_equals_bruteforce(spark):
+    """Hypothesis: on ARBITRARY small corpora (random lengths 1-300,
+    random bytes, including duplicate payloads) the banded pipeline
+    emits exactly the brute-force all-pairs answer at the threshold —
+    the candidate-superset (pigeonhole) and exact-verify guarantees on
+    inputs nobody hand-picked."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.data())
+    def _run(data):
+        n = data.draw(st.integers(min_value=2, max_value=10))
+        payloads = [
+            bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255), min_size=1, max_size=300
+                    )
+                )
+            )
+            for _ in range(n)
+        ]
+        # duplicate one payload sometimes so Hamming-0 pairs exist
+        if data.draw(st.booleans()):
+            payloads[-1] = payloads[0]
+        rows = list(enumerate(payloads))
+        hashes = {i: ref_phash(p) for i, p in rows}
+        want = {
+            (a, b, ref_hamming(hashes[a], hashes[b]))
+            for a, b in combinations(sorted(hashes), 2)
+            if ref_hamming(hashes[a], hashes[b]) <= PH_HAM_T
+        }
+        got = {
+            (r["media_id_a"], r["media_id_b"], r["hamming"])
+            for r in phash_neardup_pairs(
+                _corpus_df(spark, rows)
+            ).collect()
+        }
+        assert got == want
+
+    _run()
+
+
 def test_hamming_symmetry_and_ordering(spark):
     """Emitted pairs are id-ordered (a < b) and unique — the banding's
     dropDuplicates over multi-band co-hits collapses to one row per
