@@ -461,7 +461,13 @@ _MODULES = (
 #    candidates)
 #   media_phash_incremental [2.74,2.27]/[1.37,1.42] -> proposal 3.99
 #   (1024 pairs; first session ran under trailing load ~1.8 — the
-#    conservative-high max is kept per the r15 adjudication precedent)
+#    conservative-high max is kept per the r15 adjudication precedent;
+#    a later idle re-run measured [1.24,1.32]/[1.21,1.1], confirming
+#    the load reading — the recorded proposal stays, never lowered)
+#   media_phash_clusters [3.88,3.73]/[3.62,3.5] -> proposal 5.58
+#   (1123 clustered items over 1699 edges; fixture cost is the CC
+#    fixpoint's 3-4 localCheckpointed rounds — edge-list-sized work,
+#    stage-scheduling-dominated at fixture scale)
 # R14 BENCH FLOOR: BENCH_LATEST.json holds the round-end idle run
 # (45.40 s warm / 50.85 cold over 81 queries, over_budget = {}).
 # Identical benched code measured 44.77 / 51.87 / 58.05 / 49.90 /
