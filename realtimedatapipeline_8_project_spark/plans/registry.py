@@ -319,8 +319,9 @@ _MODULES = (
 #   over the pair report, lowest-id survivor, recursive-CTE oracle.
 #   streaming/phash_ingest.py is the maintained-artifact stream:
 #   per-batch hash-once classify-append with the shared
-#   staged-install compaction, Hamming-threshold marker stamp, and
-#   stream==incremental-operator pinned batch for batch in
+#   staged-install compaction, Hamming-threshold marker stamp,
+#   stream==incremental-operator pinned batch for batch, and
+#   fold-first GDPR purge via the shared partition-purge step in
 #   tests/test_phash_ingest.py)
 # - quality_lr_train + quality_lr_score (operators/quality_filter.py,
 #   NEW r15 — the GPT-3/CCNet-style LEARNED quality classifier:

@@ -49,6 +49,7 @@ from .sinks import (
     _compacted_through,
     _recover_compaction,
     _stamp_or_read_marker,
+    purge_partitioned_keys,
 )
 
 PHASHES_SUBDIR = "phashes"
@@ -212,6 +213,49 @@ def compact_phash(spark: SparkSession, output_dir: str) -> None:
     contract); replays of folded batches are no-ops via the ingest
     body's guard."""
     _compact_partitions(spark, output_dir, PHASHES_SUBDIR, read_phash_set)
+
+
+def purge_phash(
+    spark: SparkSession, output_dir: str, keys_df: DataFrame
+) -> int:
+    """GDPR-style physical removal of media ids (``keys_df``: one
+    ``media_id`` column) from the maintained hash artifact and every
+    pair report that mentions them — the history sink's purge
+    discipline for the perceptual-dedup state. FOLD-FIRST: compaction
+    moves every committed hash row under the replay-guard marker
+    before anything is deleted, so a purged id cannot resurrect from
+    a checkpoint replay of its admission batch (replays of folded
+    batches no-op the whole ingest body). The shared partition-purge
+    step (sinks.purge_partitioned_keys — semi-join discovery,
+    broadcast anti-join rewrite, outright removal of fully-victim
+    partitions) then rewrites the folded hash partition and each
+    affected pair partition, run once per pair side. Point-in-time
+    erasure: re-ingesting the same id later re-admits it — stopping
+    future arrivals is the upstream contract. Idempotent: a crash
+    mid-purge leaves victims discoverable and a re-run finishes.
+    Returns the number of partitions touched."""
+    keys = keys_df.select("media_id").distinct()
+    if keys.isEmpty():
+        return 0
+    _recover_compaction(output_dir, PHASHES_SUBDIR)
+    if not os.path.isdir(os.path.join(output_dir, PHASHES_SUBDIR)):
+        return 0  # cold artifact: nothing stored, nothing to forget
+    compact_phash(spark, output_dir)
+    touched = purge_partitioned_keys(
+        spark,
+        os.path.join(output_dir, PHASHES_SUBDIR),
+        keys,
+        "media_id",
+    )
+    pairs_path = os.path.join(output_dir, PH_PAIRS_SUBDIR)
+    for col in ("media_id_a", "media_id_b"):
+        touched += purge_partitioned_keys(
+            spark,
+            pairs_path,
+            keys.withColumnRenamed("media_id", col),
+            col,
+        )
+    return touched
 
 
 def recover_phash(spark: SparkSession, output_dir: str) -> bool:

@@ -177,6 +177,62 @@ def test_all_malformed_batch_on_boundary_still_compacts(spark, tmp_path):
     assert (10, 20) in {(a, b) for a, b, _, _ in _pair_rows(spark, out)}
 
 
+def test_purge_forgets_and_replay_cannot_resurrect(spark, tmp_path):
+    """GDPR purge: the victim leaves the hash artifact AND every pair
+    report mentioning it; a checkpoint replay of its admission batch
+    cannot resurrect it (fold-first closes the rewrite window); the
+    purge is idempotent; the stream keeps classifying against the
+    remaining frontier afterwards."""
+    from realtimedatapipeline_8_project_spark.streaming.phash_ingest import (
+        purge_phash,
+    )
+
+    out = str(tmp_path / "phash")
+    for i, rows in enumerate(BATCHES):
+        phash_ingest_batch(_df(spark, rows), i, out)
+    before = _pair_rows(spark, out)
+    assert any({10} & {a, b} for a, b, _, _ in before)
+
+    def _keys(ids):
+        return spark.createDataFrame(
+            [(i,) for i in ids], "media_id long"
+        )
+
+    touched = purge_phash(spark, out, _keys([10]))
+    assert touched >= 1
+    # artifact forgot the victim, kept everyone else
+    left = {r[0] for r in read_phash_set(spark, out).collect()}
+    assert 10 not in left and {11, 12, 20, 21, 30} <= left
+    # every pair mentioning the victim is gone; the rest intact
+    after = _pair_rows(spark, out)
+    assert not any({10} & {a, b} for a, b, _, _ in after)
+    assert sorted(after) == sorted(
+        r for r in before if 10 not in (r[0], r[1])
+    )
+    # replay of the victim's admission batch: folded no-op, stays gone
+    phash_ingest_batch(_df(spark, BATCHES[0]), 0, out)
+    assert 10 not in {r[0] for r in read_phash_set(spark, out).collect()}
+    assert _pair_rows(spark, out) == after
+    # idempotent re-run
+    purge_phash(spark, out, _keys([10]))
+    assert _pair_rows(spark, out) == after
+    # classification continues against the remaining frontier: a new
+    # copy of _X pairs with 11 and 20, not the purged 10
+    phash_ingest_batch(_df(spark, [(50, _X)]), 3, out)
+    newp = {
+        (a, b) for a, b, _, bid in _pair_rows(spark, out) if bid == 3
+    }
+    assert newp == {(11, 50), (20, 50)}
+    # purging every member of a pair partition removes it outright
+    # (the fully-victim dynamic-overwrite subtlety)
+    purge_phash(spark, out, _keys([11, 20, 21, 30, 50]))
+    assert _pair_rows(spark, out) == []
+    assert {r[0] for r in read_phash_set(spark, out).collect()} == {12}
+    # empty keys / cold artifact: no-ops
+    assert purge_phash(spark, out, _keys([])) == 0
+    assert purge_phash(spark, str(tmp_path / "never"), _keys([1])) == 0
+
+
 def test_cold_artifact_reads(spark, tmp_path):
     out = str(tmp_path / "never_written")
     assert read_phash_pairs(spark, out).count() == 0
