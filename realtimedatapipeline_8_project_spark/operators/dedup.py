@@ -761,6 +761,76 @@ def connected_components(
     return labels
 
 
+def components_report(
+    pairs: DataFrame,
+    id_alias: str,
+    cluster_alias: str,
+    keep: bool = False,
+) -> DataFrame:
+    """(src, dst) pair frame -> the cluster report every dedup family
+    serves: (id, cluster = min member, n_members[, keep]) — ONE
+    spelling shared by the embedding and perceptual-media cluster
+    queries (review r15: the comp+sizes+join block was copied
+    verbatim into multimodal.py; a one-sided edit would silently
+    diverge the two reports). ``keep`` appends the survivor flag
+    (1 exactly for the lowest-id member)."""
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
+    cols = [
+        F.col("id").alias(id_alias),
+        F.col("comp").alias(cluster_alias),
+        F.col("n_members").cast("long").alias("n_members"),
+    ]
+    if keep:
+        cols.append(
+            F.when(F.col("id") == F.col("comp"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("keep")
+        )
+    return comp.join(sizes, "comp").select(*cols)
+
+
+def oracle_components_report(
+    pairs_sql: str,
+    a_col: str,
+    b_col: str,
+    id_alias: str,
+    cluster_alias: str,
+    keep: bool = False,
+) -> str:
+    """The DuckDB twin of :func:`components_report`: recursive-CTE
+    reachability over the given pair subquery — ONE SQL spelling for
+    every cluster oracle (same review-r15 drift argument)."""
+    keep_sel = (
+        f",\n       CAST(CASE WHEN c.id = c.{cluster_alias} THEN 1 "
+        "ELSE 0 END AS BIGINT) AS keep"
+        if keep
+        else ""
+    )
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT {a_col}, {b_col} FROM ({pairs_sql}) t
+), edges AS (
+  SELECT {a_col} AS a, {b_col} AS b FROM pairs
+  UNION ALL
+  SELECT {b_col}, {a_col} FROM pairs
+), reach AS (
+  SELECT a AS id, a AS r FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+), comp AS (
+  SELECT id, MIN(r) AS {cluster_alias} FROM reach GROUP BY id
+)
+SELECT c.id AS {id_alias}, c.{cluster_alias}, s.n_members{keep_sel}
+FROM comp c
+JOIN (
+  SELECT {cluster_alias}, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM comp GROUP BY {cluster_alias}
+) s USING ({cluster_alias})
+"""
+
+
 def q_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collapse embedding near-dup pairs (the oracle-checkable pair
     source) into clusters: (vec_id, component_id = min member,
@@ -770,38 +840,15 @@ def q_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_embedding_neardup(spark, sf_dir).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
-    comp = connected_components(pairs)
-    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
-    return comp.join(sizes, "comp").select(
-        F.col("id").alias("vec_id"),
-        F.col("comp").alias("component_id"),
-        F.col("n_members").cast("long").alias("n_members"),
-    )
+    return components_report(pairs, "vec_id", "component_id")
 
 
 def _oracle_cluster_components() -> str:
     from .similarity import ORACLE_EMBEDDING_NEARDUP
 
-    return f"""
-WITH RECURSIVE pairs AS (
-  SELECT id_a, id_b FROM ({ORACLE_EMBEDDING_NEARDUP}) t
-), edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION ALL
-  SELECT id_b, id_a FROM pairs
-), reach AS (
-  SELECT a AS id, a AS r FROM edges
-  UNION
-  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
-), comp AS (
-  SELECT id, MIN(r) AS component_id FROM reach GROUP BY id
-)
-SELECT c.id AS vec_id, c.component_id, s.n_members
-FROM comp c
-JOIN (
-  SELECT component_id, COUNT(*) AS n_members FROM comp GROUP BY component_id
-) s USING (component_id)
-"""
+    return oracle_components_report(
+        ORACLE_EMBEDDING_NEARDUP, "id_a", "id_b", "vec_id", "component_id"
+    )
 
 
 QUERIES = {

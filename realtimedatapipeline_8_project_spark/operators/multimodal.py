@@ -821,52 +821,31 @@ def q_media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     media_id, keep = 1 exactly for the survivor. Items with no
     near-dup pair are implicitly kept (absent here — the report lists
     the items the dedup decision affects, the dedup_cluster_components
-    shape)."""
-    from .dedup import connected_components
+    shape). Both the report and its oracle come from the SHARED
+    components spellings in operators/dedup.py (review r15)."""
+    from .dedup import components_report
 
     pairs = q_media_phash_neardup(spark, sf_dir).select(
         F.col("media_id_a").alias("src"),
         F.col("media_id_b").alias("dst"),
     )
-    comp = connected_components(pairs)
-    sizes = comp.groupBy("comp").agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
-    return comp.join(sizes, "comp").select(
-        F.col("id").alias("media_id"),
-        F.col("comp").alias("cluster_id"),
-        F.col("n_members").cast("long").alias("n_members"),
-        F.when(F.col("id") == F.col("comp"), F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("keep"),
+    return components_report(pairs, "media_id", "cluster_id", keep=True)
+
+
+def _oracle_media_phash_clusters() -> str:
+    from .dedup import oracle_components_report
+
+    return oracle_components_report(
+        ORACLE_MEDIA_PHASH_NEARDUP,
+        "media_id_a",
+        "media_id_b",
+        "media_id",
+        "cluster_id",
+        keep=True,
     )
 
 
-ORACLE_MEDIA_PHASH_CLUSTERS = f"""
-WITH RECURSIVE pairs AS (
-  SELECT media_id_a, media_id_b FROM ({ORACLE_MEDIA_PHASH_NEARDUP}) t
-), edges AS (
-  SELECT media_id_a AS a, media_id_b AS b FROM pairs
-  UNION ALL
-  SELECT media_id_b, media_id_a FROM pairs
-), reach AS (
-  SELECT a AS id, a AS r FROM edges
-  UNION
-  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
-), comp AS (
-  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
-)
-SELECT c.id AS media_id, c.cluster_id,
-       s.n_members,
-       CAST(CASE WHEN c.id = c.cluster_id THEN 1 ELSE 0 END
-            AS BIGINT) AS keep
-FROM comp c
-JOIN (
-  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
-  FROM comp GROUP BY cluster_id
-) s USING (cluster_id)
-"""
+ORACLE_MEDIA_PHASH_CLUSTERS = _oracle_media_phash_clusters()
 
 
 EARMARKS = {

@@ -49,7 +49,7 @@ from .sinks import (
     _compacted_through,
     _recover_compaction,
     _stamp_or_read_marker,
-    purge_partitioned_keys,
+    purge_partitioned_rows,
 )
 
 PHASHES_SUBDIR = "phashes"
@@ -215,6 +215,22 @@ def compact_phash(spark: SparkSession, output_dir: str) -> None:
     _compact_partitions(spark, output_dir, PHASHES_SUBDIR, read_phash_set)
 
 
+def _batch_partition_ids(path: str) -> set[int]:
+    """Integer batch ids of the ``batch_id=`` partition dirs under
+    ``path`` (empty for an absent dir; non-integer partition values
+    skipped, the recovery-seam discipline)."""
+    if not os.path.isdir(path):
+        return set()
+    out = set()
+    for d in os.listdir(path):
+        if d.startswith("batch_id="):
+            try:
+                out.add(int(d.split("=", 1)[1]))
+            except ValueError:
+                pass
+    return out
+
+
 def purge_phash(
     spark: SparkSession, output_dir: str, keys_df: DataFrame
 ) -> int:
@@ -222,39 +238,57 @@ def purge_phash(
     ``media_id`` column) from the maintained hash artifact and every
     pair report that mentions them — the history sink's purge
     discipline for the perceptual-dedup state. FOLD-FIRST: compaction
-    moves every committed hash row under the replay-guard marker
-    before anything is deleted, so a purged id cannot resurrect from
-    a checkpoint replay of its admission batch (replays of folded
-    batches no-op the whole ingest body). The shared partition-purge
-    step (sinks.purge_partitioned_keys — semi-join discovery,
-    broadcast anti-join rewrite, outright removal of fully-victim
-    partitions) then rewrites the folded hash partition and each
-    affected pair partition, run once per pair side. Point-in-time
-    erasure: re-ingesting the same id later re-admits it — stopping
-    future arrivals is the upstream contract. Idempotent: a crash
-    mid-purge leaves victims discoverable and a re-run finishes.
-    Returns the number of partitions touched."""
+    (run only if unfolded hash partitions exist — an already-folded
+    artifact is not rewritten again, review r15) moves every committed
+    hash row under the replay-guard marker before anything is deleted,
+    so a purged id cannot resurrect from a checkpoint replay of its
+    admission batch (replays of folded batches no-op the whole ingest
+    body). A HALF-LANDED admission batch — pair partition on disk,
+    hash partition not yet written (the crash window between the two
+    writes) — breaks that guarantee: its replay would re-derive the
+    victim's rows from source AFTER a reported-success purge, so the
+    purge FAILS LOUD instead (review r15), naming the remedy: drain
+    the stream (the replay completes the batch), then purge. The
+    shared partition-purge step (sinks.purge_partitioned_rows —
+    per-column semi-join discovery, one broadcast anti-join-chain
+    rewrite, outright removal of fully-victim partitions) then
+    rewrites the folded hash partition and each affected pair
+    partition, both pair sides in ONE pass. Point-in-time erasure:
+    re-ingesting the same id later re-admits it — stopping future
+    arrivals is the upstream contract. Idempotent: a crash mid-purge
+    leaves victims discoverable and a re-run finishes. Returns the
+    number of partitions touched (each counted once)."""
     keys = keys_df.select("media_id").distinct()
     if keys.isEmpty():
         return 0
     _recover_compaction(output_dir, PHASHES_SUBDIR)
-    if not os.path.isdir(os.path.join(output_dir, PHASHES_SUBDIR)):
-        return 0  # cold artifact: nothing stored, nothing to forget
-    compact_phash(spark, output_dir)
-    touched = purge_partitioned_keys(
-        spark,
-        os.path.join(output_dir, PHASHES_SUBDIR),
-        keys,
-        "media_id",
-    )
+    hashes_path = os.path.join(output_dir, PHASHES_SUBDIR)
     pairs_path = os.path.join(output_dir, PH_PAIRS_SUBDIR)
-    for col in ("media_id_a", "media_id_b"):
-        touched += purge_partitioned_keys(
-            spark,
-            pairs_path,
-            keys.withColumnRenamed("media_id", col),
-            col,
+    if any(b != -1 for b in _batch_partition_ids(hashes_path)):
+        compact_phash(spark, output_dir)
+    orphans = sorted(
+        b
+        for b in _batch_partition_ids(pairs_path)
+        if b > _compacted_through(output_dir, PHASHES_SUBDIR)
+    )
+    if orphans:
+        raise ValueError(
+            f"phash artifact at {output_dir} has pair partitions for "
+            f"batches {orphans} whose hash partitions never committed "
+            "(a crash between the pair and hash writes). Purging now "
+            "would report success and then be undone by the stream's "
+            "replay of those batches re-deriving the victims from "
+            "source. Drain the stream first (the replay completes the "
+            "half-landed batches), then re-run the purge."
         )
+    touched = purge_partitioned_rows(
+        spark, hashes_path, keys, ("media_id",)
+    )
+    # the pair purge runs even if no hash dir exists (review r15: the
+    # orphan check above already vetoed the unsafe shapes)
+    touched += purge_partitioned_rows(
+        spark, pairs_path, keys, ("media_id_a", "media_id_b")
+    )
     return touched
 
 

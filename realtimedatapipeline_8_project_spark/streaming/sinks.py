@@ -832,25 +832,34 @@ def write_batch_fanout(
 # requires.
 
 
-def purge_partitioned_keys(
-    spark: SparkSession, path: str, keys: DataFrame, key_col: str
+def purge_partitioned_rows(
+    spark: SparkSession, path: str, keys: DataFrame, key_cols
 ) -> int:
     """Physically delete every row of the batch-partitioned parquet dir
-    ``path`` whose ``key_col`` appears in ``keys`` (already distinct).
-    Returns the number of batch partitions touched. The SINGLE
-    definition of the partition-purge step, shared by the history
-    sink's GDPR purge and the ingest corpus' forget path.
+    ``path`` where ANY of ``key_cols`` appears in single-column
+    ``keys`` (already distinct; its column is renamed to each key col
+    in turn, so hash semi/anti joins apply — never an OR-condition
+    nested-loop join). Returns the number of batch partitions touched,
+    each counted ONCE however many columns hit it (review r15). The
+    SINGLE definition of the partition-purge step, shared by the
+    history sink's GDPR purge, the ingest corpus' forget path, and the
+    phash artifact's purge (whose pair reports carry the victim on
+    either side).
 
-    Rewrites ONLY affected partitions (semi-join discovery + broadcast
-    anti-join + dynamic overwrite). CRITICAL subtlety: dynamic
-    partition overwrite replaces only partitions PRESENT in the written
-    frame — a partition whose EVERY row is a victim produces zero rows,
-    would not be overwritten at all, and would silently keep the
-    victims' data on disk (a reported-success non-erasure). Fully-
-    victim partitions are therefore removed outright, AFTER the
-    survivor rewrite lands: a crash between the two leaves the victims
+    Rewrites ONLY affected partitions (semi-join discovery per column
+    over pruned (col, batch_id) projections, then ONE broadcast
+    anti-join-chain rewrite). CRITICAL subtlety: dynamic partition
+    overwrite replaces only partitions PRESENT in the written frame —
+    a partition whose EVERY row is a victim produces zero rows, would
+    not be overwritten at all, and would silently keep the victims'
+    data on disk (a reported-success non-erasure). Fully-victim
+    partitions are therefore removed outright, AFTER the survivor
+    rewrite lands: a crash between the two leaves the victims
     discoverable, and re-running the purge finishes the removal."""
     import shutil
+
+    key_cols = tuple(key_cols)
+    kname = keys.columns[0]
 
     # A fully-forgotten table (every partition already purged) leaves a
     # base dir with no parquet files: schema inference would raise and
@@ -861,22 +870,26 @@ def purge_partitioned_keys(
     ):
         return 0
     df = spark.read.parquet(path)
-    affected = [
-        r.batch_id
-        for r in df.select(key_col, "batch_id")
-        .join(F.broadcast(keys), key_col, "left_semi")
-        .select("batch_id")
-        .distinct()
-        .collect()
-    ]
+    affected = set()
+    for c in key_cols:
+        affected |= {
+            r.batch_id
+            for r in df.select(c, "batch_id")
+            .join(F.broadcast(keys.withColumnRenamed(kname, c)), c, "left_semi")
+            .select("batch_id")
+            .distinct()
+            .collect()
+        }
     if not affected:
         return 0
-    remaining = (
-        df.where(F.col("batch_id").isin(affected))
-        .join(F.broadcast(keys), key_col, "left_anti")
-        .localCheckpoint()  # two consumers: the survivor-partition
-        # listing and the rewrite — one scan of the affected partitions
-    )
+    remaining = df.where(F.col("batch_id").isin(list(affected)))
+    for c in key_cols:
+        remaining = remaining.join(
+            F.broadcast(keys.withColumnRenamed(kname, c)), c, "left_anti"
+        )
+    remaining = remaining.localCheckpoint()  # two consumers: the
+    # survivor-partition listing and the rewrite — one scan of the
+    # affected partitions
     with_survivors = [
         r.batch_id for r in remaining.select("batch_id").distinct().collect()
     ]
@@ -887,9 +900,17 @@ def purge_partitioned_keys(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(path)
         )
-    for bid in set(affected) - set(with_survivors):
+    for bid in affected - set(with_survivors):
         shutil.rmtree(os.path.join(path, f"batch_id={bid}"))
     return len(affected)
+
+
+def purge_partitioned_keys(
+    spark: SparkSession, path: str, keys: DataFrame, key_col: str
+) -> int:
+    """Single-key spelling of :func:`purge_partitioned_rows` (the
+    history-sink / ingest-forget callers)."""
+    return purge_partitioned_rows(spark, path, keys, (key_col,))
 
 
 def purge_keys(

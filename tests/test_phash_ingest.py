@@ -233,6 +233,47 @@ def test_purge_forgets_and_replay_cannot_resurrect(spark, tmp_path):
     assert purge_phash(spark, str(tmp_path / "never"), _keys([1])) == 0
 
 
+def test_purge_refuses_half_landed_batches(spark, tmp_path):
+    """Review r15: a batch whose pair partition landed but whose hash
+    partition did not (the crash window between the two writes) would
+    be re-derived from source by the stream's replay — undoing a
+    reported-success purge. The purge fails loud instead, naming the
+    drain-then-purge remedy; after the replay completes the batch, the
+    purge goes through."""
+    import shutil
+
+    from realtimedatapipeline_8_project_spark.streaming.phash_ingest import (
+        PHASHES_SUBDIR as _PH,
+        purge_phash,
+    )
+
+    out = str(tmp_path / "phash")
+    phash_ingest_batch(_df(spark, BATCHES[0]), 0, out)
+    phash_ingest_batch(_df(spark, BATCHES[1]), 1, out)
+    # simulate the crash window: batch 1's hash partition vanishes
+    shutil.rmtree(os.path.join(out, _PH, "batch_id=1"))
+
+    def _keys(ids):
+        return spark.createDataFrame(
+            [(i,) for i in ids], "media_id long"
+        )
+
+    with pytest.raises(ValueError, match="never committed"):
+        purge_phash(spark, out, _keys([20]))
+    # victim still discoverable (no silent partial erasure)
+    assert any(
+        {20} & {a, b} for a, b, _, _ in _pair_rows(spark, out)
+    )
+    # the stream's replay completes the half-landed batch...
+    phash_ingest_batch(_df(spark, BATCHES[1]), 1, out)
+    # ...and the purge now goes through everywhere
+    assert purge_phash(spark, out, _keys([20])) >= 1
+    assert 20 not in {r[0] for r in read_phash_set(spark, out).collect()}
+    assert not any(
+        {20} & {a, b} for a, b, _, _ in _pair_rows(spark, out)
+    )
+
+
 def test_cold_artifact_reads(spark, tmp_path):
     out = str(tmp_path / "never_written")
     assert read_phash_pairs(spark, out).count() == 0
