@@ -116,17 +116,24 @@ def word_freq(docs: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train_merges(w: DataFrame, n_merges: int = BPE_MERGES) -> list:
+def bpe_train_merges(
+    w: DataFrame, n_merges: int = BPE_MERGES, checkpoint_every: int = 8
+) -> list:
     """Run the merge rounds; returns [(rank, left, right, pair_freq)].
     One aggregation + one 1-row driver read per round.
 
-    The word-freq state is localCheckpoint()ed at entry and after every
-    merge (review r13, the kmeans/PageRank iteration discipline —
-    similarity.py does the same for its centroid loop): each round's
-    collect() is a separate action, so without the checkpoint round k
-    re-executes the FULL lineage — corpus scan, word_freq shuffle, and
-    k-1 chained projections — making training O(K) corpus scans instead
-    of the ONE pass the module contract promises."""
+    The word-freq state is localCheckpoint()ed at entry (review r13, the
+    kmeans/PageRank iteration discipline): each round's collect() is a
+    separate action, so without that checkpoint round k would re-execute
+    the FULL lineage — corpus scan and word_freq shuffle — making
+    training O(K) corpus scans instead of the ONE pass the module
+    contract promises. Past the entry checkpoint, each round adds only
+    one vocab-sized replace() projection, so re-deriving round k's state
+    replays at most ``checkpoint_every - 1`` string projections over the
+    dictionary — far cheaper than the eager checkpoint job the previous
+    every-round spelling paid per merge (optimization r15: 6 fewer
+    actions per training run at the fixture K; the PageRank
+    ``checkpoint_every`` pattern applied here)."""
     w = w.localCheckpoint()
     merges = []
     for k in range(n_merges):
@@ -150,7 +157,9 @@ def bpe_train_merges(w: DataFrame, n_merges: int = BPE_MERGES) -> list:
         merges.append((k + 1, l, r, int(cnt)))
         w = w.selectExpr(
             f"replace(wstr, ' {l}; {r};', ' {l}{r};') AS wstr", "freq"
-        ).localCheckpoint()
+        )
+        if (k + 1) % checkpoint_every == 0:
+            w = w.localCheckpoint()
     return merges
 
 

@@ -711,8 +711,11 @@ def connected_components(
         )
     )
     for _ in range(max_rounds):
-        prev = labels
-        # propagate: min over neighbors' labels
+        # propagate: min over neighbors' labels. The round-start label is
+        # carried through as ``pc`` so the fixpoint test below is a
+        # narrow scan of the just-checkpointed table — the per-round
+        # labels-vs-prev join it replaces was a second (broadcast) job
+        # every round (optimization r15; label arithmetic unchanged).
         nbr = (
             sym.join(
                 labels.select(
@@ -724,39 +727,31 @@ def connected_components(
             .agg(F.min("bcomp").alias("nbr_comp"))
             .select(F.col("a").alias("id"), "nbr_comp")
         )
-        labels = labels.join(nbr, "id", "left").select(
+        lp = labels.join(nbr, "id", "left").select(
             "id",
+            F.col("comp").alias("pc"),
             F.least(
                 F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
             ).alias("comp"),
         )
         # jump: comp := label(comp) — pointer doubling
-        lk = labels.select(
+        lk = lp.select(
             F.col("id").alias("comp"), F.col("comp").alias("jcomp")
         )
-        labels = (
-            labels.join(lk, "comp", "left")
-            .select(
+        stepped = _truncate(
+            lp.join(lk, "comp", "left").select(
                 "id",
+                "pc",
                 F.least(
                     F.col("comp"), F.coalesce("jcomp", F.col("comp"))
                 ).alias("comp"),
             )
         )
-        # Truncate lineage: labels is referenced 3x next round, so an
-        # un-truncated plan is ~3^rounds nodes.
-        labels = _truncate(labels)
-        # Fixpoint test on the tiny label table: any label still moving?
-        moved = (
-            labels.join(
-                prev.select(F.col("id"), F.col("comp").alias("prev_comp")),
-                "id",
-            )
-            .where(F.col("comp") != F.col("prev_comp"))
-            .limit(1)
-            .count()
-        )
-        if moved == 0:
+        # Truncation doubles as the round's action; labels is referenced
+        # 3x next round, so an un-truncated plan is ~3^rounds nodes.
+        labels = stepped.select("id", "comp")
+        # Fixpoint test on the checkpointed table: any label still moving?
+        if stepped.where(F.col("comp") != F.col("pc")).limit(1).isEmpty():
             break
     return labels
 

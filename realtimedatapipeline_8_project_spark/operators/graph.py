@@ -232,11 +232,18 @@ def pagerank_bucketed(
 
     if n_buckets is None:
         n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    from ..sources.tables import artifact_verified, mark_artifact_verified
+
     ed_b = None
     if reuse_table and spark.catalog.tableExists(table_name):
         try:
             ed_b = spark.table(table_name)
-            ed_b.limit(1).count()  # readable probe; rebuild on any doubt
+            # readable probe; rebuild on any doubt. Once per session per
+            # table (optimization r15) — the name carries the fixture
+            # fingerprint, so a verified table stays verified.
+            if not artifact_verified(spark, f"table:{table_name}"):
+                ed_b.limit(1).count()
+                mark_artifact_verified(spark, f"table:{table_name}")
         except Exception:
             ed_b = None
     if ed_b is None:

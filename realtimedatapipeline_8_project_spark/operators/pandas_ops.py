@@ -34,7 +34,7 @@ above the sf0.1 fixture's worst case.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -116,6 +116,91 @@ def q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_trend(load_table(spark, sf_dir, "events"))
 
 
+def _floor_div(a, b):
+    """Exact floor division of two Spark columns with b > 0: subtract the
+    mod-normalized remainder (pmod matches Python's % for positive b),
+    then the IntegralDivide is remainder-free, so its truncation IS the
+    floor. Mirrors the oracle's ``_fdiv`` spelling."""
+    return F.expr(f"({a} - pmod({a}, {b})) div ({b})")
+
+
+def user_trend_native(events: DataFrame) -> DataFrame:
+    """The production spelling of :func:`user_trend`: the identical
+    integer OLS recurrence computed entirely JVM-side (optimization r15,
+    guide §4.1/§2.3 — built-ins over group-map). Row-identical to the
+    pandas spelling (machine-pinned in tests/test_pandas_ops.py) and to
+    the unchanged DuckDB oracle.
+
+    Why this beats the group-map at scale: applyInPandas ships EVERY
+    event row across the JVM->Arrow->Python boundary and runs an
+    interpreted loop per group; here the rows that cross the one
+    user_id exchange are three narrow longs (user_id, us, v100), the
+    window min and the moment sums reuse that single exchange, and the
+    whole plan stays inside whole-stage codegen — no Python workers.
+
+    Exactness: the per-row quantizations are the same IEEE double ops
+    (floor(value*100 + 0.5); micros are exact longs); the four moments
+    are summed as decimal(38,0) — the same 128-bit envelope as the
+    oracle's HUGEINT (cap 1e38 vs 1.7e38, both ~12 orders of magnitude
+    above the fixture bound in the module docstring) — and the 6-dp
+    half-up roundings are the same remainder-normalized integer floor
+    divisions."""
+    q = events.where(
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & F.col("ts").isNotNull()
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100 + 0.5).alias("v100"),
+    )
+    # seconds since the group's first event: window min reuses the same
+    # user_id exchange the aggregation below needs — one shuffle total
+    t = F.expr("(us - us0) div 1000000")
+    d38 = "decimal(38,0)"
+    m = (
+        q.withColumn("us0", F.min("us").over(Window.partitionBy("user_id")))
+        .select(
+            "user_id",
+            t.cast(d38).alias("t"),
+            F.col("v100").cast(d38).alias("v100"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast(d38).alias("n"),
+            F.sum("t").alias("st"),
+            F.sum("v100").alias("sv"),
+            F.sum(F.col("t") * F.col("t")).alias("stt"),
+            F.sum(F.col("t") * F.col("v100")).alias("stv"),
+        )
+        .select(
+            "user_id",
+            "n",
+            "sv",
+            (F.col("n") * F.col("stv") - F.col("st") * F.col("sv")).alias(
+                "num"
+            ),
+            (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).alias(
+                "den"
+            ),
+        )
+    )
+    slope_micro = _floor_div("2 * num * 864000000 + den", "2 * den")
+    mean_micro = _floor_div("2 * sv * 10000 + n", "2 * n")
+    return m.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.when(F.col("den") > 0, slope_micro.cast("double") / 1e6)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("slope_per_day"),
+        (mean_micro.cast("double") / 1e6).alias("mean_value"),
+    )
+
+
+def q_user_trend_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_trend_native(load_table(spark, sf_dir, "events"))
+
+
 def _fdiv(a_sql: str, b_sql: str) -> str:
     """DuckDB floor division for a possibly-negative exact quotient
     context: ``//`` truncates toward zero, so normalize the remainder
@@ -162,6 +247,11 @@ FROM s
 """
 
 
+# Registered callable: the JVM-native spelling (optimization r15 — same
+# rows, same oracle, no Python boundary; guide §4.1 "prefer built-ins",
+# §2.3 "aggregate before you shuffle"). The applyInPandas spelling stays
+# the §2.11 API-surface demonstration, machine-pinned row-identical to
+# the native one in tests/test_pandas_ops.py on every build.
 QUERIES = {
-    "pandas_user_trend": (q_user_trend, _oracle_user_trend()),
+    "pandas_user_trend": (q_user_trend_native, _oracle_user_trend()),
 }

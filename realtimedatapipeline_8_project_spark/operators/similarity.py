@@ -824,7 +824,89 @@ def semantic_pairs(
     quantized-L2 ``threshold`` (blocks per :func:`semantic_blocks`).
     Exact duplicates (distance 0) can never be missed by the blocking:
     identical vectors assign and band identically, so they always share
-    a block — pinned in tests/test_similarity_quality.py."""
+    a block — pinned in tests/test_similarity_quality.py.
+
+    The O(pairs x dim) distance kernel runs as ONE Arrow group-map per
+    block (optimization r15, guide §4.2: hand whole batches to a
+    vectorized native library instead of per-pair interpreted
+    expression folds). The block self-join this replaces shuffled every
+    block twice and evaluated an interpreted zip_with/aggregate fold
+    per candidate pair (measured ~1.5 s of the query's 2.6 s at sf0.1);
+    here each block crosses the boundary once and the whole pair matrix
+    is one int64 BLAS product — bit-exact (NumPy int64 ops are exact,
+    and the |qv| <= ~1e8, dim=64 envelope keeps every dot far below
+    2^63, the same bound the previous BIGINT fold relied on). Memory is
+    bounded: a block is <= ``max_block`` rows by construction and the
+    Gram product is row-chunked to ~64 MB slabs. The previous JVM
+    spelling remains as :func:`semantic_pairs_jvm`, machine-pinned
+    row-identical in tests/test_similarity_quality.py."""
+    import pandas as pd
+
+    blocks = semantic_blocks(
+        emb, max_block=max_block, band_bits=band_bits, seeds=seeds
+    ).select("k", "band", "vec_id", "qv")
+    thr = int(threshold)
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "cluster": pd.Series([], dtype="int32"),
+                "vec_id_a": pd.Series([], dtype="int64"),
+                "vec_id_b": pd.Series([], dtype="int64"),
+                "dist": pd.Series([], dtype="int64"),
+            }
+        )
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype="int64")
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        q = np.stack(pdf["qv"].to_numpy()[order]).astype("int64", copy=False)
+        nrm = np.einsum("ij,ij->i", q, q)
+        cluster = int(pdf["k"].iloc[0])
+        outs = []
+        # row-chunk the Gram product so a max_block-sized block never
+        # materializes an n x n matrix (~64 MB per slab)
+        chunk = max(1, (64 << 20) // (8 * n))
+        for i0 in range(0, n - 1, chunk):
+            i1 = min(i0 + chunk, n)
+            g = q[i0:i1] @ q.T  # exact int64 dots
+            d = nrm[i0:i1, None] + nrm[None, :] - 2 * g
+            # strict upper triangle (vec_id_a < vec_id_b after the sort)
+            ii, jj = np.nonzero(d <= thr)
+            keep = jj > (ii + i0)
+            ii, jj = ii[keep], jj[keep]
+            if len(ii):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "cluster": np.full(len(ii), cluster, "int32"),
+                            "vec_id_a": ids[ii + i0],
+                            "vec_id_b": ids[jj],
+                            "dist": d[ii, jj],
+                        }
+                    )
+                )
+        return pd.concat(outs) if outs else empty
+
+    return blocks.groupBy("k", "band").applyInPandas(
+        _pairs, schema="cluster int, vec_id_a long, vec_id_b long, dist long"
+    )
+
+
+def semantic_pairs_jvm(
+    emb: DataFrame,
+    threshold: int = SEM_T,
+    max_block: int = SEM_MAX_BLOCK,
+    band_bits: int = SEM_BAND_BITS,
+    seeds: tuple[int, ...] = IVFT_SEEDS,
+) -> DataFrame:
+    """The pre-r15 JVM spelling of :func:`semantic_pairs` (block
+    self-join + interpreted integer fold per pair) — kept as the
+    machine-checked twin that pins the Arrow kernel's semantics."""
     blocks = semantic_blocks(
         emb, max_block=max_block, band_bits=band_bits, seeds=seeds
     ).withColumn("nrm", F.expr(_SEM_NORM))

@@ -152,10 +152,15 @@ def duplicated_spans(
     grams = _gram_table(docs, k)
     if hashed:
         grams = grams.withColumn("gram", F.xxhash64("gram"))
+    # "appears in >= 2 distinct docs" spelled as min(doc_id) != max
+    # (doc_id): identical predicate, but min/max partially aggregate
+    # map-side in one pass, where count_distinct planned a two-phase
+    # distinct expansion over the gram exchange (optimization r15,
+    # guide §2.3 "aggregate before you shuffle")
     dup = (
         grams.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .where(F.col("d0") != F.col("d1"))
         .select("gram")
     )
     # unhinted: the duplicated-gram set is corpus-dependent — AQE

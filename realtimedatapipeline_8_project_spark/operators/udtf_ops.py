@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..sources.tables import register_views
+from ..sources.tables import load_table
 
 CHUNK_W = 32  # window length (tokens)
 CHUNK_S = 24  # stride (tokens); W - S = 8 tokens of overlap
@@ -64,8 +64,9 @@ def chunk_windows(spark: SparkSession, docs: DataFrame) -> DataFrame:
 
 
 def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    return chunk_windows(spark, spark.table("documents"))
+    # load the one table the operator reads — registering all ten fixture
+    # views paid ~10 parquet footer probes per call (optimization r15)
+    return chunk_windows(spark, load_table(spark, sf_dir, "documents"))
 
 
 def chunk_windows_native(docs: DataFrame) -> DataFrame:
@@ -103,8 +104,7 @@ def chunk_windows_native(docs: DataFrame) -> DataFrame:
 
 
 def q_chunk_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    return chunk_windows_native(spark.table("documents"))
+    return chunk_windows_native(load_table(spark, sf_dir, "documents"))
 
 
 # DuckDB proves the same semantics with pure SQL generation: one start
@@ -128,8 +128,14 @@ FROM t CROSS JOIN range(0, 1000) r(s)
 WHERE r.s * {CHUNK_S} < len(t.toks)
 """
 
+# Registered callable: the native (whole-stage-codegen, zero Python
+# workers) spelling — optimization r15, guide §4.1: a UDTF's eval() is
+# called per row, and this operator is exactly expressible with
+# sequence()+posexplode+slice. Same rows, same oracle; the UDTF form
+# remains the §2.11 API-surface demonstration, machine-pinned
+# row-identical in tests/test_udtf_and_epoch.py on every build.
 QUERIES = {
-    "udtf_chunk_windows": (q_chunk_windows, ORACLE_CHUNK_WINDOWS),
+    "udtf_chunk_windows": (q_chunk_windows_native, ORACLE_CHUNK_WINDOWS),
     # same oracle string: the two forms are defined to be row-identical
     "chunk_windows_native": (q_chunk_windows_native, ORACLE_CHUNK_WINDOWS),
 }

@@ -46,6 +46,53 @@ def _parquet_has_nanos_ts(path: str, column: str = "ts") -> bool:
         return False
 
 
+# Per-session DataFrame memo (optimization r15). Building a fixture
+# DataFrame costs a JVM round-trip + parquet footer read (~0.05-0.15 s,
+# measured) and repeats for EVERY query invocation — a real application
+# reads a table once per session and reuses the plan. The memo stores
+# the unresolved plan only: every action still scans the parquet input
+# in full (this is plan reuse, not result caching). Keyed by the
+# session's applicationId AND the file's (size, mtime_ns) stat, so a
+# new session, a regenerated fixture, or a different sf_dir can never
+# be served a stale plan.
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+_VIEWS_MEMO: dict[str, tuple] = {}
+
+
+# Artifact-readability memo (optimization r15): every index/codebook
+# builder re-probed its on-disk artifact with 1-3 ``limit(1)`` Spark
+# jobs on EVERY serving call. Artifact roots already encode fixture
+# identity (path fingerprints) and are never hand-deleted (verify
+# skill contract) — once a root has been probed readable (or freshly
+# built) in this session, later calls skip the probe. Content reads
+# are untouched: every query still reads the artifact parquet itself.
+_ARTIFACT_OK: set[tuple[str, str]] = set()
+
+
+def artifact_verified(spark: SparkSession, root: str) -> bool:
+    return (spark.sparkContext.applicationId, root) in _ARTIFACT_OK
+
+
+def mark_artifact_verified(spark: SparkSession, root: str) -> None:
+    _ARTIFACT_OK.add((spark.sparkContext.applicationId, root))
+
+
+def _memo_key(
+    spark: SparkSession, path: str, name: str
+) -> tuple | None:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (
+        spark.sparkContext.applicationId,
+        name,
+        os.path.abspath(path),
+        st.st_size,
+        st.st_mtime_ns,
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Columnar parquet scan; Catalyst prunes.
 
@@ -69,6 +116,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     - TIMESTAMP_MICROS(isAdjustedToUTC=true): already session-TZ
       TimestampType; passes through untouched."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = _memo_key(spark, path, name)
+    if key is not None and key in _TABLE_MEMO:
+        return _TABLE_MEMO[key]
+    df = _load_table_uncached(spark, path, name)
+    if key is not None:
+        _TABLE_MEMO[key] = df
+    return df
+
+
+def _load_table_uncached(
+    spark: SparkSession, path: str, name: str
+) -> DataFrame:
     if name == "events":
         if _parquet_has_nanos_ts(path):
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -85,9 +144,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for spark.sql() use."""
+    """Register every fixture table as a temp view for spark.sql() use.
+
+    Memoized per session on the LAST registered fixture identity
+    (optimization r15: ~1 s per call measured — 10 plan builds + 10
+    catalog round-trips — repeated by every spark.sql-spelled query):
+    re-registering the same unchanged sf_dir is a no-op; a different
+    sf_dir, or any fixture file whose (size, mtime) changed, always
+    re-registers. Semantics are unchanged because the views are
+    name-bound plans — execution still scans the current parquet."""
+    app = spark.sparkContext.applicationId
+    ident = tuple(
+        _memo_key(spark, os.path.join(sf_dir, f"{n}.parquet"), n)
+        for n in TABLE_NAMES
+    )
+    if _VIEWS_MEMO.get(app) == ident:
+        return
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS_MEMO[app] = ident
 
 
 def load_jdbc_dim(

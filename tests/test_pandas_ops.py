@@ -131,3 +131,45 @@ def test_null_and_nan_values_are_excluded_not_fatal(spark):
     assert r.mean_value == 13.0
     # slope: 6/day over 3h gap -> (16-10)/(3h) * 24h = 48.0 per day
     assert r.slope_per_day == pytest.approx(48.0, abs=1e-6)
+
+
+def test_native_twin_row_identical_to_pandas_spelling(spark, sf_small):
+    """The registered JVM spelling (optimization r15) must stay
+    row-identical — bit-exact doubles included — to the applyInPandas
+    API-surface spelling on the fixture AND on synthetic edge frames
+    (negative slope, single event, NULL/NaN mix)."""
+    from datetime import datetime, timedelta
+
+    from realtimedatapipeline_8_project_spark.operators.pandas_ops import (
+        user_trend_native,
+    )
+
+    def check(df):
+        a = sorted(tuple(r) for r in user_trend(df).collect())
+        b = sorted(tuple(r) for r in user_trend_native(df).collect())
+        assert a == b
+
+    check(load_table(spark, sf_small, "events"))
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # negative slope (floor-division sign path)
+        *[
+            (1, t0 + timedelta(seconds=17 * i), 100.0 - 3.7 * i)
+            for i in range(9)
+        ],
+        # single event -> NULL slope
+        (2, t0, 5.0),
+        # NULL/NaN mix + all-NULL user
+        (3, t0, 10.0),
+        (3, t0 + timedelta(hours=1), None),
+        (3, t0 + timedelta(hours=2), float("nan")),
+        (3, t0 + timedelta(hours=3), 16.0),
+        (3, None, 99.0),
+        (4, t0, None),
+    ]
+    check(
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        )
+    )

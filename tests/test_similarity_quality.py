@@ -743,3 +743,33 @@ def test_ivf_retrain_install_survives_crash_at_every_step(
             break  # every mutation ran without tripping: all points covered
         crash_point += 1
     assert crash_point >= 8  # staging cleanup + 3x(drop,move) + horizon + drop
+
+
+def test_semantic_pairs_arrow_kernel_is_row_identical_to_jvm_twin(
+    spark, sf_small
+):
+    """The registered Arrow/NumPy pair kernel (optimization r15) must
+    stay row-identical — dist values included — to the JVM self-join
+    spelling it replaced, on the fixture, with planted exact duplicates,
+    and through the banded (tiny max_block) path with nonzero output."""
+    from pyspark.sql import functions as F
+
+    from realtimedatapipeline_8_project_spark.operators.similarity import (
+        semantic_pairs,
+        semantic_pairs_jvm,
+    )
+    from realtimedatapipeline_8_project_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    dups = emb.where(F.col("vec_id") % 37 == 1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        *[c for c in emb.columns if c != "vec_id"],
+    )
+    corpus = emb.unionByName(dups)
+    for kwargs in ({}, {"max_block": 10}):
+        a = sorted(tuple(r) for r in semantic_pairs(corpus, **kwargs).collect())
+        b = sorted(
+            tuple(r) for r in semantic_pairs_jvm(corpus, **kwargs).collect()
+        )
+        assert a == b
+        assert len(a) > 0  # the compare must not be vacuous
