@@ -66,15 +66,51 @@ _VIEWS_MEMO: dict[str, tuple] = {}
 # skill contract) — once a root has been probed readable (or freshly
 # built) in this session, later calls skip the probe. Content reads
 # are untouched: every query still reads the artifact parquet itself.
-_ARTIFACT_OK: set[tuple[str, str]] = set()
+_ARTIFACT_OK: set[tuple] = set()
+
+
+def _artifact_stamp(root: str) -> tuple | None:
+    """Layout fingerprint of an artifact root: the mtimes of the root
+    directory and its immediate children. Removing, replacing, or
+    re-staging any component (incl. grandchildren — their parent's
+    mtime moves) changes the stamp, so a memoized verification can
+    never survive the exact manipulations the rebuild-on-doubt probes
+    exist to catch (pinned by the corrupted-artifact test battery).
+    Non-path keys (bucketed catalog tables) stamp as None — their
+    existence is already re-checked via the catalog on every call."""
+    try:
+        st = os.stat(root)
+    except OSError:
+        return None
+    kids = []
+    try:
+        for e in sorted(os.listdir(root)):
+            try:
+                kids.append((e, os.stat(os.path.join(root, e)).st_mtime_ns))
+            except OSError:
+                kids.append((e, -1))
+    except OSError:
+        pass
+    return (st.st_mtime_ns, tuple(kids))
 
 
 def artifact_verified(spark: SparkSession, root: str) -> bool:
-    return (spark.sparkContext.applicationId, root) in _ARTIFACT_OK
+    key = (
+        spark.sparkContext.applicationId,
+        root,
+        _artifact_stamp(root) if os.path.sep in root else None,
+    )
+    return key in _ARTIFACT_OK
 
 
 def mark_artifact_verified(spark: SparkSession, root: str) -> None:
-    _ARTIFACT_OK.add((spark.sparkContext.applicationId, root))
+    _ARTIFACT_OK.add(
+        (
+            spark.sparkContext.applicationId,
+            root,
+            _artifact_stamp(root) if os.path.sep in root else None,
+        )
+    )
 
 
 def _memo_key(
