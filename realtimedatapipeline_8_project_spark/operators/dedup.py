@@ -529,17 +529,52 @@ SIMH_BANDS = 4
 SIMH_HAMMING = 3
 
 
-def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _pmh_corpus(load_table(spark, sf_dir, "documents"))
-    # spread the corpus across cores BEFORE the sha256-per-token sketch
-    # (the portable_neardup_pairs discipline): a small corpus arrives in
-    # 1-2 scan partitions (one parquet row group), which serializes the
-    # CPU-dominant signature pass — measured 4.7 s -> ~1 s at sf0.1 on
-    # local[32]. The one-time text shuffle is strictly cheaper than the
-    # per-token hashing it parallelizes, and at full scale the scan
-    # already yields >= cores splits so the exchange is a no-op
-    # rebalance, never the bottleneck.
-    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+def _simhash_portable_sketch(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, simhash): the portable 56-bit sketch
+    as EXPLODE + map-side-combined integer aggregation (optimization
+    r16, guide §2.3/§4.1 — the same shape :func:`simhash` already uses
+    for the xxhash64 path). One row per distinct token, sha256 hashed
+    ONCE into its 56-bit value, then SIMH_BITS whole-stage-codegen'd
+    ``sum(((h >> j) & 1) * 2 - 1)`` balances per doc replace the
+    interpreted per-row zip_with/aggregate fold (~112 interpreted
+    lambda evaluations + two array allocations per token), and the
+    sign bits reassemble exactly as before (tie rule: balance > 0).
+    The groupBy rides the caller's doc_id partitioning when counts
+    align (no extra exchange in the engine session); the retired fold
+    spelling stays machine-pinned as
+    :func:`_simhash_sketch_fold_r15`."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), " "))
+        ).alias("tok"),
+    )
+    h = F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 14), 16, 10).cast(
+        "long"
+    )
+    hashed = toks.select("doc_id", h.alias("h"))
+    sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"b{j}")
+            for j in range(SIMH_BITS)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(SIMH_BITS):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def _simhash_sketch_fold_r15(docs: DataFrame) -> DataFrame:
+    """The pre-r16 per-row higher-order-function spelling of the
+    portable sketch — kept as the machine-checked twin pinning
+    :func:`_simhash_portable_sketch` (tests/test_neardup_twins.py)."""
     toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
     th = F.transform(
         toks,
@@ -547,7 +582,6 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ),
     )
-    # one pass over tokens: accumulate the SIMH_BITS per-bit balances
     zeros = F.array_repeat(F.lit(0).cast("long"), SIMH_BITS)
     bit_contrib = lambda h: F.array(  # noqa: E731
         *[
@@ -564,7 +598,21 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    sh = docs.select("doc_id", sim.alias("simhash"))
+    return docs.select("doc_id", sim.alias("simhash"))
+
+
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _pmh_corpus(load_table(spark, sf_dir, "documents"))
+    # spread the corpus across cores BEFORE the sha256-per-token sketch
+    # (the portable_neardup_pairs discipline): a small corpus arrives in
+    # 1-2 scan partitions (one parquet row group), which serializes the
+    # CPU-dominant signature pass — measured 4.7 s -> ~1 s at sf0.1 on
+    # local[32]. The one-time text shuffle is strictly cheaper than the
+    # per-token hashing it parallelizes, and at full scale the scan
+    # already yields >= cores splits so the exchange is a no-op
+    # rebalance, never the bottleneck.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sh = _simhash_portable_sketch(docs)
     band_width = SIMH_BITS // SIMH_BANDS
     bands = sh.select(
         "doc_id",
@@ -909,13 +957,51 @@ def _pmh_sig_of(sh: DataFrame) -> DataFrame:
     downstream in _pmh_bands_of; Spark does no common-subexpression
     elimination across the Filter/Project boundary, so the Filter and
     the banding Project EACH evaluated the full signature — the 2x
-    regression the r9 bench flagged.)"""
-    # Spelling A/B'd at sf0.1 (r10): the one-lambda form below evaluates
-    # sha2 twice per shingle but runs FASTER (0.57 s) than the nested
-    # hash-once double-transform (0.65 s) — nesting a second transform
-    # adds an interpreted higher-order-function layer whose per-element
-    # overhead exceeds the duplicated (codegen'd) sha256. Bit-identical
-    # to the oracle's hash-once hx CTE either way.
+    regression the r9 bench flagged.)
+
+    Hash-once spelling (optimization r16, guide §4.1 / VERDICT r15 #3):
+    sha256 runs ONCE per shingle — one transform converts the first 14
+    hex digits to the 56-bit value h1*16^7 + h2, and each of the K
+    min-folds splits it with pure integer ops (h1 = v >> 28,
+    h2 = v & (2^28-1) — 7 hex digits = 28 bits, so the split is exact
+    and bit-identical to the two-conv spelling). The r10 rejection of
+    hash-once applied to a DIFFERENT shape (a nested second transform
+    re-parsing hex strings per element); this one adds no extra
+    higher-order pass — it also DROPS the struct-array materialization
+    the old spelling paid — and was re-measured faster on Spark 4.1
+    (interleaved A/B, OPTIMIZATION_r16.md). The old two-sha2 spelling
+    stays machine-pinned as :func:`_pmh_sig_of_twosha_r15`."""
+    hashed = sh.where(F.size("s") > 0).select(
+        "doc_id",
+        F.transform(
+            "s",
+            lambda g: F.conv(F.substring(F.sha2(g, 256), 1, 14), 16, 10)
+            .cast("long"),
+        ).alias("hv"),
+    )
+    mask = F.lit((1 << 28) - 1)
+    return hashed.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        "hv",
+                        lambda v: F.shiftright(v, 28)
+                        + F.lit(i) * v.bitwiseAND(mask),
+                    )
+                )
+                for i in range(PMH_K)
+            ]
+        ).alias("sig"),
+    )
+
+
+def _pmh_sig_of_twosha_r15(sh: DataFrame) -> DataFrame:
+    """The pre-r16 spelling of :func:`_pmh_sig_of` (sha256 evaluated
+    twice per shingle, struct-array intermediate) — kept as the
+    machine-checked twin pinning the hash-once rewrite's semantics
+    (tests/test_neardup_twins.py::test_pmh_sig_hash_once_twin)."""
     hashed = sh.where(F.size("s") > 0).select(
         "doc_id",
         F.transform(

@@ -144,7 +144,15 @@ def user_trend_native(events: DataFrame) -> DataFrame:
     oracle's HUGEINT (cap 1e38 vs 1.7e38, both ~12 orders of magnitude
     above the fixture bound in the module docstring) — and the 6-dp
     half-up roundings are the same remainder-normalized integer floor
-    divisions."""
+    divisions.
+
+    Failure mode OUTSIDE the envelope (ADVICE r15, informational):
+    under non-ANSI defaults a decimal(38,0) overflow yields NULL, so
+    beyond ~1e38 this spelling emits NULL slope/mean where the pandas
+    twin's arbitrary-precision ints keep going (and the oracle's
+    HUGEINT overflows at 1.7e38 anyway). A caller pushing past the
+    envelope should run with spark.sql.ansi.enabled=true so the breach
+    errors loudly instead of degrading to NULL."""
     q = events.where(
         F.col("value").isNotNull()
         & ~F.isnan("value")

@@ -770,7 +770,11 @@ QUERIES["text_encode_ids"] = (q_encode_ids, ORACLE_ENCODE_IDS)
 # term_stats (stale bounds -> unsafe pruning), and v4 reading a v3 dir
 # would find no bounds at all — the version marker turns both into the
 # documented loud-rebuild demand.
-INDEX_FORMAT_VERSION = 4
+# v5 (optimization r16): one-time builders write REBALANCE-sized files
+# instead of repartition(spark.sql.shuffle.partitions, key) — content
+# and schema identical, but the bump makes every environment rebuild
+# once so on-disk artifacts match the recorded write plans.
+INDEX_FORMAT_VERSION = 5
 
 
 def artifact_path(
@@ -836,9 +840,15 @@ def build_posting_index(spark: SparkSession, sf_dir: str) -> str:
         )
         .dropDuplicates(["term", "doc_id"])
     )
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     (
-        postings.repartition(n, "term")
+        # REBALANCE, not repartition(shuffle.partitions, ...): the hint
+        # keeps term-hashed clustering while AQE sizes the output files
+        # to the advisory partition size — scale-adaptive (fixture
+        # builds coalesce to O(1) files, a 100 TB build lands in the
+        # 128 MB-1 GB band, and skewed term buckets split) instead of a
+        # constant tuned to the local core count (guide §6,
+        # optimization r16; applied to every one-time index builder).
+        postings.hint("rebalance", "term")
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
         .parquet(path)
@@ -1058,12 +1068,11 @@ def build_reversed_index(spark: SparkSession, sf_dir: str) -> str:
             shutil.rmtree(root, ignore_errors=True)
     primary = build_scored_index(spark, sf_dir)
     postings = spark.read.parquet(os.path.join(primary, INDEX_POSTINGS))
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     (
         postings.select(
             F.reverse(F.col("term")).alias("rterm"), "doc_id", "tf"
         )
-        .repartition(n, "rterm")
+        .hint("rebalance", "rterm")  # AQE-sized files (guide §6, r16)
         .sortWithinPartitions("rterm", "doc_id")
         .write.mode("overwrite")
         .parquet(rpath)
@@ -1251,13 +1260,12 @@ def build_fuzzy_index(spark: SparkSession, sf_dir: str) -> str:
         .select("term")
         .distinct()
     )
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     (
         vocab.select(
             "term", F.explode(F.expr(_VARIANTS_SQL)).alias("variant")
         )
         .distinct()
-        .repartition(n, "variant")
+        .hint("rebalance", "variant")  # AQE-sized files (guide §6, r16)
         .sortWithinPartitions("variant", "term")
         .write.mode("overwrite")
         .parquet(fpath)
@@ -1667,9 +1675,8 @@ def write_scored_index(docs: DataFrame, root: str) -> None:
 
     spark = docs.sparkSession
     postings = batch_postings(docs)
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     (
-        postings.repartition(n, "term")
+        postings.hint("rebalance", "term")  # AQE-sized files (§6, r16)
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite")
         .parquet(os.path.join(root, "postings"))
@@ -2674,7 +2681,6 @@ def compact_index(
     prev = _read_horizon(ppath)
     horizon = max(absorb) if prev is None else max(prev, max(absorb))
     raw = spark.read.schema(POSTINGS_SCHEMA + ", batch_id int").parquet(ppath)
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     merged = (
         raw.where(F.col("batch_id").isin([int(i) for i in src_ids]))
         .drop("batch_id")
@@ -2694,7 +2700,7 @@ def compact_index(
         )
         merged = merged.join(tombs, "doc_id", "left_anti")
     merged = (
-        merged.repartition(n, "term")
+        merged.hint("rebalance", "term")  # AQE-sized files (§6, r16)
         .sortWithinPartitions("term", "doc_id")
         .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
     )
@@ -3092,13 +3098,12 @@ def compact_index_suffix_dual(spark: SparkSession, index_dir: str) -> int:
         os.path.isdir(cdir) or not has_compacted_postings
     ):
         return 0
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     merged = (
         spark.read.schema(POSTINGS_SCHEMA + ", batch_id int")
         .parquet(ppath)
         .where(F.col("batch_id") == F.lit(COMPACTED_BATCH_ID))
         .select(F.reverse(F.col("term")).alias("rterm"), "doc_id", "tf")
-        .repartition(n, "rterm")
+        .hint("rebalance", "rterm")  # AQE-sized files (§6, r16)
         .sortWithinPartitions("rterm", "doc_id")
         .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
     )
@@ -3144,7 +3149,6 @@ def compact_index_fuzzy_dual(spark: SparkSession, index_dir: str) -> int:
         os.path.isdir(cdir) or not has_compacted_postings
     ):
         return 0
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     merged = (
         spark.read.schema(POSTINGS_SCHEMA + ", batch_id int")
         .parquet(ppath)
@@ -3153,7 +3157,7 @@ def compact_index_fuzzy_dual(spark: SparkSession, index_dir: str) -> int:
         .distinct()
         .select("term", F.explode(F.expr(_VARIANTS_SQL)).alias("variant"))
         .distinct()
-        .repartition(n, "variant")
+        .hint("rebalance", "variant")  # AQE-sized files (§6, r16)
         .sortWithinPartitions("variant", "term")
         .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
     )

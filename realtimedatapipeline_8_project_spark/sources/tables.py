@@ -70,12 +70,16 @@ _ARTIFACT_OK: set[tuple] = set()
 
 
 def _artifact_stamp(root: str) -> tuple | None:
-    """Layout fingerprint of an artifact root: the mtimes of the root
-    directory and its immediate children. Removing, replacing, or
-    re-staging any component (incl. grandchildren — their parent's
-    mtime moves) changes the stamp, so a memoized verification can
-    never survive the exact manipulations the rebuild-on-doubt probes
-    exist to catch (pinned by the corrupted-artifact test battery).
+    """Layout fingerprint of an artifact root: (size, mtime) of the root
+    directory, its immediate children, AND its grandchildren. Artifacts
+    are at most two levels deep (root/component-dir/part-*.parquet), so
+    this covers every file: create/delete/rename anywhere moves a parent
+    mtime, and an IN-PLACE overwrite or truncation of any part file —
+    which moves neither its parent's nor the root's mtime (ADVICE r15) —
+    changes that file's own (size, mtime) entry. A memoized verification
+    can therefore never survive the manipulations the rebuild-on-doubt
+    probes exist to catch (pinned by the corrupted-artifact battery,
+    incl. the grandchild-truncation case in test_review_hardening).
     Non-path keys (bucketed catalog tables) stamp as None — their
     existence is already re-checked via the catalog on every call."""
     try:
@@ -83,15 +87,41 @@ def _artifact_stamp(root: str) -> tuple | None:
     except OSError:
         return None
     kids = []
-    try:
-        for e in sorted(os.listdir(root)):
+
+    def _scan(base: str, prefix: str, recurse: bool) -> None:
+        try:
+            entries = sorted(os.listdir(base))
+        except OSError:
+            return
+        for e in entries:
+            p = os.path.join(base, e)
             try:
-                kids.append((e, os.stat(os.path.join(root, e)).st_mtime_ns))
+                est = os.stat(p)
             except OSError:
-                kids.append((e, -1))
-    except OSError:
-        pass
+                kids.append((prefix + e, -1, -1))
+                continue
+            kids.append((prefix + e, est.st_size, est.st_mtime_ns))
+            if recurse and os.path.isdir(p):
+                _scan(p, prefix + e + "/", False)
+
+    _scan(root, "", True)
     return (st.st_mtime_ns, tuple(kids))
+
+
+def _evict_other_apps(app: str) -> None:
+    """Drop memo entries from other (stopped) sessions (VERDICT r15 #3:
+    the memos are keyed by applicationId but nothing ever removed dead
+    sessions' DataFrame handles, so a long test process that creates
+    many sessions accumulated them). Only one SparkContext — hence one
+    applicationId — is live per process, so seeing a new app id means
+    every other app's entries are dead; evicting them costs a rebuild
+    at worst, never correctness."""
+    for k in [k for k in _TABLE_MEMO if k[0] != app]:
+        del _TABLE_MEMO[k]
+    for k in [k for k in _ARTIFACT_OK if k[0] != app]:
+        _ARTIFACT_OK.discard(k)
+    for k in [k for k in _VIEWS_MEMO if k != app]:
+        del _VIEWS_MEMO[k]
 
 
 def artifact_verified(spark: SparkSession, root: str) -> bool:
@@ -104,9 +134,11 @@ def artifact_verified(spark: SparkSession, root: str) -> bool:
 
 
 def mark_artifact_verified(spark: SparkSession, root: str) -> None:
+    app = spark.sparkContext.applicationId
+    _evict_other_apps(app)
     _ARTIFACT_OK.add(
         (
-            spark.sparkContext.applicationId,
+            app,
             root,
             _artifact_stamp(root) if os.path.sep in root else None,
         )
@@ -157,6 +189,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return _TABLE_MEMO[key]
     df = _load_table_uncached(spark, path, name)
     if key is not None:
+        _evict_other_apps(key[0])
         _TABLE_MEMO[key] = df
     return df
 
@@ -188,7 +221,13 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     re-registering the same unchanged sf_dir is a no-op; a different
     sf_dir, or any fixture file whose (size, mtime) changed, always
     re-registers. Semantics are unchanged because the views are
-    name-bound plans — execution still scans the current parquet."""
+    name-bound plans — execution still scans the current parquet.
+
+    Fixture view names are owned EXCLUSIVELY by register_views (ADVICE
+    r15): session code must not drop or shadow temp views named after
+    fixture tables, or a memo-honoring call would leave the foreign
+    binding in place. Nothing in the engine or its tests does; callers
+    embedding the engine keep the same contract."""
     app = spark.sparkContext.applicationId
     ident = tuple(
         _memo_key(spark, os.path.join(sf_dir, f"{n}.parquet"), n)
@@ -198,6 +237,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         return
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _evict_other_apps(app)
     _VIEWS_MEMO[app] = ident
 
 

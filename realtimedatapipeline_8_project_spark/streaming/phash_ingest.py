@@ -142,18 +142,20 @@ def phash_ingest_batch(
     # MISSING media and are gated out of the artifact AND pairing by
     # the operator's shared degenerate gate (review r15: k missing
     # blobs would otherwise emit C(k,2) Hamming-0 "pairs" and one
-    # maximally hot band)
+    # maximally hot band).
+    # No up-front emptiness probe (optimization r16, VERDICT r15 #8):
+    # the old ``admitted.isEmpty()`` guard cost one Spark job on EVERY
+    # batch to special-case the rare all-malformed one, whose writes
+    # are harmless anyway — a dynamic partition overwrite of zero rows
+    # touches no partitions, and the serving reads use explicit
+    # schemas, so an empty artifact dir is the same typed-empty state
+    # as an absent one. Per-batch job count drops 3 -> 2, asserted by
+    # the listener pin in tests/test_phash_ingest.py.
     admitted = _pairing_admitted(
         batch_df.select("media_id", "payload").where(
             F.col("media_id").isNotNull()
         )
     )
-    if admitted.isEmpty():
-        # an all-malformed batch still honors the compaction boundary
-        # (the gram_ingest ADVICE r14 precedent)
-        if compact_every and (batch_id + 1) % compact_every == 0:
-            compact_phash(spark, output_dir)
-        return
     base = _read_base_hashes(spark, output_dir, batch_id)
     if base is None:
         base = spark.createDataFrame(

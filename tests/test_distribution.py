@@ -180,24 +180,34 @@ def test_heavy_hitters_even_spread_boundary(spark):
 
 
 def test_partition_candidates_emit_bound():
-    """Each partition emits at most HH_FRAC keys (the broadcastability
-    bound), with the equality case: HH_FRAC keys at exactly 1/HH_FRAC
-    each all qualify; add one row and none do."""
+    """Each partition emits at most HH_FRAC candidate keys (the
+    broadcastability bound), with the equality case: HH_FRAC keys at
+    exactly 1/HH_FRAC each all qualify; add one row and none do. Since
+    the r16 fused-total pass, the same generator also emits exactly ONE
+    sentinel row (key NULL) carrying the partition's row count."""
     gen = _make_partition_candidates(HH_FRAC, "user_id", "int64")
     pdf = pd.DataFrame(
         {"user_id": [k for k in range(HH_FRAC) for _ in range(10)]}
     )
     (out,) = list(gen(iter([pdf])))
-    assert len(out) == HH_FRAC  # 10 * HH_FRAC == n, boundary holds
+    cands = out[out["user_id"].notna()]
+    sent = out[out["user_id"].isna()]
+    assert len(cands) == HH_FRAC  # 10 * HH_FRAC == n, boundary holds
+    assert cands["part_rows"].isna().all()
+    assert len(sent) == 1 and int(sent["part_rows"].iloc[0]) == len(pdf)
     diluted = pd.concat(
         [pdf, pd.DataFrame({"user_id": [999_999]})], ignore_index=True
     )
     (out2,) = list(gen(iter([diluted])))
-    assert len(out2) == 0  # 10 * HH_FRAC < n + 1 for every key
+    assert len(out2[out2["user_id"].notna()]) == 0  # 10*HH_FRAC < n+1
+    assert int(out2[out2["user_id"].isna()]["part_rows"].iloc[0]) == len(
+        diluted
+    )
     # accumulation spans batches of one partition
     half = len(pdf) // 2
     (out3,) = list(gen(iter([pdf.iloc[:half], pdf.iloc[half:]])))
-    assert sorted(out3["user_id"]) == sorted(out["user_id"])
+    cands3 = out3[out3["user_id"].notna()]
+    assert sorted(cands3["user_id"]) == sorted(cands["user_id"])
 
 
 def test_heavy_hitters_plan_shape(spark, sf_small):

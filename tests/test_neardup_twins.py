@@ -242,3 +242,37 @@ def test_retired_jaccard_vs_probe_oracle_gate(spark, sf_small):
     con = duck_connection(sf_small)
     problems = compare(df, con, sql, "dedup_jaccard_vs_probe")
     assert not problems, "\n".join(problems)
+
+
+def test_pmh_sig_hash_once_twin(spark, sf_small):
+    """Optimization r16 (VERDICT r15 #3): the hash-once portable MinHash
+    signature (one sha256 + one 14-hex-digit conv per shingle, integer
+    split into the two 28-bit halves inside each min-fold) must be
+    ROW-IDENTICAL to the retired two-sha2 spelling on the planted
+    corpus — same doc_ids, same K-element signatures, bit for bit."""
+    planted = _planted(spark, sf_small)
+    sh = planted.select("doc_id", dedup.shingles("text").alias("s"))
+    new = {
+        r.doc_id: list(r.sig) for r in dedup._pmh_sig_of(sh).collect()
+    }
+    old = {
+        r.doc_id: list(r.sig)
+        for r in dedup._pmh_sig_of_twosha_r15(sh).collect()
+    }
+    assert new == old and len(new) > 0
+
+
+def test_simhash_portable_sketch_agg_twin(spark, sf_small):
+    """Optimization r16: the explode + codegen'd bit-balance aggregation
+    sketch must be ROW-IDENTICAL (doc_id -> 56-bit simhash) to the
+    retired per-row higher-order-function fold on the planted corpus."""
+    planted = _planted(spark, sf_small)
+    new = {
+        r.doc_id: r.simhash
+        for r in dedup._simhash_portable_sketch(planted).collect()
+    }
+    old = {
+        r.doc_id: r.simhash
+        for r in dedup._simhash_sketch_fold_r15(planted).collect()
+    }
+    assert new == old and len(new) > 0
