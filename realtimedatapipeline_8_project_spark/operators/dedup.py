@@ -164,19 +164,22 @@ def minhash_signature(sh_hash: Column, n_hashes: int = N_MINHASH) -> Column:
     Kirsch-Mitzenmacher double hashing: the two 31-bit halves of each
     shingle's 64-bit hash generate all n hash families as ``h1 + i*h2`` —
     zero extra hash computations per family. Masked to 31 bits so the mix
-    never overflows a long under ANSI arithmetic."""
+    never overflows a long under ANSI arithmetic.
+
+    The halves are split INSIDE each min-fold (optimization r16 — two
+    integer ops per element) instead of materializing an intermediate
+    array of (h1, h2) structs first: same arithmetic, same values, one
+    fewer array-of-structs allocation pass per row (the _pmh_sig_of
+    hash-once discipline; interleaved A/B at-or-better)."""
     mask = F.lit(0x7FFFFFFF)
-    pairs = F.transform(
-        sh_hash,
-        lambda x: F.struct(
-            x.bitwiseAND(mask).alias("h1"),
-            F.shiftright(x, 31).bitwiseAND(mask).alias("h2"),
-        ),
-    )
     return F.array(
         *[
             F.array_min(
-                F.transform(pairs, lambda p: p["h1"] + F.lit(i) * p["h2"])
+                F.transform(
+                    sh_hash,
+                    lambda x: x.bitwiseAND(mask)
+                    + F.lit(i) * F.shiftright(x, 31).bitwiseAND(mask),
+                )
             )
             for i in range(n_hashes)
         ]
@@ -530,51 +533,18 @@ SIMH_HAMMING = 3
 
 
 def _simhash_portable_sketch(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) -> (doc_id, simhash): the portable 56-bit sketch
-    as EXPLODE + map-side-combined integer aggregation (optimization
-    r16, guide §2.3/§4.1 — the same shape :func:`simhash` already uses
-    for the xxhash64 path). One row per distinct token, sha256 hashed
-    ONCE into its 56-bit value, then SIMH_BITS whole-stage-codegen'd
-    ``sum(((h >> j) & 1) * 2 - 1)`` balances per doc replace the
-    interpreted per-row zip_with/aggregate fold (~112 interpreted
-    lambda evaluations + two array allocations per token), and the
-    sign bits reassemble exactly as before (tie rule: balance > 0).
-    The groupBy rides the caller's doc_id partitioning when counts
-    align (no extra exchange in the engine session); the retired fold
-    spelling stays machine-pinned as
-    :func:`_simhash_sketch_fold_r15`."""
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.split(F.lower(F.col("text")), " "))
-        ).alias("tok"),
-    )
-    h = F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 14), 16, 10).cast(
-        "long"
-    )
-    hashed = toks.select("doc_id", h.alias("h"))
-    sums = hashed.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"b{j}")
-            for j in range(SIMH_BITS)
-        ]
-    )
-    sig = F.lit(0).cast("long")
-    for j in range(SIMH_BITS):
-        sig = sig.bitwiseOR(
-            F.when(
-                F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return sums.select("doc_id", sig.alias("simhash"))
+    """(doc_id, text) -> (doc_id, simhash): the portable 56-bit sketch,
+    one map-side higher-order fold per document.
 
-
-def _simhash_sketch_fold_r15(docs: DataFrame) -> DataFrame:
-    """The pre-r16 per-row higher-order-function spelling of the
-    portable sketch — kept as the machine-checked twin pinning
-    :func:`_simhash_portable_sketch` (tests/test_neardup_twins.py)."""
+    REJECTED r16 experiment (kept out of the tree, recorded in
+    OPTIMIZATION_r16.md): respelling this as explode + 56 codegen'd
+    per-bit ``sum(((h >> j) & 1) * 2 - 1)`` balances — the shape the
+    xxhash64 :func:`simhash` uses at 64 bits — measured 0.88 -> 1.55 s
+    on the interleaved sf0.1 A/B (1.76x SLOWER): a 57-column
+    aggregation state over tokens-per-doc exploded rows costs more
+    than the fold's interpreted lambdas save, the exact inverse of the
+    r15 minhash-Arrow lesson (too little work per moved byte). The
+    fold stays."""
     toks = F.array_distinct(F.split(F.lower(F.col("text")), " "))
     th = F.transform(
         toks,

@@ -36,9 +36,9 @@ raw value or key space:
   The rule is purely partition-local:
   no driver read, no global count job over the corpus — the same pass
   emits one sentinel row per partition carrying its row count, so the
-  global total is a candidate-sized SUM of the (persisted) pass output
-  and the whole query makes exactly TWO corpus scans (candidates +
-  verify; optimization r16). Phase 2 (verify): an
+  global total is a candidate-sized SUM over the (persisted, eagerly
+  materialized) pass output and the whole query makes exactly TWO
+  corpus scans (candidates + verify; optimization r16). Phase 2 (verify): an
   UNHINTED LEFT SEMI join keeps only candidate rows (AQE broadcasts the
   candidate set at runtime when it is actually small, and falls back to
   a shuffled semi-join when P makes it large), one map-side-
@@ -313,20 +313,22 @@ def heavy_hitters(
 
     Corpus passes (optimization r16, guide §1.2/§6): TWO, down from
     three. The candidate mapInPandas pass also carries each partition's
-    row count (sentinel rows), is persisted candidate-sized and eagerly
-    materialized (one corpus scan), and both the candidate set and the
-    global total are then sub-second reads of that cached frame; the
-    only other corpus scan is the verify semi-join. The persist is an
-    in-query intermediate recomputed on every invocation — never a
-    cross-run result cache."""
+    row count (sentinel rows); its candidate-sized output is persisted
+    and eagerly materialized (ONE corpus scan — the eager count keeps
+    the candidate and total consumers from racing to compute the
+    cache; exchange reuse cannot merge them instead, because the
+    optimizer pushes each branch's group-key filter below its
+    aggregate and specializes the subtrees), and both the candidate
+    set and the global total are then sub-millisecond reads of the
+    cached frame. The only other corpus scan is the verify semi-join.
+    The persist is an in-query intermediate recomputed on every
+    invocation — never a cross-run result cache."""
     keys = df.select(col)
     cand_pass = keys.mapInPandas(
         _make_partition_candidates(HH_FRAC, col, pd_dtype),
         f"{col} {spark_type}, part_rows long",
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # eager: without this, the candidate-distinct and total-agg stages
-    # race to materialize the cache and each would run the corpus pass
-    cand_pass.count()
+    cand_pass.count()  # eager: one corpus pass fills the cache
     cands = cand_pass.where(F.col(col).isNotNull()).select(col).distinct()
     total = cand_pass.agg(F.sum("part_rows").alias("total"))
     return (
@@ -403,15 +405,15 @@ def heavy_hitters_grouped(
 
     Corpus passes: TWO, down from three (optimization r16) — the
     candidate pass carries per-(group, partition) row counts, so the
-    per-group totals are a candidate-sized aggregation of the persisted
-    pass instead of their own corpus scan (see :func:`heavy_hitters`)."""
+    per-group totals are candidate-sized reads of the persisted,
+    eagerly-materialized pass instead of their own corpus scan (see
+    :func:`heavy_hitters`)."""
     keys = df.select(grp, col)
     cand_pass = keys.mapInPandas(
         _make_grouped_candidates(HH_FRAC, grp, col, pd_dtypes),
         f"{schema}, part_rows long",
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # eager: see heavy_hitters — both consumers must read, not race
-    cand_pass.count()
+    cand_pass.count()  # eager: see heavy_hitters
     cands = (
         cand_pass.where(F.col(col).isNotNull()).select(grp, col).distinct()
     )

@@ -793,22 +793,15 @@ def semantic_blocks(
         .localCheckpoint(eager=True)
     )
     sizes = assigned.groupBy("k").agg(F.count(F.lit(1)).alias("n_k"))
-    # Native bit-ops banding (optimization r16, VERDICT r15 #5): the
-    # sign pattern as a SUM of band_bits shifted element_at comparisons
-    # — whole-stage-codegen'd integer ops instead of the interpreted
-    # zip_with/aggregate fold this replaces (bit j of the old MSB-first
-    # fold acc*2+bit is exactly shiftleft(qv[j+1] >= c[j+1], bits-1-j);
-    # twin-pinned value-identical in tests/test_similarity_quality.py).
-    band = F.lit(0)
-    for j in range(band_bits):
-        band = band + F.shiftleft(
-            F.when(
-                F.element_at(F.col("qv"), j + 1)
-                >= F.element_at(F.col("c"), j + 1),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-            band_bits - 1 - j,
-        )
+    band = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("qv"), 1, band_bits),
+            F.slice(F.col("c"), 1, band_bits),
+            lambda a, b: F.when(a >= b, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, bit: acc * 2 + bit,
+    )
     return (
         assigned.join(F.broadcast(sizes), "k")
         .join(F.broadcast(cents), "k")

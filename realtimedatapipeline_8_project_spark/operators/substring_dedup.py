@@ -152,22 +152,22 @@ def duplicated_spans(
     grams = _gram_table(docs, k)
     if hashed:
         grams = grams.withColumn("gram", F.xxhash64("gram"))
-    # "appears in >= 2 distinct docs" spelled as min(doc_id) != max
-    # (doc_id): identical predicate, but min/max partially aggregate
-    # map-side in one pass, where count_distinct planned a two-phase
-    # distinct expansion over the gram exchange (optimization r15,
-    # guide §2.3 "aggregate before you shuffle")
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+    # "appears in >= 2 distinct docs" spelled as min(doc_id) !=
+    # max(doc_id) over a gram-partitioned WINDOW (optimization r16,
+    # guide §2.4 "remove shuffles outright"): the r15 shape derived the
+    # gram table twice (dup aggregation + semi-join probe) — two full
+    # tokenize+gram corpus passes and two gram-keyed exchanges; the
+    # window computes the same per-row predicate after ONE pass and ONE
+    # exchange, and both min and max share one WindowExec. Trade-off,
+    # recorded: a pathologically hot gram's rows sort on one task here
+    # (spill-safe), where the semi-join could AQE-skew-split them —
+    # while the join shape paid a full extra corpus scan on EVERY run.
+    w_gram = Window.partitionBy("gram")
+    hits = (
+        grams.withColumn("d0", F.min("doc_id").over(w_gram))
+        .withColumn("d1", F.max("doc_id").over(w_gram))
         .where(F.col("d0") != F.col("d1"))
-        .select("gram")
-    )
-    # unhinted: the duplicated-gram set is corpus-dependent — AQE
-    # decides broadcast-vs-shuffle at runtime (the heavy-hitters
-    # verify-join precedent, VERDICT r12 #2)
-    hits = grams.join(dup, "gram", "left_semi").select(
-        "doc_id", "n_tokens", "start"
+        .select("doc_id", "n_tokens", "start")
     )
     return _spans_from_hits(hits, k)
 

@@ -260,19 +260,3 @@ def test_pmh_sig_hash_once_twin(spark, sf_small):
         for r in dedup._pmh_sig_of_twosha_r15(sh).collect()
     }
     assert new == old and len(new) > 0
-
-
-def test_simhash_portable_sketch_agg_twin(spark, sf_small):
-    """Optimization r16: the explode + codegen'd bit-balance aggregation
-    sketch must be ROW-IDENTICAL (doc_id -> 56-bit simhash) to the
-    retired per-row higher-order-function fold on the planted corpus."""
-    planted = _planted(spark, sf_small)
-    new = {
-        r.doc_id: r.simhash
-        for r in dedup._simhash_portable_sketch(planted).collect()
-    }
-    old = {
-        r.doc_id: r.simhash
-        for r in dedup._simhash_sketch_fold_r15(planted).collect()
-    }
-    assert new == old and len(new) > 0

@@ -774,49 +774,3 @@ def test_semantic_pairs_arrow_kernel_is_row_identical_to_jvm_twin(
         assert a == b
         assert len(a) > 0  # the compare must not be vacuous
 
-
-def test_semantic_band_native_bitops_twin(spark, sf_small):
-    """Optimization r16 (VERDICT r15 #5): the codegen'd shifted-
-    element_at banding must produce the SAME band value per vec_id as
-    the retired interpreted zip_with/aggregate fold, on the engaged
-    (tiny max_block) path where bands are real sign patterns."""
-    from pyspark.sql import functions as F
-
-    from realtimedatapipeline_8_project_spark.operators.similarity import (
-        IVFT_SEEDS,
-        SEM_BAND_BITS,
-        _km_assign,
-        _km_quantize,
-        _km_update,
-        _seed_centroids,
-        semantic_blocks,
-    )
-    from realtimedatapipeline_8_project_spark.sources.tables import load_table
-
-    emb = load_table(spark, sf_small, "embeddings")
-    got = {
-        r.vec_id: r.band
-        for r in semantic_blocks(emb, max_block=10).collect()
-    }
-    # the r15 fold spelling, rebuilt verbatim over the same assignment
-    q = _km_quantize(emb)
-    cents = _km_update(
-        _km_assign(q, _seed_centroids(q, IVFT_SEEDS))
-    ).localCheckpoint()
-    assigned = _km_assign(q, cents).select("k", "vec_id", "qv")
-    fold = F.aggregate(
-        F.zip_with(
-            F.slice(F.col("qv"), 1, SEM_BAND_BITS),
-            F.slice(F.col("c"), 1, SEM_BAND_BITS),
-            lambda a, b: F.when(a >= b, F.lit(1)).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, bit: acc * 2 + bit,
-    )
-    want = {
-        r.vec_id: r.band
-        for r in assigned.join(F.broadcast(cents), "k")
-        .select("vec_id", fold.alias("band"))
-        .collect()
-    }
-    assert len(got) > 0 and got == want

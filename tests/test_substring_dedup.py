@@ -175,16 +175,19 @@ def test_hashed_twin_output_identical(spark, sf_small):
 
 
 def test_plan_no_cartesian_one_gram_exchange(spark, sf_small):
-    """Plan shape: left-semi join against the duplicated-gram set (AQE
-    decides the strategy), no cartesian product, and the documents
-    scan reads ONLY (doc_id, text)."""
+    """Plan shape (optimization r16): the duplicated-gram predicate is
+    a min/max WINDOW over ONE gram exchange — the corpus is scanned and
+    gram-expanded exactly ONCE (the r15 shape derived the gram table
+    twice for a dup-set semi-join: one extra full corpus pass and gram
+    exchange per run), no join at all on the gram side, no cartesian
+    product, and the single documents scan reads ONLY (doc_id, text)."""
     from .test_plans import plan_of_df
 
     p = plan_of_df(q_substring_spans(spark, sf_small))
     assert "CartesianProduct" not in p
-    assert "LeftSemi" in p
+    assert "Window" in p
     scans = [l for l in p.splitlines() if "ReadSchema" in l]
-    assert scans, "no parquet scan in plan"
+    assert len(scans) == 1, p  # ONE corpus scan, the whole point
     for l in scans:
         assert "doc_id" in l and "text" in l
         assert "lang" not in l and "n_chars" not in l
